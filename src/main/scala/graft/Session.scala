@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single SparkSession factory for the engine.
+  *
+  * Local-mode settings mirror what a cluster deployment would set per
+  * executor: UTC session time zone (oracle parity), AQE on (runtime
+  * re-planning: broadcast promotion, skew-join splitting, partition
+  * coalescing), and shuffle partitions sized to the actual parallelism
+  * instead of the 200 default. On a real cluster only
+  * `spark.sql.shuffle.partitions` changes (≈ 2-3× total cores).
+  */
+object Session {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The driver's events table stores TIMESTAMP(NANOS) which the
+      // parquet reader rejects; read it as raw nanos and convert
+      // explicitly (see Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
