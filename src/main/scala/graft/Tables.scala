@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Readers for the driver's parquet tables (`/root/testdata/sf*/`).
+/** Readers for the driver's parquet tables (the `sf` directories under
+  * /root/testdata — sf0.001, sf0.01, sf0.1).
   *
   * All readers are plain `spark.read.parquet` scans — column pruning and
   * predicate pushdown reach the parquet footer (verify with
@@ -30,7 +31,6 @@ object Tables {
     *     window/session operators.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))

@@ -230,13 +230,14 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("revenue_cents"))
-        .withColumn("avg_price", col("revenue_cents") / lit(100.0) / col("n_orders"))
+        .withColumn("avg_price_cents",
+          round(col("revenue_cents") / col("n_orders")).cast("long"))
         .orderBy("month"),
     Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
             CAST(COUNT(*) AS BIGINT) AS n_orders,
             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-            CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0
-              / CAST(COUNT(*) AS BIGINT) AS avg_price
+            CAST(ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+              / CAST(COUNT(*) AS BIGINT)) AS BIGINT) AS avg_price_cents
             FROM orders GROUP BY 1 ORDER BY month"""))
 
   /** A4 — data-quality conditional aggregates (`README.md:15`,
@@ -250,13 +251,14 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           sum(when(col("value") < 10, 1L).otherwise(0L)).as("n_low"),
           count(get_json_object(col("props"), "$.missing")).as("n_has_missing"))
-        .withColumn("low_share", col("n_low") / col("n"))
+        .withColumn("low_share_bp",
+          round(col("n_low") * lit(10000.0) / col("n")).cast("long"))
         .orderBy("event_type"),
     Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
             CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
             CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT) AS n_has_missing,
-            CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT)
-              / CAST(COUNT(*) AS BIGINT) AS low_share
+            CAST(ROUND(CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT)
+              * 10000.0 / CAST(COUNT(*) AS BIGINT)) AS BIGINT) AS low_share_bp
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** A5 — distinct count (unique-email analog `02:68`). */
@@ -279,18 +281,25 @@ object RelationalQueries {
   /** A6 — multi-level rollup (dbt staging→marts skeleton `sql/dbt/`). */
   val a6 = DQ(
     "a6_rollup",
-    (s, d) =>
+    (s, d) => {
+      // The rollup's Expand node duplicates grouping attributes, which
+      // trips the Dataset ambiguous-self-join analyzer on any DataFrame
+      // select that follows. Expressing the rollup in SQL over a temp view
+      // sidesteps that check entirely (pure SQL name resolution).
       ord(s, d)
         .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(sum(cents(col("o_totalprice"))).as("total_cents"), count(lit(1)).as("n"))
-        .select(
-          coalesce(col("r_name"), lit("ALL")).as("r_label"),
-          coalesce(col("n_name"), lit("ALL")).as("n_label"),
-          col("total_cents"), col("n"))
-        .orderBy("r_label", "n_label"),
+        .select(col("r_name").as("rn"), col("n_name").as("nn"), col("o_totalprice"))
+        .createOrReplaceTempView("a6_base")
+      s.sql("""SELECT coalesce(rn, 'ALL') AS r_label,
+                      coalesce(nn, 'ALL') AS n_label,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                      count(1) AS n
+               FROM a6_base
+               GROUP BY ROLLUP(rn, nn)
+               ORDER BY r_label, n_label""")
+    },
     Some("""SELECT COALESCE(r_name,'ALL') AS r_label, COALESCE(n_name,'ALL') AS n_label,
             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
             CAST(COUNT(*) AS BIGINT) AS n

@@ -45,20 +45,25 @@ object SetOpQueries {
              UNION SELECT l_orderkey AS id FROM lineitem)"""))
 
   /** O4 — dedup on key after duplicated delivery; same semantics as the
-    * raw-audit idempotent replay (DQ-S6, `02:16`). */
+    * raw-audit idempotent replay (`02:16`). Key duplication is made
+    * explicit on both sides (min per key) so semantics stay aligned even
+    * if a key ever recurs with a different value — `dropDuplicates` would
+    * keep an arbitrary row. */
   val o4 = DQ(
     "o4_dedup",
     (s, d) => {
       val e = Tables.events(s, d).select("event_id", "value")
       e.unionByName(e)
-        .dropDuplicates("event_id")
-        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .groupBy("event_id")
+        .agg(min(cents(col("value"))).as("v_cents"))
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("value_cents"))
     },
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
-            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-            FROM (SELECT DISTINCT event_id, value FROM
-              (SELECT event_id, value FROM events
-               UNION ALL SELECT event_id, value FROM events))"""))
+            CAST(SUM(v_cents) AS BIGINT) AS value_cents
+            FROM (SELECT event_id, MIN(CAST(ROUND(value*100) AS BIGINT)) AS v_cents
+              FROM (SELECT event_id, value FROM events
+               UNION ALL SELECT event_id, value FROM events)
+              GROUP BY event_id)"""))
 
   /** O5 — except/intersect (replay diff / FK orphan checks, `02:16`). */
   val o5 = DQ(
