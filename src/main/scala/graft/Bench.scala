@@ -9,14 +9,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get()
-    // warm the JVM/codegen path once so timings measure the queries
-    SparkEntry.entry(spark).count()
+    // Warm the JVM/codegen path once so timings measure the queries, not
+    // class loading. Wrapped so a warm-up failure can never swallow the
+    // JSON line (round-2 advice).
+    try SparkEntry.queries("j1_star_join")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // noop sink materializes the FULL physical plan; a bare count()
+        // would let EliminateSorts drop top-level orderBys and so time a
+        // different plan than Verify executes (round-2 advice).
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -31,6 +31,9 @@ object Tables {
     *     window/session operators.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Runtime-settable conf: make the reader work even when the caller's
+    // session was not built by Session.builder (round-2 advice).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))

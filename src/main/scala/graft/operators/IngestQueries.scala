@@ -72,7 +72,7 @@ object IngestQueries {
     Some("""SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
             CAST(COUNT(k) AS BIGINT) AS n_parsed
             FROM (SELECT event_type,
-                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
 

@@ -134,12 +134,15 @@ object RelationalQueries {
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** J3 — top products KPI (`README.md:15`): lineitem⋈part, top 10 brands
-    * by quantity. part is a dimension → broadcast. */
+    * by quantity. `part` is a dimension but NOT tiny at 100 TB (1/30 of
+    * lineitem) — broadcast is left to AQE's runtime size estimate rather
+    * than pinned, so the plan can demote to shuffle join at scale
+    * (round-2 advice applied; pins stay only on nation/region). */
   val j3 = DQ(
     "j3_top_products",
     (s, d) =>
       li(s, d)
-        .join(broadcast(prt(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(prt(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(sum(asLong(col("l_quantity"))).as("qty"))
         .orderBy(col("qty").desc, col("p_brand"))
@@ -278,27 +281,33 @@ object RelationalQueries {
     (s, d) => ord(s, d).agg(approx_count_distinct(col("o_custkey")).as("n_approx")),
     None)
 
-  /** A6 — multi-level rollup (dbt staging→marts skeleton `sql/dbt/`). */
+  /** A6 — multi-level rollup (dbt staging→marts skeleton `sql/dbt/`).
+    * The rollup's Expand node duplicates the grouping attributes, which
+    * trips the Dataset ambiguous-self-join analyzer even on pre-aliased
+    * columns, so the rollup itself is expressed in SQL (pure name
+    * resolution). The view name is unique per invocation and dropped
+    * immediately — `sql()` analyzes eagerly, so the returned plan does
+    * not depend on the view surviving (round-2 advice: no session-global
+    * mutable name). */
   val a6 = DQ(
     "a6_rollup",
     (s, d) => {
-      // The rollup's Expand node duplicates grouping attributes, which
-      // trips the Dataset ambiguous-self-join analyzer on any DataFrame
-      // select that follows. Expressing the rollup in SQL over a temp view
-      // sidesteps that check entirely (pure SQL name resolution).
+      val view = "a6_base_" + java.util.UUID.randomUUID().toString.replace("-", "")
       ord(s, d)
         .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
         .select(col("r_name").as("rn"), col("n_name").as("nn"), col("o_totalprice"))
-        .createOrReplaceTempView("a6_base")
-      s.sql("""SELECT coalesce(rn, 'ALL') AS r_label,
-                      coalesce(nn, 'ALL') AS n_label,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
-                      count(1) AS n
-               FROM a6_base
-               GROUP BY ROLLUP(rn, nn)
-               ORDER BY r_label, n_label""")
+        .createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT coalesce(rn, 'ALL') AS r_label,
+                   coalesce(nn, 'ALL') AS n_label,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   count(1) AS n
+            FROM $view
+            GROUP BY ROLLUP(rn, nn)
+            ORDER BY r_label, n_label""")
+      finally s.catalog.dropTempView(view)
     },
     Some("""SELECT COALESCE(r_name,'ALL') AS r_label, COALESCE(n_name,'ALL') AS n_label,
             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
