@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, decoded via a per-partition typed map — the Scala
+  * analog of a vectorized decode UDF.
+  *
+  * The actual image/audio codec is STUBBED (this container has no media
+  * libraries): `decodeStub` deterministically "parses" a fake header from
+  * the payload bytes. Everything around the stub — binary column schema,
+  * the `Dataset[T]`/`mapPartitions` batch shape, partition-local decode
+  * with no shuffle, frame sampling — is the real 100 TB plumbing: decode
+  * is embarrassingly parallel, runs one iterator per partition, and never
+  * materializes more than a partition of payloads.
+  */
+object Multimodal {
+
+  /** Opaque media record: id + undecoded payload bytes. */
+  final case class MediaRaw(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded metadata + deterministically sampled frame indices. */
+  final case class MediaMeta(
+      doc_id: Long, width: Int, height: Int, n_frames: Int,
+      sampled_frames: Seq[Int])
+
+  /** Synthesize a deterministic binary payload per document (sha2 bytes of
+    * a tagged id) — stands in for real image/audio bytes so the decode
+    * path has stable, verifiable input in every environment. */
+  def synthesize(docs: DataFrame): Dataset[MediaRaw] =
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        unhex(sha2(concat(lit("media:"), col("doc_id")), 256)).as("payload"))
+      .as[MediaRaw](Encoders.product[MediaRaw])
+
+  /** STUB decode: reads width/height/frame-count from the first payload
+    * bytes as if they were a container header, then samples frames at a
+    * fixed stride. Replace the body with a real codec call per element;
+    * the signature and batch shape stay. */
+  def decodeStub(ds: Dataset[MediaRaw]): Dataset[MediaMeta] =
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val b      = r.payload
+        val width  = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+        val height = ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+        val nf     = (b(4) & 0xFF) % 15 + 1
+        val stride = math.max(1, nf / 4)
+        MediaMeta(r.doc_id, width, height, nf, 0 until nf by stride)
+      }
+    }(Encoders.product[MediaMeta])
+}

@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector arithmetic over `array<double>` columns, built purely
+  * from codegen'd higher-order functions (`zip_with`/`aggregate`) — no
+  * UDFs, so the whole similarity pipeline stays inside WholeStageCodegen
+  * and is a per-row O(d) map with no shuffle.
+  *
+  * The fold is a sequential left-fold in array order, which is what the
+  * DuckDB oracle (`list_dot_product`) computes too — IEEE-double parity
+  * for the correctness gate.
+  *
+  * Callers cast `array<float>` storage to `array<double>` first
+  * (exact widening) so both engines accumulate in double.
+  */
+object VectorOps {
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,450 @@
+package graft.operators
+
+import graft.{DQ, Tables}
+import graft.functions.{MinHash, Multimodal, SimHash, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` /
+  * `embeddings` tables (north-star extension beyond the reference's own
+  * surface — SURVEY.md §7.1 step 5).
+  *
+  * Dedup family: exact (hash groupBy), MinHash+banded-LSH, SimHash,
+  * n-gram Jaccard verification. Similarity: brute-force cosine top-k
+  * (baseline) and a hyperplane-LSH bucketed variant (scale path). Text
+  * analysis: per-language stats, BPE-ish token counting, quality scoring,
+  * language-ID heuristic, rolling-hash fingerprinting. Multimodal: binary
+  * payload decode plumbing + a text⋈embedding joint frame.
+  *
+  * Scale stance (100 TB): every candidate-pair generator is bucketed
+  * (band equi-joins) — NOTHING here is all-pairs; signature aggregations
+  * are partial-aggregable; per-row text/vector math is HOF-codegen with
+  * no shuffle; the only broadcast is the 1-row query vector.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  private val normHash: Column = sha2(lower(trim(col("text"))), 256)
+
+  // ---------------------------------------------------------------- dedup
+
+  /** L1 — exact deduplication: normalize → sha256 → hash groupBy keeping
+    * the smallest doc_id per content hash (the canonical "keep first"
+    * policy). One partial-aggregable hash agg; scales linearly. */
+  val l1 = DQ(
+    "l1_exact_dedup",
+    (s, d) =>
+      docs(s, d)
+        .select(normHash.as("h"), col("doc_id"))
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .agg(
+          count(lit(1)).as("n_unique"),
+          sum("keep_id").as("kept_id_sum"),
+          sum("n_copies").as("n_docs"),
+          (sum("n_copies") - count(lit(1))).as("n_dupes")),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+            CAST(SUM(keep_id) AS BIGINT) AS kept_id_sum,
+            CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+            CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dupes
+            FROM (SELECT sha256(lower(trim(text))) AS h, MIN(doc_id) AS keep_id,
+                         COUNT(*) AS n_copies
+                  FROM documents GROUP BY 1)"""))
+
+  /** L2 — per-source dedup accounting (duplicate rate by provenance, the
+    * first report any corpus curation run produces). */
+  val l2 = DQ(
+    "l2_dedup_by_source",
+    (s, d) =>
+      docs(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(normHash).as("n_unique"))
+        .orderBy("source"),
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(DISTINCT sha256(lower(trim(text)))) AS BIGINT) AS n_unique
+            FROM documents GROUP BY source ORDER BY source"""))
+
+  // ------------------------------------------------- similarity search
+
+  /** L3 — brute-force cosine top-k (the correctness baseline every ANN
+    * variant is measured against): fixed query vector (vec_id=0) against
+    * all others. Full scan + per-row O(d) HOF math + TakeOrdered — no
+    * shuffle of the vectors themselves. Similarity is reported ×10000 as
+    * a long so the hash compare is float-drift-free, and the ordering is
+    * on the ROUNDED value (deterministic across engines). */
+  val l3 = DQ(
+    "l3_cosine_topk",
+    (s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)) // 1-row broadcast: BroadcastNestedLoop over a single row
+        .withColumn("sim_e4",
+          round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long"))
+        .select("vec_id", "sim_e4")
+        .orderBy(col("sim_e4").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id AS vec_id,
+              CAST(ROUND(10000 * list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS sim_e4
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY sim_e4 DESC, vec_id LIMIT 10"""))
+
+  // ---------------------------------------------------- text analysis
+
+  /** L4 — per-language corpus stats: docs, whitespace tokens, distinct
+    * vocabulary, character volume. explode + two partial-aggregable hash
+    * aggs joined on the 5-row lang key. */
+  val l4 = DQ(
+    "l4_lang_stats",
+    (s, d) => {
+      val dd = docs(s, d)
+      val toks = dd.select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+      val tokAgg = toks.groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_distinct_tokens"))
+      val docAgg = dd.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      docAgg.join(tokAgg, "lang").orderBy("lang")
+    },
+    Some("""WITH t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                              CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+                       FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok
+                             FROM documents)
+                       GROUP BY lang),
+                 d0 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                        FROM documents GROUP BY lang)
+            SELECT d0.lang AS lang, n_docs, sum_chars, n_tokens, n_distinct_tokens
+            FROM d0 JOIN t ON d0.lang = t.lang ORDER BY lang"""))
+
+  /** L5 — token counting with a BPE-ish pre-tokenizer regex (letter runs,
+    * digit runs, single punctuation — the GPT-2-style split shape):
+    * per-source token volume. Pure per-row regex + hash agg. */
+  val l5 = DQ(
+    "l5_token_count",
+    (s, d) =>
+      docs(s, d)
+        .select(col("source"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          max("n_tok").as("max_tokens"))
+        .orderBy("source"),
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+            CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+            FROM (SELECT source,
+                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tok
+                  FROM documents)
+            GROUP BY source ORDER BY source"""))
+
+  /** L6 — document quality scoring: stopword share (basis points) and
+    * size gates classify docs good/low; counts by (lang, quality). The
+    * per-row metrics are HOF/regex only — the filter-then-count shape of
+    * every corpus quality pass. */
+  val l6 = DQ(
+    "l6_quality_score",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("stop_bp",
+          round(size(expr(
+            "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
+            * lit(10000.0) / size(col("toks"))).cast("long"))
+        .withColumn("quality",
+          when(col("n_chars") >= 200 && col("stop_bp") < 2500, "good").otherwise("low"))
+        .groupBy("lang", "quality")
+        .agg(count(lit(1)).as("n"), sum("stop_bp").as("sum_stop_bp"))
+        .orderBy("lang", "quality"),
+    Some("""SELECT lang,
+            CASE WHEN n_chars >= 200 AND stop_bp < 2500 THEN 'good' ELSE 'low' END AS quality,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(stop_bp) AS BIGINT) AS sum_stop_bp
+            FROM (SELECT lang, n_chars,
+                    CAST(ROUND(len(list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> list_contains(['the','a','value','table'], t)))
+                         * 10000.0 / len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+                      AS stop_bp
+                  FROM documents)
+            GROUP BY lang, quality ORDER BY lang, quality"""))
+
+  /** L7 — language-ID by marker-token scoring (the n-gram-profile
+    * heuristic: score each language's marker set, argmax with a fixed
+    * precedence). Confusion counts by (lang, pred). On this synthetic
+    * corpus the markers are vocabulary words — the operator shape (N
+    * profile scores + argmax per row) is what matters. */
+  val l7 = DQ(
+    "l7_langid",
+    (s, d) => {
+      val profiles = Seq(
+        "en" -> Seq("the", "a"),
+        "de" -> Seq("agg", "hash"),
+        "es" -> Seq("row", "scan"),
+        "fr" -> Seq("join", "merge"),
+        "zh" -> Seq("window", "stream"))
+      val base = docs(s, d).withColumn("toks", split(lower(col("text")), "\\s+"))
+      val scored = profiles.foldLeft(base) { case (df, (lang2, marks)) =>
+        val arr = marks.map(m => s"'$m'").mkString(",")
+        df.withColumn(s"s_$lang2",
+          size(expr(s"filter(toks, t -> array_contains(array($arr), t))")))
+      }
+      scored
+        .withColumn("pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+              col("s_de") >= col("s_zh"), "de")
+            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+            .when(col("s_fr") >= col("s_zh"), "fr")
+            .otherwise("zh"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+    Some("""SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT lang,
+                    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                         WHEN s_fr >= s_zh THEN 'fr'
+                         ELSE 'zh' END AS pred
+                  FROM (SELECT lang,
+                          len(list_filter(toks, t -> list_contains(['the','a'], t))) AS s_en,
+                          len(list_filter(toks, t -> list_contains(['agg','hash'], t))) AS s_de,
+                          len(list_filter(toks, t -> list_contains(['row','scan'], t))) AS s_es,
+                          len(list_filter(toks, t -> list_contains(['join','merge'], t))) AS s_fr,
+                          len(list_filter(toks, t -> list_contains(['window','stream'], t))) AS s_zh
+                        FROM (SELECT lang, string_split_regex(lower(text), '\s+') AS toks
+                              FROM documents)))
+            GROUP BY lang, pred ORDER BY lang, pred"""))
+
+  /** L8 — document fingerprinting: polynomial rolling hash over the
+    * character stream (base 31 mod 1e9+7), folded with a codegen'd HOF —
+    * the per-row O(len) content fingerprint used for cheap shard-local
+    * dedup before any shuffle. */
+  val l8 = DQ(
+    "l8_fingerprint",
+    (s, d) =>
+      docs(s, d)
+        .select(expr(
+          """aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)),
+             cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("n_fp"),
+          sum("fp").as("fp_sum")),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+            CAST(SUM(fp) AS BIGINT) AS fp_sum
+            FROM (SELECT list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+                  FROM documents)"""))
+
+  // ------------------------------------------- near-dup (bucketed LSH)
+
+  /** Documents plus planted near-duplicates (every doc_id % 10 == 0 is
+    * re-added at id+10000 with its first token dropped) so near-dup
+    * recall is verifiable by construction on any corpus snapshot. */
+  private[operators] def planted(dd: DataFrame): DataFrame = {
+    val base = dd.select("doc_id", "text")
+    val dups = dd.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    base.unionByName(dups)
+  }
+
+  /** Word 3-shingle set per document, exploded to (doc_id, sh) rows. */
+  private[operators] def shingles(dd: DataFrame): DataFrame =
+    dd.withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .as("sh"))
+      .distinct()
+
+  /** L9 — MinHash + banded LSH near-duplicate detection, the canonical
+    * web-scale near-dup pipeline (shingle → K=64 minhash via the typed
+    * Aggregator → 16 bands × 4 rows → bucket equi-join → exact Jaccard
+    * only on candidates). NO all-pairs step anywhere: candidates come
+    * from band-bucket equi-joins, and verification joins shingle sets on
+    * (pair, shingle) keys. No DuckDB oracle (signature hashing is not
+    * SQL-portable); the spec pins recall on the planted dups and asserts
+    * a cartesian-free plan. */
+  val l9 = DQ(
+    "l9_minhash_neardup",
+    (s, d) => {
+      val dd = planted(docs(s, d))
+      val sh = shingles(dd)
+      val sigs = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        .groupBy("doc_id")
+        .agg(MinHash.signature(col("h")).as("sig"))
+      // Band key = overflow-free modular fold of the 4-row slice (acc stays
+      // < 1e9+7, so acc*31 never leaves the long range under ANSI mode;
+      // the xor folds in the full 64-bit minhash value).
+      val buckets = sigs.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 15), i ->
+             struct(i as band_id,
+                    aggregate(slice(sig, i * 4 + 1, 4), cast(98765 as bigint),
+                              (acc, x) -> pmod((acc * 31) ^ x, 1000000007)) as bkey))"""))
+        .as("b"))
+        .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+      val pairs = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+        .distinct()
+      val shA = sh.toDF("ida", "sh")
+      val shB = sh.toDF("idb", "sh")
+      val inter = pairs.join(shA, "ida").join(shB, Seq("idb", "sh"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("n_inter"))
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      pairs
+        .join(inter, Seq("ida", "idb"), "left").na.fill(0, Seq("n_inter"))
+        .join(counts.toDF("ida", "na"), "ida")
+        .join(counts.toDF("idb", "nb"), "idb")
+        .withColumn("jac_e4",
+          round(col("n_inter") * lit(10000.0) /
+            (col("na") + col("nb") - col("n_inter"))).cast("long"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("jac_e4") >= 6000, 1L).otherwise(0L)).as("n_near_dup"),
+          coalesce(sum(when(col("jac_e4") >= 6000, col("ida") + col("idb"))), lit(0L))
+            .as("pair_checksum"))
+    },
+    None)
+
+  /** L10 — SimHash near-dup: 64-bit signature per doc from token hashes,
+    * 4×16-bit band buckets (pigeonhole-complete for Hamming ≤ 3), XOR
+    * popcount only on bucket-mates. Same no-all-pairs discipline as L9. */
+  val l10 = DQ(
+    "l10_simhash",
+    (s, d) => {
+      val dd = planted(docs(s, d))
+      val tok = dd.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      val sigs = SimHash.signatures(tok, "doc_id", "h")
+      val buckets = sigs.select(col("doc_id"), col("sig"),
+        explode(SimHash.bands(col("sig"), 4)).as("b"))
+        .select(col("doc_id"), col("sig"), col("b.band_id"), col("b.bval"))
+      val pairs = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        .distinct()
+      val near = pairs.filter(col("hamming") <= 3)
+      sigs.agg(count(lit(1)).as("n_docs"), countDistinct("sig").as("n_sig"))
+        .crossJoin(
+          near.agg(count(lit(1)).as("n_pairs_ham_le3"),
+            coalesce(sum(col("ida") + col("idb")), lit(0L)).as("pair_checksum")))
+    },
+    None)
+
+  // ------------------------------------------------------- multimodal
+
+  /** L11 — multimodal joint frame: documents ⋈ embeddings on id into one
+    * frame holding text + vector + metadata, aggregated over both
+    * modalities at once (char volume from text, L2 norms from vectors).
+    * Per-row norm is rounded to ×10000 longs BEFORE the sum so the
+    * distributed total is order-independent and oracle-exact. */
+  val l11 = DQ(
+    "l11_multimodal_stats",
+    (s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      docs(s, d)
+        .join(e, col("doc_id") === col("vec_id"))
+        .select(col("lang"), col("label"), col("n_chars"),
+          round(lit(10000) * VectorOps.norm(col("v"))).cast("long").as("norm_e4"))
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          sum("norm_e4").as("sum_norm_e4"))
+        .orderBy("lang", "label")
+    },
+    Some("""SELECT lang, label, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(SUM(norm_e4) AS BIGINT) AS sum_norm_e4
+            FROM (SELECT d.lang, e.label, d.n_chars,
+                    CAST(ROUND(10000 * sqrt(list_dot_product(
+                      CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+                      AS BIGINT) AS norm_e4
+                  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+            GROUP BY lang, label ORDER BY lang, label"""))
+
+  /** L12 — LSH-bucketed approximate nearest neighbor (the scale path for
+    * L3): 16 fixed random hyperplanes → 16-bit sign signature → 4×4-bit
+    * band buckets; candidates share ≥1 band with the query, ranked by
+    * exact cosine. At 100 TB the full-scan L3 becomes a per-bucket scan
+    * here — the bucket join prunes the candidate set before any O(d)
+    * math. No oracle (hyperplane constants aren't SQL-portable); the
+    * spec measures recall against L3. */
+  val l12 = DQ(
+    "l12_ann_lsh",
+    (s, d) => {
+      val planes: Array[Array[Double]] = {
+        val r = new scala.util.Random(20260813L)
+        Array.fill(16)(Array.fill(64)(r.nextGaussian()))
+      }
+      def planeLit(j: Int): Column = array(planes(j).map(lit).toIndexedSeq: _*)
+      val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val withSig = (0 until 16).foldLeft(e) { (df, j) =>
+        df.withColumn(s"bit$j",
+          when(VectorOps.dot(col("v"), planeLit(j)) > 0, lit(1L << j)).otherwise(lit(0L)))
+      }.withColumn("sig", (0 until 16).map(j => col(s"bit$j")).reduce(_ + _))
+        .select(col("vec_id"), col("v"), col("sig"))
+      val banded = withSig.select(col("vec_id"), col("v"),
+        explode(SimHash.bands(col("sig"), 4)).as("b"))
+        .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bval"))
+      val qb = banded.filter(col("vec_id") === 0)
+        .select(col("band_id"), col("bval"), col("v").as("qv"))
+      banded.filter(col("vec_id") =!= 0)
+        .join(broadcast(qb), Seq("band_id", "bval"))
+        .select(col("vec_id"), col("v"), col("qv")).distinct()
+        .withColumn("sim_e4",
+          round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long"))
+        .select("vec_id", "sim_e4")
+        .orderBy(col("sim_e4").desc, col("vec_id"))
+        .limit(5)
+    },
+    None)
+
+  /** L13 — multimodal binary decode plumbing: synthesize binary payloads,
+    * decode via the typed per-partition stub (`Multimodal.decodeStub`),
+    * aggregate the decoded metadata. The oracle replays the deterministic
+    * header arithmetic in hex, proving the binary path end-to-end. */
+  val l13 = DQ(
+    "l13_media_decode",
+    (s, d) => {
+      val meta = Multimodal.decodeStub(Multimodal.synthesize(docs(s, d)))
+      meta.toDF().agg(
+        count(lit(1)).as("n"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("n_frames").cast("long")).as("sum_frames"),
+        sum(size(col("sampled_frames")).cast("long")).as("sum_sampled"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(w) AS BIGINT) AS sum_width,
+            CAST(SUM(ht) AS BIGINT) AS sum_height,
+            CAST(SUM(nf) AS BIGINT) AS sum_frames,
+            CAST(SUM(CAST(CEIL(nf * 1.0 / GREATEST(1, nf // 4)) AS BIGINT)) AS BIGINT) AS sum_sampled
+            FROM (SELECT CAST(concat('0x', substr(h, 1, 4)) AS INTEGER) AS w,
+                         CAST(concat('0x', substr(h, 5, 4)) AS INTEGER) AS ht,
+                         CAST(concat('0x', substr(h, 9, 2)) AS INTEGER) % 15 + 1 AS nf
+                  FROM (SELECT sha256('media:' || doc_id) AS h FROM documents))"""))
+
+  val all: Seq[DQ] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13)
+}
