@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{Multimodal, VectorOps}
+import graft.operators.LlmQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector arithmetic and multimodal binary plumbing. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dot/norm/cosine match hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 1.0))).toDF("a", "b")
+    val row = df.select(
+      VectorOps.dot(col("a"), col("b")).as("dot"),
+      VectorOps.norm(col("a")).as("na"),
+      VectorOps.cosine(col("a"), col("b")).as("cos")).collect()(0)
+    assert(row.getAs[Double]("dot") === 4.0)
+    assert(row.getAs[Double]("na") === 3.0)
+    assert(math.abs(row.getAs[Double]("cos") - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v")).limit(20)
+    val bad = e.filter(abs(VectorOps.cosine(col("v"), col("v")) - 1.0) > 1e-9).count()
+    assert(bad === 0)
+  }
+
+  test("l3 brute-force top-k: similarities are within [-10000, 10000] and sorted") {
+    val rows = LlmQueries.l3.fn(spark, sf).collect()
+    assert(rows.length === 10)
+    val sims = rows.map(_.getAs[Long]("sim_e4"))
+    assert(sims.forall(s => s >= -10000 && s <= 10000))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("l12 ANN candidates report exact cosine values (subset of brute force ranking)") {
+    val ann = LlmQueries.l12.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e4")).toMap
+    assert(ann.nonEmpty)
+    // Recompute each returned similarity exactly, brute-force.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = e.filter(col("vec_id").isin(ann.keys.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long").as("sim_e4"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e4")).toMap
+    assert(ann === exact)
+  }
+
+  test("media synthesize/decode is deterministic and in range") {
+    val a = Multimodal.decodeStub(Multimodal.synthesize(Tables.documents(spark, sf)))
+      .collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeStub(Multimodal.synthesize(Tables.documents(spark, sf)))
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(m => m.width >= 0 && m.width <= 0xFFFF))
+    assert(a.forall(m => m.n_frames >= 1 && m.n_frames <= 15))
+    assert(a.forall(m => m.sampled_frames.nonEmpty &&
+      m.sampled_frames.size <= m.n_frames))
+  }
+
+  test("media payloads are 32-byte binaries keyed by doc_id") {
+    val raw = Multimodal.synthesize(Tables.documents(spark, sf)).collect()
+    assert(raw.forall(_.payload.length === 32))
+    assert(raw.map(_.doc_id).distinct.length === raw.length)
+  }
+
+  test("fingerprint fold (l8) matches a reference JVM implementation on sample docs") {
+    import spark.implicits._
+    val sample = Tables.documents(spark, sf).select("text").as[String].limit(20).collect()
+    def fpJvm(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val sparkFp = Seq(sample: _*).toDF("text")
+      .select(expr(
+        """aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)),
+           cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fp"))
+      .as[Long].collect()
+    assert(sparkFp.toSeq === sample.map(fpJvm).toSeq)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB guardrails: no accidental
+  * cartesian products, pushdown reaching the parquet scan, broadcasts on
+  * the tiny dimensions, whole-stage codegen on the hot paths. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed to contain a nested-loop join: o5's 1×1 scalar
+    * compare, the single-row query-vector broadcasts in l3/l12, and
+    * l10's 1×1 stats-row combine. */
+  private val nlAllowed =
+    Set("o5_except_intersect", "l3_cosine_topk", "l12_ann_lsh", "l10_simhash")
+
+  test("no catalog query plans a CartesianProduct") {
+    for (dq <- SparkEntry.catalog) {
+      val plan = dq.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${dq.name} plans a cartesian product")
+    }
+  }
+
+  test("nested-loop joins only where a side is a known single row") {
+    for (dq <- SparkEntry.catalog if !nlAllowed(dq.name)) {
+      val plan = dq.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"${dq.name} plans an unexpected nested-loop join")
+    }
+  }
+
+  test("p2 filter reaches the parquet scan as a pushed filter") {
+    val plan = operators.RelationalQueries.p2.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("p_size") || plan.contains("p_brand"))
+  }
+
+  test("p1 projection prunes the lineitem scan to the referenced columns") {
+    val plan = operators.RelationalQueries.p1.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_shipdate"), s"unpruned scan: $readSchema")
+  }
+
+  test("j1 star join broadcasts the tiny dimensions") {
+    val plan = operators.RelationalQueries.j1.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("o1 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = operators.SetOpQueries.o1.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("a1 aggregation is partial (map-side combine before the shuffle)") {
+    val plan = operators.RelationalQueries.a1.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"))
+  }
+
+  test("hot relational queries run inside WholeStageCodegen") {
+    for (dq <- Seq(operators.RelationalQueries.p1, operators.RelationalQueries.j2,
+        operators.RelationalQueries.a1)) {
+      val df = dq.fn(spark, sf)
+      df.collect() // finalize THIS plan adaptively; codegen spans only show then
+      val plan = df.queryExecution.executedPlan.toString
+      // "*(n) " prefixes mark WholeStageCodegen spans in the plan tree.
+      assert(plan.contains("*("), s"${dq.name} not codegen'd:\n$plan")
+    }
+  }
+}

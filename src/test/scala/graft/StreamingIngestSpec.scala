@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Validation
+import graft.sources.{Corruptions, Generator}
+import graft.streaming.{IngestPipeline, KafkaShaped, Monitoring}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E2E streaming ingest: Kafka-shaped file stream → decode → validate →
+  * dual-sink, with the reference's count and idempotent-replay contract
+  * (`tests/integration/test_producer_integration.py:133-240`;
+  * offset-unique raw tables `02_create_tables.sql:9-47`). */
+class StreamingIngestSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_stream_").toString
+
+  private val N = 60L
+
+  private def producePayload(): org.apache.spark.sql.DataFrame =
+    Corruptions.products(Generator.products(spark, N, seed = 31), 0.3, seed = 32)
+
+  test("ingest lands raw/normalized/rejects with the expected counts, and replay is idempotent") {
+    val in = tmp()
+    val sinks = IngestPipeline.Sinks(
+      raw = s"${tmp()}/raw", normalized = s"${tmp()}/norm",
+      rejects = s"${tmp()}/rej", stats = s"${tmp()}/stats",
+      checkpoint = s"${tmp()}/ckpt")
+    val payload = producePayload()
+    val schema = Generator.products(spark, 1, seed = 31).schema
+
+    KafkaShaped.writeTopicFile(payload, "product_id", "products", 3, 0, in)
+    val q = IngestPipeline.start(spark, in, sinks, schema,
+      pk = "product_id", versionCol = "created_at", rules = Validation.productRules)
+    q.awaitTermination()
+
+    val expected = Validation.split(payload, Validation.productRules)
+    val nValid = expected.valid.count()
+    val nReject = expected.rejects.count()
+    assert(nValid + nReject === N)
+    assert(nReject > 0, "corruption at p=0.3 should reject some rows")
+
+    assert(spark.read.parquet(sinks.raw).count() === N)
+    assert(spark.read.parquet(sinks.normalized).count() === nValid)
+    assert(spark.read.parquet(sinks.rejects).count() === nReject)
+
+    val stats = spark.read.parquet(sinks.stats)
+    assert(stats.agg(sum("n_fresh")).collect()(0).getLong(0) === N)
+    assert(stats.agg(sum("n_valid")).collect()(0).getLong(0) === nValid)
+
+    val normBefore = spark.read.parquet(sinks.normalized)
+      .orderBy("product_id").collect().toSeq
+
+    // --- Replay: identical records (same partition/offset lineage) in a
+    // fresh file AND a fresh checkpoint — idempotency must come from the
+    // data-level offset guard, not from streaming-engine state (T4).
+    KafkaShaped.writeTopicFile(payload, "product_id", "products", 3, 0, in)
+    val sinks2 = sinks.copy(checkpoint = s"${tmp()}/ckpt2")
+    val q2 = IngestPipeline.start(spark, in, sinks2, schema,
+      pk = "product_id", versionCol = "created_at", rules = Validation.productRules)
+    q2.awaitTermination()
+
+    assert(spark.read.parquet(sinks.raw).count() === N, "raw must stay offset-unique")
+    val normAfter = spark.read.parquet(sinks.normalized)
+      .orderBy("product_id").collect().toSeq
+    assert(normAfter === normBefore,
+      "replay must not change the normalized table (incl. last_modified)")
+  }
+
+  test("a newer version of a key wins the upsert; older does not regress it (T5 compaction)") {
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val v1 = Generator.products(spark, 10, seed = 41)
+    val schema = v1.schema
+
+    KafkaShaped.writeTopicFile(v1, "product_id", "products", 2, 0, in)
+    val q1 = IngestPipeline.start(spark, in, sinks, schema,
+      "product_id", "created_at", Validation.productRules)
+    q1.awaitTermination()
+
+    // Same keys, later version timestamps, new offsets (offsetBase moves).
+    val v2 = v1.withColumn("created_at",
+      col("created_at") + expr("INTERVAL 10 DAYS"))
+      .withColumn("price", col("price") + 1.0)
+    KafkaShaped.writeTopicFile(v2, "product_id", "products", 2, 1000, in)
+    val q2 = IngestPipeline.start(spark, in,
+      sinks.copy(checkpoint = s"$base/ckpt2"), schema,
+      "product_id", "created_at", Validation.productRules)
+    q2.awaitTermination()
+
+    val norm = spark.read.parquet(sinks.normalized)
+    assert(norm.count() === 10, "latest-wins keeps one row per key")
+    val minCreated = v2.agg(min("created_at")).collect()(0).getTimestamp(0)
+    assert(norm.filter(col("created_at") < minCreated).count() === 0,
+      "every normalized row must be the v2 version")
+  }
+
+  test("maxFilesPerTrigger rate-limits the stream into multiple batches (T7)") {
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val a = Generator.products(spark, 20, seed = 51)
+    KafkaShaped.writeTopicFile(a.filter(col("stock_quantity") % 2 === 0),
+      "product_id", "products", 2, 0, in)
+    KafkaShaped.writeTopicFile(a.filter(col("stock_quantity") % 2 === 1),
+      "product_id", "products", 2, 5000, in)
+    val q = IngestPipeline.start(spark, in, sinks, a.schema,
+      "product_id", "created_at", Validation.productRules,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val stats = spark.read.parquet(sinks.stats)
+    assert(stats.select("batch_id").distinct().count() >= 2,
+      "two files at maxFilesPerTrigger=1 must span at least two batches")
+    assert(spark.read.parquet(sinks.raw).count() === 20)
+  }
+
+  test("monitoring listener persists per-batch progress rows (S9/A8)") {
+    val in = tmp()
+    val base = tmp()
+    val progressPath = s"$base/progress"
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val listener = Monitoring.attach(spark, progressPath)
+    try {
+      val a = Generator.products(spark, 15, seed = 61)
+      KafkaShaped.writeTopicFile(a, "product_id", "products", 2, 0, in)
+      val q = IngestPipeline.start(spark, in, sinks, a.schema,
+        "product_id", "created_at", Validation.productRules)
+      q.awaitTermination()
+      // Listener delivery is async — poll briefly.
+      var rows = 0L
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (rows == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        rows =
+          try spark.read.parquet(progressPath).count()
+          catch { case _: Throwable => 0L }
+      }
+      assert(rows > 0, "no streaming progress rows persisted")
+      val p = spark.read.parquet(progressPath)
+      assert(p.filter(col("num_input_rows") > 0).count() > 0)
+    } finally spark.streams.removeListener(listener)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Session, Tables}
+import graft.functions.{MinHash, SimHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MinHash / SimHash signature semantics and the bucketed (never
+  * all-pairs) near-dup pipelines l9/l10. */
+class LshSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash mix is a fixed deterministic function") {
+    assert(MinHash.mix(0L) === MinHash.mix(0L))
+    assert(MinHash.mix(1L) !== MinHash.mix(2L))
+    assert(MinHash.seeds.distinct.length === MinHash.K)
+  }
+
+  test("identical shingle sets produce identical signatures; estimate(jaccard)=1") {
+    import spark.implicits._
+    val rows = Seq(("a", 11L), ("a", 22L), ("a", 33L), ("b", 11L), ("b", 22L), ("b", 33L))
+      .toDF("doc", "h")
+    val sigs = rows.groupBy("doc").agg(MinHash.signature(col("h")).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sigs("a") === sigs("b"))
+    assert(MinHash.estimate(sigs("a"), sigs("b")) === 1.0)
+  }
+
+  test("minhash estimate approximates true jaccard for half-overlapping sets") {
+    import spark.implicits._
+    // A = {0..99}, B = {50..149}: true jaccard = 50/150 = 1/3.
+    val rows = ((0 until 100).map(i => ("a", MinHash.mix(i.toLong))) ++
+      (50 until 150).map(i => ("b", MinHash.mix(i.toLong)))).toDF("doc", "h")
+    val sigs = rows.groupBy("doc").agg(MinHash.signature(col("h")).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    val est = MinHash.estimate(sigs("a"), sigs("b"))
+    assert(est > 0.15 && est < 0.52, s"estimate $est vs true 0.333")
+  }
+
+  test("signature aggregation is partition-order independent") {
+    import spark.implicits._
+    val hs = (0 until 500).map(i => ("d", MinHash.mix(i.toLong * 77)))
+    val one = hs.toDF("doc", "h").coalesce(1)
+      .groupBy("doc").agg(MinHash.signature(col("h"))).collect()(0).getSeq[Long](1)
+    val many = hs.toDF("doc", "h").repartition(13)
+      .groupBy("doc").agg(MinHash.signature(col("h"))).collect()(0).getSeq[Long](1)
+    assert(one === many)
+  }
+
+  test("l9 finds every planted near-duplicate pair (drop-first-token copies)") {
+    import spark.implicits._
+    val dd = LlmQueries.planted(Tables.documents(spark, sf))
+    val plantedIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").as[Long].collect().toSet
+    // Re-run the candidate stage of l9 and check the planted pairs appear.
+    val sh = LlmQueries.shingles(dd)
+    val sigs = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy("doc_id").agg(MinHash.signature(col("h")).as("sig"))
+    val buckets = sigs.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 15), i ->
+           struct(i as band_id,
+                  aggregate(slice(sig, i * 4 + 1, 4), cast(98765 as bigint),
+                            (acc, x) -> pmod((acc * 31) ^ x, 1000000007)) as bkey))"""))
+      .as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+    val pairs = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    val missing = plantedIds.filter(id => !pairs.contains((id, id + 10000)))
+    assert(missing.isEmpty, s"planted pairs missed by LSH: $missing")
+  }
+
+  test("l9 and l10 plans contain no CartesianProduct") {
+    for (dq <- Seq(LlmQueries.l9, LlmQueries.l10)) {
+      val plan = dq.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${dq.name} is all-pairs")
+    }
+    // l9's candidate generation must be pure equi-joins (l10's final 1×1
+    // stats combine is a legitimate single-row NL join).
+    val l9plan = LlmQueries.l9.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!l9plan.contains("BroadcastNestedLoopJoin"), "l9 has an NL join")
+  }
+
+  test("l9 reports at least the planted near-duplicates") {
+    val row = LlmQueries.l9.fn(spark, sf).collect()(0)
+    val nPlanted = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0).count()
+    assert(row.getAs[Long]("n_near_dup") >= nPlanted)
+    assert(row.getAs[Long]("n_candidates") >= row.getAs[Long]("n_near_dup"))
+  }
+
+  test("simhash: identical token streams → identical signatures, dropped token → small hamming") {
+    import spark.implicits._
+    val toks = ((0 until 200).map(i => ("a", s"tok$i")) ++
+      (0 until 200).map(i => ("b", s"tok$i")) ++
+      (1 until 200).map(i => ("c", s"tok$i"))) // c = a minus one token
+      .toDF("doc", "tok")
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val sigs = SimHash.signatures(toks, "doc", "h")
+      .as[(String, Long)].collect().toMap
+    assert(sigs("a") === sigs("b"))
+    val hamming = java.lang.Long.bitCount(sigs("a") ^ sigs("c"))
+    assert(hamming <= 8, s"near-identical docs hamming $hamming")
+  }
+
+  test("l10 finds the planted duplicates as hamming<=3 bucket pairs") {
+    val row = LlmQueries.l10.fn(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_pairs_ham_le3") > 0)
+    assert(row.getAs[Long]("n_docs") === 550) // 500 + 50 planted
+  }
+}
