@@ -9,12 +9,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get()
-    // Warm the JVM/codegen path once so timings measure the queries, not
-    // class loading. Wrapped so a warm-up failure can never swallow the
-    // JSON line (round-2 advice).
-    try SparkEntry.queries("j1_star_join")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Warm the JVM/codegen paths once so timings measure the queries, not
+    // class loading: one join+agg query plus one JSON round-trip query
+    // (Jackson codec init alone costs seconds on first use). Wrapped so a
+    // warm-up failure can never swallow the JSON line (round-2 advice).
+    for (warm <- Seq("j1_star_join", "s3_json_roundtrip"))
+      try SparkEntry.queries(warm)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
