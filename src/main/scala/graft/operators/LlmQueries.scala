@@ -384,6 +384,28 @@ object LlmQueries {
                   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
             GROUP BY lang, label ORDER BY lang, label"""))
 
+  /** Fixed random hyperplanes for sign-LSH over the 64-dim embeddings
+    * (Charikar rounding): seeded, so the signature of any vector is a
+    * stable pure function. */
+  private lazy val hyperplanes: Array[Array[Double]] = {
+    val r = new scala.util.Random(20260813L)
+    Array.fill(16)(Array.fill(64)(r.nextGaussian()))
+  }
+
+  /** Append a 16-bit sign signature column `sig` to a frame with vector
+    * column `v` (array<double>). Pure per-row O(16·d) HOF math. */
+  private def hyperplaneSig(df: DataFrame): DataFrame = {
+    val withBits = hyperplanes.indices.foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"_bit$j",
+        when(VectorOps.dot(col("v"),
+          array(hyperplanes(j).map(lit).toIndexedSeq: _*)) > 0,
+          lit(1L << j)).otherwise(lit(0L)))
+    }
+    withBits
+      .withColumn("sig", hyperplanes.indices.map(j => col(s"_bit$j")).reduce(_ + _))
+      .drop(hyperplanes.indices.map(j => s"_bit$j"): _*)
+  }
+
   /** L12 — LSH-bucketed approximate nearest neighbor (the scale path for
     * L3): 16 fixed random hyperplanes → 16-bit sign signature → 4×4-bit
     * band buckets; candidates share ≥1 band with the query, ranked by
@@ -394,17 +416,8 @@ object LlmQueries {
   val l12 = DQ(
     "l12_ann_lsh",
     (s, d) => {
-      val planes: Array[Array[Double]] = {
-        val r = new scala.util.Random(20260813L)
-        Array.fill(16)(Array.fill(64)(r.nextGaussian()))
-      }
-      def planeLit(j: Int): Column = array(planes(j).map(lit).toIndexedSeq: _*)
       val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val withSig = (0 until 16).foldLeft(e) { (df, j) =>
-        df.withColumn(s"bit$j",
-          when(VectorOps.dot(col("v"), planeLit(j)) > 0, lit(1L << j)).otherwise(lit(0L)))
-      }.withColumn("sig", (0 until 16).map(j => col(s"bit$j")).reduce(_ + _))
-        .select(col("vec_id"), col("v"), col("sig"))
+      val withSig = hyperplaneSig(e).select(col("vec_id"), col("v"), col("sig"))
       val banded = withSig.select(col("vec_id"), col("v"),
         explode(SimHash.bands(col("sig"), 4)).as("b"))
         .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bval"))
@@ -446,5 +459,87 @@ object LlmQueries {
                          CAST(concat('0x', substr(h, 9, 2)) AS INTEGER) % 15 + 1 AS nf
                   FROM (SELECT sha256('media:' || doc_id) AS h FROM documents))"""))
 
-  val all: Seq[DQ] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13)
+  /** Embeddings plus planted near-duplicate vectors (every vec_id % 10
+    * == 0 re-added at id+10000 with its first component shifted) so
+    * cosine near-dup recall is verifiable by construction. */
+  private[operators] def plantedVecs(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dups = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        expr("concat(array(element_at(v, 1) + 0.3), slice(v, 2, size(v) - 1))").as("v"))
+    base.unionByName(dups)
+  }
+
+  /** L14 — embedding-cosine near-duplicate detection, bucketed: sign-LSH
+    * signature → 4×4-bit band buckets → candidate pairs only within a
+    * bucket → exact cosine only on candidates. The vector analog of L9's
+    * no-all-pairs discipline (at 100 TB the pair space is N²; the band
+    * equi-join keeps the realized pair set near-linear). No oracle
+    * (hyperplane constants aren't SQL-portable); spec pins planted
+    * recall. */
+  val l14 = DQ(
+    "l14_cosine_neardup",
+    (s, d) => {
+      val e = plantedVecs(embs(s, d))
+      val sigs = hyperplaneSig(e)
+      val buckets = sigs.select(col("vec_id"), col("v"),
+        explode(SimHash.bands(col("sig"), 4)).as("b"))
+        .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bval"))
+      val pairs = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bval") === col("y.bval") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("ida"), col("x.v").as("va"),
+          col("y.vec_id").as("idb"), col("y.v").as("vb"))
+        .distinct()
+      pairs
+        .withColumn("cos_e4",
+          round(lit(10000) * VectorOps.cosine(col("va"), col("vb"))).cast("long"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("cos_e4") >= 9000, 1L).otherwise(0L)).as("n_near"),
+          coalesce(sum(when(col("cos_e4") >= 9000, col("ida") + col("idb"))), lit(0L))
+            .as("pair_checksum"))
+    },
+    None)
+
+  /** L15 — n-gram Jaccard similarity as a first-class scorer: word
+    * 3-gram sets of each kept document vs its first-token-dropped
+    * variant, Jaccard ×10000. Pure per-row HOF set math (the pair is
+    * built per row, so this also oracle-checks the shingle pipeline that
+    * L9 buckets at scale). */
+  val l15 = DQ(
+    "l15_ngram_jaccard",
+    (s, d) =>
+      docs(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+        .withColumn("tb", split(lower(expr("substring(text, instr(text, ' ') + 1)")), "\\s+"))
+        .withColumn("ga", expr(
+          "array_distinct(transform(sequence(0, size(ta) - 3), i -> concat_ws(' ', slice(ta, i + 1, 3))))"))
+        .withColumn("gb", expr(
+          "array_distinct(transform(sequence(0, size(tb) - 3), i -> concat_ws(' ', slice(tb, i + 1, 3))))"))
+        .select(col("doc_id"),
+          round(size(array_intersect(col("ga"), col("gb"))) * lit(10000.0) /
+            size(array_union(col("ga"), col("gb")))).cast("long").as("jac_e4"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            CAST(ROUND(len(list_filter(ga, x -> list_contains(gb, x))) * 10000.0
+                 / len(list_distinct(list_concat(ga, gb)))) AS BIGINT) AS jac_e4
+            FROM (
+              SELECT doc_id,
+                list_distinct(list_transform(range(len(ta) - 2),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 3), ' '))) AS ga,
+                list_distinct(list_transform(range(len(tb) - 2),
+                  i -> array_to_string(list_slice(tb, i + 1, i + 3), ' '))) AS gb
+              FROM (
+                SELECT doc_id,
+                  string_split_regex(lower(text), '\s+') AS ta,
+                  string_split_regex(lower(substring(text, instr(text, ' ') + 1)), '\s+') AS tb
+                FROM documents WHERE doc_id % 10 = 0))
+            ORDER BY doc_id"""))
+
+  val all: Seq[DQ] =
+    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15)
 }
+

@@ -113,4 +113,36 @@ class LshSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_pairs_ham_le3") > 0)
     assert(row.getAs[Long]("n_docs") === 550) // 500 + 50 planted
   }
+
+  test("l14 recovers at least 80% of the planted cosine near-duplicate pairs") {
+    import graft.functions.VectorOps
+    val row = LlmQueries.l14.fn(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_candidates") >= row.getAs[Long]("n_near"))
+    // Exact planted-pair count at the same threshold, brute force on the
+    // known (x, x+10000) pairs only.
+    val pv = LlmQueries.plantedVecs(Tables.embeddings(spark, sf))
+    val a = pv.filter(col("vec_id") < 10000 && col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("ida"), col("v").as("va"))
+    val b = pv.filter(col("vec_id") >= 10000)
+      .select((col("vec_id") - 10000).as("ida"), col("v").as("vb"))
+    val exact = a.join(b, "ida")
+      .filter(VectorOps.cosine(col("va"), col("vb")) >= 0.9).count()
+    assert(exact > 0, "perturbation should keep most planted pairs above 0.9")
+    assert(row.getAs[Long]("n_near") >= (exact * 0.8).toLong,
+      s"found ${row.getAs[Long]("n_near")} of $exact planted near pairs")
+  }
+
+  test("l14 plan has no cartesian or nested-loop join") {
+    val plan = LlmQueries.l14.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("l15 n-gram jaccard scores are high for first-token-dropped variants") {
+    val rows = LlmQueries.l15.fn(spark, sf).collect()
+    assert(rows.length === 50) // doc_id % 10 == 0 of 500
+    val jacs = rows.map(_.getAs[Long]("jac_e4"))
+    assert(jacs.forall(j => j > 0 && j <= 10000))
+    // Dropping one token of ≥25 leaves most 3-grams shared.
+    assert(jacs.count(_ >= 6000) >= 45, s"low jaccards: ${jacs.sorted.take(5).toSeq}")
+  }
 }
