@@ -9,6 +9,12 @@ object Verify {
     val spark = Session.get()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is required by the gate, not a style choice: the
+      // driver hashes rows in FILE order and globs multi-file output in
+      // arbitrary order, so ordered results must land as one file whose
+      // row order is the plan's ORDER BY (coalesce(1) concatenates the
+      // range-partitioned sort output in partition order, preserving it).
+      // Verify-only shape — the engine's own sinks write in parallel.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

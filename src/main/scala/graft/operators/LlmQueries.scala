@@ -276,9 +276,12 @@ object LlmQueries {
     * Aggregator → 16 bands × 4 rows → bucket equi-join → exact Jaccard
     * only on candidates). NO all-pairs step anywhere: candidates come
     * from band-bucket equi-joins, and verification joins shingle sets on
-    * (pair, shingle) keys. No DuckDB oracle (signature hashing is not
-    * SQL-portable); the spec pins recall on the planted dups and asserts
-    * a cartesian-free plan. */
+    * (pair, shingle) keys. The shingle frame feeds four consumers, but
+    * Spark's exchange reuse shares the shuffled subtrees (ReusedExchange
+    * in the physical plan), so the corpus is scanned once per distinct
+    * shuffle pipeline — not once per consumer. No DuckDB oracle
+    * (signature hashing is not SQL-portable); the spec pins recall on
+    * the planted dups and asserts a cartesian-free plan. */
   val l9 = DQ(
     "l9_minhash_neardup",
     (s, d) => {
