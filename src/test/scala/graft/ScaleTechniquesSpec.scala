@@ -12,7 +12,19 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   private lazy val spark = Session.get()
   private val sf = "/root/testdata/sf0.001"
 
+  /** Drop any prior table AND its warehouse location — the in-memory
+    * catalog forgets tables across JVMs but the managed location
+    * persists, and saveAsTable refuses to reuse it. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+  }
+
   test("bucketed fact-fact join plans with NO shuffle exchange") {
+    resetTable("li_bucketed")
+    resetTable("ord_bucketed")
     Bucketing.writeBucketed(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice"),
       "li_bucketed", "l_orderkey", 8)
