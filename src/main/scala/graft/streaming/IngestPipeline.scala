@@ -31,6 +31,13 @@ object IngestPipeline {
   final case class Sinks(raw: String, normalized: String, rejects: String,
       stats: String, checkpoint: String)
 
+  /** Start the ingest stream for one entity topic from its descriptor
+    * (schema + key + rules in one place, `graft.Schemas`). */
+  def start(spark: SparkSession, inputDir: String, sinks: Sinks,
+      entity: graft.Schemas.EntityDesc): StreamingQuery =
+    start(spark, inputDir, sinks, entity.schema, entity.pk, entity.versionCol,
+      entity.rules)
+
   /** Start the ingest stream for one entity topic. `Trigger.AvailableNow`
     * drains everything present then stops — the replayable batch form;
     * pass a processing-time trigger for continuous mode. */
