@@ -473,29 +473,56 @@ object LlmQueries {
     base.unionByName(dups)
   }
 
-  /** L14 — embedding-cosine near-duplicate detection, bucketed: sign-LSH
-    * signature → 4×4-bit band buckets → candidate pairs only within a
-    * bucket → exact cosine only on candidates. The vector analog of L9's
-    * no-all-pairs discipline (at 100 TB the pair space is N²; the band
-    * equi-join keeps the realized pair set near-linear). No oracle
-    * (hyperplane constants aren't SQL-portable); spec pins planted
-    * recall. */
+  /** 64 fixed hyperplanes for the near-dup path — a near-dup signature
+    * needs finer buckets than the 16-bit ANN one: with b bands of w bits
+    * the expected bucket population is N/2^w per band, and candidate
+    * pairs grow as b·2^w·(N/2^w)² — at 4-bit bands that is quadratic in
+    * practice (measured: 135 s at sf0.1), at 8-bit bands near-linear. */
+  private lazy val hyperplanes64: Array[Array[Double]] = {
+    val r = new scala.util.Random(20260814L)
+    Array.fill(64)(Array.fill(64)(r.nextGaussian()))
+  }
+
+  /** 64-bit sign signature over `v` from [[hyperplanes64]]. */
+  private def hyperplaneSig64(df: DataFrame): DataFrame = {
+    val withBits = hyperplanes64.indices.foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"_bit$j",
+        when(VectorOps.dot(col("v"),
+          array(hyperplanes64(j).map(lit).toIndexedSeq: _*)) > 0,
+          lit(1L << j)).otherwise(lit(0L)))
+    }
+    withBits
+      .withColumn("sig", hyperplanes64.indices.map(j => col(s"_bit$j")).reduce(_ + _))
+      .drop(hyperplanes64.indices.map(j => s"_bit$j"): _*)
+  }
+
+  /** L14 — embedding-cosine near-duplicate detection, bucketed: 64-plane
+    * sign-LSH signature → 8×8-bit band buckets → candidate id pairs only
+    * within a bucket → exact cosine only on candidates. The vector
+    * analog of L9's no-all-pairs discipline. Two scale guards beyond
+    * L9: 8-bit bands keep buckets sparse (256 per band — 4-bit bands
+    * measured quadratic, see [[hyperplanes64]]), and the pair frame is
+    * distinct'd as bare ids BEFORE the vectors are joined back, so the
+    * shuffle carries 16-byte rows instead of two 512-byte vectors per
+    * candidate. No oracle (hyperplane constants aren't SQL-portable);
+    * spec pins planted recall. */
   val l14 = DQ(
     "l14_cosine_neardup",
     (s, d) => {
       val e = plantedVecs(embs(s, d))
-      val sigs = hyperplaneSig(e)
-      val buckets = sigs.select(col("vec_id"), col("v"),
-        explode(SimHash.bands(col("sig"), 4)).as("b"))
-        .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bval"))
+      val sigs = hyperplaneSig64(e)
+      val buckets = sigs.select(col("vec_id"),
+        explode(SimHash.bands(col("sig"), 8)).as("b"))
+        .select(col("vec_id"), col("b.band_id"), col("b.bval"))
       val pairs = buckets.as("x")
         .join(buckets.as("y"),
           col("x.band_id") === col("y.band_id") && col("x.bval") === col("y.bval") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("ida"), col("x.v").as("va"),
-          col("y.vec_id").as("idb"), col("y.v").as("vb"))
+        .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
         .distinct()
       pairs
+        .join(e.toDF("ida", "va"), "ida")
+        .join(e.toDF("idb", "vb"), "idb")
         .withColumn("cos_e4",
           round(lit(10000) * VectorOps.cosine(col("va"), col("vb"))).cast("long"))
         .agg(
