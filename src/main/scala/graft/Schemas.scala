@@ -48,7 +48,13 @@ object Schemas {
   /** Everything the ingest pipeline needs to land one entity topic:
     * decode schema, upsert key + version, validation rules — the
     * per-topic configuration the reference spreads across
-    * `settings.py:27-30` and the consumer stubs. */
+    * `settings.py:27-30` and the consumer stubs.
+    *
+    * Version-tie semantics: products/customers carry only an immutable
+    * `created_at`, so a re-published update ties on the version column;
+    * the upsert breaks such ties by source offset (later per-partition
+    * offset wins — the compacted-topic rule), so updates still land.
+    * Orders/events version on their mutable timestamp directly. */
   final case class EntityDesc(
       topic: String, schema: StructType, pk: String, versionCol: String,
       rules: Seq[(String, Column)])

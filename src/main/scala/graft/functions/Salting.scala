@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Exact salted sum/count per key: phase-1 partial agg on
-    * (key, salt), phase-2 merge on key. The salt draw is `pmod(hash)` of
-    * a uniform column so it needs no RNG state and stays deterministic
-    * per row. */
+    * (key, salt), phase-2 merge on key. The salt must be (near-)unique
+    * PER ROW — deriving it from the data would collapse to a handful of
+    * salts exactly in the canonical skew case (a hot key whose values
+    * are constant or low-cardinality), reinstating the single-reducer
+    * critical path. `monotonically_increasing_id` gives a row-unique,
+    * RNG-free source; the final result is exact under ANY salt
+    * assignment, so its partition-layout dependence is harmless. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
       nSalts: Int): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(valueCol, col(key)), lit(nSalts)))
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(nSalts.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))

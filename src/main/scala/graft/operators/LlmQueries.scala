@@ -251,16 +251,39 @@ object LlmQueries {
 
   // ------------------------------------------- near-dup (bucketed LSH)
 
+  /** Collision-free id offset for planted duplicates: a fixed constant
+    * (the round-3 review caught `+10000`) silently collides with real
+    * ids once the corpus outgrows it; max+1 cannot. One tiny max-agg
+    * job at plan-build time. */
+  private[operators] def plantedOffset(dd: DataFrame, idCol: String): Long =
+    dd.agg(max(col(idCol))).head().getLong(0) + 1
+
   /** Documents plus planted near-duplicates (every doc_id % 10 == 0 is
-    * re-added at id+10000 with its first token dropped) so near-dup
+    * re-added at id+offset with its first token dropped) so near-dup
     * recall is verifiable by construction on any corpus snapshot. */
   private[operators] def planted(dd: DataFrame): DataFrame = {
+    val off  = plantedOffset(dd, "doc_id")
     val base = dd.select("doc_id", "text")
     val dups = dd.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
     base.unionByName(dups)
   }
+
+  /** Banded-LSH bucket keys from a (doc_id, sig) minhash-signature
+    * frame: 16 bands × 4 rows. Band key = overflow-free modular fold of
+    * the 4-row slice (acc stays < 1e9+7, so acc*31 never leaves the
+    * long range under ANSI mode; the xor folds in the full 64-bit
+    * minhash value). Shared with the spec so the test exercises the
+    * production bucketing, not a copy. */
+  private[operators] def minhashBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 15), i ->
+           struct(i as band_id,
+                  aggregate(slice(sig, i * 4 + 1, 4), cast(98765 as bigint),
+                            (acc, x) -> pmod((acc * 31) ^ x, 1000000007)) as bkey))"""))
+      .as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
 
   /** Word 3-shingle set per document, exploded to (doc_id, sh) rows. */
   private[operators] def shingles(dd: DataFrame): DataFrame =
@@ -290,16 +313,7 @@ object LlmQueries {
       val sigs = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
         .groupBy("doc_id")
         .agg(MinHash.signature(col("h")).as("sig"))
-      // Band key = overflow-free modular fold of the 4-row slice (acc stays
-      // < 1e9+7, so acc*31 never leaves the long range under ANSI mode;
-      // the xor folds in the full 64-bit minhash value).
-      val buckets = sigs.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 15), i ->
-             struct(i as band_id,
-                    aggregate(slice(sig, i * 4 + 1, 4), cast(98765 as bigint),
-                              (acc, x) -> pmod((acc * 31) ^ x, 1000000007)) as bkey))"""))
-        .as("b"))
-        .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+      val buckets = minhashBuckets(sigs)
       val pairs = buckets.as("x")
         .join(buckets.as("y"),
           col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
@@ -389,24 +403,33 @@ object LlmQueries {
 
   /** Fixed random hyperplanes for sign-LSH over the 64-dim embeddings
     * (Charikar rounding): seeded, so the signature of any vector is a
-    * stable pure function. */
-  private lazy val hyperplanes: Array[Array[Double]] = {
+    * stable pure function. 16 planes for the ANN query path (coarse
+    * buckets are fine when candidates only join against ONE query's
+    * bands); 64 for the near-dup path, which self-joins the whole
+    * corpus and needs sparse buckets — see [[l14]]. */
+  private lazy val hyperplanes16: Array[Array[Double]] = {
     val r = new scala.util.Random(20260813L)
     Array.fill(16)(Array.fill(64)(r.nextGaussian()))
   }
 
-  /** Append a 16-bit sign signature column `sig` to a frame with vector
-    * column `v` (array<double>). Pure per-row O(16·d) HOF math. */
-  private def hyperplaneSig(df: DataFrame): DataFrame = {
-    val withBits = hyperplanes.indices.foldLeft(df) { (acc, j) =>
+  private lazy val hyperplanes64: Array[Array[Double]] = {
+    val r = new scala.util.Random(20260814L)
+    Array.fill(64)(Array.fill(64)(r.nextGaussian()))
+  }
+
+  /** Append an n-bit sign signature column `sig` (bit j = sign of
+    * v·plane_j) to a frame with vector column `v` (array<double>).
+    * Pure per-row O(n·d) HOF math. */
+  private def hyperplaneSig(df: DataFrame, planes: Array[Array[Double]]): DataFrame = {
+    val withBits = planes.indices.foldLeft(df) { (acc, j) =>
       acc.withColumn(s"_bit$j",
         when(VectorOps.dot(col("v"),
-          array(hyperplanes(j).map(lit).toIndexedSeq: _*)) > 0,
+          array(planes(j).map(lit).toIndexedSeq: _*)) > 0,
           lit(1L << j)).otherwise(lit(0L)))
     }
     withBits
-      .withColumn("sig", hyperplanes.indices.map(j => col(s"_bit$j")).reduce(_ + _))
-      .drop(hyperplanes.indices.map(j => s"_bit$j"): _*)
+      .withColumn("sig", planes.indices.map(j => col(s"_bit$j")).reduce(_ + _))
+      .drop(planes.indices.map(j => s"_bit$j"): _*)
   }
 
   /** L12 — LSH-bucketed approximate nearest neighbor (the scale path for
@@ -420,15 +443,20 @@ object LlmQueries {
     "l12_ann_lsh",
     (s, d) => {
       val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val withSig = hyperplaneSig(e).select(col("vec_id"), col("v"), col("sig"))
-      val banded = withSig.select(col("vec_id"), col("v"),
+      val withSig = hyperplaneSig(e, hyperplanes16).select(col("vec_id"), col("v"), col("sig"))
+      val banded = withSig.select(col("vec_id"),
         explode(SimHash.bands(col("sig"), 4)).as("b"))
-        .select(col("vec_id"), col("v"), col("b.band_id"), col("b.bval"))
-      val qb = banded.filter(col("vec_id") === 0)
-        .select(col("band_id"), col("bval"), col("v").as("qv"))
-      banded.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("b.band_id"), col("b.bval"))
+      val qb = banded.filter(col("vec_id") === 0).select("band_id", "bval")
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      // Dedup candidates as bare ids BEFORE re-attaching vectors so the
+      // distinct's shuffle never carries the 512-byte arrays.
+      val candidates = banded.filter(col("vec_id") =!= 0)
         .join(broadcast(qb), Seq("band_id", "bval"))
-        .select(col("vec_id"), col("v"), col("qv")).distinct()
+        .select("vec_id").distinct()
+      candidates
+        .join(e, "vec_id")
+        .crossJoin(broadcast(q)) // 1-row query vector
         .withColumn("sim_e4",
           round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long"))
         .select("vec_id", "sim_e4")
@@ -463,54 +491,33 @@ object LlmQueries {
                   FROM (SELECT sha256('media:' || doc_id) AS h FROM documents))"""))
 
   /** Embeddings plus planted near-duplicate vectors (every vec_id % 10
-    * == 0 re-added at id+10000 with its first component shifted) so
+    * == 0 re-added at id+offset with its first component shifted) so
     * cosine near-dup recall is verifiable by construction. */
   private[operators] def plantedVecs(e: DataFrame): DataFrame = {
+    val off  = plantedOffset(e, "vec_id")
     val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dups = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 10000).as("vec_id"),
+      .select((col("vec_id") + off).as("vec_id"),
         expr("concat(array(element_at(v, 1) + 0.3), slice(v, 2, size(v) - 1))").as("v"))
     base.unionByName(dups)
-  }
-
-  /** 64 fixed hyperplanes for the near-dup path — a near-dup signature
-    * needs finer buckets than the 16-bit ANN one: with b bands of w bits
-    * the expected bucket population is N/2^w per band, and candidate
-    * pairs grow as b·2^w·(N/2^w)² — at 4-bit bands that is quadratic in
-    * practice (measured: 135 s at sf0.1), at 8-bit bands near-linear. */
-  private lazy val hyperplanes64: Array[Array[Double]] = {
-    val r = new scala.util.Random(20260814L)
-    Array.fill(64)(Array.fill(64)(r.nextGaussian()))
-  }
-
-  /** 64-bit sign signature over `v` from [[hyperplanes64]]. */
-  private def hyperplaneSig64(df: DataFrame): DataFrame = {
-    val withBits = hyperplanes64.indices.foldLeft(df) { (acc, j) =>
-      acc.withColumn(s"_bit$j",
-        when(VectorOps.dot(col("v"),
-          array(hyperplanes64(j).map(lit).toIndexedSeq: _*)) > 0,
-          lit(1L << j)).otherwise(lit(0L)))
-    }
-    withBits
-      .withColumn("sig", hyperplanes64.indices.map(j => col(s"_bit$j")).reduce(_ + _))
-      .drop(hyperplanes64.indices.map(j => s"_bit$j"): _*)
   }
 
   /** L14 — embedding-cosine near-duplicate detection, bucketed: 64-plane
     * sign-LSH signature → 8×8-bit band buckets → candidate id pairs only
     * within a bucket → exact cosine only on candidates. The vector
     * analog of L9's no-all-pairs discipline. Two scale guards beyond
-    * L9: 8-bit bands keep buckets sparse (256 per band — 4-bit bands
-    * measured quadratic, see [[hyperplanes64]]), and the pair frame is
-    * distinct'd as bare ids BEFORE the vectors are joined back, so the
-    * shuffle carries 16-byte rows instead of two 512-byte vectors per
-    * candidate. No oracle (hyperplane constants aren't SQL-portable);
-    * spec pins planted recall. */
+    * L9: with b bands of w bits the candidate pair set grows as
+    * b·2^w·(N/2^w)², so 8-bit bands (256 buckets per band) keep it
+    * near-linear where 4-bit bands measured quadratic (135 s at sf0.1);
+    * and the pair frame is distinct'd as bare ids BEFORE the vectors
+    * are joined back, so the shuffle carries 16-byte rows instead of
+    * two 512-byte vectors per candidate. No oracle (hyperplane
+    * constants aren't SQL-portable); spec pins planted recall. */
   val l14 = DQ(
     "l14_cosine_neardup",
     (s, d) => {
       val e = plantedVecs(embs(s, d))
-      val sigs = hyperplaneSig64(e)
+      val sigs = hyperplaneSig(e, hyperplanes64)
       val buckets = sigs.select(col("vec_id"),
         explode(SimHash.bands(col("sig"), 8)).as("b"))
         .select(col("vec_id"), col("b.band_id"), col("b.bval"))
@@ -545,6 +552,9 @@ object LlmQueries {
         .filter(col("doc_id") % 10 === 0)
         .withColumn("ta", split(lower(col("text")), "\\s+"))
         .withColumn("tb", split(lower(expr("substring(text, instr(text, ' ') + 1)")), "\\s+"))
+        // Guard like shingles(): a <4-token doc makes sequence(0, n-3)
+        // descend and slice() throw; the oracle mirrors the predicate.
+        .filter(size(col("ta")) >= 4)
         .withColumn("ga", expr(
           "array_distinct(transform(sequence(0, size(ta) - 3), i -> concat_ws(' ', slice(ta, i + 1, 3))))"))
         .withColumn("gb", expr(
@@ -566,7 +576,9 @@ object LlmQueries {
                 SELECT doc_id,
                   string_split_regex(lower(text), '\s+') AS ta,
                   string_split_regex(lower(substring(text, instr(text, ' ') + 1)), '\s+') AS tb
-                FROM documents WHERE doc_id % 10 = 0))
+                FROM documents
+                WHERE doc_id % 10 = 0
+                  AND len(string_split_regex(lower(text), '\s+')) >= 4))
             ORDER BY doc_id"""))
 
   val all: Seq[DQ] =

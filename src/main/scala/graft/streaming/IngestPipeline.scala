@@ -65,27 +65,30 @@ object IngestPipeline {
     val spark = batch.sparkSession
     val t0 = System.nanoTime()
 
-    // ---- S6: raw audit append, idempotent on (partition, offset).
-    // In-batch dedup first, then anti-join against already-landed
-    // lineage — the columnar form of the offset-unique constraint. The
-    // lineage read is key-columns-only (column pruning keeps the replay
-    // guard cheap; at scale the audit table would be partitioned by
-    // topic/date so the anti-join prunes partitions too).
-    val inBatch = batch.dropDuplicates("partition", "offset")
-    val fresh = existing(spark, sinks.raw) match {
-      case Some(prior) =>
-        inBatch.join(prior.select("partition", "offset"),
-          Seq("partition", "offset"), "left_anti")
-      case None => inBatch
-    }
-    // localCheckpoint: materialize before any sink below rewrites what
-    // this plan reads.
-    val freshM = fresh.localCheckpoint(true)
-    freshM.withColumn("consumed_at", current_timestamp())
-      .write.mode("append").parquet(sinks.raw)
+    // Idempotence is enforced PER SINK, not upstream of all of them: a
+    // crash between the raw append and the downstream writes must not
+    // cause the replayed batch to skip normalized/rejects (they each
+    // tolerate re-processing on their own — anti-join for the appends,
+    // tie-break ordering for the upsert).
+    val inBatch = batch.dropDuplicates("partition", "offset").localCheckpoint(true)
+    val nIn = inBatch.count()
 
-    // ---- S5: typed decode (PERMISSIVE + corrupt-record capture).
-    val parsed = freshM
+    // ---- S6: raw audit append, idempotent on (partition, offset):
+    // anti-join against already-landed lineage — the columnar form of
+    // the offset-unique constraint. The lineage read is key-columns-only
+    // (column pruning keeps the replay guard cheap; at scale the audit
+    // table would be partitioned by topic/date so the anti-join prunes
+    // partitions too).
+    val freshRaw = antiByOffset(inBatch, existing(spark, sinks.raw))
+      .localCheckpoint(true) // materialize before appending to what it reads
+    freshRaw.withColumn("consumed_at", current_timestamp())
+      .write.mode("append").parquet(sinks.raw)
+    val nFresh = freshRaw.count() // cheap: counts materialized blocks
+
+    // ---- S5: typed decode (PERMISSIVE + corrupt-record capture) over
+    // the WHOLE deduped batch — downstream sinks do their own replay
+    // guarding, so a row already in raw still flows to them.
+    val parsed = inBatch
       .withColumn("r", from_json(col("value"), entitySchema,
         Map("mode" -> "PERMISSIVE",
           "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
@@ -94,13 +97,23 @@ object IngestPipeline {
     // ---- V1–V5: validation split.
     val Validation.Split(valid, rejects) = Validation.split(parsed, rules)
 
-    rejects.withColumn("batch_id", lit(batchId))
+    // ---- Rejects append, idempotent on (partition, offset) like raw.
+    val freshRejects = antiByOffset(rejects, existing(spark, sinks.rejects))
+      .localCheckpoint(true)
+    freshRejects.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(sinks.rejects)
+    // Batch-level reject count (replayed rows included) — one pass over
+    // the materialized batch, so no lineage re-scan.
+    val nRejects = rejects.count()
 
-    // ---- S7/T5: normalized latest-wins upsert. Existing rows win ties
-    // (priority 1 vs 0) so replays never touch last_modified — the
-    // trigger-semantics requirement (`02:143-163`).
-    val incoming = valid.drop("partition", "offset")
+    // ---- S7/T5: normalized latest-wins upsert. Winner per key by
+    // (version, source offset, existing-first): a genuinely newer record
+    // wins on version, a re-published record with an unchanged version
+    // wins on its later per-partition offset (keys are partitioned by
+    // hash, so offsets order per key — the compacted-topic rule), and an
+    // exact replay ties on both and keeps the existing row, so replays
+    // never touch last_modified (trigger semantics, `02:143-163`).
+    val incoming = valid.withColumnRenamed("offset", "_src_offset").drop("partition")
       .withColumn("last_modified", current_timestamp())
       .withColumn("_prio", lit(0))
     val merged = existing(spark, sinks.normalized) match {
@@ -111,20 +124,31 @@ object IngestPipeline {
     val upserted = merged
       .groupBy(col(pk))
       .agg(max_by(struct(payloadNames.map(col): _*),
-        struct(col(versionCol), col("_prio"))).as("w"))
+        struct(col(versionCol), col("_src_offset"), col("_prio"))).as("w"))
       .select(col(pk) +: payloadNames.map(c => col(s"w.$c").as(c)): _*)
     // Overwriting the path we just read: break lineage first.
     val upsertedM = upserted.localCheckpoint(true)
     upsertedM.write.mode("overwrite").parquet(sinks.normalized)
 
-    // ---- A8/S9: processing stats append (`02:134-141` analog).
+    // ---- A8/S9: processing stats append (`02:134-141` analog). Counts
+    // come from materialized frames or arithmetic — no plan re-runs.
     val durMs = (System.nanoTime() - t0) / 1000000
     spark.createDataFrame(Seq(
-      (batchId, fresh.count(), valid.count(), rejects.count(), durMs)))
-      .toDF("batch_id", "n_fresh", "n_valid", "n_rejects", "duration_ms")
+      (batchId, nIn, nFresh, nIn - nRejects, nRejects, durMs)))
+      .toDF("batch_id", "n_in", "n_fresh", "n_valid", "n_rejects", "duration_ms")
       .withColumn("recorded_at", current_timestamp())
       .write.mode("append").parquet(sinks.stats)
   }
+
+  /** Keep only rows whose (partition, offset) lineage is absent from the
+    * sink — the replay guard each append sink applies independently. */
+  private def antiByOffset(df: DataFrame, sink: Option[DataFrame]): DataFrame =
+    sink match {
+      case Some(prior) =>
+        df.join(prior.select("partition", "offset"),
+          Seq("partition", "offset"), "left_anti")
+      case None => df
+    }
 
   private def existing(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -62,16 +62,17 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted.toSeq === direct.toSeq)
   }
 
-  test("salting fans a hot key out across sub-keys in phase 1") {
+  test("salting fans a hot key out across sub-keys even with CONSTANT values") {
     import spark.implicits._
-    // One key carrying 10k rows — the skew shape.
-    val hot = (1 to 10000).map(i => ("hot", i.toLong)).toDF("k", "v")
+    // One key, 10k rows, all carrying the SAME value — the canonical
+    // skew shape where any data-derived salt collapses to one subkey.
+    val hot = (1 to 10000).map(_ => ("hot", 1L)).toDF("k", "v")
     val phase1Groups = hot
-      .withColumn("_salt", pmod(xxhash64(col("v"), col("k")), lit(16)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(16L)))
       .groupBy("k", "_salt").count()
     assert(phase1Groups.count() > 1, "hot key not split across salts")
     val out = Salting.saltedSumCount(hot, "k", col("v"), 16).collect()(0)
-    assert(out.getAs[Long]("total") === (1 to 10000).map(_.toLong).sum)
+    assert(out.getAs[Long]("total") === 10000L)
     assert(out.getAs[Long]("n") === 10000L)
   }
 }

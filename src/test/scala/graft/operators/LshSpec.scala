@@ -51,20 +51,17 @@ class LshSpec extends AnyFunSuite {
 
   test("l9 finds every planted near-duplicate pair (drop-first-token copies)") {
     import spark.implicits._
-    val dd = LlmQueries.planted(Tables.documents(spark, sf))
-    val plantedIds = Tables.documents(spark, sf)
-      .filter(col("doc_id") % 10 === 0).select("doc_id").as[Long].collect().toSet
-    // Re-run the candidate stage of l9 and check the planted pairs appear.
+    val docs = Tables.documents(spark, sf)
+    val off = LlmQueries.plantedOffset(docs, "doc_id")
+    val dd = LlmQueries.planted(docs)
+    val plantedIds = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    // Re-run the candidate stage of l9 (same shared shingle/bucket code)
+    // and check the planted pairs appear.
     val sh = LlmQueries.shingles(dd)
     val sigs = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .groupBy("doc_id").agg(MinHash.signature(col("h")).as("sig"))
-    val buckets = sigs.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 15), i ->
-           struct(i as band_id,
-                  aggregate(slice(sig, i * 4 + 1, 4), cast(98765 as bigint),
-                            (acc, x) -> pmod((acc * 31) ^ x, 1000000007)) as bkey))"""))
-      .as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+    val buckets = LlmQueries.minhashBuckets(sigs)
     val pairs = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
@@ -72,7 +69,7 @@ class LshSpec extends AnyFunSuite {
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .distinct()
       .as[(Long, Long)].collect().toSet
-    val missing = plantedIds.filter(id => !pairs.contains((id, id + 10000)))
+    val missing = plantedIds.filter(id => !pairs.contains((id, id + off)))
     assert(missing.isEmpty, s"planted pairs missed by LSH: $missing")
   }
 
@@ -119,12 +116,13 @@ class LshSpec extends AnyFunSuite {
     val row = LlmQueries.l14.fn(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_candidates") >= row.getAs[Long]("n_near"))
     // Exact planted-pair count at the same threshold, brute force on the
-    // known (x, x+10000) pairs only.
+    // known (x, x+offset) pairs only.
+    val off = LlmQueries.plantedOffset(Tables.embeddings(spark, sf), "vec_id")
     val pv = LlmQueries.plantedVecs(Tables.embeddings(spark, sf))
-    val a = pv.filter(col("vec_id") < 10000 && col("vec_id") % 10 === 0)
+    val a = pv.filter(col("vec_id") < off && col("vec_id") % 10 === 0)
       .select(col("vec_id").as("ida"), col("v").as("va"))
-    val b = pv.filter(col("vec_id") >= 10000)
-      .select((col("vec_id") - 10000).as("ida"), col("v").as("vb"))
+    val b = pv.filter(col("vec_id") >= off)
+      .select((col("vec_id") - off).as("ida"), col("v").as("vb"))
     val exact = a.join(b, "ida")
       .filter(VectorOps.cosine(col("va"), col("vb")) >= 0.9).count()
     assert(exact > 0, "perturbation should keep most planted pairs above 0.9")
