@@ -101,6 +101,58 @@ class StreamingIngestSpec extends AnyFunSuite {
       "every normalized row must be the v2 version")
   }
 
+  test("a crash between the raw append and the normalized write is recovered on replay") {
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val payload = Generator.products(spark, 20, seed = 91)
+    KafkaShaped.writeTopicFile(payload, "product_id", "products", 2, 0, in)
+
+    // Simulate the crash window: the raw audit append committed but the
+    // normalized/rejects/stats writes never ran.
+    spark.read.schema(KafkaShaped.schema).json(in)
+      .withColumn("consumed_at", current_timestamp())
+      .write.mode("append").parquet(sinks.raw)
+    assert(spark.read.parquet(sinks.raw).count() === 20)
+
+    // Replaying the batch must still land the normalized rows even
+    // though every offset is already present in raw.
+    val q = IngestPipeline.start(spark, in, sinks, payload.schema,
+      "product_id", "created_at", Validation.productRules)
+    q.awaitTermination()
+    assert(spark.read.parquet(sinks.raw).count() === 20, "raw stays offset-unique")
+    assert(spark.read.parquet(sinks.normalized).count() === 20,
+      "normalized must recover rows that only reached raw before the crash")
+  }
+
+  test("an update with an unchanged version column still wins via its later offset") {
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val v1 = Generator.products(spark, 10, seed = 92)
+    KafkaShaped.writeTopicFile(v1, "product_id", "products", 2, 0, in)
+    IngestPipeline.start(spark, in, sinks, v1.schema,
+      "product_id", "created_at", Validation.productRules).awaitTermination()
+
+    // Same keys, SAME created_at (immutable), new price, later offsets —
+    // the realistic product-update shape.
+    val v2 = v1.withColumn("price", col("price") + 7.0)
+    KafkaShaped.writeTopicFile(v2, "product_id", "products", 2, 1000, in)
+    IngestPipeline.start(spark, in, sinks.copy(checkpoint = s"$base/ckpt2"),
+      v1.schema, "product_id", "created_at", Validation.productRules)
+      .awaitTermination()
+
+    val norm = spark.read.parquet(sinks.normalized)
+    assert(norm.count() === 10)
+    val priceByKey = norm.select("product_id", "price").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = v2.select("product_id", "price").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(priceByKey === expected, "version-tied update must win on offset")
+  }
+
   test("maxFilesPerTrigger rate-limits the stream into multiple batches (T7)") {
     val in = tmp()
     val base = tmp()
