@@ -173,6 +173,28 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinks.raw).count() === 20)
   }
 
+  test("ingest throughput clears the reference's 100 msg/s floor with margin") {
+    // The reference's only published performance number is the Kafka
+    // produce assertion > 100 msg/s (test_kafka_infrastructure.py:259,
+    // BASELINE.md). Drive 5k records through produce + full ingest
+    // (decode, validate, dual-sink) and require 5x that floor
+    // end-to-end — conservative enough not to flake on a busy box.
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val n = 5000L
+    val payload = Generator.products(spark, n, seed = 93)
+    val t0 = System.nanoTime()
+    KafkaShaped.writeTopicFile(payload, "product_id", "products", 3, 0, in)
+    IngestPipeline.start(spark, in, sinks, payload.schema,
+      "product_id", "created_at", Validation.productRules).awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(spark.read.parquet(sinks.normalized).count() === n)
+    val rate = n / sec
+    assert(rate > 500.0, f"end-to-end ingest rate $rate%.0f msg/s below 5x the reference floor")
+  }
+
   test("monitoring listener persists per-batch progress rows (S9/A8)") {
     val in = tmp()
     val base = tmp()
