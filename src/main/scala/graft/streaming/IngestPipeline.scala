@@ -126,9 +126,7 @@ object IngestPipeline {
       .agg(max_by(struct(payloadNames.map(col): _*),
         struct(col(versionCol), col("_src_offset"), col("_prio"))).as("w"))
       .select(col(pk) +: payloadNames.map(c => col(s"w.$c").as(c)): _*)
-    // Overwriting the path we just read: break lineage first.
-    val upsertedM = upserted.localCheckpoint(true)
-    upsertedM.write.mode("overwrite").parquet(sinks.normalized)
+    swapWrite(spark, upserted, sinks.normalized)
 
     // ---- A8/S9: processing stats append (`02:134-141` analog). Counts
     // come from materialized frames or arithmetic — no plan re-runs.
@@ -150,11 +148,40 @@ object IngestPipeline {
       case None => df
     }
 
+  /** Atomic-enough full-table replace without a table format: write the
+    * new contents to `<path>.tmp` (reading the old contents is safe —
+    * nothing touches `path` until the write committed), then rotate
+    * old → `<path>.bak`, tmp → path, drop the backup. Directory renames
+    * are single metadata operations, so every crash point leaves either
+    * the old table at `path` or a complete new one, with the old state
+    * recoverable from `.bak` in the one window where `path` is absent —
+    * [[existing]] falls back to it. (A production deployment swaps this
+    * for a Delta/Iceberg MERGE; the dataflow above is unchanged.) */
+  private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p   = new org.apache.hadoop.fs.Path(path)
+    val fs  = p.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(p)) fs.rename(p, bak)
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+  }
+
   private def existing(spark: SparkSession, path: String): Option[DataFrame] = {
+    def readable(p: org.apache.hadoop.fs.Path,
+        fs: org.apache.hadoop.fs.FileSystem): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(path))
-    else None
+    if (readable(p, fs)) Some(spark.read.parquet(path))
+    else {
+      // Crash window of swapWrite: the table is mid-rotation and the
+      // pre-batch state lives in the backup.
+      val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+      if (readable(bak, fs)) Some(spark.read.parquet(bak.toString)) else None
+    }
   }
 }

@@ -173,6 +173,37 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinks.raw).count() === 20)
   }
 
+  test("a crash mid-swap of the normalized table recovers prior batches from the backup") {
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val batch1 = Generator.products(spark, 10, seed = 94)
+    KafkaShaped.writeTopicFile(batch1, "product_id", "products", 2, 0, in)
+    IngestPipeline.start(spark, in, sinks, batch1.schema,
+      "product_id", "created_at", Validation.productRules).awaitTermination()
+
+    // Simulate the one dangerous swapWrite crash point: the old table
+    // was rotated to .bak but the new one never landed at the path.
+    val fs = new org.apache.hadoop.fs.Path(sinks.normalized)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(sinks.normalized),
+      new org.apache.hadoop.fs.Path(sinks.normalized + ".bak"))
+
+    // Next batch brings 5 NEW keys; the 10 prior keys exist only in .bak
+    // and in raw — the upsert must carry them forward.
+    val in2 = tmp()
+    val batch2 = Generator.products(spark, 15, seed = 94)
+      .filter(col("stock_quantity") >= 0) // all — distinct ids 0..14 incl. the 10
+    KafkaShaped.writeTopicFile(batch2, "product_id", "products", 2, 5000, in2)
+    IngestPipeline.start(spark, in2, sinks.copy(checkpoint = s"$base/ckpt2"),
+      batch1.schema, "product_id", "created_at", Validation.productRules)
+      .awaitTermination()
+
+    val norm = spark.read.parquet(sinks.normalized)
+    assert(norm.count() === 15, "backup rows must survive the simulated crash")
+  }
+
   test("ingest throughput clears the reference's 100 msg/s floor with margin") {
     // The reference's only published performance number is the Kafka
     // produce assertion > 100 msg/s (test_kafka_infrastructure.py:259,
