@@ -34,6 +34,9 @@ object Multimodal {
         unhex(sha2(concat(lit("media:"), col("doc_id")), 256)).as("payload"))
       .as[MediaRaw](Encoders.product[MediaRaw])
 
+  /** Per-payload feature vector: id + normalized byte histogram. */
+  final case class MediaFeatures(doc_id: Long, histogram: Seq[Double])
+
   /** STUB decode: reads width/height/frame-count from the first payload
     * bytes as if they were a container header, then samples frames at a
     * fixed stride. Replace the body with a real codec call per element;
@@ -49,4 +52,35 @@ object Multimodal {
         MediaMeta(r.doc_id, width, height, nf, 0 until nf by stride)
       }
     }(Encoders.product[MediaMeta])
+
+  /** Resize metadata to fit a bounding box, preserving aspect ratio —
+    * the dimension arithmetic every thumbnailing pass needs; the pixel
+    * work would live in the same per-partition map as the codec. */
+  def resize(ds: Dataset[MediaMeta], maxDim: Int): Dataset[MediaMeta] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val long = math.max(m.width, m.height)
+        if (long <= maxDim || long == 0) m
+        else {
+          val scale = maxDim.toDouble / long
+          m.copy(
+            width = math.max(1, math.round(m.width * scale).toInt),
+            height = math.max(1, math.round(m.height * scale).toInt))
+        }
+      }
+    }(Encoders.product[MediaMeta])
+
+  /** Feature extraction over the raw bytes: a normalized `bins`-bucket
+    * byte-value histogram per payload — real math standing where an
+    * embedding model's forward pass would run, with the same
+    * partition-local batch shape (no shuffle, bounded memory). */
+  def extractFeatures(ds: Dataset[MediaRaw], bins: Int): Dataset[MediaFeatures] =
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val counts = new Array[Double](bins)
+        r.payload.foreach { b => counts(((b & 0xFF) * bins) / 256) += 1.0 }
+        val n = math.max(1, r.payload.length)
+        MediaFeatures(r.doc_id, counts.map(_ / n).toIndexedSeq)
+      }
+    }(Encoders.product[MediaFeatures])
 }

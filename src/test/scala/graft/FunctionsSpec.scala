@@ -66,6 +66,37 @@ class FunctionsSpec extends AnyFunSuite {
       m.sampled_frames.size <= m.n_frames))
   }
 
+  test("media resize fits the bounding box and preserves aspect ratio") {
+    val meta = Multimodal.decodeStub(Multimodal.synthesize(Tables.documents(spark, sf)))
+    val resized = Multimodal.resize(meta, 256).collect()
+    assert(resized.forall(m => m.width <= 256 && m.height <= 256))
+    val orig = meta.collect().map(m => m.doc_id -> m).toMap
+    resized.filter(m => math.max(orig(m.doc_id).width, orig(m.doc_id).height) > 256)
+      .foreach { m =>
+        val o = orig(m.doc_id)
+        // Long side lands exactly on the box; short side is exact scaling
+        // within rounding (±0.5 px — relative ratio checks explode for
+        // degenerate aspect ratios where the short side is a few px).
+        val scale = 256.0 / math.max(o.width, o.height)
+        assert(math.max(m.width, m.height) === 256)
+        val (shortAfter, shortExpected) =
+          if (o.width >= o.height) (m.height, o.height * scale)
+          else (m.width, o.width * scale)
+        // Contract: rounded exact scaling, clamped to at least 1 px.
+        assert(shortAfter === math.max(1L, math.round(shortExpected)).toInt,
+          s"short-side drift for ${m.doc_id}: $shortExpected -> $shortAfter")
+      }
+  }
+
+  test("media feature extraction yields a normalized histogram per payload") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.synthesize(Tables.documents(spark, sf)), bins = 16).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.histogram.size === 16))
+    assert(feats.forall(f => math.abs(f.histogram.sum - 1.0) < 1e-9))
+    assert(feats.forall(_.histogram.forall(v => v >= 0.0 && v <= 1.0)))
+  }
+
   test("media payloads are 32-byte binaries keyed by doc_id") {
     val raw = Multimodal.synthesize(Tables.documents(spark, sf)).collect()
     assert(raw.forall(_.payload.length === 32))
