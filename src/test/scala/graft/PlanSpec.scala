@@ -10,11 +10,14 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = Session.get()
   private val sf = "/root/testdata/sf0.001"
 
-  /** Queries allowed to contain a nested-loop join: o5's 1×1 scalar
-    * compare, the single-row query-vector broadcasts in l3/l12, and
-    * l10's 1×1 stats-row combine. */
+  /** Queries allowed to contain a nested-loop join — each one a
+    * guaranteed-single-row broadcast: o5's 1×1 scalar compare, the
+    * query-vector broadcasts in l3/l12, l10's 1×1 stats-row combine,
+    * and the 1-row planted-offset max-agg in l9/l10/l14 (plan-internal
+    * since round 4; LshSpec asserts those NL joins are offset-only). */
   private val nlAllowed =
-    Set("o5_except_intersect", "l3_cosine_topk", "l12_ann_lsh", "l10_simhash")
+    Set("o5_except_intersect", "l3_cosine_topk", "l12_ann_lsh", "l10_simhash",
+      "l9_minhash_neardup", "l14_cosine_neardup")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

@@ -52,7 +52,7 @@ class LshSpec extends AnyFunSuite {
   test("l9 finds every planted near-duplicate pair (drop-first-token copies)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
-    val off = LlmQueries.plantedOffset(docs, "doc_id")
+    val off = LlmQueries.plantedOffset(docs, "doc_id").head().getLong(0)
     val dd = LlmQueries.planted(docs)
     val plantedIds = docs.filter(col("doc_id") % 10 === 0)
       .select("doc_id").as[Long].collect().toSet
@@ -78,10 +78,16 @@ class LshSpec extends AnyFunSuite {
       val plan = dq.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${dq.name} is all-pairs")
     }
-    // l9's candidate generation must be pure equi-joins (l10's final 1×1
-    // stats combine is a legitimate single-row NL join).
-    val l9plan = LlmQueries.l9.fn(spark, sf).queryExecution.executedPlan.toString
-    assert(!l9plan.contains("BroadcastNestedLoopJoin"), "l9 has an NL join")
+    // l9's candidate generation must be pure equi-joins. The only
+    // nested-loop joins allowed are guaranteed-1-row broadcasts: the
+    // planted-offset max-agg (plan-internal since round 4). Anything
+    // whose build side is not a 1-row aggregate is an all-pairs bug.
+    val l9exec = LlmQueries.l9.fn(spark, sf).queryExecution.executedPlan
+    val nlJoins = l9exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlJoins.forall(_.children.exists(_.toString.contains("_off"))),
+      s"l9 has a non-offset NL join:\n${nlJoins.map(_.nodeName).mkString("\n")}")
   }
 
   test("l9 reports at least the planted near-duplicates") {
@@ -118,6 +124,7 @@ class LshSpec extends AnyFunSuite {
     // Exact planted-pair count at the same threshold, brute force on the
     // known (x, x+offset) pairs only.
     val off = LlmQueries.plantedOffset(Tables.embeddings(spark, sf), "vec_id")
+      .head().getLong(0)
     val pv = LlmQueries.plantedVecs(Tables.embeddings(spark, sf))
     val a = pv.filter(col("vec_id") < off && col("vec_id") % 10 === 0)
       .select(col("vec_id").as("ida"), col("v").as("va"))
@@ -130,9 +137,61 @@ class LshSpec extends AnyFunSuite {
       s"found ${row.getAs[Long]("n_near")} of $exact planted near pairs")
   }
 
-  test("l14 plan has no cartesian or nested-loop join") {
-    val plan = LlmQueries.l14.fn(spark, sf).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  test("l14 plan has no cartesian or non-offset nested-loop join") {
+    val exec = LlmQueries.l14.fn(spark, sf).queryExecution.executedPlan
+    assert(!exec.toString.contains("CartesianProduct"))
+    val nlJoins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlJoins.forall(_.children.exists(_.toString.contains("_off"))),
+      "l14 has a nested-loop join beyond the 1-row planted-offset broadcast")
+  }
+
+  test("simhash bands honor the real signature width (no all-zero upper bands)") {
+    import spark.implicits._
+    // 0xABCD split as 4×4-bit bands must be D,C,B,A — the 64-bit default
+    // would make bands 1-3 read past bit 15 and collapse to huge shared
+    // buckets (the degenerate-LSH bug the round-3 advisor caught in l12).
+    val rows = Seq(0xABCDL).toDF("sig")
+      .select(explode(SimHash.bands(col("sig"), 4, 16)).as("b"))
+      .select("b.band_id", "b.bval").as[(Int, Long)].collect().toMap
+    assert(rows === Map(0 -> 0xDL, 1 -> 0xCL, 2 -> 0xBL, 3 -> 0xAL))
+    intercept[IllegalArgumentException](SimHash.bands(col("sig"), 5, 16))
+  }
+
+  test("l12 banding actually prunes: candidates are a strict subset of the corpus") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val sig = LlmQueries.hyperplaneSig(e, LlmQueries.hyperplanes16)
+    val banded = sig.select(col("vec_id"),
+      explode(SimHash.bands(col("sig"), 4, 16)).as("b"))
+      .select(col("vec_id"), col("b.band_id"), col("b.bval"))
+    val qb = banded.filter(col("vec_id") === 0).select("band_id", "bval")
+    val cands = banded.filter(col("vec_id") =!= 0)
+      .join(broadcast(qb), Seq("band_id", "bval")).select("vec_id").distinct().count()
+    assert(cands > 0, "no candidates at all — banding broken the other way")
+    assert(cands < (n - 1) / 2,
+      s"l12 LSH degenerate: $cands candidates of ${n - 1} non-query vectors")
+  }
+
+  test("LSH candidate growth stays near-linear: n_candidates <= 20 * n_docs") {
+    // Guard against silent bucket blowup (the 4-bit-band incident measured
+    // quadratic — 135 s at sf0.1): every bucketed near-dup operator must
+    // emit a candidate volume linear in the corpus, at the sf the
+    // correctness gate runs.
+    val sf01 = "/root/testdata/sf0.01"
+    val nDocs = Tables.documents(spark, sf01).count() * 11 / 10 // incl. planted
+    val nVecs = Tables.embeddings(spark, sf01).count() * 11 / 10
+    val l9 = LlmQueries.l9.fn(spark, sf01).collect()(0)
+    assert(l9.getAs[Long]("n_candidates") <= 20 * nDocs,
+      s"l9 candidates ${l9.getAs[Long]("n_candidates")} vs $nDocs docs")
+    val l10 = LlmQueries.l10.fn(spark, sf01).collect()(0)
+    assert(l10.getAs[Long]("n_candidates") <= 20 * l10.getAs[Long]("n_docs"),
+      s"l10 candidates ${l10.getAs[Long]("n_candidates")} vs ${l10.getAs[Long]("n_docs")} docs")
+    val l14 = LlmQueries.l14.fn(spark, sf01).collect()(0)
+    assert(l14.getAs[Long]("n_candidates") <= 20 * nVecs,
+      s"l14 candidates ${l14.getAs[Long]("n_candidates")} vs $nVecs vecs")
   }
 
   test("l15 n-gram jaccard scores are high for first-token-dropped variants") {
