@@ -54,17 +54,24 @@ object Schemas {
     * `created_at`, so a re-published update ties on the version column;
     * the upsert breaks such ties by source offset (later per-partition
     * offset wins — the compacted-topic rule), so updates still land.
-    * Orders/events version on their mutable timestamp directly. */
+    * Orders/events version on their mutable timestamp directly.
+    *
+    * `moneyCols` are cast to `DECIMAL(10,2)` at the normalized-sink
+    * boundary (`Normalize.atRest`) — the at-rest money type the
+    * reference declares in DDL (`02_create_tables.sql:56,80,98-99`)
+    * while the JSON wire format stays double. */
   final case class EntityDesc(
       topic: String, schema: StructType, pk: String, versionCol: String,
-      rules: Seq[(String, Column)])
+      rules: Seq[(String, Column)], moneyCols: Seq[String] = Nil)
 
   val productsDesc: EntityDesc = EntityDesc(
-    "products", product, "product_id", "created_at", Validation.productRules)
+    "products", product, "product_id", "created_at", Validation.productRules,
+    moneyCols = Seq("price"))
   val customersDesc: EntityDesc = EntityDesc(
     "customers", customer, "customer_id", "created_at", Validation.customerRules)
   val ordersDesc: EntityDesc = EntityDesc(
-    "orders", order, "order_id", "updated_at", Validation.orderRules)
+    "orders", order, "order_id", "updated_at", Validation.orderRules,
+    moneyCols = Seq("total"))
   val eventsDesc: EntityDesc = EntityDesc(
     "events", event, "event_id", "timestamp", Validation.eventRules)
 

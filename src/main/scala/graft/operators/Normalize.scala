@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Normalization projections for the ingest plane → analytics plane
   * boundary (SURVEY.md §3.2 step 2).
@@ -16,9 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
+  /** The analytics-plane money type — `DECIMAL(10,2)`, mirroring the
+    * reference's at-rest DDL (`02_create_tables.sql:56,80,98-99`). The
+    * ingest plane carries doubles (the JSON payload type); the cast to
+    * decimal happens ONCE at this boundary, so every at-rest sum is
+    * exact (no IEEE reordering drift) and overflow past 10^8 currency
+    * units throws under ANSI instead of silently losing cents. */
+  val Money: DecimalType = DecimalType(10, 2)
+
+  /** Cast the declared money columns of a frame to [[Money]] — the
+    * at-rest projection applied at the normalized-sink boundary. Pure
+    * per-row, no shuffle; double → DECIMAL(10,2) is exact for 2-decimal
+    * payloads (doubles hold 15-17 significant digits, so every 10-digit
+    * money value round-trips bit-exactly). */
+  def atRest(df: DataFrame, moneyCols: Seq[String]): DataFrame =
+    moneyCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast(Money)))
+
   /** Explode nested order items into child rows with 1-based line
-    * numbers and the generated `line_total` column (money rounded to
-    * cents at rest, HALF_UP like the Postgres DECIMAL cast). */
+    * numbers and the generated `line_total` column. Money lands as
+    * [[Money]] decimals: `quantity × DECIMAL(10,2)` is exact integer
+    * decimal arithmetic — the Postgres generated-column semantics
+    * (`02_create_tables.sql:93-109`), not double rounding. */
   def orderItems(orders: DataFrame): DataFrame =
     orders
       .select(col("order_id"),
@@ -28,6 +47,7 @@ object Normalize {
         (col("line_idx") + 1).as("line_number"),
         col("it.product_id").as("product_id"),
         col("it.quantity").as("quantity"),
-        col("it.unit_price").as("unit_price"),
-        round(col("it.quantity") * col("it.unit_price"), 2).as("line_total"))
+        col("it.unit_price").cast(Money).as("unit_price"),
+        (col("it.quantity") * col("it.unit_price").cast(Money))
+          .cast(Money).as("line_total"))
 }

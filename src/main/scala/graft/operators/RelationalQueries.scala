@@ -29,6 +29,7 @@ object RelationalQueries {
   private def nat(s: SparkSession, d: String)  = Tables.nation(s, d)
   private def reg(s: SparkSession, d: String)  = Tables.region(s, d)
   private def prt(s: SparkSession, d: String)  = Tables.part(s, d)
+  private def sup(s: SparkSession, d: String)  = Tables.supplier(s, d)
   private def ev(s: SparkSession, d: String)   = Tables.events(s, d)
 
   // ---------------------------------------------------------------- P: projection / filter
@@ -209,6 +210,34 @@ object RelationalQueries {
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
 
+  /** J8 — supply-side revenue rollup (TPC-H q5/q9 shape over the
+    * supplier axis; the reference's seller-dimension marts pattern,
+    * `01_create_schemas.sql:13-16`): lineitem ⋈ supplier ⋈ nation,
+    * revenue and account balance by the supplier's nation. supplier and
+    * nation are small dimensions at any scale (suppliers grow with the
+    * business, not the data) — AQE broadcasts them, so the fact table
+    * never shuffles. */
+  val j8 = DQ(
+    "j8_supplier_nation",
+    (s, d) =>
+      li(s, d)
+        .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+        .orderBy("n_name"),
+    Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+            CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+            CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+              AS revenue_cents
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
   // ---------------------------------------------------------------- A: aggregations
 
   /** A1 — per-order money rollup (`schemas.py:79-82` compute_total).
@@ -331,6 +360,6 @@ object RelationalQueries {
             CAST(SUM(LENGTH(event_type)) AS BIGINT) AS type_bytes
             FROM events"""))
 
-  val all: Seq[DQ] = Seq(p1, p2, p3, p4, p5, j1, j2, j3, j4, j5, j6, j7,
+  val all: Seq[DQ] = Seq(p1, p2, p3, p4, p5, j1, j2, j3, j4, j5, j6, j7, j8,
     a1, a2, a4, a5, a5approx, a6, a7)
 }

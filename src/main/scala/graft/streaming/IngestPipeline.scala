@@ -32,11 +32,12 @@ object IngestPipeline {
       stats: String, checkpoint: String)
 
   /** Start the ingest stream for one entity topic from its descriptor
-    * (schema + key + rules in one place, `graft.Schemas`). */
+    * (schema + key + rules + at-rest money columns in one place,
+    * `graft.Schemas`). */
   def start(spark: SparkSession, inputDir: String, sinks: Sinks,
       entity: graft.Schemas.EntityDesc): StreamingQuery =
     start(spark, inputDir, sinks, entity.schema, entity.pk, entity.versionCol,
-      entity.rules)
+      entity.rules, moneyCols = entity.moneyCols)
 
   /** Start the ingest stream for one entity topic. `Trigger.AvailableNow`
     * drains everything present then stops — the replayable batch form;
@@ -44,7 +45,8 @@ object IngestPipeline {
   def start(spark: SparkSession, inputDir: String, sinks: Sinks,
       entitySchema: StructType, pk: String, versionCol: String,
       rules: Seq[(String, Column)],
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+      maxFilesPerTrigger: Option[Int] = None,
+      moneyCols: Seq[String] = Nil): StreamingQuery =
     KafkaShaped.fileStream(spark, inputDir, maxFilesPerTrigger)
       // A8: batch-level row counters surfaced through the observe API.
       .observe("ingest", count(lit(1)).as("n_in"),
@@ -53,7 +55,8 @@ object IngestPipeline {
       .option("checkpointLocation", sinks.checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, sinks, entitySchema, pk, versionCol, rules)
+        processBatch(batch, batchId, sinks, entitySchema, pk, versionCol, rules,
+          moneyCols)
       }
       .start()
 
@@ -61,7 +64,8 @@ object IngestPipeline {
     * and tests. */
   def processBatch(batch: DataFrame, batchId: Long, sinks: Sinks,
       entitySchema: StructType, pk: String, versionCol: String,
-      rules: Seq[(String, Column)]): Unit = {
+      rules: Seq[(String, Column)],
+      moneyCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val t0 = System.nanoTime()
 
@@ -126,7 +130,12 @@ object IngestPipeline {
       .agg(max_by(struct(payloadNames.map(col): _*),
         struct(col(versionCol), col("_src_offset"), col("_prio"))).as("w"))
       .select(col(pk) +: payloadNames.map(c => col(s"w.$c").as(c)): _*)
-    swapWrite(spark, upserted, sinks.normalized)
+    // Money lands as DECIMAL(10,2) (the reference's at-rest DDL type);
+    // the union above coerces prior decimals back to wire doubles, which
+    // is lossless for 2-decimal money, and this single cast restores the
+    // exact at-rest representation for whatever key wins.
+    swapWrite(spark, graft.operators.Normalize.atRest(upserted, moneyCols),
+      sinks.normalized)
 
     // ---- A8/S9: processing stats append (`02:134-141` analog). Counts
     // come from materialized frames or arithmetic — no plan re-runs.

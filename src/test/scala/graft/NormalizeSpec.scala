@@ -48,4 +48,35 @@ class NormalizeSpec extends AnyFunSuite {
       .join(products, Seq("product_id"), "left_anti").count()
     assert(orphans === 0)
   }
+
+  test("money at rest is DECIMAL(10,2); decimal sums equal the cents-long path exactly") {
+    import org.apache.spark.sql.types.DecimalType
+    val items = Normalize.orderItems(orders)
+    assert(items.schema("unit_price").dataType === DecimalType(10, 2))
+    assert(items.schema("line_total").dataType === DecimalType(10, 2))
+    // The exact-decimal total must agree to the cent with the integer-
+    // cents path computed over the raw wire doubles — the two exact
+    // representations of the same money must never diverge.
+    val decCents = items.agg(sum(col("line_total"))).collect()(0)
+      .getDecimal(0).movePointRight(2).longValueExact()
+    val cents = orders.select(explode(col("items")).as("it"))
+      .agg(sum(round(col("it.quantity") * col("it.unit_price") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(decCents === cents)
+  }
+
+  test("atRest casts only the declared money columns, losslessly") {
+    import org.apache.spark.sql.types.DecimalType
+    val products = Generator.products(spark, 40, seed = 71)
+    val rest = Normalize.atRest(products, Seq("price"))
+    assert(rest.schema("price").dataType === DecimalType(10, 2))
+    assert(rest.schema("stock_quantity").dataType ===
+      products.schema("stock_quantity").dataType)
+    // wire double → DECIMAL(10,2) → double is identity for 2-decimal money.
+    val bad = products.select(col("product_id"), col("price"))
+      .join(rest.select(col("product_id"), col("price").cast("double").as("p")),
+        "product_id")
+      .filter(col("price") =!= col("p")).count()
+    assert(bad === 0)
+  }
 }

@@ -204,6 +204,27 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(norm.count() === 15, "backup rows must survive the simulated crash")
   }
 
+  test("descriptor-driven ingest lands declared money columns as DECIMAL(10,2)") {
+    import org.apache.spark.sql.types.DecimalType
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val payload = Generator.products(spark, 12, seed = 95)
+    KafkaShaped.writeTopicFile(payload, "product_id", "products", 2, 0, in)
+    IngestPipeline.start(spark, in, sinks, Schemas.productsDesc).awaitTermination()
+    val norm = spark.read.parquet(sinks.normalized)
+    assert(norm.count() === 12)
+    assert(norm.schema("price").dataType === DecimalType(10, 2),
+      "normalized money must land as the at-rest decimal type")
+    // Values survive the wire-double → at-rest-decimal boundary exactly.
+    val bad = payload.select(col("product_id"), col("price"))
+      .join(norm.select(col("product_id"), col("price").cast("double").as("p")),
+        "product_id")
+      .filter(col("price") =!= col("p")).count()
+    assert(bad === 0)
+  }
+
   test("ingest throughput clears the reference's 100 msg/s floor with margin") {
     // The reference's only published performance number is the Kafka
     // produce assertion > 100 msg/s (test_kafka_infrastructure.py:259,
