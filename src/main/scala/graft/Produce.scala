@@ -1,0 +1,110 @@
+package graft
+
+import graft.sources.{Corruptions, Generator}
+import graft.streaming.KafkaShaped
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Producer CLI — the engine's analog of the reference's
+  * `run_cli` (`src/data_generator/producer.py:266-316`): generate one
+  * synthetic batch per entity (with the configured corruption
+  * probabilities), land it as Kafka-shaped topic files, and print a
+  * one-line JSON metrics summary. Exit code 0 iff no produce errors —
+  * the reference's `0 if metrics.errors == 0 else 1` contract.
+  *
+  * Usage (defaults mirror the reference's argparse defaults):
+  *   runMain graft.Produce [--products 5] [--customers 5] [--orders 10]
+  *     [--events 25] [--seed N] [--repeat 1] [--out DIR]
+  * Topics/partitions/corruption come from [[Settings.fromEnv]].
+  */
+object Produce {
+
+  final case class Args(products: Long = 5, customers: Long = 5,
+      orders: Long = 10, events: Long = 25, seed: Option[Long] = None,
+      repeat: Int = 1, out: Option[String] = None)
+
+  final case class Metrics(producedMessages: Long, producedBytes: Long,
+      rejects: Long, errors: Long)
+
+  @annotation.tailrec
+  def parse(argv: List[String], acc: Args = Args()): Args = argv match {
+    case Nil                         => acc
+    case "--products" :: v :: rest   => parse(rest, acc.copy(products = v.toLong))
+    case "--customers" :: v :: rest  => parse(rest, acc.copy(customers = v.toLong))
+    case "--orders" :: v :: rest     => parse(rest, acc.copy(orders = v.toLong))
+    case "--events" :: v :: rest     => parse(rest, acc.copy(events = v.toLong))
+    case "--seed" :: v :: rest       => parse(rest, acc.copy(seed = Some(v.toLong)))
+    case "--repeat" :: v :: rest     => parse(rest, acc.copy(repeat = v.toInt))
+    case "--out" :: v :: rest        => parse(rest, acc.copy(out = Some(v)))
+    case other :: _ =>
+      throw new IllegalArgumentException(s"unknown argument: $other")
+  }
+
+  /** One produced batch per entity, repeated `repeat` times with
+    * broker-monotone offsets (each repetition advances the offset base,
+    * like `--repeat` re-producing to the same topics). Returns metrics
+    * accumulated across repetitions. */
+  def run(spark: SparkSession, settings: Settings, a: Args, outDir: String): Metrics = {
+    val seed = a.seed.getOrElse(settings.seed)
+    def corrupt(topic: String, df: DataFrame,
+        f: (DataFrame, Double, Long) => DataFrame): DataFrame = {
+      val p = settings.corruptionP(topic)
+      if (p <= 0.0) df else f(df, p, seed + 1)
+    }
+    val batches: Seq[(String, String, DataFrame)] = Seq(
+      (settings.productTopic, "product_id",
+        corrupt(settings.productTopic,
+          Generator.products(spark, a.products, seed), Corruptions.products)),
+      (settings.customerTopic, "customer_id",
+        corrupt(settings.customerTopic,
+          Generator.customers(spark, a.customers, seed), Corruptions.customers)),
+      (settings.orderTopic, "order_id",
+        corrupt(settings.orderTopic,
+          Generator.orders(spark, a.orders, a.customers, a.products, seed),
+          Corruptions.orders)),
+      (settings.eventTopic, "event_id",
+        corrupt(settings.eventTopic,
+          Generator.events(spark, a.events, a.customers, seed), Corruptions.events)))
+
+    var messages = 0L
+    var bytes    = 0L
+    var rejects  = 0L
+    var errors   = 0L
+    // Offset stride per repetition: past the largest per-partition batch
+    // so offsets stay monotone per (topic, partition) across repeats.
+    val stride = Seq(a.products, a.customers, a.orders, a.events).max + 1
+    for (r <- 0 until a.repeat; (topic, key, df) <- batches) {
+      try {
+        KafkaShaped.writeTopicFile(df, key, topic, settings.topicPartitions,
+          offsetBase = r * stride, dir = s"$outDir/$topic")
+        messages += df.count()
+        bytes += df
+          .select(length(to_json(struct(df.columns.map(col).toIndexedSeq: _*))).as("n"))
+          .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+      } catch { case _: Throwable => errors += 1 }
+    }
+    // Produce-side quality signal: how many of the batch rows would the
+    // validators reject (the corruption injector's visible effect). Not
+    // part of the exit code — rejects are data, errors are failures.
+    for (desc <- Schemas.all) {
+      batches.find(_._1 == desc.topic).foreach { case (_, _, df) =>
+        val split = operators.Validation.split(df, desc.rules)
+        rejects += split.rejects.count() * a.repeat
+      }
+    }
+    Metrics(messages, bytes, rejects, errors)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = parse(args.toList)
+    val settings = Settings.fromEnv()
+    val spark = Session.get()
+    val outDir = a.out.getOrElse(s"${settings.sinkBase}/topics")
+    val m =
+      try run(spark, settings, a, outDir)
+      finally spark.stop()
+    println(
+      s"""{"produced_messages":${m.producedMessages},"produced_bytes":${m.producedBytes},"rejects":${m.rejects},"errors":${m.errors},"out":"$outDir"}""")
+    if (m.errors != 0) sys.exit(1)
+  }
+}

@@ -31,6 +31,15 @@ object IngestPipeline {
   final case class Sinks(raw: String, normalized: String, rejects: String,
       stats: String, checkpoint: String)
 
+  /** Start one entity topic's ingest from runtime settings alone: reads
+    * the producer CLI's topic directory (`<sinkBase>/topics/<topic>`)
+    * and writes the standard per-topic sink layout — the configuration
+    * path a deployment uses (env vars → `Settings.fromEnv` → here). */
+  def start(spark: SparkSession, settings: graft.Settings,
+      entity: graft.Schemas.EntityDesc): StreamingQuery =
+    start(spark, s"${settings.sinkBase}/topics/${entity.topic}",
+      settings.sinksFor(entity.topic), entity)
+
   /** Start the ingest stream for one entity topic from its descriptor
     * (schema + key + rules + at-rest money columns in one place,
     * `graft.Schemas`). */

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.KafkaShaped
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Settings resolution (env-override matrix, the reference's
+  * `test_config.py:10-173` contract) and the producer CLI batch shape
+  * (`test_producer_integration.py:133-240`: exact per-entity counts,
+  * JSON-parseable payloads, monotone offsets). */
+class ConfigSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+
+  test("settings defaults match the reference's declared values") {
+    val s = Settings.fromEnv(Map.empty)
+    assert(s === Settings.Defaults)
+    assert(s.appEnv === "local")
+    assert(s.batchSize === 50)
+    assert(s.productTopic === "products")
+    assert(s.customerTopic === "customers")
+    assert(s.orderTopic === "orders")
+    assert(s.eventTopic === "events")
+    assert(s.corruptionEnabled)
+    assert(s.corruptionPProduct === 0.01)
+    assert(s.corruptionPCustomer === 0.02)
+    assert(s.corruptionPOrder === 0.03)
+    assert(s.corruptionPEvent === 0.04)
+  }
+
+  test("every settings field is overridable from the environment") {
+    val s = Settings.fromEnv(Map(
+      "GRAFT_APP_ENV" -> "prod",
+      "GRAFT_SERVICE_NAME" -> "svc",
+      "GRAFT_BATCH_SIZE" -> "7",
+      "GRAFT_SEED" -> "99",
+      "SPARK_GRAFT_SF_DIR" -> "/data/sf1",
+      "GRAFT_SINK_BASE" -> "/data/sinks",
+      "GRAFT_PRODUCT_TOPIC" -> "p2",
+      "GRAFT_CUSTOMER_TOPIC" -> "c2",
+      "GRAFT_ORDER_TOPIC" -> "o2",
+      "GRAFT_EVENT_TOPIC" -> "e2",
+      "GRAFT_TOPIC_PARTITIONS" -> "6",
+      "GRAFT_CORRUPTION_ENABLED" -> "false",
+      "GRAFT_CORRUPTION_P_PRODUCT" -> "0.5",
+      "GRAFT_CORRUPTION_P_CUSTOMER" -> "0.6",
+      "GRAFT_CORRUPTION_P_ORDER" -> "0.7",
+      "GRAFT_CORRUPTION_P_EVENT" -> "0.8"))
+    assert(s === Settings(
+      "prod", "svc", 7, 99L, "/data/sf1", "/data/sinks",
+      "p2", "c2", "o2", "e2", 6, corruptionEnabled = false,
+      0.5, 0.6, 0.7, 0.8))
+  }
+
+  test("malformed numeric/boolean env values fail fast naming the variable") {
+    val badInt = intercept[IllegalArgumentException](
+      Settings.fromEnv(Map("GRAFT_BATCH_SIZE" -> "lots")))
+    assert(badInt.getMessage.contains("GRAFT_BATCH_SIZE"))
+    val badBool = intercept[IllegalArgumentException](
+      Settings.fromEnv(Map("GRAFT_CORRUPTION_ENABLED" -> "maybe")))
+    assert(badBool.getMessage.contains("GRAFT_CORRUPTION_ENABLED"))
+  }
+
+  test("corruptionP maps topics to their probabilities and honors the kill switch") {
+    val s = Settings.Defaults
+    assert(s.corruptionP("products") === 0.01)
+    assert(s.corruptionP("events") === 0.04)
+    assert(s.corruptionP("unknown-topic") === 0.0)
+    val off = s.copy(corruptionEnabled = false)
+    assert(off.corruptionP("products") === 0.0)
+  }
+
+  test("sinksFor lays out the per-topic sink directories under the base") {
+    val sinks = Settings.Defaults.copy(sinkBase = "/x").sinksFor("orders")
+    assert(sinks.raw === "/x/orders/raw")
+    assert(sinks.normalized === "/x/orders/normalized")
+    assert(sinks.rejects === "/x/orders/rejects")
+    assert(sinks.checkpoint === "/x/orders/_checkpoint")
+  }
+
+  test("producer CLI arg parsing mirrors the reference's argparse surface") {
+    assert(Produce.parse(Nil) === Produce.Args())
+    val a = Produce.parse(List("--products", "2", "--customers", "1",
+      "--orders", "2", "--events", "3", "--seed", "42", "--repeat", "2",
+      "--out", "/tmp/x"))
+    assert(a === Produce.Args(2, 1, 2, 3, Some(42L), 2, Some("/tmp/x")))
+    intercept[IllegalArgumentException](Produce.parse(List("--bogus", "1")))
+  }
+
+  test("produce lands the exact 8-message batch with parseable payloads and monotone offsets") {
+    // The reference's integration contract: 2 products + 1 customer +
+    // 2 orders + 3 events, delivered exactly and JSON-parseable
+    // (`test_producer_integration.py:143-147,176-187`).
+    val out = Files.createTempDirectory("graft_produce_").toString
+    val settings = Settings.Defaults.copy(
+      corruptionEnabled = false, topicPartitions = 2, sinkBase = out)
+    val a = Produce.Args(products = 2, customers = 1, orders = 2, events = 3,
+      seed = Some(42L))
+    val m = Produce.run(spark, settings, a, out)
+    assert(m.errors === 0)
+    assert(m.producedMessages === 8)
+    assert(m.producedBytes > 0)
+    assert(m.rejects === 0, "uncorrupted batch must validate clean")
+
+    val counts = Map("products" -> 2L, "customers" -> 1L, "orders" -> 2L,
+      "events" -> 3L)
+    for ((topic, n) <- counts) {
+      val rows = spark.read.schema(KafkaShaped.schema).json(s"$out/$topic")
+      assert(rows.count() === n, s"topic $topic")
+      assert(rows.filter(col("value").isNull).count() === 0)
+      // Offsets are unique per (partition) — the broker-monotone rule.
+      assert(rows.select("partition", "offset").distinct().count() === n)
+    }
+  }
+
+  test("repeat re-produces the batch with offsets that never collide") {
+    val out = Files.createTempDirectory("graft_produce_rep_").toString
+    val settings = Settings.Defaults.copy(
+      corruptionEnabled = false, topicPartitions = 2, sinkBase = out)
+    val m = Produce.run(spark, settings,
+      Produce.Args(products = 4, customers = 2, orders = 3, events = 5,
+        seed = Some(7L), repeat = 2), out)
+    assert(m.errors === 0)
+    assert(m.producedMessages === 2 * (4 + 2 + 3 + 5))
+    val ev = spark.read.schema(KafkaShaped.schema).json(s"$out/events")
+    assert(ev.count() === 10)
+    assert(ev.select("partition", "offset").distinct().count() === 10,
+      "repeated batches must advance the offset base, not reuse it")
+  }
+
+  test("settings alone wire the full produce-to-ingest path end-to-end") {
+    val base = Files.createTempDirectory("graft_e2e_cfg_").toString
+    val settings = Settings.Defaults.copy(
+      corruptionEnabled = false, topicPartitions = 2, sinkBase = base)
+    val m = Produce.run(spark, settings,
+      Produce.Args(products = 6, customers = 2, orders = 2, events = 2,
+        seed = Some(5L)), s"$base/topics")
+    assert(m.errors === 0)
+    streaming.IngestPipeline.start(spark, settings, Schemas.productsDesc)
+      .awaitTermination()
+    val norm = spark.read.parquet(settings.sinksFor("products").normalized)
+    assert(norm.count() === 6,
+      "env-derived settings must locate the produced topic and land it")
+  }
+
+  test("corruption probability flows from settings into the produced batch") {
+    val out = Files.createTempDirectory("graft_produce_cor_").toString
+    val settings = Settings.Defaults.copy(
+      corruptionEnabled = true, corruptionPProduct = 1.0, topicPartitions = 2,
+      sinkBase = out)
+    val m = Produce.run(spark, settings,
+      Produce.Args(products = 20, customers = 1, orders = 1, events = 1,
+        seed = Some(11L)), out)
+    assert(m.errors === 0)
+    // p=1.0 corrupts every product; each corruption type violates a
+    // validation rule, so all 20 products must count as rejects.
+    assert(m.rejects >= 20)
+  }
+}
