@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) coarse quantization for approximate nearest
+  * neighbor — the k-means-cell counterpart of the hyperplane-LSH path:
+  * vectors are assigned to their nearest of `k` coarse centroids, and a
+  * query only scans the `nprobe` cells nearest to it instead of the full
+  * corpus (the IVF stage of Jégou et al., "Product quantization for
+  * nearest neighbor search", TPAMI 2011 — without the PQ refinement;
+  * candidates are re-ranked by exact cosine).
+  *
+  * Everything is declarative DataFrame ops — seeded deterministic init,
+  * Lloyd iterations as join+agg plans, NO driver-side `.collect()`
+  * anywhere, so the training plan composes into a single query and at
+  * scale runs as an ordinary distributed job. Centroid count `k` is
+  * small (≪ corpus), so every centroid join is a broadcast and the only
+  * shuffles are the tiny (vec_id, cid, d2) assignment aggregations and
+  * the per-dimension centroid means.
+  *
+  * At 100 TB the index (cid → vec ids) is written once and reused;
+  * here train + probe compose into one plan so the operator is
+  * self-contained and oracle-free testing can replay it exactly.
+  */
+object Ivf {
+
+  /** Squared L2 distance between two array<double> columns — codegen'd
+    * HOF fold, same left-fold order as [[VectorOps.dot]]. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic seed centroids: the `k` vectors with the smallest
+    * `xxhash64(vec_id)` — a seeded uniform draw that any executor can
+    * reproduce (same determinism model as the generator's hash draws).
+    * Returns (cid, cv) with cid = 0..k-1. */
+  def seedCentroids(e: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    // The global window runs on k candidates' worth of ordering over the
+    // corpus — acceptable for training (one pass, tiny output); limit()
+    // keeps the sort a TakeOrdered, not a global sort.
+    e.select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select((row_number().over(w) - 1).as("cid"), col("v").as("cv"))
+  }
+
+  /** Assign every vector to its nearest centroid: broadcast the k-row
+    * centroid frame, per-row O(k·d) distance math, `min_by` argmin in
+    * one hash agg. The shuffle carries only (vec_id, cid). */
+  def assign(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** One Lloyd iteration: re-assign, then recompute each cell's mean
+    * per dimension (posexplode → (cid, pos) avg → re-assemble array in
+    * position order). Empty cells keep no row and simply vanish —
+    * harmless for probing (fewer cells = more candidates, never fewer
+    * correct results). */
+  def lloydStep(e: DataFrame, centroids: DataFrame): DataFrame =
+    assign(e, centroids)
+      .join(e, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg(col("x")).as("x"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("cv"))
+
+  /** Train `iters` Lloyd iterations from the seeded init — a composed
+    * plan, no driver actions. */
+  def train(e: DataFrame, k: Int, iters: Int): DataFrame =
+    (1 to iters).foldLeft(seedCentroids(e, k))((c, _) => lloydStep(e, c))
+}

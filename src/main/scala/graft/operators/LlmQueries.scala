@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{DQ, Tables}
-import graft.functions.{MinHash, Multimodal, SimHash, VectorOps}
+import graft.functions.{Ivf, MinHash, Multimodal, SimHash, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -556,6 +556,42 @@ object LlmQueries {
     },
     None)
 
+  /** L16 — IVF-bucketed approximate nearest neighbor: the k-means-cell
+    * scale path beside L12's hyperplane-LSH one (both prune before any
+    * exact math; IVF adapts to the data's cluster structure where LSH is
+    * data-oblivious). Seeded deterministic init → 2 Lloyd iterations →
+    * per-cell inverted index → probe the query's nprobe=4 of k=16 cells
+    * → exact cosine re-rank of candidates only. The whole train+probe is
+    * ONE declarative plan (`functions.Ivf`): no driver actions, centroid
+    * joins broadcast, and the only per-vector shuffle carries bare
+    * (vec_id, cid) pairs. At 100 TB the trained index persists and is
+    * reused; composing it here keeps the operator self-contained. No
+    * oracle (iterative centroid arithmetic is not portably expressible
+    * in DuckDB SQL); IvfSpec pins exactness of the re-rank, pruning, and
+    * recall against L3. */
+  val l16 = DQ(
+    "l16_ann_ivf",
+    (s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = Ivf.train(e, k = 16, iters = 2)
+      val index = Ivf.assign(e, centroids)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val probeCells = centroids.crossJoin(broadcast(q))
+        .withColumn("d2", Ivf.dist2(col("cv"), col("qv")))
+        .orderBy(col("d2"), col("cid")).limit(4)
+        .select("cid")
+      val candidates = index.join(broadcast(probeCells), "cid")
+        .filter(col("vec_id") =!= 0).select("vec_id")
+      candidates.join(e, "vec_id")
+        .crossJoin(broadcast(q))
+        .withColumn("sim_e4",
+          round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long"))
+        .select("vec_id", "sim_e4")
+        .orderBy(col("sim_e4").desc, col("vec_id"))
+        .limit(5)
+    },
+    None)
+
   /** L15 — n-gram Jaccard similarity as a first-class scorer: word
     * 3-gram sets of each kept document vs its first-token-dropped
     * variant, Jaccard ×10000. Pure per-row HOF set math (the pair is
@@ -598,6 +634,6 @@ object LlmQueries {
             ORDER BY doc_id"""))
 
   val all: Seq[DQ] =
-    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15)
+    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16)
 }
 

@@ -17,7 +17,10 @@ class PlanSpec extends AnyFunSuite {
     * since round 4; LshSpec asserts those NL joins are offset-only). */
   private val nlAllowed =
     Set("o5_except_intersect", "l3_cosine_topk", "l12_ann_lsh", "l10_simhash",
-      "l9_minhash_neardup", "l14_cosine_neardup")
+      "l9_minhash_neardup", "l14_cosine_neardup",
+      // l16: the k-row centroid broadcast (k=16 ≪ corpus) is the IVF
+      // assignment step itself, plus the 1-row query-vector broadcast.
+      "l16_ann_ivf")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

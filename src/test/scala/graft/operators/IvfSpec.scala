@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Session, Tables}
+import graft.functions.{Ivf, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF coarse quantization (k-means cells) and the l16 ANN path built on
+  * it: deterministic training, genuine pruning, exact re-ranking. */
+class IvfSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def vecs = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("training is deterministic and produces at most k centroids of full dimension") {
+    val a = Ivf.train(vecs, k = 8, iters = 2).orderBy("cid").collect()
+    val b = Ivf.train(vecs, k = 8, iters = 2).orderBy("cid").collect()
+    assert(a.toSeq === b.toSeq, "same data + seeds must yield identical centroids")
+    assert(a.length <= 8 && a.length > 0)
+    assert(a.forall(_.getSeq[Double](1).length === 64))
+  }
+
+  test("every vector is assigned to exactly one cell, and cells partition the corpus") {
+    val cent = Ivf.train(vecs, k = 8, iters = 1)
+    val idx = Ivf.assign(vecs, cent)
+    assert(idx.count() === vecs.count())
+    assert(idx.select("vec_id").distinct().count() === vecs.count())
+    // Assignment is argmin: no vector's own cell is farther than another.
+    val check = idx.join(vecs, "vec_id")
+      .join(cent.withColumnRenamed("cid", "own_cid").withColumnRenamed("cv", "own_cv"),
+        col("cid") === col("own_cid"))
+      .crossJoin(broadcast(cent.withColumnRenamed("cid", "other_cid")
+        .withColumnRenamed("cv", "other_cv")))
+      .filter(Ivf.dist2(col("v"), col("other_cv")) <
+        Ivf.dist2(col("v"), col("own_cv")) - lit(1e-9))
+      .count()
+    assert(check === 0, "assign() must pick the nearest centroid")
+  }
+
+  test("lloyd iteration does not increase total within-cell distortion") {
+    val c0 = Ivf.seedCentroids(vecs, 8)
+    val c1 = Ivf.lloydStep(vecs, c0)
+    def distortion(c: org.apache.spark.sql.DataFrame): Double =
+      Ivf.assign(vecs, c).join(vecs, "vec_id")
+        .join(c, "cid")
+        .agg(sum(Ivf.dist2(col("v"), col("cv")))).collect()(0).getDouble(0)
+    val d0 = distortion(c0)
+    val d1 = distortion(c1)
+    assert(d1 <= d0 * (1.0 + 1e-9), s"distortion rose: $d0 -> $d1")
+  }
+
+  test("l16 prunes (candidates < corpus) and re-ranks with exact cosine values") {
+    val rows = LlmQueries.l16.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ann = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e4")).toMap
+    // Exactness: every reported similarity matches brute force.
+    val e = vecs
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = e.filter(col("vec_id").isin(ann.keys.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long").as("sim_e4"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sim_e4")).toMap
+    assert(ann === exact)
+    // Pruning: the probed cells hold strictly fewer than all vectors.
+    val cent = Ivf.train(e, k = 16, iters = 2)
+    val idx = Ivf.assign(e, cent)
+    val probed = cent.crossJoin(broadcast(q))
+      .withColumn("d2", Ivf.dist2(col("cv"), col("qv")))
+      .orderBy(col("d2"), col("cid")).limit(4).select("cid")
+    val nCand = idx.join(broadcast(probed), "cid").count()
+    val n = e.count()
+    assert(nCand < n, s"IVF probe degenerate: $nCand of $n")
+    assert(nCand > 0)
+  }
+
+  test("l16 recall: the probed cells contain most of the brute-force top-10") {
+    import spark.implicits._
+    val top10 = LlmQueries.l3.fn(spark, sf).select("vec_id").as[Long].collect().toSet
+    val e = vecs
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cent = Ivf.train(e, k = 16, iters = 2)
+    val probed = cent.crossJoin(broadcast(q))
+      .withColumn("d2", Ivf.dist2(col("cv"), col("qv")))
+      .orderBy(col("d2"), col("cid")).limit(4).select("cid")
+    val inProbe = Ivf.assign(e, cent).join(broadcast(probed), "cid")
+      .select("vec_id").as[Long].collect().toSet
+    val recall = top10.count(inProbe) / 10.0
+    assert(recall >= 0.5, s"IVF nprobe=4/16 recall@10 too low: $recall")
+  }
+}
