@@ -98,11 +98,17 @@ object Produce {
   def main(args: Array[String]): Unit = {
     val a = parse(args.toList)
     val settings = Settings.fromEnv()
+    val log = Log(settings)
+    log.info("produce.start", "products" -> a.products,
+      "customers" -> a.customers, "orders" -> a.orders, "events" -> a.events,
+      "repeat" -> a.repeat, "seed" -> a.seed.getOrElse(settings.seed))
     val spark = Session.get()
     val outDir = a.out.getOrElse(s"${settings.sinkBase}/topics")
     val m =
       try run(spark, settings, a, outDir)
       finally spark.stop()
+    log.info("produce.done", "messages" -> m.producedMessages,
+      "bytes" -> m.producedBytes, "rejects" -> m.rejects, "errors" -> m.errors)
     println(
       s"""{"produced_messages":${m.producedMessages},"produced_bytes":${m.producedBytes},"rejects":${m.rejects},"errors":${m.errors},"out":"$outDir"}""")
     if (m.errors != 0) sys.exit(1)

@@ -18,6 +18,12 @@ package graft
 final case class Settings(
     appEnv: String,
     serviceName: String,
+    logLevel: String,
+    logFormat: String,
+    logToFile: Boolean,
+    logFile: String,
+    logFileMaxBytes: Long,
+    logFileBackups: Int,
     batchSize: Int,
     seed: Long,
     sfDir: String,
@@ -62,6 +68,12 @@ object Settings {
   val Defaults: Settings = Settings(
     appEnv = "local",
     serviceName = "graft-pipeline",
+    logLevel = "INFO",
+    logFormat = "console",
+    logToFile = false,
+    logFile = "logs/app.log",
+    logFileMaxBytes = 10485760L,
+    logFileBackups = 5,
     batchSize = 50,
     seed = 42L,
     sfDir = "/root/testdata/sf0.1",
@@ -100,6 +112,12 @@ object Settings {
     Settings(
       appEnv = str("GRAFT_APP_ENV", d.appEnv),
       serviceName = str("GRAFT_SERVICE_NAME", d.serviceName),
+      logLevel = str("GRAFT_LOG_LEVEL", d.logLevel),
+      logFormat = str("GRAFT_LOG_FORMAT", d.logFormat),
+      logToFile = bool("GRAFT_LOG_TO_FILE", d.logToFile),
+      logFile = str("GRAFT_LOG_FILE", d.logFile),
+      logFileMaxBytes = num("GRAFT_LOG_FILE_MAX_BYTES", d.logFileMaxBytes)(_.toLong),
+      logFileBackups = num("GRAFT_LOG_FILE_BACKUP_COUNT", d.logFileBackups)(_.toInt),
       batchSize = num("GRAFT_BATCH_SIZE", d.batchSize)(_.toInt),
       seed = num("GRAFT_SEED", d.seed)(_.toLong),
       sfDir = str("SPARK_GRAFT_SF_DIR", d.sfDir),

@@ -34,6 +34,12 @@ class ConfigSpec extends AnyFunSuite {
     val s = Settings.fromEnv(Map(
       "GRAFT_APP_ENV" -> "prod",
       "GRAFT_SERVICE_NAME" -> "svc",
+      "GRAFT_LOG_LEVEL" -> "ERROR",
+      "GRAFT_LOG_FORMAT" -> "json",
+      "GRAFT_LOG_TO_FILE" -> "true",
+      "GRAFT_LOG_FILE" -> "/var/log/graft.log",
+      "GRAFT_LOG_FILE_MAX_BYTES" -> "1024",
+      "GRAFT_LOG_FILE_BACKUP_COUNT" -> "2",
       "GRAFT_BATCH_SIZE" -> "7",
       "GRAFT_SEED" -> "99",
       "SPARK_GRAFT_SF_DIR" -> "/data/sf1",
@@ -49,9 +55,16 @@ class ConfigSpec extends AnyFunSuite {
       "GRAFT_CORRUPTION_P_ORDER" -> "0.7",
       "GRAFT_CORRUPTION_P_EVENT" -> "0.8"))
     assert(s === Settings(
-      "prod", "svc", 7, 99L, "/data/sf1", "/data/sinks",
-      "p2", "c2", "o2", "e2", 6, corruptionEnabled = false,
-      0.5, 0.6, 0.7, 0.8))
+      appEnv = "prod", serviceName = "svc",
+      logLevel = "ERROR", logFormat = "json", logToFile = true,
+      logFile = "/var/log/graft.log", logFileMaxBytes = 1024L,
+      logFileBackups = 2,
+      batchSize = 7, seed = 99L, sfDir = "/data/sf1",
+      sinkBase = "/data/sinks",
+      productTopic = "p2", customerTopic = "c2", orderTopic = "o2",
+      eventTopic = "e2", topicPartitions = 6, corruptionEnabled = false,
+      corruptionPProduct = 0.5, corruptionPCustomer = 0.6,
+      corruptionPOrder = 0.7, corruptionPEvent = 0.8))
   }
 
   test("malformed numeric/boolean env values fail fast naming the variable") {
