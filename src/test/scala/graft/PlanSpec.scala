@@ -59,6 +59,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("j8 broadcasts the supplier-side dimensions (fact never shuffles for the join)") {
+    val df = operators.RelationalQueries.j8.fn(spark, sf)
+    df.collect() // finalize adaptively
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"j8 shuffles a dimension join:\n$plan")
+  }
+
   test("o1 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val plan = operators.SetOpQueries.o1.fn(spark, sf)
       .queryExecution.executedPlan.toString
