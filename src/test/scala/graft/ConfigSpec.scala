@@ -158,6 +158,25 @@ class ConfigSpec extends AnyFunSuite {
       "env-derived settings must locate the produced topic and land it")
   }
 
+  test("the ingest CLI drains all produced topics and skips absent ones") {
+    val base = Files.createTempDirectory("graft_ingest_cli_").toString
+    val settings = Settings.Defaults.copy(
+      corruptionEnabled = false, topicPartitions = 2, sinkBase = base)
+    val log = Log.build(settings, Seq(_ => ()), () => java.time.Instant.now())
+    // Produce only three of the four topics: events stays absent.
+    Produce.run(spark, settings.copy(eventTopic = "events_elsewhere"),
+      Produce.Args(products = 3, customers = 2, orders = 4, events = 1,
+        seed = Some(9L)), s"$base/topics")
+    val r = Ingest.run(spark, settings, log)
+    assert(r.errors.isEmpty)
+    assert(r.skipped === Seq("events"))
+    assert(r.landed === Map("products" -> 3L, "customers" -> 2L, "orders" -> 4L))
+    // And the landed tables honor the at-rest decimal contract.
+    import org.apache.spark.sql.types.DecimalType
+    val norm = spark.read.parquet(settings.sinksFor("orders").normalized)
+    assert(norm.schema("total").dataType === DecimalType(10, 2))
+  }
+
   test("corruption probability flows from settings into the produced batch") {
     val out = Files.createTempDirectory("graft_produce_cor_").toString
     val settings = Settings.Defaults.copy(
