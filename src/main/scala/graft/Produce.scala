@@ -78,8 +78,10 @@ object Produce {
         KafkaShaped.writeTopicFile(df, key, topic, settings.topicPartitions,
           offsetBase = r * stride, dir = s"$outDir/$topic")
         messages += df.count()
+        // Same serialization as writeTopicFile — the counted bytes are
+        // the payload bytes actually written, not an approximation.
         bytes += df
-          .select(length(to_json(struct(df.columns.map(col).toIndexedSeq: _*))).as("n"))
+          .select(length(KafkaShaped.valueJson(df)).as("n"))
           .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
       } catch { case _: Throwable => errors += 1 }
     }

@@ -36,6 +36,16 @@ object KafkaShaped {
     maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).json(dir)
   }
 
+  /** The wire serialization of an entity frame — one JSON string per
+    * row with the explicit microsecond timestampFormat (the default
+    * truncates to millis and would silently lose payload precision
+    * through the round trip). Shared by the producer file writer and
+    * any metrics that measure produced bytes, so both describe the SAME
+    * bytes. */
+  def valueJson(df: DataFrame): org.apache.spark.sql.Column =
+    to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+      Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+
   /** Producer-side helper (S3 analog for the file simulation): serialize
     * an entity frame to keyed JSON records with lineage columns and
     * append them as one topic file. `offsetBase` plays the broker's role
@@ -44,10 +54,7 @@ object KafkaShaped {
       nPartitions: Int, offsetBase: Long, dir: String): Unit = {
     val keyed = df
       .withColumn("key", col(keyCol).cast("string"))
-      // Microsecond timestampFormat: the default truncates to millis and
-      // would silently lose payload precision through the round trip.
-      .withColumn("value", to_json(struct(df.columns.map(col).toIndexedSeq: _*),
-        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
+      .withColumn("value", valueJson(df))
       .withColumn("topic", lit(topic))
       .withColumn("partition", pmod(xxhash64(col("key")), lit(nPartitions)).cast("int"))
       .withColumn("offset",

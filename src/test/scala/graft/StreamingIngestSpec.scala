@@ -223,6 +223,24 @@ class StreamingIngestSpec extends AnyFunSuite {
         "product_id")
       .filter(col("price") =!= col("p")).count()
     assert(bad === 0)
+
+    // Second batch: the upsert now unions a DECIMAL prior table with
+    // DOUBLE incoming rows — the type-coercion path every batch after
+    // the first takes. Updates must win and the at-rest type must hold.
+    val v2 = payload
+      .withColumn("created_at", col("created_at") + expr("INTERVAL 5 DAYS"))
+      .withColumn("price", col("price") + 2.5)
+    KafkaShaped.writeTopicFile(v2, "product_id", "products", 2, 1000, in)
+    IngestPipeline.start(spark, in, sinks.copy(checkpoint = s"$base/ckpt2"),
+      Schemas.productsDesc).awaitTermination()
+    val norm2 = spark.read.parquet(sinks.normalized)
+    assert(norm2.count() === 12)
+    assert(norm2.schema("price").dataType === DecimalType(10, 2))
+    val stale = v2.select(col("product_id"), col("price"))
+      .join(norm2.select(col("product_id"), col("price").cast("double").as("p")),
+        "product_id")
+      .filter(col("price") =!= col("p")).count()
+    assert(stale === 0, "second-batch updates must land through the decimal prior")
   }
 
   test("ingest throughput clears the reference's 100 msg/s floor with margin") {
