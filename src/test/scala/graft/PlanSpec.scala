@@ -88,4 +88,19 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("*("), s"${dq.name} not codegen'd:\n$plan")
     }
   }
+
+  test("per-row LLM text/vector math stays inside WholeStageCodegen (no UDF hot paths)") {
+    // The HOF-based operators (regex tokenize, rolling hash, dot
+    // products) must compile to codegen'd expressions — a Scala UDF
+    // sneaking in would show as a BatchEvalPython/Invoke break with no
+    // codegen span around the scan+project.
+    for (dq <- Seq(operators.LlmQueries.l5, operators.LlmQueries.l6,
+        operators.LlmQueries.l8, operators.LlmQueries.l3)) {
+      val df = dq.fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"${dq.name} not codegen'd:\n$plan")
+      assert(!plan.contains("BatchEvalPython"), s"${dq.name} has a Python UDF")
+    }
+  }
 }
