@@ -32,6 +32,26 @@ class StatefulSpec extends AnyFunSuite {
       Some(CartState(2, 5L))) === Some(CartState(2, 5L)))
   }
 
+  test("property: fold is insensitive to arrival order (event time decides)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val eventGen: Gen[CartEvent] = for {
+      tpe <- Gen.oneOf("add_to_cart", "purchase", "page_view")
+      sec <- Gen.choose(0L, 100000L)
+    } yield CartEvent("u", tpe, new Timestamp(1767225600000L + sec * 1000))
+    val p = Prop.forAll(Gen.listOfN(12, eventGen)) { events =>
+      // Distinct timestamps make event-time order total, so any arrival
+      // permutation must fold to the same state.
+      val distinct = events.zipWithIndex
+        .map { case (e, i) => e.copy(ts = new Timestamp(e.ts.getTime + i)) }
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(distinct.hashCode.toLong)).shuffle(distinct)
+      Stateful.fold(shuffled, None) == Stateful.fold(distinct, None)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200).withWorkers(1), p)
+    assert(res.passed, res.toString)
+  }
+
   test("abandonment fires on watermark timeout; purchasers never fire") {
     val in = Files.createTempDirectory("graft_cart_").toString
     def write(name: String, lines: Seq[String]): Unit = {
