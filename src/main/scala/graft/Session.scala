@@ -17,6 +17,9 @@ object Session {
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      // Engine-native Catalyst expressions (codegen'd vector math) via
+      // the public extensions hook.
+      .withExtensions(graft.functions.NativeVectorExprs.register _)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

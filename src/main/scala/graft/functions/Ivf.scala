@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Squared L2 distance between two array<double> columns — codegen'd
-    * HOF fold, same left-fold order as [[VectorOps.dot]]. */
-  def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  /** Squared L2 distance between two array<double> columns — the native
+    * codegen'd expression (`graft_sqdist`, [[SquaredDistance]]): same
+    * left-to-right fold as the `zip_with` form, but the per-element loop
+    * compiles instead of paying interpreted lambda dispatch. */
+  def dist2(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
 
   /** Deterministic seed centroids: the `k` vectors with the smallest
     * `xxhash64(vec_id)` — a seeded uniform draw that any executor can

@@ -23,4 +23,18 @@ object VectorOps {
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // Native codegen'd forms (graft.functions.DotProduct, registered as
+  // `graft_dot` by graft.Session): bit-identical to the HOF forms above
+  // (same left-to-right fold), but the per-element loop compiles into
+  // WholeStageCodegen instead of paying interpreted lambda dispatch —
+  // the HOFs are CodegenFallback. Use these on the similarity hot paths;
+  // the HOF forms remain for sessions without the extension.
+
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def normNative(a: Column): Column = sqrt(call_function("graft_dot", a, a))
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (normNative(a) * normNative(b))
 }

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale stance (100 TB): every candidate-pair generator is bucketed
   * (band equi-joins) — NOTHING here is all-pairs; signature aggregations
-  * are partial-aggregable; per-row text/vector math is HOF-codegen with
-  * no shuffle; the only broadcast is the 1-row query vector.
+  * are partial-aggregable; per-row text math is codegen'd built-ins and
+  * per-row vector math is the native `graft_dot`/`graft_sqdist`
+  * Catalyst expressions (`functions.NativeVectorExprs` — Spark's HOFs
+  * are CodegenFallback, so the O(d) hot loops compile instead of paying
+  * interpreted lambda dispatch); no shuffle carries vectors except the
+  * final candidate re-joins; the only broadcasts are the 1-row query
+  * vector and the k-row centroid frame.
   */
 object LlmQueries {
 
@@ -82,7 +87,7 @@ object LlmQueries {
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q)) // 1-row broadcast: BroadcastNestedLoop over a single row
         .withColumn("sim_e4",
-          round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long"))
+          round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
         .select("vec_id", "sim_e4")
         .orderBy(col("sim_e4").desc, col("vec_id"))
         .limit(10)
@@ -393,7 +398,7 @@ object LlmQueries {
       docs(s, d)
         .join(e, col("doc_id") === col("vec_id"))
         .select(col("lang"), col("label"), col("n_chars"),
-          round(lit(10000) * VectorOps.norm(col("v"))).cast("long").as("norm_e4"))
+          round(lit(10000) * VectorOps.normNative(col("v"))).cast("long").as("norm_e4"))
         .groupBy("lang", "label")
         .agg(count(lit(1)).as("n"),
           sum("n_chars").as("sum_chars"),
@@ -440,8 +445,7 @@ object LlmQueries {
       .withColumn("sig", expr(
         """aggregate(sequence(0, size(_planes) - 1), cast(0 as bigint),
              (acc, j) -> acc | if(
-               aggregate(zip_with(v, element_at(_planes, j + 1), (a, b) -> a * b),
-                         cast(0.0 as double), (s, x) -> s + x) > 0,
+               graft_dot(v, element_at(_planes, j + 1)) > 0,
                shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""))
       .drop("_planes")
 
@@ -474,7 +478,7 @@ object LlmQueries {
         .join(e, "vec_id")
         .crossJoin(broadcast(q)) // 1-row query vector
         .withColumn("sim_e4",
-          round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long"))
+          round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
         .select("vec_id", "sim_e4")
         .orderBy(col("sim_e4").desc, col("vec_id"))
         .limit(5)
@@ -547,7 +551,7 @@ object LlmQueries {
         .join(e.toDF("ida", "va"), "ida")
         .join(e.toDF("idb", "vb"), "idb")
         .withColumn("cos_e4",
-          round(lit(10000) * VectorOps.cosine(col("va"), col("vb"))).cast("long"))
+          round(lit(10000) * VectorOps.cosineNative(col("va"), col("vb"))).cast("long"))
         .agg(
           count(lit(1)).as("n_candidates"),
           sum(when(col("cos_e4") >= 9000, 1L).otherwise(0L)).as("n_near"),
@@ -585,7 +589,7 @@ object LlmQueries {
       candidates.join(e, "vec_id")
         .crossJoin(broadcast(q))
         .withColumn("sim_e4",
-          round(lit(10000) * VectorOps.cosine(col("v"), col("qv"))).cast("long"))
+          round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
         .select("vec_id", "sim_e4")
         .orderBy(col("sim_e4").desc, col("vec_id"))
         .limit(5)

@@ -23,6 +23,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("cos") - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
   }
 
+  test("native graft_dot is bit-identical to the HOF dot on every embedding") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // Bit-exact, not approximate: both fold left-to-right in array order.
+    val diff = e.crossJoin(broadcast(q))
+      .filter(VectorOps.dotNative(col("v"), col("qv")) =!=
+        VectorOps.dot(col("v"), col("qv")))
+      .count()
+    assert(diff === 0)
+    // And the cosine forms agree bit-exactly too.
+    val diffCos = e.crossJoin(broadcast(q))
+      .filter(VectorOps.cosineNative(col("v"), col("qv")) =!=
+        VectorOps.cosine(col("v"), col("qv")))
+      .count()
+    assert(diffCos === 0)
+  }
+
+  test("graft_dot participates in WholeStageCodegen (the HOF form cannot)") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val df = e.select(VectorOps.dotNative(col("v"), col("v")).as("d"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "native dot fell out of codegen")
+    // Analysis-time type check names the offender on a bad call.
+    val err = intercept[Exception](
+      spark.range(1).select(expr("graft_dot(id, id)")).collect())
+    assert(err.getMessage.toLowerCase.contains("graft_dot"))
+  }
+
   test("cosine of a vector with itself is 1") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v")).limit(20)
