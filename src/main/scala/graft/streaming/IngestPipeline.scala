@@ -128,17 +128,8 @@ object IngestPipeline {
     // never touch last_modified (trigger semantics, `02:143-163`).
     val incoming = valid.withColumnRenamed("offset", "_src_offset").drop("partition")
       .withColumn("last_modified", current_timestamp())
-      .withColumn("_prio", lit(0))
-    val merged = existing(spark, sinks.normalized) match {
-      case Some(prior) => prior.withColumn("_prio", lit(1)).unionByName(incoming)
-      case None        => incoming
-    }
-    val payloadNames = merged.columns.filter(c => c != pk && c != "_prio").toIndexedSeq
-    val upserted = merged
-      .groupBy(col(pk))
-      .agg(max_by(struct(payloadNames.map(col): _*),
-        struct(col(versionCol), col("_src_offset"), col("_prio"))).as("w"))
-      .select(col(pk) +: payloadNames.map(c => col(s"w.$c").as(c)): _*)
+    val upserted = latestWins(existing(spark, sinks.normalized), incoming, pk,
+      Seq(versionCol, "_src_offset"))
     // Money lands as DECIMAL(10,2) (the reference's at-rest DDL type);
     // the union above coerces prior decimals back to wire doubles, which
     // is lossless for 2-decimal money, and this single cast restores the
@@ -154,6 +145,27 @@ object IngestPipeline {
       .toDF("batch_id", "n_in", "n_fresh", "n_valid", "n_rejects", "duration_ms")
       .withColumn("recorded_at", current_timestamp())
       .write.mode("append").parquet(sinks.stats)
+  }
+
+  /** Latest-wins merge of a batch into a prior table state: winner per
+    * key by the tie-break columns (descending significance), with the
+    * EXISTING row winning exact ties — so replays never touch a landed
+    * row (the trigger semantics of `02:143-163`). Shared by the
+    * whole-table swap sink here and the hash-partitioned upsert
+    * ([[PartitionedUpsert]]). */
+  private[streaming] def latestWins(prior: Option[DataFrame], incoming: DataFrame,
+      pk: String, tieBreak: Seq[String]): DataFrame = {
+    val inc = incoming.withColumn("_prio", lit(0))
+    val merged = prior match {
+      case Some(p) => p.withColumn("_prio", lit(1)).unionByName(inc)
+      case None    => inc
+    }
+    val payloadNames = merged.columns.filter(c => c != pk && c != "_prio").toIndexedSeq
+    merged
+      .groupBy(col(pk))
+      .agg(max_by(struct(payloadNames.map(col): _*),
+        struct(tieBreak.map(col) :+ col("_prio"): _*)).as("w"))
+      .select(col(pk) +: payloadNames.map(c => col(s"w.$c").as(c)): _*)
   }
 
   /** Keep only rows whose (partition, offset) lineage is absent from the
@@ -175,7 +187,7 @@ object IngestPipeline {
     * recoverable from `.bak` in the one window where `path` is absent —
     * [[existing]] falls back to it. (A production deployment swaps this
     * for a Delta/Iceberg MERGE; the dataflow above is unchanged.) */
-  private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  private[streaming] def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p   = new org.apache.hadoop.fs.Path(path)
     val fs  = p.getFileSystem(hconf)
@@ -194,7 +206,7 @@ object IngestPipeline {
     fs.delete(bak, true)
   }
 
-  private def existing(spark: SparkSession, path: String): Option[DataFrame] = {
+  private[streaming] def existing(spark: SparkSession, path: String): Option[DataFrame] = {
     def readable(p: org.apache.hadoop.fs.Path,
         fs: org.apache.hadoop.fs.FileSystem): Boolean =
       fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
