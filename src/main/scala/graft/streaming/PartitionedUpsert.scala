@@ -40,12 +40,26 @@ object PartitionedUpsert {
       .localCheckpoint(true) // one materialization feeds every bucket's merge
     val touched = withBucket.select("_b").distinct()
       .collect().map(_.getInt(0)).sorted.toIndexedSeq
-    for (b <- touched) {
-      val inc = withBucket.filter(col("_b") === b).drop("_b")
-      val merged = IngestPipeline.latestWins(
-        IngestPipeline.existing(spark, bucketPath(path, b)), inc, pk, tieBreak)
-      IngestPipeline.swapWrite(spark, merged, bucketPath(path, b))
-    }
+    // Bucket merges are independent (disjoint key spaces, disjoint
+    // directories), so they run as concurrent Spark jobs — the
+    // scheduler interleaves their stages instead of serializing
+    // read→merge→write per bucket. Any failure propagates.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, touched.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(touched) { b =>
+          scala.concurrent.Future {
+            val inc = withBucket.filter(col("_b") === b).drop("_b")
+            val merged = IngestPipeline.latestWins(
+              IngestPipeline.existing(spark, bucketPath(path, b)), inc, pk, tieBreak)
+            IngestPipeline.swapWrite(spark, merged, bucketPath(path, b))
+          }
+        },
+        scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     touched
   }
 
