@@ -41,6 +41,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diffCos === 0)
   }
 
+  test("native expressions null out exactly like the HOF forms on degenerate input") {
+    import spark.implicits._
+    // Unequal lengths: zip_with pads with null → HOF dot is null; the
+    // native form must agree rather than return a partial sum.
+    val uneq = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val r1 = uneq.select(
+      VectorOps.dotNative(col("a"), col("b")).as("nat"),
+      VectorOps.dot(col("a"), col("b")).as("hof")).collect()(0)
+    assert(r1.isNullAt(0) && r1.isNullAt(1))
+    // Null element: nulls the fold in both forms.
+    val withNull = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    val r2 = withNull.select(
+      VectorOps.dotNative(col("a"), col("b")).as("nat"),
+      VectorOps.dot(col("a"), col("b")).as("hof"),
+      call_function("graft_sqdist", col("a"), col("b")).as("sq")).collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1) && r2.isNullAt(2))
+    // Null input array: standard null propagation.
+    val nullArr = Seq((null.asInstanceOf[Seq[Double]], Seq(1.0))).toDF("a", "b")
+    assert(nullArr.select(VectorOps.dotNative(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
   test("graft_dot participates in WholeStageCodegen (the HOF form cannot)") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"))
