@@ -86,16 +86,20 @@ object IngestPipeline {
     val inBatch = batch.dropDuplicates("partition", "offset").localCheckpoint(true)
     val nIn = inBatch.count()
 
-    // ---- S6: raw audit append, idempotent on (partition, offset):
-    // anti-join against already-landed lineage — the columnar form of
-    // the offset-unique constraint. The lineage read is key-columns-only
-    // (column pruning keeps the replay guard cheap; at scale the audit
-    // table would be partitioned by topic/date so the anti-join prunes
-    // partitions too).
-    val freshRaw = antiByOffset(inBatch, existing(spark, sinks.raw))
+    // ---- S6: raw audit append, idempotent on (partition, offset). The
+    // guard is high-water-mark first: rows beyond the per-partition max
+    // landed offset are fresh WITHOUT opening the audit table (at 100 TB
+    // the audit table is the biggest table in the system — an O(table)
+    // lineage scan per microbatch is unaffordable); only the replay
+    // overlap (normally empty) anti-joins against landed lineage.
+    val freshRaw = freshByHwm(spark, inBatch, sinks.raw)
       .localCheckpoint(true) // materialize before appending to what it reads
     freshRaw.withColumn("consumed_at", current_timestamp())
       .write.mode("append").parquet(sinks.raw)
+    // Advance the watermark only AFTER the append committed: a crash in
+    // between leaves the mark low, which degrades to the anti-join path
+    // on replay — never to a skipped row.
+    advanceHwm(spark, inBatch, sinks.raw)
     val nFresh = freshRaw.count() // cheap: counts materialized blocks
 
     // ---- S5: typed decode (PERMISSIVE + corrupt-record capture) over
@@ -110,11 +114,15 @@ object IngestPipeline {
     // ---- V1–V5: validation split.
     val Validation.Split(valid, rejects) = Validation.split(parsed, rules)
 
-    // ---- Rejects append, idempotent on (partition, offset) like raw.
-    val freshRejects = antiByOffset(rejects, existing(spark, sinks.rejects))
+    // ---- Rejects append, idempotent on (partition, offset) like raw
+    // (validation is deterministic, so a given offset is always valid or
+    // always a reject — the rejects-only watermark can never skip a row
+    // that belongs here).
+    val freshRejects = freshByHwm(spark, rejects, sinks.rejects)
       .localCheckpoint(true)
     freshRejects.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(sinks.rejects)
+    advanceHwm(spark, rejects, sinks.rejects)
     // Batch-level reject count (replayed rows included) — one pass over
     // the materialized batch, so no lineage re-scan.
     val nRejects = rejects.count()
@@ -177,6 +185,46 @@ object IngestPipeline {
           Seq("partition", "offset"), "left_anti")
       case None => df
     }
+
+  private def hwmPath(sinkPath: String): String = sinkPath + "._hwm"
+
+  /** High-water-mark replay guard: rows with `offset` beyond the
+    * per-partition max landed offset are fresh by construction — the
+    * audit table is NEVER opened for them; only the overlap (an exact or
+    * partial replay, normally empty — checked with one tiny job over the
+    * already-materialized batch) falls back to the lineage anti-join. No
+    * watermark file (first batch, or a crash before it ever landed) —
+    * full fallback. */
+  private def freshByHwm(spark: SparkSession, df: DataFrame, sinkPath: String): DataFrame =
+    existing(spark, hwmPath(sinkPath)) match {
+      case None => antiByOffset(df, existing(spark, sinkPath))
+      case Some(h) =>
+        val tagged = df
+          .join(broadcast(h), Seq("partition"), "left")
+          .withColumn("_hwm", coalesce(col("max_offset"), lit(Long.MinValue)))
+          .drop("max_offset")
+        val fresh   = tagged.filter(col("offset") > col("_hwm")).drop("_hwm")
+        val overlap = tagged.filter(col("offset") <= col("_hwm")).drop("_hwm")
+        if (overlap.isEmpty) fresh
+        else fresh.unionByName(antiByOffset(overlap, existing(spark, sinkPath)))
+    }
+
+  /** Advance the per-partition max-offset watermark with this batch's
+    * lineage. Called strictly AFTER the append commits: a crash between
+    * the two leaves the mark low (safe — replay degrades to the
+    * anti-join), never high (which could skip rows). The mark itself is
+    * a few rows, replaced via the same crash-safe rotation as the
+    * normalized table. */
+  private def advanceHwm(spark: SparkSession, batch: DataFrame, sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    val fresh = batch.groupBy("partition").agg(max("offset").as("max_offset"))
+    val merged = existing(spark, hwmPath(sinkPath)) match {
+      case Some(old) => old.unionByName(fresh)
+        .groupBy("partition").agg(max("max_offset").as("max_offset"))
+      case None => fresh
+    }
+    swapWrite(spark, merged, hwmPath(sinkPath))
+  }
 
   /** Atomic-enough full-table replace without a table format: write the
     * new contents to `<path>.tmp` (reading the old contents is safe —
