@@ -55,7 +55,8 @@ object IngestPipeline {
       entitySchema: StructType, pk: String, versionCol: String,
       rules: Seq[(String, Column)],
       maxFilesPerTrigger: Option[Int] = None,
-      moneyCols: Seq[String] = Nil): StreamingQuery =
+      moneyCols: Seq[String] = Nil,
+      normalizedBuckets: Option[Int] = None): StreamingQuery =
     KafkaShaped.fileStream(spark, inputDir, maxFilesPerTrigger)
       // A8: batch-level row counters surfaced through the observe API.
       .observe("ingest", count(lit(1)).as("n_in"),
@@ -65,16 +66,20 @@ object IngestPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, sinks, entitySchema, pk, versionCol, rules,
-          moneyCols)
+          moneyCols, normalizedBuckets)
       }
       .start()
 
   /** One microbatch of the dual-write. Exposed for direct batch-mode use
-    * and tests. */
+    * and tests. `normalizedBuckets = Some(n)` switches the normalized
+    * sink from the whole-table swap to the hash-partitioned upsert
+    * ([[PartitionedUpsert]]) — O(touched buckets) per batch instead of
+    * O(table); read the result back with `PartitionedUpsert.readAll`. */
   def processBatch(batch: DataFrame, batchId: Long, sinks: Sinks,
       entitySchema: StructType, pk: String, versionCol: String,
       rules: Seq[(String, Column)],
-      moneyCols: Seq[String] = Nil): Unit = {
+      moneyCols: Seq[String] = Nil,
+      normalizedBuckets: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     val t0 = System.nanoTime()
 
@@ -136,14 +141,25 @@ object IngestPipeline {
     // never touch last_modified (trigger semantics, `02:143-163`).
     val incoming = valid.withColumnRenamed("offset", "_src_offset").drop("partition")
       .withColumn("last_modified", current_timestamp())
-    val upserted = latestWins(existing(spark, sinks.normalized), incoming, pk,
-      Seq(versionCol, "_src_offset"))
-    // Money lands as DECIMAL(10,2) (the reference's at-rest DDL type);
-    // the union above coerces prior decimals back to wire doubles, which
-    // is lossless for 2-decimal money, and this single cast restores the
-    // exact at-rest representation for whatever key wins.
-    swapWrite(spark, graft.operators.Normalize.atRest(upserted, moneyCols),
-      sinks.normalized)
+    normalizedBuckets match {
+      case Some(n) =>
+        // Scale form: only the buckets this batch's keys hash into are
+        // read and rewritten. Money is cast at-rest BEFORE the merge, so
+        // per-bucket priors and incoming rows union decimal-to-decimal.
+        PartitionedUpsert.upsert(spark, sinks.normalized,
+          graft.operators.Normalize.atRest(incoming, moneyCols),
+          pk, Seq(versionCol, "_src_offset"), n)
+      case None =>
+        val upserted = latestWins(existing(spark, sinks.normalized), incoming, pk,
+          Seq(versionCol, "_src_offset"))
+        // Money lands as DECIMAL(10,2) (the reference's at-rest DDL
+        // type); the union above coerces prior decimals back to wire
+        // doubles, which is lossless for 2-decimal money, and this
+        // single cast restores the exact at-rest representation for
+        // whatever key wins.
+        swapWrite(spark, graft.operators.Normalize.atRest(upserted, moneyCols),
+          sinks.normalized)
+    }
 
     // ---- A8/S9: processing stats append (`02:134-141` analog). Counts
     // come from materialized frames or arithmetic — no plan re-runs.

@@ -153,6 +153,35 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(priceByKey === expected, "version-tied update must win on offset")
   }
 
+  test("bucketed normalized sink through the full pipeline: latest wins, decimals at rest") {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.streaming.PartitionedUpsert
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val v1 = Generator.products(spark, 15, seed = 98)
+    KafkaShaped.writeTopicFile(v1, "product_id", "products", 2, 0, in)
+    IngestPipeline.start(spark, in, sinks, v1.schema,
+      "product_id", "created_at", Validation.productRules,
+      moneyCols = Seq("price"), normalizedBuckets = Some(8)).awaitTermination()
+    val v2 = v1.withColumn("created_at", col("created_at") + expr("INTERVAL 2 DAYS"))
+      .withColumn("price", col("price") + 3.0)
+    KafkaShaped.writeTopicFile(v2, "product_id", "products", 2, 1000, in)
+    IngestPipeline.start(spark, in, sinks.copy(checkpoint = s"$base/ckpt2"),
+      v1.schema, "product_id", "created_at", Validation.productRules,
+      moneyCols = Seq("price"), normalizedBuckets = Some(8)).awaitTermination()
+
+    val norm = PartitionedUpsert.readAll(spark, sinks.normalized, 8).get
+    assert(norm.count() === 15, "one row per key across bucketed batches")
+    assert(norm.schema("price").dataType === DecimalType(10, 2))
+    val stale = v2.select(col("product_id"), col("price"))
+      .join(norm.select(col("product_id"), col("price").cast("double").as("p")),
+        "product_id")
+      .filter(col("price") =!= col("p")).count()
+    assert(stale === 0, "v2 must win every key through the bucketed sink")
+  }
+
   test("offset watermark holds per-partition maxes; losing it degrades safely to the anti-join") {
     val in = tmp()
     val base = tmp()
