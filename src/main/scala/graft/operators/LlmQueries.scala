@@ -294,12 +294,18 @@ object LlmQueries {
       .as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
 
-  /** Word 3-shingle set per document, exploded to (doc_id, sh) rows. */
+  /** Word 3-shingle set per document as 64-bit shingle hashes, exploded
+    * to (doc_id, sh) rows. Shingles are hashed BEFORE the distinct, so
+    * the dedup shuffle and every downstream join carry 8-byte keys —
+    * the shingle strings themselves never leave the map side. (A 64-bit
+    * collision would merge two shingles corpus-wide; at any realistic
+    * vocabulary that is ~0 and only nudges a Jaccard estimate, exactly
+    * like MinHash's own hashing.) */
   private[operators] def shingles(dd: DataFrame): DataFrame =
     dd.withColumn("toks", split(lower(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
         .as("sh"))
       .distinct()
 
@@ -319,9 +325,9 @@ object LlmQueries {
     (s, d) => {
       val dd = planted(docs(s, d))
       val sh = shingles(dd)
-      val sigs = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      val sigs = sh
         .groupBy("doc_id")
-        .agg(MinHash.signature(col("h")).as("sig"))
+        .agg(MinHash.signature(col("sh")).as("sig"))
       val buckets = minhashBuckets(sigs)
       val pairs = buckets.as("x")
         .join(buckets.as("y"),

@@ -58,9 +58,8 @@ class LshSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     // Re-run the candidate stage of l9 (same shared shingle/bucket code)
     // and check the planted pairs appear.
-    val sh = LlmQueries.shingles(dd)
-    val sigs = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .groupBy("doc_id").agg(MinHash.signature(col("h")).as("sig"))
+    val sh = LlmQueries.shingles(dd) // (doc_id, 64-bit shingle hash)
+    val sigs = sh.groupBy("doc_id").agg(MinHash.signature(col("sh")).as("sig"))
     val buckets = LlmQueries.minhashBuckets(sigs)
     val pairs = buckets.as("x")
       .join(buckets.as("y"),
