@@ -23,25 +23,33 @@ object Ingest {
     var landed  = Map.empty[String, Long]
     var skipped = Vector.empty[String]
     var errors  = Vector.empty[String]
-    for (desc <- Schemas.all) {
+    def fail(topic: String, e: Throwable): Unit = {
+      errors :+= topic
+      log.error("ingest.fail", "topic" -> topic,
+        "msg" -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    }
+    // The four topic streams share nothing (own input dir, sinks,
+    // checkpoint), so they START together and drain concurrently — the
+    // CLI's wall-clock is the slowest topic, not the sum.
+    val started = Schemas.all.flatMap { desc =>
       val topicDir = s"${settings.sinkBase}/topics/${desc.topic}"
       if (!fs.exists(new org.apache.hadoop.fs.Path(topicDir))) {
         log.warning("ingest.skip", "topic" -> desc.topic, "reason" -> "no topic data")
         skipped :+= desc.topic
+        None
       } else
         try {
           log.info("ingest.start", "topic" -> desc.topic)
-          streaming.IngestPipeline.start(spark, settings, desc).awaitTermination()
-          val n = spark.read.parquet(settings.sinksFor(desc.topic).normalized).count()
-          landed += desc.topic -> n
-          log.info("ingest.done", "topic" -> desc.topic, "normalized_rows" -> n)
-        } catch {
-          case e: Throwable =>
-            errors :+= desc.topic
-            log.error("ingest.fail", "topic" -> desc.topic,
-              "msg" -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
+          Some(desc -> streaming.IngestPipeline.start(spark, settings, desc))
+        } catch { case e: Throwable => fail(desc.topic, e); None }
     }
+    for ((desc, q) <- started)
+      try {
+        q.awaitTermination()
+        val n = spark.read.parquet(settings.sinksFor(desc.topic).normalized).count()
+        landed += desc.topic -> n
+        log.info("ingest.done", "topic" -> desc.topic, "normalized_rows" -> n)
+      } catch { case e: Throwable => fail(desc.topic, e) }
     Result(landed, skipped, errors)
   }
 
