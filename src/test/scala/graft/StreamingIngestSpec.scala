@@ -153,6 +153,43 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(priceByKey === expected, "version-tied update must win on offset")
   }
 
+  test("syntactically broken JSON payloads land in rejects, never crash the stream") {
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val good = Generator.products(spark, 5, seed = 99)
+    KafkaShaped.writeTopicFile(good, "product_id", "products", 2, 0, in)
+    // Hand-write a topic file whose values are not JSON at all — the
+    // malformed-message case PERMISSIVE decode must absorb (all-null
+    // parse → validation rejects on the null pk), per the reference's
+    // consumer contract.
+    Files.write(java.nio.file.Paths.get(in, "broken.json"), Seq(
+      """{"key":"x1","value":"not json {{{","topic":"products","partition":0,"offset":900,"timestamp":"2026-01-01T00:00:00Z"}""",
+      """{"key":"x2","value":"[1,2","topic":"products","partition":1,"offset":901,"timestamp":"2026-01-01T00:00:00Z"}""")
+      .mkString("\n").getBytes)
+    IngestPipeline.start(spark, in, sinks, good.schema,
+      "product_id", "created_at", Validation.productRules).awaitTermination()
+    assert(spark.read.parquet(sinks.raw).count() === 7,
+      "broken payloads still reach the raw audit (they ARE the audit)")
+    assert(spark.read.parquet(sinks.normalized).count() === 5)
+    assert(spark.read.parquet(sinks.rejects).count() === 2,
+      "malformed JSON must be rejected, not dropped or fatal")
+  }
+
+  test("events descriptor streams end-to-end (timestamp-versioned upsert)") {
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val ev = Generator.events(spark, 25, nCustomers = 10, seed = 87)
+    KafkaShaped.writeTopicFile(ev, "event_id", "events", 3, 0, in)
+    IngestPipeline.start(spark, in, sinks, Schemas.eventsDesc).awaitTermination()
+    val norm = spark.read.parquet(sinks.normalized)
+    assert(norm.count() === 25)
+    assert(norm.select("event_id").distinct().count() === 25)
+  }
+
   test("bucketed normalized sink through the full pipeline: latest wins, decimals at rest") {
     import org.apache.spark.sql.types.DecimalType
     import graft.streaming.PartitionedUpsert
