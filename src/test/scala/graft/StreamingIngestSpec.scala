@@ -190,6 +190,28 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(norm.select("event_id").distinct().count() === 25)
   }
 
+  test("orders descriptor streams end-to-end: nested items survive, total lands decimal") {
+    import org.apache.spark.sql.types.DecimalType
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val orders = Generator.orders(spark, 12, nCustomers = 8, nProducts = 6, seed = 86)
+    KafkaShaped.writeTopicFile(orders, "order_id", "orders", 2, 0, in)
+    IngestPipeline.start(spark, in, sinks, Schemas.ordersDesc).awaitTermination()
+    val norm = spark.read.parquet(sinks.normalized)
+    assert(norm.count() === 12)
+    assert(norm.schema("total").dataType === DecimalType(10, 2))
+    // The nested items array survives the JSON wire round trip intact.
+    val itemsIn = orders.agg(sum(size(col("items")))).collect()(0).getLong(0)
+    val itemsOut = norm.agg(sum(size(col("items")))).collect()(0).getLong(0)
+    assert(itemsOut === itemsIn)
+    // And the normalized child-table explode works straight off the sink.
+    val child = graft.operators.Normalize.orderItems(norm)
+    assert(child.count() === itemsIn)
+    assert(child.schema("line_total").dataType === DecimalType(10, 2))
+  }
+
   test("bucketed normalized sink through the full pipeline: latest wins, decimals at rest") {
     import org.apache.spark.sql.types.DecimalType
     import graft.streaming.PartitionedUpsert
