@@ -160,7 +160,7 @@ class FunctionsSpec extends AnyFunSuite {
     import spark.implicits._
     val sample = Tables.documents(spark, sf).select("text").as[String].limit(20).collect()
     def fpJvm(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
-    val sparkFp = Seq(sample: _*).toDF("text")
+    val sparkFp = sample.toIndexedSeq.toDF("text")
       .select(expr(
         """aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)),
            cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fp"))

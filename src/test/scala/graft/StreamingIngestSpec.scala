@@ -290,7 +290,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     val second = Generator.products(spark, 30, seed = 97)
     KafkaShaped.writeTopicFile(first, "product_id", "products", 2, 0, in)
     KafkaShaped.writeTopicFile(
-      second.exceptAll(first.select(second.columns.map(org.apache.spark.sql.functions.col): _*)),
+      second.exceptAll(first.select(second.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)),
       "product_id", "products", 2, 1000, in)
     IngestPipeline.start(spark, in, sinks.copy(checkpoint = s"$base/ckpt2"),
       first.schema, "product_id", "created_at", Validation.productRules)
