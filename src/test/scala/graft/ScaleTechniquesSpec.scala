@@ -75,4 +75,46 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(out.getAs[Long]("total") === 10000L)
     assert(out.getAs[Long]("n") === 10000L)
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // One hot key carrying ~90% of the fact rows. Thresholds are lowered
+    // so the skew machinery engages at test scale; on a real cluster the
+    // defaults (256 MB) do the same for genuinely large partitions.
+    val olds = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(100000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-padding-padding-"), col("id")).as("payload"))
+      val dim = (0L until 1000L).map(i => (i, s"dim$i")).toDF("k", "name")
+      // A bare join: an aggregation on the join key above it would
+      // REQUIRE the join's hash partitioning and legally suppress the
+      // skew split (splitting breaks the partitioning guarantee).
+      val joined = fact.join(dim, "k")
+      joined.collect() // finalize THIS plan adaptively (a sink write would plan anew)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew="), s"AQE did not mark a skewed join:\n$plan")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // 32 configured shuffle partitions over a few KB of data: the final
+    // adaptive plan must read a coalesced shuffle, not 32 slivers.
+    val tiny = Tables.nation(spark, sf).groupBy("n_regionkey").count()
+    tiny.collect()
+    val plan = tiny.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"no runtime coalescing in:\n$plan")
+  }
 }
