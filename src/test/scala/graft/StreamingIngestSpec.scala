@@ -177,6 +177,20 @@ class StreamingIngestSpec extends AnyFunSuite {
       "malformed JSON must be rejected, not dropped or fatal")
   }
 
+  test("customers descriptor streams end-to-end (unique-email entity)") {
+    val in = tmp()
+    val base = tmp()
+    val sinks = IngestPipeline.Sinks(s"$base/raw", s"$base/norm", s"$base/rej",
+      s"$base/stats", s"$base/ckpt")
+    val cust = Generator.customers(spark, 18, seed = 85)
+    KafkaShaped.writeTopicFile(cust, "customer_id", "customers", 2, 0, in)
+    IngestPipeline.start(spark, in, sinks, Schemas.customersDesc).awaitTermination()
+    val norm = spark.read.parquet(sinks.normalized)
+    assert(norm.count() === 18)
+    assert(norm.select("email").distinct().count() === 18,
+      "generated emails are unique and must stay so through the pipeline")
+  }
+
   test("events descriptor streams end-to-end (timestamp-versioned upsert)") {
     val in = tmp()
     val base = tmp()
