@@ -79,9 +79,11 @@ object Produce {
           offsetBase = r * stride, dir = s"$outDir/$topic")
         messages += df.count()
         // Same serialization as writeTopicFile — the counted bytes are
-        // the payload bytes actually written, not an approximation.
+        // the payload bytes actually written, not an approximation
+        // (octet_length: UTF-8 bytes, not characters — generated names
+        // can be non-ASCII).
         bytes += df
-          .select(length(KafkaShaped.valueJson(df)).as("n"))
+          .select(octet_length(KafkaShaped.valueJson(df)).as("n"))
           .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
       } catch { case _: Throwable => errors += 1 }
     }

@@ -28,8 +28,12 @@ object Ivf {
   /** Squared L2 distance between two array<double> columns — the native
     * codegen'd expression (`graft_sqdist`, [[SquaredDistance]]): same
     * left-to-right fold as the `zip_with` form, but the per-element loop
-    * compiles instead of paying interpreted lambda dispatch. */
-  def dist2(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
+    * compiles instead of paying interpreted lambda dispatch. Works on
+    * any session (self-registers if the extensions hook wasn't used). */
+  def dist2(a: Column, b: Column): Column = {
+    NativeVectorExprs.ensureRegistered(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_sqdist", a, b)
+  }
 
   /** Deterministic seed centroids: the `k` vectors with the smallest
     * `xxhash64(vec_id)` — a seeded uniform draw that any executor can

@@ -156,6 +156,16 @@ case class SquaredDistance(left: Expression, right: Expression)
 
 object NativeVectorExprs {
 
+  private val dotBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_dot(a, b) takes exactly two arrays")
+    DotProduct(children.head, children(1))
+  }
+
+  private val sqdistBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_sqdist(a, b) takes exactly two arrays")
+    SquaredDistance(children.head, children(1))
+  }
+
   /** Inject the native vector expressions into a session being built —
     * the public extensions hook (`SparkSessionExtensions`), not a
     * private registry poke, so the registration survives session
@@ -164,16 +174,30 @@ object NativeVectorExprs {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_dot(a, b) takes exactly two arrays")
-        DotProduct(children.head, children(1))
-      }))
+      dotBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_sqdist(a, b) takes exactly two arrays")
-        SquaredDistance(children.head, children(1))
-      }))
+      sqdistBuilder))
+  }
+
+  /** Register into an ALREADY-BUILT session if absent — the fallback for
+    * embedders whose SparkSession wasn't constructed via `graft.Session`
+    * (e.g. a notebook's default session). `Session.get`'s extensions
+    * hook remains the preferred path (it survives session cloning);
+    * this makes the native-math call sites (l12/l14/l16, [[Ivf]]) work
+    * on any session rather than failing at analysis. Idempotent. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_dot")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        dotBuilder)
+    if (!reg.functionExists(FunctionIdentifier("graft_sqdist")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_sqdist"),
+        new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
+        sqdistBuilder)
   }
 }

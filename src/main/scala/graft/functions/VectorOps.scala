@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding-vector arithmetic over `array<double>` columns, built purely
@@ -25,15 +25,25 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   // Native codegen'd forms (graft.functions.DotProduct, registered as
-  // `graft_dot` by graft.Session): bit-identical to the HOF forms above
-  // (same left-to-right fold), but the per-element loop compiles into
-  // WholeStageCodegen instead of paying interpreted lambda dispatch —
-  // the HOFs are CodegenFallback. Use these on the similarity hot paths;
-  // the HOF forms remain for sessions without the extension.
+  // `graft_dot` by graft.Session's extensions hook): bit-identical to
+  // the HOF forms above (same left-to-right fold), but the per-element
+  // loop compiles into WholeStageCodegen instead of paying interpreted
+  // lambda dispatch — the HOFs are CodegenFallback. Use these on the
+  // similarity hot paths. On a session NOT built via graft.Session the
+  // call sites self-register into the active session's function
+  // registry (ensureRegistered), so these work everywhere; the HOF
+  // forms above are kept for oracle-parity documentation and as the
+  // registry-free alternative.
 
-  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dotNative(a: Column, b: Column): Column = {
+    NativeVectorExprs.ensureRegistered(SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
 
-  def normNative(a: Column): Column = sqrt(call_function("graft_dot", a, a))
+  def normNative(a: Column): Column = {
+    NativeVectorExprs.ensureRegistered(SparkSession.active)
+    sqrt(call_function("graft_dot", a, a))
+  }
 
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (normNative(a) * normNative(b))

@@ -446,7 +446,10 @@ object LlmQueries {
     * on every invocation. The inner dot product left-folds in array
     * order, matching [[VectorOps.dot]] bit-for-bit, so signatures are
     * unchanged. */
-  private[operators] def hyperplaneSig(df: DataFrame, planes: Array[Array[Double]]): DataFrame =
+  private[operators] def hyperplaneSig(df: DataFrame, planes: Array[Array[Double]]): DataFrame = {
+    // graft_dot resolves against the frame's session at analysis time —
+    // self-register for sessions not built via graft.Session.
+    graft.functions.NativeVectorExprs.ensureRegistered(df.sparkSession)
     df.withColumn("_planes", typedLit(planes.map(_.toSeq).toSeq))
       .withColumn("sig", expr(
         """aggregate(sequence(0, size(_planes) - 1), cast(0 as bigint),
@@ -454,6 +457,7 @@ object LlmQueries {
                graft_dot(v, element_at(_planes, j + 1)) > 0,
                shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""))
       .drop("_planes")
+  }
 
   /** L12 — LSH-bucketed approximate nearest neighbor (the scale path for
     * L3): 16 fixed random hyperplanes → 16-bit sign signature → 4×4-bit

@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedUpsert {
 
-  /** Deterministic bucket of a primary-key column. */
+  /** Deterministic bucket of a primary-key column. The key is cast to
+    * string before hashing so this agrees with [[bucketOfKey]] (which
+    * hashes the key's string form) for ANY pk type — hashing the native
+    * type would send a non-string pk's rows to different buckets than
+    * the driver-side point lookup opens. */
   def bucketOf(pk: Column, nBuckets: Int): Column =
-    pmod(xxhash64(pk), lit(nBuckets.toLong)).cast("int")
+    pmod(xxhash64(pk.cast("string")), lit(nBuckets.toLong)).cast("int")
 
   private def bucketPath(path: String, b: Int): String = s"$path/bucket=$b"
 

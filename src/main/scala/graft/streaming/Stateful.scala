@@ -51,7 +51,15 @@ object Stateful {
       fold(rows.toSeq, state.getOption) match {
         case Some(s) =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastAddMs + gapMs)
+          // The deadline can already be BEHIND the event-time watermark:
+          // a non-purchase event for an open cart arriving in the same
+          // microbatch where the watermark first crosses the cart's
+          // deadline would make setTimeoutTimestamp throw (timeouts must
+          // be > watermark), crashing the query and poison-replaying the
+          // batch. Clamp to watermark + 1 so the timeout fires on the
+          // next watermark advance instead.
+          state.setTimeoutTimestamp(
+            math.max(s.lastAddMs + gapMs, state.getCurrentWatermarkMs() + 1))
         case None =>
           if (state.exists) state.remove()
       }

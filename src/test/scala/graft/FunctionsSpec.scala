@@ -76,6 +76,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("graft_dot"))
   }
 
+  test("native forms self-register on a session missing the extension functions") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // Simulate an embedder's session without graft's extensions: a new
+    // session whose registry has the functions dropped.
+    val bare = spark.newSession()
+    bare.sessionState.functionRegistry.dropFunction(FunctionIdentifier("graft_dot"))
+    bare.sessionState.functionRegistry.dropFunction(FunctionIdentifier("graft_sqdist"))
+    assert(!bare.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("graft_dot")))
+    val prior = SparkSession.getActiveSession
+    try {
+      SparkSession.setActiveSession(bare)
+      import bare.implicits._
+      val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 1.0))).toDF("a", "b")
+      // dotNative/dist2 must self-register into the active session
+      // instead of failing at analysis.
+      val row = df.select(
+        VectorOps.dotNative(col("a"), col("b")).as("dot"),
+        graft.functions.Ivf.dist2(col("a"), col("b")).as("d2")).collect()(0)
+      assert(row.getAs[Double]("dot") === 4.0)
+      assert(row.getAs[Double]("d2") === (1.0 + 4.0 + 1.0))
+    } finally prior.foreach(SparkSession.setActiveSession)
+  }
+
   test("cosine of a vector with itself is 1") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v")).limit(20)

@@ -97,6 +97,19 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     assert(PartitionedUpsert.bucketOfKey(key, B) === sqlBucket)
   }
 
+  test("bucketOf agrees with bucketOfKey for non-string pks (cast-to-string hash)") {
+    // bucketOfKey hashes the key's string form; bucketOf must match for
+    // an int pk, or point lookups silently open the wrong bucket.
+    val rows = spark.range(200)
+      .select(col("id").cast("int").as("k"),
+        PartitionedUpsert.bucketOf(col("id").cast("int"), B).as("b"))
+      .collect()
+    rows.foreach { r =>
+      assert(PartitionedUpsert.bucketOfKey(r.getInt(0).toString, B) === r.getInt(1),
+        s"bucket mismatch for int key ${r.getInt(0)}")
+    }
+  }
+
   test("a bucket mid-rotation (only .bak present) is recovered, others unaffected") {
     val path = tmp()
     val v1 = products(40, seed = 25)

@@ -91,4 +91,46 @@ class StatefulSpec extends AnyFunSuite {
     assert(rows(0).getAs[Int]("n_adds") === 1)
     assert(rows(0).getAs[Timestamp]("last_add") === ts("2026-01-01T10:00:00Z"))
   }
+
+  test("an open-cart event arriving after the watermark crossed its deadline " +
+      "does not crash the query (timeout clamped to watermark)") {
+    val in = Files.createTempDirectory("graft_cart_clamp_").toString
+    def write(name: String, lines: Seq[String]): Unit = {
+      Files.write(Paths.get(in, name), String.join("\n", lines: _*).getBytes)
+      Thread.sleep(1200)
+    }
+    // Batch 0: A adds at 10:00 (deadline 10:30), plus traffic at 11:00 so
+    // the NEXT batch's watermark (10:50) is already past A's deadline.
+    write("f1.json", Seq(
+      """{"customer_id":"A","event_type":"add_to_cart","ts":"2026-01-01T10:00:00Z"}""",
+      """{"customer_id":"D","event_type":"page_view","ts":"2026-01-01T11:00:00Z"}"""))
+    // Batch 1: a page_view for A at 10:55 — fold keeps the open-cart
+    // state, and the re-armed timeout (10:30) would be BEHIND the 10:50
+    // watermark: unclamped, setTimeoutTimestamp throws and the query
+    // dies; clamped, it arms at watermark+1.
+    write("f2.json", Seq(
+      """{"customer_id":"A","event_type":"page_view","ts":"2026-01-01T10:55:00Z"}"""))
+    // Batch 2: traffic at 13:00 advances the watermark past the clamped
+    // timeout → A's abandonment fires.
+    write("f3.json", Seq(
+      """{"customer_id":"D","event_type":"page_view","ts":"2026-01-01T13:00:00Z"}"""))
+
+    val schema = StructType(Seq(
+      StructField("customer_id", StringType), StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .withWatermark("ts", "10 minutes")
+      .as[CartEvent]
+    val out = Stateful.abandonedCarts(stream, gapMs = 30L * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("cart_abandon_clamp")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination() // throws StreamingQueryException on the unclamped path
+
+    val rows = spark.table("cart_abandon_clamp").collect()
+    assert(rows.map(_.getAs[String]("customer_id")).toSeq === Seq("A"),
+      s"expected exactly A abandoned, got ${rows.mkString(", ")}")
+    assert(rows(0).getAs[Int]("n_adds") === 1)
+  }
 }

@@ -193,6 +193,21 @@ class LshSpec extends AnyFunSuite {
       s"l14 candidates ${l14.getAs[Long]("n_candidates")} vs $nVecs vecs")
   }
 
+  test("hyperplaneSig works on a session missing the extension functions") {
+    // An embedder's session may lack graft_dot; hyperplaneSig must
+    // self-register against the frame's session, not fail at analysis.
+    val bare = spark.newSession()
+    bare.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))
+    import bare.implicits._
+    val df = Seq((1L, Seq.fill(64)(0.1)), (2L, Seq.fill(64)(-0.1)))
+      .toDF("vec_id", "v")
+    val sigs = LlmQueries.hyperplaneSig(df, LlmQueries.hyperplanes16)
+      .select("vec_id", "sig").as[(Long, Long)].collect().toMap
+    // Opposite vectors flip every sign bit → complementary 16-bit sigs.
+    assert((sigs(1L) ^ sigs(2L)) === 0xFFFFL)
+  }
+
   test("l15 n-gram jaccard scores are high for first-token-dropped variants") {
     val rows = LlmQueries.l15.fn(spark, sf).collect()
     assert(rows.length === 50) // doc_id % 10 == 0 of 500
