@@ -19,11 +19,14 @@ object Bench {
       catch { case _: Throwable => () }
     // Each query is timed `runs` times and the MIN reported: a single
     // shot on a shared box reads 10-30x high under contention (official
-    // r3 record: l9 62 s vs 5.95 s reproduced), which is measurement
+    // r3 record: l9 62 s vs 5.95 s reproduced; r4 record: s5 9.1 s vs
+    // 0.49/0.58 s across three quiet-box runs), which is measurement
     // noise, not engine cost. The min through the full noop-sink plan is
-    // the defensible per-query floor; the max-min spread is reported
-    // alongside so a noisy run is visible instead of silently folded in.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // the defensible per-query floor; min-of-3 because r4 showed two
+    // contended shots can BOTH read high. The max-min spread of the
+    // noisiest queries is reported so a noisy run is visible instead of
+    // silently folded in.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -54,12 +57,21 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c            => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // The official harness captures a bounded tail of stdout (the r4
+    // record kept 2000 chars and recorded "parsed": null against our
+    // 3.9 KB line). Keep the line compact enough to survive that
+    // capture: 3-decimal seconds (1 ms resolution — below that is JVM
+    // noise), and only the noisiest spreads itemized; spread_max covers
+    // the rest.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val noisy = spreads.filter(_._2 > 0.5)
+    val sp = noisy.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val spMax = if (spreads.isEmpty) 0.0 else spreads.values.max
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$sp,"spread_max":${r3(spMax)},"runs":$runs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

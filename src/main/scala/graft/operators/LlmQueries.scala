@@ -340,6 +340,19 @@ object LlmQueries {
       val inter = pairs.join(shA, "ida").join(shB, Seq("idb", "sh"))
         .groupBy("ida", "idb").agg(count(lit(1)).as("n_inter"))
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      // In-plan invariants (there is no DuckDB oracle for this query, so
+      // the driver's per-round record only pins row count + these
+      // columns): planted-pair recall — a planted pair is (d, d+off)
+      // with d % 10 == 0, found iff its Jaccard cleared the threshold —
+      // and candidate volume per doc, the near-linear-growth claim. A
+      // recall or density regression now shows up as a changed value in
+      // CORRECTNESS_r{N}, not only in ScalaTest.
+      val off = plantedOffset(docs(s, d), "doc_id")
+      val nPlanted = docs(s, d)
+        .filter(col("doc_id") % 10 === 0 &&
+          size(split(lower(col("text")), "\\s+")) >= 4) // dup keeps >= 3 tokens
+        .agg(count(lit(1)).as("n_planted"))
+      val nDocs = dd.agg(count(lit(1)).as("_n_docs"))
       pairs
         .join(inter, Seq("ida", "idb"), "left").na.fill(0, Seq("n_inter"))
         .join(counts.toDF("ida", "na"), "ida")
@@ -347,11 +360,20 @@ object LlmQueries {
         .withColumn("jac_e4",
           round(col("n_inter") * lit(10000.0) /
             (col("na") + col("nb") - col("n_inter"))).cast("long"))
+        .crossJoin(broadcast(off))
         .agg(
           count(lit(1)).as("n_candidates"),
           sum(when(col("jac_e4") >= 6000, 1L).otherwise(0L)).as("n_near_dup"),
           coalesce(sum(when(col("jac_e4") >= 6000, col("ida") + col("idb"))), lit(0L))
-            .as("pair_checksum"))
+            .as("pair_checksum"),
+          coalesce(sum(when(col("jac_e4") >= 6000 && col("ida") % 10 === 0 &&
+            col("idb") === col("ida") + col("_off"), 1L)), lit(0L))
+            .as("n_planted_found"))
+        .crossJoin(broadcast(nPlanted))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("cand_per_doc_e2",
+          round(col("n_candidates") * lit(100.0) / col("_n_docs")).cast("long"))
+        .drop("_n_docs")
     },
     None)
 
@@ -376,16 +398,27 @@ object LlmQueries {
         .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
           bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
         .distinct()
+      // Planted-pair recall as in-plan invariant columns (no oracle →
+      // these values are what the driver's per-round record pins).
+      val off = plantedOffset(docs(s, d), "doc_id")
+      val nPlanted = docs(s, d)
+        .filter(col("doc_id") % 10 === 0 &&
+          size(split(lower(col("text")), "\\s+")) >= 2) // dup keeps >= 1 token
+        .agg(count(lit(1)).as("n_planted"))
       sigs.agg(count(lit(1)).as("n_docs"), countDistinct("sig").as("n_sig"))
         .crossJoin(
           // One pass over the candidate pairs: total candidate volume is
           // part of the output (like l9/l14) so bucket blowup is visible
           // and bounded by a spec instead of surfacing as a slow bench.
-          pairs.agg(
+          pairs.crossJoin(broadcast(off)).agg(
             count(lit(1)).as("n_candidates"),
             coalesce(sum(when(col("hamming") <= 3, 1L)), lit(0L)).as("n_pairs_ham_le3"),
             coalesce(sum(when(col("hamming") <= 3, col("ida") + col("idb"))), lit(0L))
-              .as("pair_checksum")))
+              .as("pair_checksum"),
+            coalesce(sum(when(col("hamming") <= 3 && col("ida") % 10 === 0 &&
+              col("idb") === col("ida") + col("_off"), 1L)), lit(0L))
+              .as("n_planted_found")))
+        .crossJoin(broadcast(nPlanted))
     },
     None)
 
@@ -484,7 +517,7 @@ object LlmQueries {
       val candidates = banded.filter(col("vec_id") =!= 0)
         .join(broadcast(qb), Seq("band_id", "bval"))
         .select("vec_id").distinct()
-      candidates
+      val ann = candidates
         .join(e, "vec_id")
         .crossJoin(broadcast(q)) // 1-row query vector
         .withColumn("sim_e4",
@@ -492,6 +525,20 @@ object LlmQueries {
         .select("vec_id", "sim_e4")
         .orderBy(col("sim_e4").desc, col("vec_id"))
         .limit(5)
+      // Recall vs the exact scan as an in-plan invariant column (no
+      // oracle → the driver's record pins this value): how many of the
+      // 5 ANN results are in the TRUE top-5. The exact pass is the L3
+      // plan — priced only in this diagnostic query, not in the ANN
+      // path itself.
+      val exact5 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim_e4",
+          round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
+        .orderBy(col("sim_e4").desc, col("vec_id")).limit(5)
+        .select(col("vec_id").as("_evid"))
+      val overlap = ann.join(broadcast(exact5), col("vec_id") === col("_evid"))
+        .agg(count(lit(1)).as("n_exact_top5_overlap"))
+      ann.crossJoin(broadcast(overlap))
     },
     None)
 
@@ -534,39 +581,65 @@ object LlmQueries {
 
   /** L14 — embedding-cosine near-duplicate detection, bucketed: 64-plane
     * sign-LSH signature → 8×8-bit band buckets → candidate id pairs only
-    * within a bucket → exact cosine only on candidates. The vector
-    * analog of L9's no-all-pairs discipline. Two scale guards beyond
-    * L9: with b bands of w bits the candidate pair set grows as
-    * b·2^w·(N/2^w)², so 8-bit bands (256 buckets per band) keep it
-    * near-linear where 4-bit bands measured quadratic (135 s at sf0.1);
-    * and the pair frame is distinct'd as bare ids BEFORE the vectors
+    * within a bucket → candidates pre-filtered by full-signature Hamming
+    * distance → exact cosine only on survivors. The vector analog of
+    * L9's no-all-pairs discipline. Three scale guards beyond L9: with b
+    * bands of w bits the candidate pair set grows as b·2^w·(N/2^w)², so
+    * 8-bit bands (256 buckets per band) keep the BAND join near-linear
+    * where 4-bit bands measured quadratic (135 s at sf0.1); a pair at
+    * the cosine-0.9 threshold disagrees on E[64·θ/π] ≈ 9.2 ± 2.8 sign
+    * bits while a random bucket-mate disagrees on ~32, so `bit_count(
+    * sigA ^ sigB) <= 18` (mean + 3σ at the threshold) drops the
+    * accidental collisions — measured 89 027 → near-planted candidates
+    * at sf0.1, where collisions had grown to 40× corpus — for one
+    * codegen'd popcount per bucket pair, before any O(d) math; and the
+    * surviving pair frame is distinct'd as bare ids BEFORE the vectors
     * are joined back, so the shuffle carries 16-byte rows instead of
     * two 512-byte vectors per candidate. No oracle (hyperplane
-    * constants aren't SQL-portable); spec pins planted recall. */
+    * constants aren't SQL-portable); spec pins planted recall and the
+    * 20×-corpus candidate bound at sf0.1. */
   val l14 = DQ(
     "l14_cosine_neardup",
     (s, d) => {
       val e = plantedVecs(embs(s, d))
       val sigs = hyperplaneSig(e, hyperplanes64)
-      val buckets = sigs.select(col("vec_id"),
+      val buckets = sigs.select(col("vec_id"), col("sig"),
         explode(SimHash.bands(col("sig"), 8)).as("b"))
-        .select(col("vec_id"), col("b.band_id"), col("b.bval"))
+        .select(col("vec_id"), col("sig"), col("b.band_id"), col("b.bval"))
       val pairs = buckets.as("x")
         .join(buckets.as("y"),
           col("x.band_id") === col("y.band_id") && col("x.bval") === col("y.bval") &&
-            col("x.vec_id") < col("y.vec_id"))
+            col("x.vec_id") < col("y.vec_id") &&
+            bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= 18)
         .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
         .distinct()
+      // In-plan invariants (no oracle): planted-pair recall — (v, v+off)
+      // with v % 10 == 0 found iff cosine cleared the threshold — and
+      // candidate volume per vector (the near-linear-growth claim),
+      // pinned numerically by the driver's per-round record.
+      val off = plantedOffset(embs(s, d), "vec_id")
+      val nPlanted = embs(s, d).filter(col("vec_id") % 10 === 0)
+        .agg(count(lit(1)).as("n_planted"))
+      val nVecs = e.agg(count(lit(1)).as("_n_vecs"))
       pairs
         .join(e.toDF("ida", "va"), "ida")
         .join(e.toDF("idb", "vb"), "idb")
         .withColumn("cos_e4",
           round(lit(10000) * VectorOps.cosineNative(col("va"), col("vb"))).cast("long"))
+        .crossJoin(broadcast(off))
         .agg(
           count(lit(1)).as("n_candidates"),
           sum(when(col("cos_e4") >= 9000, 1L).otherwise(0L)).as("n_near"),
           coalesce(sum(when(col("cos_e4") >= 9000, col("ida") + col("idb"))), lit(0L))
-            .as("pair_checksum"))
+            .as("pair_checksum"),
+          coalesce(sum(when(col("cos_e4") >= 9000 && col("ida") % 10 === 0 &&
+            col("idb") === col("ida") + col("_off"), 1L)), lit(0L))
+            .as("n_planted_found"))
+        .crossJoin(broadcast(nPlanted))
+        .crossJoin(broadcast(nVecs))
+        .withColumn("cand_per_vec_e2",
+          round(col("n_candidates") * lit(100.0) / col("_n_vecs")).cast("long"))
+        .drop("_n_vecs")
     },
     None)
 
@@ -596,13 +669,24 @@ object LlmQueries {
         .select("cid")
       val candidates = index.join(broadcast(probeCells), "cid")
         .filter(col("vec_id") =!= 0).select("vec_id")
-      candidates.join(e, "vec_id")
+      val ann = candidates.join(e, "vec_id")
         .crossJoin(broadcast(q))
         .withColumn("sim_e4",
           round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
         .select("vec_id", "sim_e4")
         .orderBy(col("sim_e4").desc, col("vec_id"))
         .limit(5)
+      // Same in-plan recall invariant as l12: overlap with the exact
+      // top-5, pinned by the driver's per-round record.
+      val exact5 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim_e4",
+          round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
+        .orderBy(col("sim_e4").desc, col("vec_id")).limit(5)
+        .select(col("vec_id").as("_evid"))
+      val overlap = ann.join(broadcast(exact5), col("vec_id") === col("_evid"))
+        .agg(count(lit(1)).as("n_exact_top5_overlap"))
+      ann.crossJoin(broadcast(overlap))
     },
     None)
 

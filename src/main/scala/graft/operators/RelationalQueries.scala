@@ -304,10 +304,18 @@ object RelationalQueries {
             CAST(COUNT(*) AS BIGINT) AS n FROM orders"""))
 
   /** A5b — approximate distinct (HLL). Not hash-comparable by design →
-    * no oracle; the spec asserts the HLL estimate is within 5% of exact. */
+    * no oracle; the spec asserts the HLL estimate is within 5% of exact,
+    * and the relative error is an in-plan invariant column so the
+    * driver's per-round record pins it numerically too. */
   val a5approx = DQ(
     "a5_approx_distinct",
-    (s, d) => ord(s, d).agg(approx_count_distinct(col("o_custkey")).as("n_approx")),
+    (s, d) => ord(s, d)
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("n_approx"),
+        countDistinct(col("o_custkey")).as("n_exact"))
+      .withColumn("err_e4",
+        round(abs(col("n_approx") - col("n_exact")) * lit(10000.0) / col("n_exact"))
+          .cast("long")),
     None)
 
   /** A6 — multi-level rollup (dbt staging→marts skeleton `sql/dbt/`).

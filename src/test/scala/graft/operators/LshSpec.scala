@@ -78,15 +78,16 @@ class LshSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"${dq.name} is all-pairs")
     }
     // l9's candidate generation must be pure equi-joins. The only
-    // nested-loop joins allowed are guaranteed-1-row broadcasts: the
-    // planted-offset max-agg (plan-internal since round 4). Anything
-    // whose build side is not a 1-row aggregate is an all-pairs bug.
+    // nested-loop joins allowed are guaranteed-1-row broadcasts: global
+    // aggregates (keys=[]) — the planted offset and the invariant
+    // counters. Anything whose build side is not a 1-row aggregate is
+    // an all-pairs bug.
     val l9exec = LlmQueries.l9.fn(spark, sf).queryExecution.executedPlan
     val nlJoins = l9exec.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
-    assert(nlJoins.forall(_.children.exists(_.toString.contains("_off"))),
-      s"l9 has a non-offset NL join:\n${nlJoins.map(_.nodeName).mkString("\n")}")
+    assert(nlJoins.forall(_.children.exists(_.toString.contains("keys=[]"))),
+      s"l9 has a non-1-row NL join:\n${nlJoins.map(_.nodeName).mkString("\n")}")
   }
 
   test("l9 reports at least the planted near-duplicates") {
@@ -142,8 +143,8 @@ class LshSpec extends AnyFunSuite {
     val nlJoins = exec.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
-    assert(nlJoins.forall(_.children.exists(_.toString.contains("_off"))),
-      "l14 has a nested-loop join beyond the 1-row planted-offset broadcast")
+    assert(nlJoins.forall(_.children.exists(_.toString.contains("keys=[]"))),
+      "l14 has a nested-loop join beyond 1-row global-aggregate broadcasts")
   }
 
   test("simhash bands honor the real signature width (no all-zero upper bands)") {
@@ -191,6 +192,26 @@ class LshSpec extends AnyFunSuite {
     val l14 = LlmQueries.l14.fn(spark, sf01).collect()(0)
     assert(l14.getAs[Long]("n_candidates") <= 20 * nVecs,
       s"l14 candidates ${l14.getAs[Long]("n_candidates")} vs $nVecs vecs")
+  }
+
+  test("sf0.1: candidate bounds and planted recall hold at bench scale") {
+    // The unit-scale bound (previous test) can hide a density blowup
+    // that only appears at the bench sf — assert the same invariants
+    // from the queries' own invariant columns at sf0.1 (round-4 advice:
+    // fail loudly instead of surfacing as an 11-second bench row).
+    val sf1 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf1).isDirectory)
+    val l9 = LlmQueries.l9.fn(spark, sf1).collect()(0)
+    assert(l9.getAs[Long]("cand_per_doc_e2") <= 2000, // 20x corpus
+      s"l9 candidate blowup: ${l9.getAs[Long]("cand_per_doc_e2")} / 100 per doc")
+    assert(l9.getAs[Long]("n_planted_found") === l9.getAs[Long]("n_planted"),
+      s"l9 planted recall ${l9.getAs[Long]("n_planted_found")}/${l9.getAs[Long]("n_planted")}")
+    val l14 = LlmQueries.l14.fn(spark, sf1).collect()(0)
+    assert(l14.getAs[Long]("cand_per_vec_e2") <= 2000,
+      s"l14 candidate blowup: ${l14.getAs[Long]("cand_per_vec_e2")} / 100 per vec")
+    assert(l14.getAs[Long]("n_planted_found") >=
+      (l14.getAs[Long]("n_planted") * 8) / 10,
+      s"l14 planted recall ${l14.getAs[Long]("n_planted_found")}/${l14.getAs[Long]("n_planted")}")
   }
 
   test("hyperplaneSig works on a session missing the extension functions") {
