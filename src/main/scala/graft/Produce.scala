@@ -24,7 +24,32 @@ object Produce {
       repeat: Int = 1, out: Option[String] = None)
 
   final case class Metrics(producedMessages: Long, producedBytes: Long,
-      rejects: Long, errors: Long)
+      rejects: Long, errors: Long, retries: Long)
+
+  /** A topic-file write, injectable so specs can interpose transient
+    * failures (the reference tests the same seam with a mock producer). */
+  type TopicWriter = (DataFrame, String, String, Int, Long, String) => Unit
+
+  /** Run `f` with bounded retries and exponential backoff — the analog
+    * of the reference producer's queue-full poll/sleep retry
+    * (`producer.py:105-148`): attempt, on failure sleep
+    * `backoffMs * 2^attempt` and try again, up to `maxRetries` retries.
+    * Returns the result with the number of retries used, or the LAST
+    * error once the bound is exhausted. `sleep` is injectable so specs
+    * assert the backoff schedule instead of waiting it out. */
+  private[graft] def withRetries[A](maxRetries: Int, backoffMs: Long,
+      sleep: Long => Unit = Thread.sleep)(f: => A): Either[Throwable, (A, Int)] = {
+    @annotation.tailrec
+    def go(attempt: Int): Either[Throwable, (A, Int)] =
+      (try Right((f, attempt)) catch { case e: Throwable => Left(e) }) match {
+        case r @ Right(_) => r
+        case l @ Left(_) if attempt >= maxRetries => l
+        case Left(_) =>
+          sleep(backoffMs << attempt)
+          go(attempt + 1)
+      }
+    go(0)
+  }
 
   @annotation.tailrec
   def parse(argv: List[String], acc: Args = Args()): Args = argv match {
@@ -44,7 +69,9 @@ object Produce {
     * broker-monotone offsets (each repetition advances the offset base,
     * like `--repeat` re-producing to the same topics). Returns metrics
     * accumulated across repetitions. */
-  def run(spark: SparkSession, settings: Settings, a: Args, outDir: String): Metrics = {
+  def run(spark: SparkSession, settings: Settings, a: Args, outDir: String,
+      writer: TopicWriter = KafkaShaped.writeTopicFile,
+      sleep: Long => Unit = Thread.sleep): Metrics = {
     val seed = a.seed.getOrElse(settings.seed)
     def corrupt(topic: String, df: DataFrame,
         f: (DataFrame, Double, Long) => DataFrame): DataFrame = {
@@ -70,22 +97,29 @@ object Produce {
     var bytes    = 0L
     var rejects  = 0L
     var errors   = 0L
+    var retries  = 0L
     // Offset stride per repetition: past the largest per-partition batch
     // so offsets stay monotone per (topic, partition) across repeats.
     val stride = Seq(a.products, a.customers, a.orders, a.events).max + 1
     for (r <- 0 until a.repeat; (topic, key, df) <- batches) {
-      try {
-        KafkaShaped.writeTopicFile(df, key, topic, settings.topicPartitions,
-          offsetBase = r * stride, dir = s"$outDir/$topic")
-        messages += df.count()
-        // Same serialization as writeTopicFile — the counted bytes are
-        // the payload bytes actually written, not an approximation
-        // (octet_length: UTF-8 bytes, not characters — generated names
-        // can be non-ASCII).
-        bytes += df
-          .select(octet_length(KafkaShaped.valueJson(df)).as("n"))
-          .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
-      } catch { case _: Throwable => errors += 1 }
+      // Transient write failures retry with backoff before counting as
+      // an error (reference `producer.py:105-148`); retries used are
+      // delivery-report metrics, not failures.
+      withRetries(settings.producerMaxRetries, settings.producerRetryBackoffMs,
+        sleep)(writer(df, key, topic, settings.topicPartitions,
+          r * stride, s"$outDir/$topic")) match {
+        case Right((_, n)) =>
+          retries += n
+          messages += df.count()
+          // Same serialization as writeTopicFile — the counted bytes are
+          // the payload bytes actually written, not an approximation
+          // (octet_length: UTF-8 bytes, not characters — generated names
+          // can be non-ASCII).
+          bytes += df
+            .select(octet_length(KafkaShaped.valueJson(df)).as("n"))
+            .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+        case Left(_) => errors += 1
+      }
     }
     // Produce-side quality signal: how many of the batch rows would the
     // validators reject (the corruption injector's visible effect). Not
@@ -96,7 +130,7 @@ object Produce {
         rejects += split.rejects.count() * a.repeat
       }
     }
-    Metrics(messages, bytes, rejects, errors)
+    Metrics(messages, bytes, rejects, errors, retries)
   }
 
   def main(args: Array[String]): Unit = {
@@ -112,9 +146,10 @@ object Produce {
       try run(spark, settings, a, outDir)
       finally spark.stop()
     log.info("produce.done", "messages" -> m.producedMessages,
-      "bytes" -> m.producedBytes, "rejects" -> m.rejects, "errors" -> m.errors)
+      "bytes" -> m.producedBytes, "rejects" -> m.rejects,
+      "errors" -> m.errors, "retries" -> m.retries)
     println(
-      s"""{"produced_messages":${m.producedMessages},"produced_bytes":${m.producedBytes},"rejects":${m.rejects},"errors":${m.errors},"out":"$outDir"}""")
+      s"""{"produced_messages":${m.producedMessages},"produced_bytes":${m.producedBytes},"rejects":${m.rejects},"errors":${m.errors},"retries":${m.retries},"out":"$outDir"}""")
     if (m.errors != 0) sys.exit(1)
   }
 }

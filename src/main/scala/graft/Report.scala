@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dashboard-KPI report CLI — the engine's analog of the reference's
+  * declared-but-stubbed Streamlit dashboard (`README.md:15,30`;
+  * `src/dashboard/streamlit_app.py` is a 0-byte file): one entry point
+  * that emits the advertised KPI set — orders per minute, revenue
+  * trend, top products, data-quality rates — plus the session stats
+  * and recent hourly event trend a live dashboard would chart, as ONE
+  * JSON artifact over a table directory. Every panel reuses a cataloged
+  * query (a2 / j3 / a4 / w5 / t2) instead of re-deriving it, so the
+  * report can never drift from the correctness-gated definitions.
+  *
+  * Row volumes are bounded by construction (months, 10 brands, 5 event
+  * types, 24 recent windows, 1 session row), so the driver-side
+  * collects are dashboard-sized, never data-sized.
+  *
+  * Usage: runMain graft.Report [--sf DIR] [--out FILE]
+  * Prints the JSON to stdout; `--out` additionally writes it to a file.
+  */
+object Report {
+
+  final case class Args(sf: String = "/root/testdata/sf0.001",
+      out: Option[String] = None)
+
+  @annotation.tailrec
+  def parse(argv: List[String], acc: Args = Args()): Args = argv match {
+    case Nil                  => acc
+    case "--sf" :: v :: rest  => parse(rest, acc.copy(sf = v))
+    case "--out" :: v :: rest => parse(rest, acc.copy(out = Some(v)))
+    case other :: _ =>
+      throw new IllegalArgumentException(s"unknown argument: $other")
+  }
+
+  /** One KPI frame rendered as a JSON array of row objects (Spark's own
+    * row-to-JSON writer — schema-faithful, UTC timestamps). */
+  private def rowsJson(df: org.apache.spark.sql.DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  /** The full KPI artifact as one JSON object string. */
+  def build(spark: SparkSession, sfDir: String): String = {
+    // Orders per minute — the headline rate. The reference measures it
+    // over the live stream; the batch analog is purchase events per
+    // minute of covered event time (span floor 1 min so an almost-empty
+    // table reports a rate, not a division by zero).
+    val rate = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+        unix_micros(min(col("ts"))).as("t0"),
+        unix_micros(max(col("ts"))).as("t1"))
+      .withColumn("span_min",
+        greatest((col("t1") - col("t0")) / lit(60000000.0), lit(1.0)))
+      .select(col("n"), round(col("n") / col("span_min"), 3).as("orders_per_minute"))
+      .collect()(0)
+    // Recent hourly trend: the tumbling-window KPI's last 24 windows,
+    // re-sorted ascending for charting.
+    val recent = operators.ValidationQueries.t2.fn(spark, sfDir)
+      .orderBy(col("win_start_us").desc).limit(24).orderBy("win_start_us")
+    val panels = Seq(
+      "revenue_trend" -> rowsJson(operators.RelationalQueries.a2.fn(spark, sfDir)),
+      "top_products" -> rowsJson(operators.RelationalQueries.j3.fn(spark, sfDir)),
+      "quality_rates" -> rowsJson(operators.RelationalQueries.a4.fn(spark, sfDir)),
+      "sessions" -> rowsJson(operators.WindowQueries.w5.fn(spark, sfDir)),
+      "events_hourly_recent" -> rowsJson(recent))
+    val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s"""{"source":"$sfDir","n_purchases":${rate.getAs[Long]("n")},""" +
+      s""""orders_per_minute":${rate.getAs[Double]("orders_per_minute")},$body}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = parse(args.toList)
+    val spark = Session.get()
+    val json =
+      try build(spark, a.sf)
+      finally spark.stop()
+    a.out.foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    println(json)
+  }
+}

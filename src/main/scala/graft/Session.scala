@@ -22,6 +22,14 @@ object Session {
       .withExtensions(graft.functions.NativeVectorExprs.register _)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Cost-based optimization (SURVEY §4's ANALYZE analog): with
+      // table/column stats present (graft.sources.Stats.analyze), the
+      // optimizer estimates filtered/joined cardinalities instead of
+      // file sizes — flipping join strategy and join order where the
+      // estimates warrant it. Path-based reads without stats are
+      // unaffected, so this only ever ADDS information.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The driver's events table stores TIMESTAMP(NANOS) which the

@@ -37,7 +37,9 @@ final case class Settings(
     corruptionPProduct: Double,
     corruptionPCustomer: Double,
     corruptionPOrder: Double,
-    corruptionPEvent: Double) {
+    corruptionPEvent: Double,
+    producerMaxRetries: Int,
+    producerRetryBackoffMs: Long) {
 
   /** Effective corruption probability for one topic — 0 everywhere when
     * the injector is disabled (`CORRUPTION_ENABLED` analog). */
@@ -87,7 +89,12 @@ object Settings {
     corruptionPProduct = 0.01,
     corruptionPCustomer = 0.02,
     corruptionPOrder = 0.03,
-    corruptionPEvent = 0.04)
+    corruptionPEvent = 0.04,
+    // Producer delivery retries — the analog of the reference
+    // producer's bounded queue-full poll/sleep loop
+    // (`producer.py:105-148`).
+    producerMaxRetries = 3,
+    producerRetryBackoffMs = 100L)
 
   /** Resolve settings from an environment map (defaults ← overrides).
     * Malformed numerics/booleans fail fast naming the variable — the
@@ -131,6 +138,9 @@ object Settings {
       corruptionPProduct = num("GRAFT_CORRUPTION_P_PRODUCT", d.corruptionPProduct)(_.toDouble),
       corruptionPCustomer = num("GRAFT_CORRUPTION_P_CUSTOMER", d.corruptionPCustomer)(_.toDouble),
       corruptionPOrder = num("GRAFT_CORRUPTION_P_ORDER", d.corruptionPOrder)(_.toDouble),
-      corruptionPEvent = num("GRAFT_CORRUPTION_P_EVENT", d.corruptionPEvent)(_.toDouble))
+      corruptionPEvent = num("GRAFT_CORRUPTION_P_EVENT", d.corruptionPEvent)(_.toDouble),
+      producerMaxRetries = num("GRAFT_PRODUCER_MAX_RETRIES", d.producerMaxRetries)(_.toInt),
+      producerRetryBackoffMs =
+        num("GRAFT_PRODUCER_RETRY_BACKOFF_MS", d.producerRetryBackoffMs)(_.toLong))
   }
 }

@@ -40,3 +40,21 @@ object Bucketing {
     l.join(r, l(leftKey) === r(rightKey))
   }
 }
+
+/** Catalog statistics — the ANALYZE analog of the reference's Postgres
+  * planner statistics (SURVEY §4): table row counts plus per-column
+  * NDV/min/max histogram inputs. With `spark.sql.cbo.enabled` (on in
+  * `graft.Session`) these drive cardinality estimation — a selective
+  * filter over an analyzed table shrinks its estimated output, which
+  * can flip a join to broadcast or reorder a multi-way join; without
+  * stats the optimizer only has file sizes. Run after (re)writing a
+  * catalog table, like `ANALYZE` after bulk load.
+  */
+object Stats {
+  def analyze(spark: SparkSession, table: String, cols: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (cols.nonEmpty)
+      spark.sql(
+        s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+  }
+}

@@ -78,6 +78,30 @@ object PartitionedUpsert {
     parts.reduceOption(_.unionByName(_))
   }
 
+  /** Co-located equi-join of two tables stored in THIS bucket layout on
+    * their shared key — the analytic-join path over the upserted sink,
+    * wiring the bucketed-join strategy ([[graft.sources.Bucketing]]'s
+    * catalog variant) into the sink the pipeline actually writes. A key
+    * lands in the same bucket on both sides (same cast-to-string
+    * xxhash64, same nBuckets), so the join decomposes into nBuckets
+    * independent single-bucket merge joins: each bucket pair is read
+    * and joined in place — NO shuffle Exchange anywhere in the plan —
+    * and parallelism is nBuckets join tasks, exactly how a catalog
+    * bucketed join schedules. Buckets live on only one side cannot
+    * match and are skipped (inner-join semantics), and each side reads
+    * through the crash-window-aware reader. None when no bucket pair
+    * is live. */
+  def colocatedJoin(spark: SparkSession, leftPath: String, rightPath: String,
+      pk: String, nBuckets: Int): Option[DataFrame] = {
+    val perBucket = (0 until nBuckets).flatMap { b =>
+      for {
+        l <- IngestPipeline.existing(spark, bucketPath(leftPath, b))
+        r <- IngestPipeline.existing(spark, bucketPath(rightPath, b))
+      } yield l.coalesce(1).hint("merge").join(r.coalesce(1), pk)
+    }
+    perBucket.reduceOption(_.unionByName(_))
+  }
+
   /** The bucket id of one key — same xxhash64(seed 42) the SQL-side
     * [[bucketOf]] computes, so a driver-side point lookup opens exactly
     * the 1/nBuckets of the table that can hold the key. */

@@ -53,7 +53,9 @@ class ConfigSpec extends AnyFunSuite {
       "GRAFT_CORRUPTION_P_PRODUCT" -> "0.5",
       "GRAFT_CORRUPTION_P_CUSTOMER" -> "0.6",
       "GRAFT_CORRUPTION_P_ORDER" -> "0.7",
-      "GRAFT_CORRUPTION_P_EVENT" -> "0.8"))
+      "GRAFT_CORRUPTION_P_EVENT" -> "0.8",
+      "GRAFT_PRODUCER_MAX_RETRIES" -> "9",
+      "GRAFT_PRODUCER_RETRY_BACKOFF_MS" -> "5"))
     assert(s === Settings(
       appEnv = "prod", serviceName = "svc",
       logLevel = "ERROR", logFormat = "json", logToFile = true,
@@ -64,7 +66,8 @@ class ConfigSpec extends AnyFunSuite {
       productTopic = "p2", customerTopic = "c2", orderTopic = "o2",
       eventTopic = "e2", topicPartitions = 6, corruptionEnabled = false,
       corruptionPProduct = 0.5, corruptionPCustomer = 0.6,
-      corruptionPOrder = 0.7, corruptionPEvent = 0.8))
+      corruptionPOrder = 0.7, corruptionPEvent = 0.8,
+      producerMaxRetries = 9, producerRetryBackoffMs = 5L))
   }
 
   test("malformed numeric/boolean env values fail fast naming the variable") {
@@ -175,6 +178,49 @@ class ConfigSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.DecimalType
     val norm = spark.read.parquet(settings.sinksFor("orders").normalized)
     assert(norm.schema("total").dataType === DecimalType(10, 2))
+  }
+
+  test("transient topic-write failures retry with exponential backoff and succeed") {
+    val out = Files.createTempDirectory("graft_produce_retry_").toString
+    val settings = Settings.Defaults.copy(
+      corruptionEnabled = false, topicPartitions = 2, sinkBase = out,
+      producerMaxRetries = 3, producerRetryBackoffMs = 50L)
+    var ordersFailures = 2 // first two attempts on the orders topic fail
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky: Produce.TopicWriter = (df, key, topic, parts, off, dir) => {
+      if (topic == "orders" && ordersFailures > 0) {
+        ordersFailures -= 1
+        throw new RuntimeException("BufferError: local queue full")
+      }
+      KafkaShaped.writeTopicFile(df, key, topic, parts, off, dir)
+    }
+    val m = Produce.run(spark, settings,
+      Produce.Args(products = 1, customers = 1, orders = 2, events = 1,
+        seed = Some(3L)), out, flaky, sleeps.append(_))
+    assert(m.errors === 0, "a transiently failing write must not count as an error")
+    assert(m.retries === 2)
+    assert(sleeps.toSeq === Seq(50L, 100L), "backoff must double per attempt")
+    assert(m.producedMessages === 5)
+    assert(spark.read.schema(KafkaShaped.schema).json(s"$out/orders").count() === 2,
+      "the retried topic must land its full batch")
+  }
+
+  test("exhausted retries count one error, stop at the bound, and spare other topics") {
+    val out = Files.createTempDirectory("graft_produce_exh_").toString
+    val settings = Settings.Defaults.copy(
+      corruptionEnabled = false, topicPartitions = 2, sinkBase = out,
+      producerMaxRetries = 2, producerRetryBackoffMs = 10L)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val broken: Produce.TopicWriter = (df, key, topic, parts, off, dir) => {
+      if (topic == "orders") throw new RuntimeException("broker gone")
+      KafkaShaped.writeTopicFile(df, key, topic, parts, off, dir)
+    }
+    val m = Produce.run(spark, settings,
+      Produce.Args(products = 1, customers = 1, orders = 2, events = 1,
+        seed = Some(4L)), out, broken, sleeps.append(_))
+    assert(m.errors === 1)
+    assert(sleeps.toSeq === Seq(10L, 20L), "exactly maxRetries sleeps, then give up")
+    assert(m.producedMessages === 3, "the other topics must still land")
   }
 
   test("corruption probability flows from settings into the produced batch") {

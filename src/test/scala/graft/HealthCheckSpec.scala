@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.{HealthCheck, IngestPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Health probes over an ingest deployment's paths: each predicate goes
+  * green on a healthy layout and red on its specific failure mode. */
+class HealthCheckSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private def tmp(): String = Files.createTempDirectory("graft_health_").toString
+
+  /** Lay down a healthy deployment: a readable raw sink, a checkpoint
+    * with one committed batch, and a stats table whose watermark
+    * advances and whose last row is `ageMs` old. */
+  private def healthyLayout(base: String, ageMs: Long = 0L,
+      wms: Seq[String] = Seq("2026-01-01T10:00:00.000Z", "2026-01-01T11:00:00.000Z"))
+      : IngestPipeline.Sinks = {
+    import spark.implicits._
+    val sinks = IngestPipeline.Sinks(
+      raw = s"$base/raw", normalized = s"$base/normalized",
+      rejects = s"$base/rejects", stats = s"$base/stats",
+      checkpoint = s"$base/_checkpoint")
+    spark.range(10).toDF("id").write.parquet(sinks.raw)
+    for (sub <- Seq("offsets", "commits")) {
+      Files.createDirectories(Paths.get(sinks.checkpoint, sub))
+      Files.write(Paths.get(sinks.checkpoint, sub, "0"), "v1".getBytes)
+    }
+    wms.zipWithIndex.map { case (wm, i) => (s"q", i.toLong, wm) }
+      .toDF("query_id", "batch_id", "watermark")
+      .withColumn("recorded_at",
+        timestamp_millis(lit(System.currentTimeMillis() - ageMs)))
+      .write.mode("overwrite").parquet(sinks.stats)
+    sinks
+  }
+
+  test("a healthy deployment goes green on all four probes") {
+    val sinks = healthyLayout(tmp())
+    val checks = HealthCheck.forTopic(spark, "orders", sinks,
+      maxAgeMs = 3600000L, nowMs = System.currentTimeMillis())
+    assert(checks.map(_.name) === Seq("sink_readable", "checkpoint_present",
+      "watermark_advancing", "stats_fresh"))
+    assert(checks.forall(_.ok), checks.filterNot(_.ok).mkString("; "))
+    assert(HealthCheck.healthy(checks))
+  }
+
+  test("a missing or corrupt sink turns sink_readable red") {
+    val sinks = healthyLayout(tmp())
+    val missing = HealthCheck.sinkReadable(spark, "orders", sinks.raw + "_nope")
+    assert(!missing.ok && missing.detail.contains("no sink"))
+    // Corrupt the sink: replace its files with a junk .parquet.
+    val fs = new org.apache.hadoop.fs.Path(sinks.raw)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sinks.raw), true)
+    Files.createDirectories(Paths.get(sinks.raw))
+    Files.write(Paths.get(sinks.raw, "part-00000.parquet"), "not parquet".getBytes)
+    val corrupt = HealthCheck.sinkReadable(spark, "orders", sinks.raw)
+    assert(!corrupt.ok && corrupt.detail.startsWith("unreadable"))
+    assert(!HealthCheck.healthy(HealthCheck.forTopic(spark, "orders", sinks,
+      3600000L, System.currentTimeMillis())))
+  }
+
+  test("a mid-rotation sink (only .bak present) is still healthy") {
+    val sinks = healthyLayout(tmp())
+    val fs = new org.apache.hadoop.fs.Path(sinks.raw)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(sinks.raw),
+      new org.apache.hadoop.fs.Path(sinks.raw + ".bak"))
+    val c = HealthCheck.sinkReadable(spark, "orders", sinks.raw)
+    assert(c.ok, c.detail)
+  }
+
+  test("an uncommitted checkpoint (offsets but no commits) is a crash loop, not health") {
+    val sinks = healthyLayout(tmp())
+    Files.delete(Paths.get(sinks.checkpoint, "commits", "0"))
+    val c = HealthCheck.checkpointPresent(spark, "orders", sinks.checkpoint)
+    assert(!c.ok && c.detail === "offsets=1 commits=0")
+    val absent = HealthCheck.checkpointPresent(spark, "orders", sinks.checkpoint + "_nope")
+    assert(!absent.ok)
+  }
+
+  test("a regressing or empty watermark turns watermark_advancing red") {
+    val regress = healthyLayout(tmp(),
+      wms = Seq("2026-01-01T11:00:00.000Z", "2026-01-01T10:00:00.000Z"))
+    val c1 = HealthCheck.watermarkAdvancing(spark, "orders", regress.stats)
+    assert(!c1.ok, c1.detail)
+    val empty = healthyLayout(tmp(), wms = Seq("2026-01-01T10:00:00.000Z", ""))
+    val c2 = HealthCheck.watermarkAdvancing(spark, "orders", empty.stats)
+    assert(!c2.ok, c2.detail)
+    // A held (equal) watermark is monotone — no data is not unhealthy.
+    val held = healthyLayout(tmp(),
+      wms = Seq("2026-01-01T10:00:00.000Z", "2026-01-01T10:00:00.000Z"))
+    assert(HealthCheck.watermarkAdvancing(spark, "orders", held.stats).ok)
+  }
+
+  test("stale stats turn stats_fresh red; fresh stats stay green") {
+    val stale = healthyLayout(tmp(), ageMs = 7200000L)
+    val now = System.currentTimeMillis()
+    assert(!HealthCheck.statsFresh(spark, "orders", stale.stats, 3600000L, now).ok)
+    val fresh = healthyLayout(tmp(), ageMs = 0L)
+    assert(HealthCheck.statsFresh(spark, "orders", fresh.stats, 3600000L, now).ok)
+    assert(!HealthCheck.statsFresh(spark, "orders", fresh.stats + "_nope",
+      3600000L, now).ok)
+  }
+
+  test("healthy() requires every probe green and at least one probe") {
+    assert(!HealthCheck.healthy(Seq.empty))
+    val sinks = healthyLayout(tmp())
+    val checks = HealthCheck.forTopic(spark, "orders", sinks,
+      3600000L, System.currentTimeMillis())
+    assert(HealthCheck.healthy(checks))
+    assert(!HealthCheck.healthy(checks :+
+      HealthCheck.Check("orders", "sink_readable", ok = false, "x")))
+  }
+}

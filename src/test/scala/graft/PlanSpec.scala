@@ -78,6 +78,40 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"))
   }
 
+  test("CBO: column stats flip a selectively-filtered join to broadcast") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Stats
+    def reset(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    reset("cbo_fact"); reset("cbo_dim")
+    spark.range(300000).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .write.saveAsTable("cbo_fact")
+    spark.range(400000).select(col("id").as("k"), (col("id") % 100).as("sel"))
+      .write.saveAsTable("cbo_dim")
+    def plan: String = spark.table("cbo_fact")
+      .join(spark.table("cbo_dim").filter(col("sel") === 1), "k")
+      .queryExecution.executedPlan.toString
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Threshold between the dim's FILE size (MBs — all the optimizer
+      // knows without stats) and its stats-estimated filtered output
+      // (~1% of rows): the same query must plan SMJ blind and broadcast
+      // informed.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+      assert(plan.contains("SortMergeJoin"),
+        s"without stats the filtered dim must look too big to broadcast:\n$plan")
+      Stats.analyze(spark, "cbo_dim", Seq("k", "sel"))
+      Stats.analyze(spark, "cbo_fact", Seq("k"))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"with column stats the 1%-selectivity filter must broadcast:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("hot relational queries run inside WholeStageCodegen") {
     for (dq <- Seq(operators.RelationalQueries.p1, operators.RelationalQueries.j2,
         operators.RelationalQueries.a1)) {

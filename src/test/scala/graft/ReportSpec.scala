@@ -1,0 +1,60 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dashboard-KPI artifact (`graft.Report`): the declared panel set,
+  * parseable JSON, and values consistent with the underlying cataloged
+  * queries. */
+class ReportSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+  private val mapper = new ObjectMapper()
+
+  test("report emits every declared dashboard panel as parseable JSON") {
+    val root = mapper.readTree(Report.build(spark, sf))
+    for (k <- Seq("source", "n_purchases", "orders_per_minute", "revenue_trend",
+        "top_products", "quality_rates", "sessions", "events_hourly_recent"))
+      assert(root.has(k), s"missing panel $k")
+    assert(root.get("source").asText() === sf)
+    assert(root.get("orders_per_minute").asDouble() > 0.0)
+    assert(root.get("revenue_trend").size() > 0)
+    assert(root.get("top_products").size() === 10)
+    assert(root.get("events_hourly_recent").size() === 24)
+    // Panel values come FROM the cataloged queries — spot-check one
+    // against a direct run so the report can't drift.
+    val j3 = operators.RelationalQueries.j3.fn(spark, sf).collect()
+    assert(root.get("top_products").get(0).get("p_brand").asText()
+      === j3(0).getAs[String]("p_brand"))
+    assert(root.get("top_products").get(0).get("qty").asLong()
+      === j3(0).getAs[Long]("qty"))
+    // Sessions panel carries the w5 aggregate row.
+    assert(root.get("sessions").get(0).has("n_sessions"))
+  }
+
+  test("orders_per_minute is purchases over covered event-time minutes") {
+    import org.apache.spark.sql.functions._
+    val root = mapper.readTree(Report.build(spark, sf))
+    val ev = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+        unix_micros(min(col("ts"))).as("t0"), unix_micros(max(col("ts"))).as("t1"))
+      .collect()(0)
+    val spanMin = math.max((ev.getAs[Long]("t1") - ev.getAs[Long]("t0")) / 6e7, 1.0)
+    val expected = ev.getAs[Long]("n") / spanMin
+    assert(math.abs(root.get("orders_per_minute").asDouble() - expected) < 0.01,
+      s"opm ${root.get("orders_per_minute").asDouble()} vs $expected")
+    assert(root.get("n_purchases").asLong() === ev.getAs[Long]("n"))
+  }
+
+  test("--out writes the artifact to a file") {
+    val f = java.nio.file.Files.createTempFile("graft_report_", ".json")
+    val json = Report.build(spark, sf)
+    java.nio.file.Files.write(f, json.getBytes("UTF-8"))
+    val back = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+    assert(back.get("top_products").size() === 10)
+    assert(Report.parse(List("--sf", sf, "--out", f.toString))
+      === Report.Args(sf, Some(f.toString)))
+    intercept[IllegalArgumentException](Report.parse(List("--bogus")))
+  }
+}

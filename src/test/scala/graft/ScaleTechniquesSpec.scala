@@ -44,6 +44,32 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() === direct)
   }
 
+  test("a PartitionedUpsert-produced table joins on its pk with NO shuffle exchange") {
+    import graft.sources.Generator
+    import graft.streaming.PartitionedUpsert
+    val base = java.nio.file.Files.createTempDirectory("graft_coloc_").toString
+    val B = 8
+    val prods = Generator.products(spark, 60, seed = 31)
+      .withColumn("_src_offset", col("stock_quantity").cast("long"))
+    // Two sink tables in the same bucket layout: the entity table and a
+    // per-key side table (price snapshot), both landed by the upsert.
+    PartitionedUpsert.upsert(spark, s"$base/products", prods, "product_id",
+      Seq("created_at", "_src_offset"), B)
+    PartitionedUpsert.upsert(spark, s"$base/prices",
+      prods.select(col("product_id"), col("created_at").as("snap_at"),
+        col("_src_offset").as("snap_off"), (col("price") * 2).as("price2")),
+      "product_id", Seq("snap_at", "snap_off"), B)
+    val joined = PartitionedUpsert.colocatedJoin(
+      spark, s"$base/products", s"$base/prices", "product_id", B).get
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"upserted-table join still shuffles:\n$plan")
+    // Same rows as the plain (shuffling) join, with every key matched.
+    assert(joined.count() === 60)
+    assert(joined.select("product_id").distinct().count() === 60)
+  }
+
   test("the same join on plain parquet DOES shuffle (control for the test above)") {
     val plain = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
       .join(Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
