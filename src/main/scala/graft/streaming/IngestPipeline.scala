@@ -115,6 +115,11 @@ object IngestPipeline {
         Map("mode" -> "PERMISSIVE",
           "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
       .select(col("partition"), col("offset"), col("r.*"))
+      // ONE decode pass per batch: the rejects sink, the reject count,
+      // and the normalized upsert below all consume this frame —
+      // materialized, each reads blocks plus a cheap predicate instead
+      // of re-running from_json per consumer (three passes before).
+      .localCheckpoint(true)
 
     // ---- V1–V5: validation split.
     val Validation.Split(valid, rejects) = Validation.split(parsed, rules)
@@ -128,8 +133,9 @@ object IngestPipeline {
     freshRejects.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(sinks.rejects)
     advanceHwm(spark, rejects, sinks.rejects)
-    // Batch-level reject count (replayed rows included) — one pass over
-    // the materialized batch, so no lineage re-scan.
+    // Batch-level reject count (replayed rows included) — a predicate
+    // over the materialized decode, so no parse re-run and no lineage
+    // re-scan.
     val nRejects = rejects.count()
 
     // ---- S7/T5: normalized latest-wins upsert. Winner per key by
