@@ -115,13 +115,19 @@ object HealthCheck {
           s"unreadable: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
     }
 
-  /** All probes for one topic's deployment paths. */
+  /** All probes for one topic's deployment paths. The watermark probe
+    * reads the [[Monitoring.ProgressSink]] table (which carries the
+    * per-trigger watermark) and is included only when the deployment
+    * runs one (`progressPath`); the processing-stats table written by
+    * [[IngestPipeline.processBatch]] carries no watermark column and
+    * feeds the freshness probe instead. */
   def forTopic(spark: SparkSession, topic: String, sinks: IngestPipeline.Sinks,
-      maxAgeMs: Long, nowMs: Long): Seq[Check] = Seq(
+      maxAgeMs: Long, nowMs: Long,
+      progressPath: Option[String] = None): Seq[Check] = Seq(
     sinkReadable(spark, topic, sinks.raw),
     checkpointPresent(spark, topic, sinks.checkpoint),
-    watermarkAdvancing(spark, topic, sinks.stats),
-    statsFresh(spark, topic, sinks.stats, maxAgeMs, nowMs))
+    statsFresh(spark, topic, sinks.stats, maxAgeMs, nowMs)) ++
+    progressPath.map(p => watermarkAdvancing(spark, topic, p))
 
   def healthy(checks: Seq[Check]): Boolean = checks.nonEmpty && checks.forall(_.ok)
 
@@ -143,9 +149,15 @@ object HealthCheck {
         settings.orderTopic, settings.eventTopic)
     val spark = graft.Session.get()
     val checks =
-      try ts.flatMap(t => forTopic(spark, t, settings.sinksFor(t),
-        maxAgeSec * 1000, System.currentTimeMillis()))
-      finally spark.stop()
+      try ts.flatMap { t =>
+        // Watermark probe only when this deployment writes a progress
+        // table (convention: <sinkBase>/<topic>/progress).
+        val progress = s"${settings.sinkBase}/$t/progress"
+        val hasProgress = fs(spark, progress).exists(new Path(progress))
+        forTopic(spark, t, settings.sinksFor(t), maxAgeSec * 1000,
+          System.currentTimeMillis(),
+          if (hasProgress) Some(progress) else None)
+      } finally spark.stop()
     val body = checks.map(c =>
       s"""{"topic":"${c.topic}","check":"${c.name}","ok":${c.ok},"detail":"${
         c.detail.replace("\\", "\\\\").replace("\"", "\\\"")}"}""")

@@ -14,8 +14,9 @@ class HealthCheckSpec extends AnyFunSuite {
   private def tmp(): String = Files.createTempDirectory("graft_health_").toString
 
   /** Lay down a healthy deployment: a readable raw sink, a checkpoint
-    * with one committed batch, and a stats table whose watermark
-    * advances and whose last row is `ageMs` old. */
+    * with one committed batch, a processing-stats table whose last row
+    * is `ageMs` old, and a progress table (ProgressSink shape) whose
+    * watermark advances. */
   private def healthyLayout(base: String, ageMs: Long = 0L,
       wms: Seq[String] = Seq("2026-01-01T10:00:00.000Z", "2026-01-01T11:00:00.000Z"))
       : IngestPipeline.Sinks = {
@@ -29,20 +30,30 @@ class HealthCheckSpec extends AnyFunSuite {
       Files.createDirectories(Paths.get(sinks.checkpoint, sub))
       Files.write(Paths.get(sinks.checkpoint, sub, "0"), "v1".getBytes)
     }
+    // Processing-stats shape (processBatch): counts + recorded_at.
+    Seq((0L, 10L)).toDF("batch_id", "n_in")
+      .withColumn("recorded_at",
+        timestamp_millis(lit(System.currentTimeMillis() - ageMs)))
+      .write.mode("overwrite").parquet(sinks.stats)
+    // ProgressSink shape: per-trigger watermark.
     wms.zipWithIndex.map { case (wm, i) => (s"q", i.toLong, wm) }
       .toDF("query_id", "batch_id", "watermark")
       .withColumn("recorded_at",
         timestamp_millis(lit(System.currentTimeMillis() - ageMs)))
-      .write.mode("overwrite").parquet(sinks.stats)
+      .write.mode("overwrite").parquet(progressOf(sinks))
     sinks
   }
+
+  private def progressOf(sinks: IngestPipeline.Sinks): String =
+    sinks.stats.stripSuffix("/stats") + "/progress"
 
   test("a healthy deployment goes green on all four probes") {
     val sinks = healthyLayout(tmp())
     val checks = HealthCheck.forTopic(spark, "orders", sinks,
-      maxAgeMs = 3600000L, nowMs = System.currentTimeMillis())
+      maxAgeMs = 3600000L, nowMs = System.currentTimeMillis(),
+      progressPath = Some(progressOf(sinks)))
     assert(checks.map(_.name) === Seq("sink_readable", "checkpoint_present",
-      "watermark_advancing", "stats_fresh"))
+      "stats_fresh", "watermark_advancing"))
     assert(checks.forall(_.ok), checks.filterNot(_.ok).mkString("; "))
     assert(HealthCheck.healthy(checks))
   }
@@ -85,15 +96,15 @@ class HealthCheckSpec extends AnyFunSuite {
   test("a regressing or empty watermark turns watermark_advancing red") {
     val regress = healthyLayout(tmp(),
       wms = Seq("2026-01-01T11:00:00.000Z", "2026-01-01T10:00:00.000Z"))
-    val c1 = HealthCheck.watermarkAdvancing(spark, "orders", regress.stats)
+    val c1 = HealthCheck.watermarkAdvancing(spark, "orders", progressOf(regress))
     assert(!c1.ok, c1.detail)
     val empty = healthyLayout(tmp(), wms = Seq("2026-01-01T10:00:00.000Z", ""))
-    val c2 = HealthCheck.watermarkAdvancing(spark, "orders", empty.stats)
+    val c2 = HealthCheck.watermarkAdvancing(spark, "orders", progressOf(empty))
     assert(!c2.ok, c2.detail)
     // A held (equal) watermark is monotone — no data is not unhealthy.
     val held = healthyLayout(tmp(),
       wms = Seq("2026-01-01T10:00:00.000Z", "2026-01-01T10:00:00.000Z"))
-    assert(HealthCheck.watermarkAdvancing(spark, "orders", held.stats).ok)
+    assert(HealthCheck.watermarkAdvancing(spark, "orders", progressOf(held)).ok)
   }
 
   test("stale stats turn stats_fresh red; fresh stats stay green") {
@@ -104,6 +115,28 @@ class HealthCheckSpec extends AnyFunSuite {
     assert(HealthCheck.statsFresh(spark, "orders", fresh.stats, 3600000L, now).ok)
     assert(!HealthCheck.statsFresh(spark, "orders", fresh.stats + "_nope",
       3600000L, now).ok)
+  }
+
+  test("a REAL ingest deployment (produce -> IngestPipeline) probes green end-to-end") {
+    val base = Files.createTempDirectory("graft_health_e2e_").toString
+    val settings = Settings.Defaults.copy(
+      corruptionEnabled = false, topicPartitions = 2, sinkBase = base)
+    Produce.run(spark, settings,
+      Produce.Args(products = 5, customers = 1, orders = 1, events = 1,
+        seed = Some(17L)), s"$base/topics")
+    streaming.IngestPipeline.start(spark, settings, Schemas.productsDesc)
+      .awaitTermination()
+    val checks = HealthCheck.forTopic(spark, settings.productTopic,
+      settings.sinksFor(settings.productTopic),
+      maxAgeMs = 3600000L, nowMs = System.currentTimeMillis())
+    assert(checks.map(_.name) ===
+      Seq("sink_readable", "checkpoint_present", "stats_fresh"))
+    assert(HealthCheck.healthy(checks), checks.filterNot(_.ok).mkString("; "))
+    // The never-ingested events topic probes red on the same deployment.
+    val red = HealthCheck.forTopic(spark, settings.eventTopic,
+      settings.sinksFor(settings.eventTopic),
+      maxAgeMs = 3600000L, nowMs = System.currentTimeMillis())
+    assert(!HealthCheck.healthy(red))
   }
 
   test("healthy() requires every probe green and at least one probe") {
