@@ -212,6 +212,9 @@ class LshSpec extends AnyFunSuite {
     assert(l14.getAs[Long]("n_planted_found") >=
       (l14.getAs[Long]("n_planted") * 8) / 10,
       s"l14 planted recall ${l14.getAs[Long]("n_planted_found")}/${l14.getAs[Long]("n_planted")}")
+    val l10 = LlmQueries.l10.fn(spark, sf1).collect()(0)
+    assert(l10.getAs[Long]("n_candidates") <= 20 * l10.getAs[Long]("n_docs"),
+      s"l10 candidates ${l10.getAs[Long]("n_candidates")} vs ${l10.getAs[Long]("n_docs")} docs")
   }
 
   test("hyperplaneSig works on a session missing the extension functions") {
