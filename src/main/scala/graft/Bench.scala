@@ -63,7 +63,10 @@ object Bench {
     // capture: 3-decimal seconds (1 ms resolution — below that is JVM
     // noise), and only the noisiest spreads itemized; spread_max covers
     // the rest.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma-decimal locale would emit invalid JSON.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val noisy = spreads.filter(_._2 > 0.5)
     val sp = noisy.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")

@@ -110,14 +110,18 @@ object Produce {
           r * stride, s"$outDir/$topic")) match {
         case Right((_, n)) =>
           retries += n
-          messages += df.count()
-          // Same serialization as writeTopicFile — the counted bytes are
-          // the payload bytes actually written, not an approximation
-          // (octet_length: UTF-8 bytes, not characters — generated names
-          // can be non-ASCII).
-          bytes += df
-            .select(octet_length(KafkaShaped.valueJson(df)).as("n"))
-            .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+          // Metric jobs can fail independently of the landed write;
+          // count that as an error (pre-retry semantics), don't crash.
+          try {
+            messages += df.count()
+            // Same serialization as writeTopicFile — the counted bytes
+            // are the payload bytes actually written, not an
+            // approximation (octet_length: UTF-8 bytes, not
+            // characters — generated names can be non-ASCII).
+            bytes += df
+              .select(octet_length(KafkaShaped.valueJson(df)).as("n"))
+              .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+          } catch { case _: Throwable => errors += 1 }
         case Left(_) => errors += 1
       }
     }
