@@ -215,6 +215,16 @@ class LshSpec extends AnyFunSuite {
     val l10 = LlmQueries.l10.fn(spark, sf1).collect()(0)
     assert(l10.getAs[Long]("n_candidates") <= 20 * l10.getAs[Long]("n_docs"),
       s"l10 candidates ${l10.getAs[Long]("n_candidates")} vs ${l10.getAs[Long]("n_docs")} docs")
+    // ANN recall floors from the queries' own overlap invariant
+    // (deterministic: fixed testdata + fixed hyperplanes/centroids) —
+    // a banding or probe regression now fails here, not just in the
+    // recorded numbers.
+    val l12 = LlmQueries.l12.fn(spark, sf1).collect()(0)
+    assert(l12.getAs[Long]("n_exact_top5_overlap") >= 3,
+      s"l12 exact-top5 overlap ${l12.getAs[Long]("n_exact_top5_overlap")}/5")
+    val l16 = LlmQueries.l16.fn(spark, sf1).collect()(0)
+    assert(l16.getAs[Long]("n_exact_top5_overlap") >= 4,
+      s"l16 exact-top5 overlap ${l16.getAs[Long]("n_exact_top5_overlap")}/5")
   }
 
   test("hyperplaneSig works on a session missing the extension functions") {
