@@ -90,6 +90,17 @@ class LshSpec extends AnyFunSuite {
       s"l9 has a non-1-row NL join:\n${nlJoins.map(_.nodeName).mkString("\n")}")
   }
 
+  test("l9's shared subtrees execute via exchange reuse (corpus not re-scanned per consumer)") {
+    // The shingle frame feeds four consumers; the scaladoc's claim that
+    // Spark shares the shuffled subtrees must hold in the EXECUTED
+    // (AQE-final) plan, not just in intent.
+    val df = LlmQueries.l9.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"no exchange reuse in l9's executed plan:\n${plan.take(2000)}")
+  }
+
   test("l9 reports at least the planted near-duplicates") {
     val row = LlmQueries.l9.fn(spark, sf).collect()(0)
     val nPlanted = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0).count()
