@@ -139,6 +139,52 @@ class HealthCheckSpec extends AnyFunSuite {
     assert(!HealthCheck.healthy(red))
   }
 
+  test("watermark probe goes green on a REAL watermarked stream's progress table") {
+    import org.apache.spark.sql.types._
+    val in = tmp()
+    val progress = s"${tmp()}/progress"
+    val listener = streaming.Monitoring.attach(spark, progress)
+    try {
+      def write(name: String, lines: Seq[String]): Unit = {
+        Files.write(Paths.get(in, name), String.join("\n", lines: _*).getBytes)
+        Thread.sleep(1200)
+      }
+      write("f1.json", Seq("""{"user_id":"a","ts":"2026-01-01T10:00:00Z"}"""))
+      write("f2.json", Seq("""{"user_id":"a","ts":"2026-01-01T12:00:00Z"}"""))
+      val schema = StructType(Seq(StructField("user_id", StringType),
+        StructField("ts", TimestampType)))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "1 hour"))
+        .count()
+        .writeStream.format("memory").queryName("health_wm")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // Listener delivery is async; wait for >= 2 progress rows of THIS
+      // query, then probe a frame isolated to it (the session listener
+      // also records any concurrently-running suite's queries).
+      val mine = s"${tmp()}/progress_mine"
+      var n = 0L
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (n < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        n = try spark.read.parquet(progress)
+          .filter(col("query_id") === q.id.toString).count()
+        catch { case _: Throwable => 0L }
+      }
+      assert(n >= 2, s"expected >= 2 progress rows for the query, got $n")
+      spark.read.parquet(progress).filter(col("query_id") === q.id.toString)
+        .write.parquet(mine)
+      val c = HealthCheck.watermarkAdvancing(spark, "events", mine)
+      assert(c.ok, c.detail)
+      assert(c.detail.contains("latest=2026-01-01"), // watermark really advanced
+        s"watermark never advanced past epoch: ${c.detail}")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("healthy() requires every probe green and at least one probe") {
     assert(!HealthCheck.healthy(Seq.empty))
     val sinks = healthyLayout(tmp())
