@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) coarse quantization for approximate nearest
@@ -60,19 +62,56 @@ object Ivf {
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
 
-  /** One Lloyd iteration: re-assign, then recompute each cell's mean
-    * per dimension (posexplode → (cid, pos) avg → re-assemble array in
-    * position order). Empty cells keep no row and simply vanish —
-    * harmless for probing (fewer cells = more candidates, never fewer
-    * correct results). */
+  /** Elementwise mean of a vector column as a typed `Aggregator` with a
+    * fixed (sums, count) buffer — the same scale shape as
+    * [[MinHash.SigAgg]]: partial (map-side) aggregation applies, so the
+    * shuffle carries ONE ~512-byte partial per (partition, cell)
+    * instead of the 64× row multiplication the previous
+    * posexplode → (cid, pos) avg → re-assemble pipeline shuffled. At
+    * 100 TB that posexplode was the worst shuffle in the IVF path; this
+    * is a single hash agg. Vectors in one group must share a dimension
+    * (guaranteed by the embedding schema). */
+  private final case class MeanBuf(sums: Array[Double], n: Long)
+
+  private object VecMeanAgg extends Aggregator[Seq[Double], MeanBuf, Seq[Double]] {
+    def zero: MeanBuf = MeanBuf(Array.emptyDoubleArray, 0L)
+
+    def reduce(b: MeanBuf, v: Seq[Double]): MeanBuf =
+      if (b.n == 0L) MeanBuf(v.toArray, 1L)
+      else {
+        var i = 0
+        while (i < b.sums.length) { b.sums(i) += v(i); i += 1 }
+        MeanBuf(b.sums, b.n + 1L)
+      }
+
+    def merge(a: MeanBuf, b: MeanBuf): MeanBuf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        var i = 0
+        while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+        MeanBuf(a.sums, a.n + b.n)
+      }
+
+    def finish(b: MeanBuf): Seq[Double] =
+      if (b.n == 0L) Seq.empty else b.sums.toIndexedSeq.map(_ / b.n)
+
+    def bufferEncoder: Encoder[MeanBuf] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  private val vecMean =
+    udaf(VecMeanAgg, ExpressionEncoder[Seq[Double]]())
+
+  /** One Lloyd iteration: re-assign, then recompute each cell's mean in
+    * one partial-aggregable hash agg ([[VecMeanAgg]]). Empty cells keep
+    * no row and simply vanish — harmless for probing (fewer cells =
+    * more candidates, never fewer correct results). */
   def lloydStep(e: DataFrame, centroids: DataFrame): DataFrame =
     assign(e, centroids)
       .join(e, "vec_id")
-      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos").agg(avg(col("x")).as("x"))
       .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
-        s => s.getField("x")).as("cv"))
+      .agg(vecMean(col("v")).as("cv"))
 
   /** Train `iters` Lloyd iterations from the seeded init — a composed
     * plan, no driver actions. */
