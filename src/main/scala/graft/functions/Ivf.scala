@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * anywhere, so the training plan composes into a single query and at
   * scale runs as an ordinary distributed job. Centroid count `k` is
   * small (≪ corpus), so every centroid join is a broadcast and the only
-  * shuffles are the tiny (vec_id, cid, d2) assignment aggregations and
-  * the per-dimension centroid means.
+  * shuffles are the tiny (vec_id, cid) assignment aggregations and one
+  * ~512-byte mean-buffer partial per (partition, cell)
+  * ([[VecMeanAgg]]).
   *
   * At 100 TB the index (cid → vec ids) is written once and reused;
   * here train + probe compose into one plan so the operator is
