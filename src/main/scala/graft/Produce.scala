@@ -23,8 +23,19 @@ object Produce {
       orders: Long = 10, events: Long = 25, seed: Option[Long] = None,
       repeat: Int = 1, out: Option[String] = None)
 
-  final case class Metrics(producedMessages: Long, producedBytes: Long,
-      rejects: Long, errors: Long, retries: Long)
+  /** Delivery-report metrics. Totals drive the exit-code contract; the
+    * per-topic breakdown mirrors the reference producer's per-callback
+    * delivery report (`producer.py:87-103` counts messages/bytes/errors
+    * per produce call, which is per entity topic). `byTopic` entries
+    * carry scalar counters only (their own `byTopic` stays empty). */
+  final case class Metrics(producedMessages: Long = 0, producedBytes: Long = 0,
+      rejects: Long = 0, errors: Long = 0, retries: Long = 0,
+      byTopic: Map[String, Metrics] = Map.empty) {
+    private[graft] def +(o: Metrics): Metrics =
+      Metrics(producedMessages + o.producedMessages,
+        producedBytes + o.producedBytes, rejects + o.rejects,
+        errors + o.errors, retries + o.retries)
+  }
 
   /** A topic-file write, injectable so specs can interpose transient
     * failures (the reference tests the same seam with a mock producer). */
@@ -93,11 +104,11 @@ object Produce {
         corrupt(settings.eventTopic,
           Generator.events(spark, a.events, a.customers, seed), Corruptions.events)))
 
-    var messages = 0L
-    var bytes    = 0L
-    var rejects  = 0L
-    var errors   = 0L
-    var retries  = 0L
+    // Per-topic accumulation in batch order; totals are folded at the end
+    // so the exit-code contract (errors == 0) is unchanged.
+    var by = scala.collection.immutable.ListMap.empty[String, Metrics]
+    def add(topic: String, d: Metrics): Unit =
+      by = by.updated(topic, by.getOrElse(topic, Metrics()) + d)
     // Offset stride per repetition: past the largest per-partition batch
     // so offsets stay monotone per (topic, partition) across repeats.
     val stride = Seq(a.products, a.customers, a.orders, a.events).max + 1
@@ -109,20 +120,21 @@ object Produce {
         sleep)(writer(df, key, topic, settings.topicPartitions,
           r * stride, s"$outDir/$topic")) match {
         case Right((_, n)) =>
-          retries += n
+          add(topic, Metrics(retries = n))
           // Metric jobs can fail independently of the landed write;
           // count that as an error (pre-retry semantics), don't crash.
           try {
-            messages += df.count()
+            val messages = df.count()
             // Same serialization as writeTopicFile — the counted bytes
             // are the payload bytes actually written, not an
             // approximation (octet_length: UTF-8 bytes, not
             // characters — generated names can be non-ASCII).
-            bytes += df
+            val bytes = df
               .select(octet_length(KafkaShaped.valueJson(df)).as("n"))
               .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
-          } catch { case _: Throwable => errors += 1 }
-        case Left(_) => errors += 1
+            add(topic, Metrics(producedMessages = messages, producedBytes = bytes))
+          } catch { case _: Throwable => add(topic, Metrics(errors = 1)) }
+        case Left(_) => add(topic, Metrics(errors = 1))
       }
     }
     // Produce-side quality signal: how many of the batch rows would the
@@ -131,10 +143,10 @@ object Produce {
     for (desc <- Schemas.all) {
       batches.find(_._1 == desc.topic).foreach { case (_, _, df) =>
         val split = operators.Validation.split(df, desc.rules)
-        rejects += split.rejects.count() * a.repeat
+        add(desc.topic, Metrics(rejects = split.rejects.count() * a.repeat))
       }
     }
-    Metrics(messages, bytes, rejects, errors, retries)
+    by.values.foldLeft(Metrics())(_ + _).copy(byTopic = by)
   }
 
   def main(args: Array[String]): Unit = {
@@ -152,8 +164,13 @@ object Produce {
     log.info("produce.done", "messages" -> m.producedMessages,
       "bytes" -> m.producedBytes, "rejects" -> m.rejects,
       "errors" -> m.errors, "retries" -> m.retries)
+    // Per-topic delivery report alongside the totals, like the
+    // reference's per-callback report; totals keep the exit contract.
+    val perTopic = m.byTopic.map { case (t, tm) =>
+      s""""$t":{"messages":${tm.producedMessages},"bytes":${tm.producedBytes},"rejects":${tm.rejects},"errors":${tm.errors},"retries":${tm.retries}}"""
+    }.mkString("{", ",", "}")
     println(
-      s"""{"produced_messages":${m.producedMessages},"produced_bytes":${m.producedBytes},"rejects":${m.rejects},"errors":${m.errors},"retries":${m.retries},"out":"$outDir"}""")
+      s"""{"produced_messages":${m.producedMessages},"produced_bytes":${m.producedBytes},"rejects":${m.rejects},"errors":${m.errors},"retries":${m.retries},"by_topic":$perTopic,"out":"$outDir"}""")
     if (m.errors != 0) sys.exit(1)
   }
 }

@@ -40,10 +40,16 @@ object HealthCheck {
 
   /** The sink (raw or normalized) reads end-to-end through the
     * crash-aware reader. An absent sink is unhealthy (nothing landed);
-    * an unreadable one reports the reader's failure. */
+    * an unreadable one reports the reader's failure. The probe reads at
+    * most ONE row (`take(1)`) — a liveness check must stay O(1) however
+    * large the sink grows; a full `count()` here would make every health
+    * poll pay a complete table scan at production scale. */
   def sinkReadable(spark: SparkSession, topic: String, path: String): Check =
     try IngestPipeline.existing(spark, path) match {
-      case Some(df) => Check(topic, "sink_readable", ok = true, s"rows=${df.count()}")
+      case Some(df) =>
+        val nonEmpty = df.take(1).nonEmpty
+        Check(topic, "sink_readable", ok = nonEmpty,
+          if (nonEmpty) "readable, non-empty" else "readable but empty")
       case None     => Check(topic, "sink_readable", ok = false, s"no sink at $path")
     } catch {
       case e: Throwable =>

@@ -119,6 +119,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(m.producedMessages === 8)
     assert(m.producedBytes > 0)
     assert(m.rejects === 0, "uncorrupted batch must validate clean")
+    // Per-topic delivery report (reference producer.py:87-103 analog):
+    // each entity topic reports its own counters, and they fold to the
+    // totals.
+    assert(m.byTopic.view.mapValues(_.producedMessages).toMap ===
+      Map("products" -> 2L, "customers" -> 1L, "orders" -> 2L, "events" -> 3L))
+    assert(m.byTopic.values.map(_.producedBytes).sum === m.producedBytes)
+    assert(m.byTopic.values.forall(t => t.errors === 0 && t.retries === 0))
 
     val counts = Map("products" -> 2L, "customers" -> 1L, "orders" -> 2L,
       "events" -> 3L)
@@ -199,6 +206,9 @@ class ConfigSpec extends AnyFunSuite {
         seed = Some(3L)), out, flaky, sleeps.append(_))
     assert(m.errors === 0, "a transiently failing write must not count as an error")
     assert(m.retries === 2)
+    assert(m.byTopic("orders").retries === 2,
+      "retries must be attributed to the flaky topic")
+    assert(m.byTopic.removed("orders").values.forall(_.retries === 0))
     assert(sleeps.toSeq === Seq(50L, 100L), "backoff must double per attempt")
     assert(m.producedMessages === 5)
     assert(spark.read.schema(KafkaShaped.schema).json(s"$out/orders").count() === 2,
@@ -221,6 +231,10 @@ class ConfigSpec extends AnyFunSuite {
     assert(m.errors === 1)
     assert(sleeps.toSeq === Seq(10L, 20L), "exactly maxRetries sleeps, then give up")
     assert(m.producedMessages === 3, "the other topics must still land")
+    assert(m.byTopic("orders").errors === 1 &&
+      m.byTopic("orders").producedMessages === 0,
+      "the exhausted error must be attributed to its topic")
+    assert(m.byTopic.removed("orders").values.forall(_.errors === 0))
   }
 
   test("corruption probability flows from settings into the produced batch") {

@@ -74,6 +74,22 @@ class HealthCheckSpec extends AnyFunSuite {
       3600000L, System.currentTimeMillis())))
   }
 
+  test("sink_readable is a bounded existence probe, not a table scan") {
+    val sinks = healthyLayout(tmp())
+    val green = HealthCheck.sinkReadable(spark, "orders", sinks.raw)
+    // The liveness probe must stay O(1) at any sink size: no row count in
+    // the detail (computing one costs a full scan per health poll).
+    assert(green.ok && !green.detail.matches(".*rows=\\d+.*"), green.detail)
+    // An existing-but-empty sink means nothing landed — red, same as an
+    // absent sink.
+    val fs = new org.apache.hadoop.fs.Path(sinks.raw)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sinks.raw), true)
+    spark.range(10).toDF("id").filter("id < 0").write.parquet(sinks.raw)
+    val empty = HealthCheck.sinkReadable(spark, "orders", sinks.raw)
+    assert(!empty.ok && empty.detail.contains("empty"), empty.detail)
+  }
+
   test("a mid-rotation sink (only .bak present) is still healthy") {
     val sinks = healthyLayout(tmp())
     val fs = new org.apache.hadoop.fs.Path(sinks.raw)
