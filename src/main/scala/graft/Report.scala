@@ -17,19 +17,29 @@ import org.apache.spark.sql.functions._
   * types, 24 recent windows, 1 session row), so the driver-side
   * collects are dashboard-sized, never data-sized.
   *
-  * Usage: runMain graft.Report [--sf DIR] [--out FILE]
+  * When a [[Marts]] base is supplied (`--mart DIR`) the aggregate panels
+  * (revenue trend / top products / quality rates) are served from the
+  * materialized mart buckets instead of recomputed from the fact tables
+  * — the dashboard-refresh cost model a warehouse actually runs: at
+  * 100 TB the dashboard reads O(mart) rows, not O(facts). Panels whose
+  * mart is absent fall back to the cataloged query, and the artifact
+  * names which panels were mart-served (`mart_backed`) so the cost path
+  * is observable.
+  *
+  * Usage: runMain graft.Report [--sf DIR] [--mart DIR] [--out FILE]
   * Prints the JSON to stdout; `--out` additionally writes it to a file.
   */
 object Report {
 
   final case class Args(sf: String = "/root/testdata/sf0.001",
-      out: Option[String] = None)
+      mart: Option[String] = None, out: Option[String] = None)
 
   @annotation.tailrec
   def parse(argv: List[String], acc: Args = Args()): Args = argv match {
-    case Nil                  => acc
-    case "--sf" :: v :: rest  => parse(rest, acc.copy(sf = v))
-    case "--out" :: v :: rest => parse(rest, acc.copy(out = Some(v)))
+    case Nil                   => acc
+    case "--sf" :: v :: rest   => parse(rest, acc.copy(sf = v))
+    case "--mart" :: v :: rest => parse(rest, acc.copy(mart = Some(v)))
+    case "--out" :: v :: rest  => parse(rest, acc.copy(out = Some(v)))
     case other :: _ =>
       throw new IllegalArgumentException(s"unknown argument: $other")
   }
@@ -40,7 +50,25 @@ object Report {
     df.toJSON.collect().mkString("[", ",", "]")
 
   /** The full KPI artifact as one JSON object string. */
-  def build(spark: SparkSession, sfDir: String): String = {
+  def build(spark: SparkSession, sfDir: String,
+      martBase: Option[String] = None): String = {
+    // Aggregate panels prefer the materialized mart; the read applies
+    // only the view-level sort/limit the cataloged query would (the
+    // mart rows ARE the aggregate). Fallback: compute from facts.
+    def martOr(m: Marts.Mart, view: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, fallback: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Boolean) =
+      martBase.flatMap(Marts.read(spark, _, m)) match {
+        case Some(df) => (view(df), true)
+        case None     => (fallback, false)
+      }
+    val (trend, trendM) = martOr(Marts.revenueTrend, _.orderBy("month"),
+      operators.RelationalQueries.a2.fn(spark, sfDir))
+    val (top, topM) = martOr(Marts.brandQty,
+      _.orderBy(col("qty").desc, col("p_brand")).limit(10),
+      operators.RelationalQueries.j3.fn(spark, sfDir))
+    val (quality, qualityM) = martOr(Marts.qualityRates, _.orderBy("event_type"),
+      operators.RelationalQueries.a4.fn(spark, sfDir))
     // Orders per minute — the headline rate. The reference measures it
     // over the live stream; the batch analog is purchase events per
     // minute of covered event time (span floor 1 min so an almost-empty
@@ -59,13 +87,17 @@ object Report {
     val recent = operators.ValidationQueries.t2.fn(spark, sfDir)
       .orderBy(col("win_start_us").desc).limit(24).orderBy("win_start_us")
     val panels = Seq(
-      "revenue_trend" -> rowsJson(operators.RelationalQueries.a2.fn(spark, sfDir)),
-      "top_products" -> rowsJson(operators.RelationalQueries.j3.fn(spark, sfDir)),
-      "quality_rates" -> rowsJson(operators.RelationalQueries.a4.fn(spark, sfDir)),
+      "revenue_trend" -> rowsJson(trend),
+      "top_products" -> rowsJson(top),
+      "quality_rates" -> rowsJson(quality),
       "sessions" -> rowsJson(operators.WindowQueries.w5.fn(spark, sfDir)),
       "events_hourly_recent" -> rowsJson(recent))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    s"""{"source":"$sfDir","n_purchases":${rate.getAs[Long]("n")},""" +
+    val martBacked = Seq("revenue_trend" -> trendM, "top_products" -> topM,
+      "quality_rates" -> qualityM).collect { case (k, true) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    s"""{"source":"$sfDir","mart_backed":$martBacked,""" +
+      s""""n_purchases":${rate.getAs[Long]("n")},""" +
       s""""orders_per_minute":${rate.getAs[Double]("orders_per_minute")},$body}"""
   }
 
@@ -73,7 +105,7 @@ object Report {
     val a = parse(args.toList)
     val spark = Session.get()
     val json =
-      try build(spark, a.sf)
+      try build(spark, a.sf, a.mart)
       finally spark.stop()
     a.out.foreach { f =>
       java.nio.file.Files.write(java.nio.file.Paths.get(f),

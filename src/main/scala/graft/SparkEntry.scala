@@ -16,7 +16,7 @@ object SparkEntry {
   def catalog: Seq[DQ] =
     RelationalQueries.all ++ WindowQueries.all ++ SetOpQueries.all ++
       ScalarQueries.all ++ IngestQueries.all ++ LlmQueries.all ++
-      ValidationQueries.all
+      ValidationQueries.all ++ MartQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DQ-J1 star join: scan → broadcast joins → hash agg → sort. */

@@ -134,6 +134,17 @@ object RelationalQueries {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Full per-brand quantity aggregate — the staging model under both
+    * j3's top-10 view and the `brand_qty` mart ([[graft.Marts]]): the
+    * mart must persist EVERY brand (a per-brand upsert can't maintain a
+    * top-K whose membership shifts globally), and the dashboard derives
+    * top-10 at read time. One definition so view and mart can't drift. */
+  private[graft] def brandQty(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(asLong(col("l_quantity"))).as("qty"))
+
   /** J3 — top products KPI (`README.md:15`): lineitem⋈part, top 10 brands
     * by quantity. `part` is a dimension but NOT tiny at 100 TB (1/30 of
     * lineitem) — broadcast is left to AQE's runtime size estimate rather
@@ -142,10 +153,7 @@ object RelationalQueries {
   val j3 = DQ(
     "j3_top_products",
     (s, d) =>
-      li(s, d)
-        .join(prt(s, d), col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand")
-        .agg(sum(asLong(col("l_quantity"))).as("qty"))
+      brandQty(s, d)
         .orderBy(col("qty").desc, col("p_brand"))
         .limit(10),
     Some("""SELECT p_brand, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty

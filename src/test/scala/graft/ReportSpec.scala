@@ -54,7 +54,9 @@ class ReportSpec extends AnyFunSuite {
     val back = mapper.readTree(java.nio.file.Files.readAllBytes(f))
     assert(back.get("top_products").size() === 10)
     assert(Report.parse(List("--sf", sf, "--out", f.toString))
-      === Report.Args(sf, Some(f.toString)))
+      === Report.Args(sf, None, Some(f.toString)))
+    assert(Report.parse(List("--sf", sf, "--mart", "/tmp/m"))
+      === Report.Args(sf, Some("/tmp/m"), None))
     intercept[IllegalArgumentException](Report.parse(List("--bogus")))
   }
 }
