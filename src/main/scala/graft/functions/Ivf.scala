@@ -43,15 +43,28 @@ object Ivf {
     * reproduce (same determinism model as the generator's hash draws).
     * Returns (cid, cv) with cid = 0..k-1. */
   def seedCentroids(e: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    // The global window runs on k candidates' worth of ordering over the
-    // corpus — acceptable for training (one pass, tiny output); limit()
-    // keeps the sort a TakeOrdered, not a global sort.
-    e.select(col("vec_id"), col("v"))
+    // limit() keeps the corpus-side sort a TakeOrdered (top-k per
+    // partition, k-way merge), not a global sort. The k survivors are
+    // then ranked WITHOUT a window: cid = count of strictly-smaller
+    // (hash, vec_id) keys among the k, via a broadcast self-join —
+    // order-independent (no reliance on row order through the limit) and
+    // free of the partition-less WindowExec a global row_number plans
+    // (whose "No Partition Defined" degradation warning reads data-sized
+    // even though this frame is k rows; Spark's EliminateWindowPartitions
+    // folds any constant partition key back to the empty spec, so the
+    // warning can't be declared away). k² = 256 comparisons.
+    val top = e.select(col("vec_id"), col("v"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(k)
-      .select((row_number().over(w) - 1).as("cid"), col("v").as("cv"))
+      .withColumn("hk", xxhash64(col("vec_id")))
+    val keys = top.select(col("hk").as("hk2"), col("vec_id").as("vid2"))
+    top.join(broadcast(keys),
+        col("hk2") < col("hk") ||
+          (col("hk2") === col("hk") && col("vid2") < col("vec_id")),
+        "left")
+      .groupBy("vec_id")
+      .agg(count(col("vid2")).cast("int").as("cid"), first(col("v")).as("cv"))
+      .select("cid", "cv")
   }
 
   /** Assign every vector to its nearest centroid: broadcast the k-row

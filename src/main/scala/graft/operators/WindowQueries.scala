@@ -82,7 +82,18 @@ object WindowQueries {
 
   /** W4 — rolling frame aggregate: 7-day revenue trend
     * (`README.md:15`; time indexes `03:31-37`). Range frame over integer
-    * day numbers so the frame bounds are engine-portable. */
+    * day numbers so the frame bounds are engine-portable.
+    *
+    * Scale shape: the input is already the per-day pre-aggregate
+    * (bounded by calendar days), but a global `Window.orderBy` would
+    * still plan a single-partition WindowExec. Instead the window is
+    * PARTITIONED BY MONTH with boundary replication — each month's
+    * partition additionally receives the previous month's last 6 days as
+    * carry-in frame content (marked and dropped after the frame sum), so
+    * every 7-day frame is complete inside its partition. This is the
+    * standard distributed form of an unbounded rolling window: N
+    * independent month partitions + O(6) replicated rows each, instead
+    * of one partition holding the whole series. */
   val w4 = DQ(
     "w4_rolling_revenue",
     (s, d) => {
@@ -90,9 +101,20 @@ object WindowQueries {
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(Det.cents(col("o_totalprice"))).as("daily_cents"))
         .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
-      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
-      daily
+      val own = daily
+        .withColumn("m", trunc(col("day"), "month"))
+        .withColumn("carry", lit(false))
+      // A row also feeds the NEXT month's partition when it lies within
+      // 6 days of that month's start (frames of the next month's first
+      // days reach back into it).
+      val carry = daily
+        .withColumn("m", add_months(trunc(col("day"), "month"), 1))
+        .filter(datediff(col("m"), col("day")) <= 6)
+        .withColumn("carry", lit(true))
+      val w = Window.partitionBy("m").orderBy("day_num").rangeBetween(-6, 0)
+      own.unionByName(carry)
         .withColumn("rolling_7d_cents", sum("daily_cents").over(w))
+        .filter(!col("carry"))
         .select("day", "daily_cents", "rolling_7d_cents")
         .orderBy("day")
     },

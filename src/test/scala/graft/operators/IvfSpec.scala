@@ -77,6 +77,20 @@ class IvfSpec extends AnyFunSuite {
     assert(nCand > 0)
   }
 
+  test("sf0.01 golden: l16's result rows are pinned exactly") {
+    // Same rationale as LshSpec's golden case: l16 has no DuckDB oracle,
+    // and train/assign/probe are fully deterministic at fixed testdata —
+    // pin the exact top-5 so any drift in seeding, Lloyd iteration, or
+    // probe selection fails on the value, not only past a bound.
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).isDirectory)
+    val rows = LlmQueries.l16.fn(spark, sf01)
+      .select("vec_id", "sim_e4", "n_exact_top5_overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((365L, 3700L, 4L), (387L, 3311L, 4L), (423L, 2969L, 4L),
+      (73L, 2954L, 4L), (190L, 2818L, 4L)), s"l16 $rows")
+  }
+
   test("l16 recall: the probed cells contain most of the brute-force top-10") {
     import spark.implicits._
     val top10 = LlmQueries.l3.fn(spark, sf).select("vec_id").as[Long].collect().toSet

@@ -205,6 +205,43 @@ class LshSpec extends AnyFunSuite {
       s"l14 candidates ${l14.getAs[Long]("n_candidates")} vs $nVecs vecs")
   }
 
+  test("sf0.01 golden: no-oracle invariant values are pinned exactly") {
+    // The driver's gate records these queries rows-only (no DuckDB
+    // oracle), and the bound-style specs (<=, >=) only catch
+    // catastrophic drift. Pin the EXACT sf0.01 invariant values —
+    // everything here is deterministic (fixed testdata, fixed seeds,
+    // fixed hyperplanes), so any semantic change to shingling, banding,
+    // pre-filters, or thresholds fails loudly on the changed value.
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).isDirectory)
+    val l9 = LlmQueries.l9.fn(spark, sf01).collect()(0)
+    assert(l9.getAs[Long]("n_candidates") === 81L, s"l9 $l9")
+    assert(l9.getAs[Long]("n_near_dup") === 81L, s"l9 $l9")
+    assert(l9.getAs[Long]("pair_checksum") === 68869L, s"l9 $l9")
+    assert(l9.getAs[Long]("n_planted_found") === 50L, s"l9 $l9")
+    assert(l9.getAs[Long]("n_planted") === 50L, s"l9 $l9")
+    assert(l9.getAs[Long]("cand_per_doc_e2") === 15L, s"l9 $l9")
+    val l10 = LlmQueries.l10.fn(spark, sf01).collect()(0)
+    assert(l10.getAs[Long]("n_docs") === 550L, s"l10 $l10")
+    assert(l10.getAs[Long]("n_sig") === 541L, s"l10 $l10")
+    assert(l10.getAs[Long]("n_candidates") === 509L, s"l10 $l10")
+    assert(l10.getAs[Long]("n_pairs_ham_le3") === 58L, s"l10 $l10")
+    assert(l10.getAs[Long]("pair_checksum") === 50331L, s"l10 $l10")
+    assert(l10.getAs[Long]("n_planted_found") === 38L, s"l10 $l10")
+    assert(l10.getAs[Long]("n_planted") === 50L, s"l10 $l10")
+    val l14 = LlmQueries.l14.fn(spark, sf01).collect()(0)
+    assert(l14.getAs[Long]("n_candidates") === 192L, s"l14 $l14")
+    assert(l14.getAs[Long]("n_near") === 50L, s"l14 $l14")
+    assert(l14.getAs[Long]("pair_checksum") === 49500L, s"l14 $l14")
+    assert(l14.getAs[Long]("n_planted_found") === 50L, s"l14 $l14")
+    assert(l14.getAs[Long]("cand_per_vec_e2") === 35L, s"l14 $l14")
+    val l12 = LlmQueries.l12.fn(spark, sf01)
+      .select("vec_id", "sim_e4", "n_exact_top5_overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(l12 === Seq((387L, 3311L, 2L), (73L, 2954L, 2L), (320L, 2879L, 2L),
+      (483L, 2567L, 2L), (257L, 2481L, 2L)), s"l12 $l12")
+  }
+
   test("sf0.1: candidate bounds and planted recall hold at bench scale") {
     // The unit-scale bound (previous test) can hide a density blowup
     // that only appears at the bench sf — assert the same invariants
