@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -154,6 +154,86 @@ case class SquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd K=64 MinHash signature over an `array<bigint>` of
+  * shingle hashes — `graft_minhash(shs)` yields the same signature as
+  * folding [[MinHash.SigAgg]] over the exploded rows (min is
+  * duplicate-insensitive, the hash family and seeds are shared), but
+  * runs map-side in one generated loop. This is what lets l9 compute
+  * per-document signatures with NO aggregation at all when the source
+  * is already one row per document (the common case for a document
+  * table): K×|shingles| SplitMix64 mixes per row inside the scan's
+  * WholeStageCodegen span, vs. the typed Aggregator's per-row encoder
+  * boundary plus an ObjectHashAggregate. The Aggregator remains the
+  * right tool when shingles arrive pre-exploded or from multiple rows
+  * per document ([[MinHash]] scaladoc). */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash requires an array<bigint> argument, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  // A null element nulls the result (mirrors graft_dot's conservatism);
+  // shingle hashes are never null in practice.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val buf = Array.fill(MinHash.K)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val h = xs.getLong(i)
+      var k = 0
+      while (k < MinHash.K) {
+        val v = MinHash.mix(h ^ MinHash.seeds(k))
+        if (v < buf(k)) buf(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seeds = ctx.addReferenceObj("minhashSeeds", MinHash.seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val z = ctx.freshName("z")
+      val buf = ctx.freshName("buf")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $buf = new long[${MinHash.K}];
+         |java.util.Arrays.fill($buf, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < ${MinHash.K}; $k++) {
+         |    long $z = ($h ^ $seeds[$k]) + 0x9E3779B97F4A7C15L;
+         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |    $z = $z ^ ($z >>> 31);
+         |    if ($z < $buf[$k]) $buf[$k] = $z;
+         |  }
+         |}
+         |if (!${ev.isNull}) ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($buf);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 object NativeVectorExprs {
 
   private val dotBuilder: Seq[Expression] => Expression = children => {
@@ -164,6 +244,11 @@ object NativeVectorExprs {
   private val sqdistBuilder: Seq[Expression] => Expression = children => {
     require(children.length == 2, "graft_sqdist(a, b) takes exactly two arrays")
     SquaredDistance(children.head, children(1))
+  }
+
+  private val minhashBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 1, "graft_minhash(shingle_hashes) takes exactly one array")
+    MinHashSignature(children.head)
   }
 
   /** Inject the native vector expressions into a session being built —
@@ -179,6 +264,10 @@ object NativeVectorExprs {
       FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
       sqdistBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      minhashBuilder))
   }
 
   /** Register into an ALREADY-BUILT session if absent — the fallback for
@@ -199,5 +288,10 @@ object NativeVectorExprs {
         FunctionIdentifier("graft_sqdist"),
         new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
         sqdistBuilder)
+    if (!reg.functionExists(FunctionIdentifier("graft_minhash")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+        minhashBuilder)
   }
 }

@@ -294,52 +294,69 @@ object LlmQueries {
       .as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
 
-  /** Word 3-shingle set per document as 64-bit shingle hashes, exploded
-    * to (doc_id, sh) rows. Shingles are hashed BEFORE the distinct, so
-    * the dedup shuffle and every downstream join carry 8-byte keys —
-    * the shingle strings themselves never leave the map side. (A 64-bit
-    * collision would merge two shingles corpus-wide; at any realistic
-    * vocabulary that is ~0 and only nudges a Jaccard estimate, exactly
-    * like MinHash's own hashing.) */
+  /** Word 3-shingles per document as 64-bit shingle hashes, exploded to
+    * (doc_id, sh) rows — NOT deduplicated: a repeated shingle within a
+    * doc emits a repeated row. Every consumer is duplicate-insensitive
+    * (MinHash takes a min; the shingle SET is recovered via collect_set
+    * in the same aggregation), which saves the corpus-wide distinct
+    * shuffle a pre-deduped frame would cost. Shingles are hashed at the
+    * map side, so downstream only ever carries 8-byte keys — the shingle
+    * strings never leave the scan stage. (A 64-bit collision would merge
+    * two shingles corpus-wide; at any realistic vocabulary that is ~0
+    * and only nudges a Jaccard estimate, exactly like MinHash's own
+    * hashing.) */
   private[operators] def shingles(dd: DataFrame): DataFrame =
     dd.withColumn("toks", split(lower(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
         .as("sh"))
-      .distinct()
 
   /** L9 — MinHash + banded LSH near-duplicate detection, the canonical
     * web-scale near-dup pipeline (shingle → K=64 minhash via the typed
     * Aggregator → 16 bands × 4 rows → bucket equi-join → exact Jaccard
     * only on candidates). NO all-pairs step anywhere: candidates come
-    * from band-bucket equi-joins, and verification joins shingle sets on
-    * (pair, shingle) keys. The shingle frame feeds four consumers, but
-    * Spark's exchange reuse shares the shuffled subtrees (ReusedExchange
-    * in the physical plan), so the corpus is scanned once per distinct
-    * shuffle pipeline — not once per consumer. No DuckDB oracle
-    * (signature hashing is not SQL-portable); the spec pins recall on
-    * the planted dups and asserts a cartesian-free plan. */
+    * from band-bucket equi-joins.
+    *
+    * The document stage is SHUFFLE-FREE: `documents` is one row per doc,
+    * so the distinct shingle-hash set is computed map-side as an array
+    * (`array_distinct(transform(...))` — bounded by document size; docs
+    * are KBs even when the corpus is 100 TB) and the signature by the
+    * native codegen'd `graft_minhash` ([[graft.functions.MinHashSignature]])
+    * over that array, all inside the scan's WholeStageCodegen span. No
+    * explode, no aggregation, no exchange until the 16-byte band keys.
+    * (Were documents pre-exploded or multi-row, [[MinHash.signature]]'s
+    * typed Aggregator is the shuffle path that replaces this.)
+    *
+    * Exact Jaccard on candidates is `array_intersect` after joining the
+    * pair frame to the doc-level frame on each side; both side-joins
+    * shuffle that frame by the same key, so its exchange materializes
+    * once (ReusedExchange) — the shingle corpus crosses the wire exactly
+    * once end-to-end, vs. the original shape where an exploded shingle
+    * frame fed four consumers ((pair,shingle) self-join ×2, counts,
+    * sigs). No DuckDB oracle (signature hashing is not SQL-portable);
+    * the spec pins recall on the planted dups, exact sf0.01 golden
+    * invariants, and a cartesian-free plan. */
   val l9 = DQ(
     "l9_minhash_neardup",
     (s, d) => {
+      graft.functions.NativeVectorExprs.ensureRegistered(s)
       val dd = planted(docs(s, d))
-      val sh = shingles(dd)
-      val sigs = sh
-        .groupBy("doc_id")
-        .agg(MinHash.signature(col("sh")).as("sig"))
-      val buckets = minhashBuckets(sigs)
+      val docAgg = dd
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
+          .as("shs"))
+        .withColumn("n_sh", size(col("shs")).cast("long"))
+        .withColumn("sig", call_function("graft_minhash", col("shs")))
+      val buckets = minhashBuckets(docAgg.select("doc_id", "sig"))
       val pairs = buckets.as("x")
         .join(buckets.as("y"),
           col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
         .distinct()
-      val shA = sh.toDF("ida", "sh")
-      val shB = sh.toDF("idb", "sh")
-      val inter = pairs.join(shA, "ida").join(shB, Seq("idb", "sh"))
-        .groupBy("ida", "idb").agg(count(lit(1)).as("n_inter"))
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       // In-plan invariants (there is no DuckDB oracle for this query, so
       // the driver's per-round record only pins row count + these
       // columns): planted-pair recall — a planted pair is (d, d+off)
@@ -354,9 +371,12 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_planted"))
       val nDocs = dd.agg(count(lit(1)).as("_n_docs"))
       pairs
-        .join(inter, Seq("ida", "idb"), "left").na.fill(0, Seq("n_inter"))
-        .join(counts.toDF("ida", "na"), "ida")
-        .join(counts.toDF("idb", "nb"), "idb")
+        .join(docAgg.select(col("doc_id").as("ida"),
+          col("shs").as("sha"), col("n_sh").as("na")), "ida")
+        .join(docAgg.select(col("doc_id").as("idb"),
+          col("shs").as("shb"), col("n_sh").as("nb")), "idb")
+        .withColumn("n_inter",
+          size(array_intersect(col("sha"), col("shb"))).cast("long"))
         .withColumn("jac_e4",
           round(col("n_inter") * lit(10000.0) /
             (col("na") + col("nb") - col("n_inter"))).cast("long"))

@@ -49,6 +49,45 @@ class LshSpec extends AnyFunSuite {
     assert(one === many)
   }
 
+  test("graft_minhash (native, codegen) equals the typed Aggregator signature") {
+    import spark.implicits._
+    graft.functions.NativeVectorExprs.ensureRegistered(spark)
+    // Same shingle multiset both ways: exploded rows through the udaf vs
+    // the array through the native expression — including duplicates,
+    // which min-of-mixes must ignore.
+    val hs = (0 until 300).map(i => MinHash.mix(i.toLong * 31)) ++
+      (0 until 50).map(i => MinHash.mix(i.toLong * 31)) // dups
+    val viaAgg = hs.map(("d", _)).toDF("doc", "h")
+      .groupBy("doc").agg(MinHash.signature(col("h")).as("sig"))
+      .head().getSeq[Long](1)
+    val viaExpr = Seq(Tuple1(hs)).toDF("shs")
+      .select(call_function("graft_minhash", col("shs")).as("sig"))
+      .head().getSeq[Long](0)
+    assert(viaAgg === viaExpr)
+    // Interpreted path (eval, not codegen) must agree bit-for-bit.
+    val interp = graft.functions.MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        hs, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp === viaExpr)
+  }
+
+  test("l9's document stage is shuffle-free: no aggregation anywhere in the plan") {
+    // documents is one row per doc, so signatures and shingle sets are
+    // computed map-side (array_distinct + graft_minhash) inside the
+    // scan's codegen span — an ObjectHashAggregate (udaf/collect_set)
+    // in l9's plan means the shuffle-free doc stage regressed. The only
+    // aggregates left are the 1-row invariant counters (HashAggregate).
+    val df = LlmQueries.l9.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"l9 re-grew an object hash aggregate:\n${plan.take(2000)}")
+    assert(plan.contains("graft_minhash"), "native minhash missing from l9's plan")
+  }
+
   test("l9 finds every planted near-duplicate pair (drop-first-token copies)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
