@@ -85,7 +85,16 @@ object Ivf {
     * 100 TB that posexplode was the worst shuffle in the IVF path; this
     * is a single hash agg. Vectors in one group must share a dimension
     * (guaranteed by the embedding schema). */
-  private final case class MeanBuf(sums: Array[Double], n: Long)
+  // Qualified-private, NOT `private`: Scala emits plain `private` nested
+  // classes as private in bytecode, and the Janino-compiled encoder
+  // projections (SpecificSafeProjection et al. — generated classes
+  // OUTSIDE this object) then can't touch the constructor or accessors.
+  // That failure is silent-but-slow: Spark logs a CompileException and
+  // falls back to interpreted encoders for every l16 run (this was the
+  // guava LoadingCache stack in the round-6 bench tail). `private[graft]`
+  // has no Java equivalent, so scalac emits public bytecode and the
+  // generated code compiles. Pinned by IvfSpec's CODEGEN_ONLY case.
+  private[graft] final case class MeanBuf(sums: Array[Double], n: Long)
 
   private object VecMeanAgg extends Aggregator[Seq[Double], MeanBuf, Seq[Double]] {
     def zero: MeanBuf = MeanBuf(Array.emptyDoubleArray, 0L)

@@ -234,6 +234,85 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native codegen'd 64-bit SimHash over an `array<bigint>` of token
+  * hashes — `graft_simhash(hs)` yields the same signature as
+  * [[SimHash.signatures]]'s 64-conditional-sum aggregation (per bit:
+  * +1/-1 by bit presence per token OCCURRENCE — duplicates weigh, so
+  * the input array is the token multiset, not a set; sign of the sum is
+  * the signature bit, ties to 0 exactly like the `when(sum > 0, ...)`
+  * form). Lets l10 compute per-document signatures map-side when the
+  * source is one row per document, with no explode and no aggregation;
+  * [[SimHash.signatures]] remains the shuffle path for pre-exploded or
+  * multi-row-per-id inputs. */
+case class SimHashSignature(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash requires an array<bigint> argument, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val acc = new Array[Long](SimHash.Bits)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val h = xs.getLong(i)
+      var k = 0
+      while (k < SimHash.Bits) {
+        acc(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L)
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < SimHash.Bits) {
+      if (acc(k) > 0L) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $acc = new long[${SimHash.Bits}];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < ${SimHash.Bits}; $k++) {
+         |    $acc[$k] += ((($h >>> $k) & 1L) == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $sig = 0L;
+         |  for (int $k = 0; $k < ${SimHash.Bits}; $k++) {
+         |    if ($acc[$k] > 0L) $sig |= (1L << $k);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}
+
 object NativeVectorExprs {
 
   private val dotBuilder: Seq[Expression] => Expression = children => {
@@ -249,6 +328,11 @@ object NativeVectorExprs {
   private val minhashBuilder: Seq[Expression] => Expression = children => {
     require(children.length == 1, "graft_minhash(shingle_hashes) takes exactly one array")
     MinHashSignature(children.head)
+  }
+
+  private val simhashBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 1, "graft_simhash(token_hashes) takes exactly one array")
+    SimHashSignature(children.head)
   }
 
   /** Inject the native vector expressions into a session being built —
@@ -268,6 +352,10 @@ object NativeVectorExprs {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
+      simhashBuilder))
   }
 
   /** Register into an ALREADY-BUILT session if absent — the fallback for
@@ -293,5 +381,10 @@ object NativeVectorExprs {
         FunctionIdentifier("graft_minhash"),
         new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
         minhashBuilder)
+    if (!reg.functionExists(FunctionIdentifier("graft_simhash")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
+        simhashBuilder)
   }
 }

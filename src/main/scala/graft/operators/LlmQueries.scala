@@ -410,11 +410,16 @@ object LlmQueries {
   val l10 = DQ(
     "l10_simhash",
     (s, d) => {
+      graft.functions.NativeVectorExprs.ensureRegistered(s)
       val dd = planted(docs(s, d))
-      val tok = dd.select(col("doc_id"),
-        explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      val sigs = SimHash.signatures(tok, "doc_id", "h")
+      // documents is one row per doc → the token-hash MULTISET (SimHash
+      // weighs duplicate occurrences) is computed map-side and the
+      // signature by the native graft_simhash, bit-identical to
+      // SimHash.signatures' 64-sum aggregation but with no explode and
+      // no shuffle (same shape as l9's doc stage).
+      val sigs = dd.select(col("doc_id"),
+        call_function("graft_simhash",
+          transform(split(lower(col("text")), "\\s+"), t => xxhash64(t))).as("sig"))
       val buckets = sigs.select(col("doc_id"), col("sig"),
         explode(SimHash.bands(col("sig"), 4)).as("b"))
         .select(col("doc_id"), col("sig"), col("b.band_id"), col("b.bval"))

@@ -91,6 +91,28 @@ class IvfSpec extends AnyFunSuite {
       (73L, 2954L, 4L), (190L, 2818L, 4L)), s"l16 $rows")
   }
 
+  test("IVF mean-buffer encoders compile under CODEGEN_ONLY (no interpreted fallback)") {
+    // Round-6's official bench tail carried a Janino CompileException +
+    // guava LoadingCache stack: MeanBuf was `private`, which scalac
+    // emits as private BYTECODE, so the generated SpecificSafeProjection
+    // could not call its constructor/accessors and every l16 run fell
+    // back to interpreted encoders — correct but slow, and noisy at
+    // ERROR level. Forcing the codegen factory mode turns that silent
+    // fallback into a test failure.
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val cent = Ivf.train(vecs, k = 8, iters = 2)
+      assert(cent.collect().nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("l16 recall: the probed cells contain most of the brute-force top-10") {
     import spark.implicits._
     val top10 = LlmQueries.l3.fn(spark, sf).select("vec_id").as[Long].collect().toSet

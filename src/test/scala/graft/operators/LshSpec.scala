@@ -161,6 +161,43 @@ class LshSpec extends AnyFunSuite {
     assert(hamming <= 8, s"near-identical docs hamming $hamming")
   }
 
+  test("graft_simhash (native, codegen) equals the 64-sum aggregation signature") {
+    import spark.implicits._
+    graft.functions.NativeVectorExprs.ensureRegistered(spark)
+    // Duplicates must weigh: repeat a block of tokens so per-bit sums
+    // differ from the set form, and include a singleton doc.
+    val tokens = (0 until 150).map(i => s"t$i") ++ (0 until 40).map(i => s"t$i")
+    val viaAgg = SimHash.signatures(
+      tokens.map(("d", _)).toDF("doc", "tok")
+        .select(col("doc"), xxhash64(col("tok")).as("h")), "doc", "h")
+      .head().getLong(1)
+    val viaExpr = Seq(Tuple1(tokens)).toDF("toks")
+      .select(call_function("graft_simhash",
+        transform(col("toks"), t => xxhash64(t))).as("sig"))
+      .head().getLong(0)
+    assert(viaAgg === viaExpr)
+    val interp = graft.functions.SimHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        tokens.map(t => graft.functions.MinHash.mix(t.hashCode.toLong)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      .eval(null)
+    val codegenSame = Seq(Tuple1(tokens.map(t =>
+      graft.functions.MinHash.mix(t.hashCode.toLong)))).toDF("hs")
+      .select(call_function("graft_simhash", col("hs")).as("sig"))
+      .head().getLong(0)
+    assert(interp === codegenSame)
+  }
+
+  test("l10's signature stage is shuffle-free (native graft_simhash, no token explode)") {
+    val df = LlmQueries.l10.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_simhash"), "native simhash missing from l10's plan")
+    assert(!plan.toLowerCase.contains("generate explode(split"),
+      s"l10 re-grew the token explode:\n${plan.take(2000)}")
+  }
+
   test("l10 finds the planted duplicates as hamming<=3 bucket pairs") {
     val row = LlmQueries.l10.fn(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_pairs_ham_le3") > 0)
