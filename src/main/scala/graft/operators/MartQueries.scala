@@ -31,7 +31,10 @@ object MartQueries {
       // month (grouping-key predicate pushes below the aggregate) and
       // upsert it over the live buckets with a newer version.
       Marts.refresh(s, d, base, Marts.revenueTrend, version = 1L)
-      val lastMonth = RelationalQueries.a2.fn(s, d)
+      // Latest group key from the mart just built (80-row bounded read),
+      // not a recompute of the full a2 aggregate — the mart after a full
+      // refresh holds exactly a2's rows, so max(month) is identical.
+      val lastMonth = Marts.read(s, base, Marts.revenueTrend).get
         .agg(max(col("month"))).collect()(0).getString(0)
       Marts.refresh(s, d, base, Marts.revenueTrend, version = 2L,
         where = Some(col("month") === lastMonth))
