@@ -234,6 +234,107 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native codegen'd hyperplane sign signature — `graft_hpsig(v, planes)`
+  * with `planes` a FOLDABLE `array<array<double>>` literal: bit j of the
+  * result is set iff `v · planes[j] > 0`, the dot product left-folding
+  * in array order exactly like [[DotProduct]], so signatures are
+  * bit-identical to the HOF form
+  * (`aggregate(sequence(...), acc | if(graft_dot(...) > 0, ...))`) it
+  * replaces. The HOF form pays interpreted dispatch for the outer fold
+  * AND forces the inner dot through the interpreted eval path; here the
+  * whole n·d loop (64×64 = 4096 multiply-adds for the near-dup path)
+  * compiles into the consuming WholeStageCodegen span, with the plane
+  * matrix attached once as a reference object, not evaluated per row.
+  *
+  * Null/mismatch parity with the HOF form: a null or length-mismatched
+  * dot made `if(null > 0, ...)` take the else branch — bit unset, not a
+  * null signature — so a plane whose dot is undefined contributes 0
+  * here too; only a null vector nulls the result. */
+case class HyperplaneSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_hpsig requires the plane matrix to be a literal")
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_hpsig requires (array<double>, array<array<double>>), got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hpsig"
+  override def nullable: Boolean = true
+
+  /** The folded plane matrix, extracted once (≤ 64 planes by contract —
+    * the signature is one long). */
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    require(arr != null && arr.numElements() <= 64,
+      "graft_hpsig: plane matrix must be non-null with at most 64 rows")
+    (0 until arr.numElements()).map { j =>
+      arr.getArray(j).toDoubleArray()
+    }.toArray
+  }
+
+  override def nullSafeEval(a: Any, ignored: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      if (p.length == n) {
+        var s = 0.0
+        var i = 0
+        var ok = true
+        while (i < n && ok) {
+          if (v.isNullAt(i)) ok = false
+          else { s += v.getDouble(i) * p(i); i += 1 }
+        }
+        if (ok && s > 0.0) sig |= (1L << j)
+      }
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("hpsigPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val ok = ctx.freshName("ok")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $mat.length; $j++) {
+         |  double[] $p = $mat[$j];
+         |  if ($p.length == $n) {
+         |    double $s = 0.0;
+         |    boolean $ok = true;
+         |    for (int $i = 0; $i < $n && $ok; $i++) {
+         |      if ($a.isNullAt($i)) { $ok = false; }
+         |      else { $s += $a.getDouble($i) * $p[$i]; }
+         |    }
+         |    if ($ok && $s > 0.0) $sig |= (1L << $j);
+         |  }
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneSignature =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd 64-bit SimHash over an `array<bigint>` of token
   * hashes — `graft_simhash(hs)` yields the same signature as
   * [[SimHash.signatures]]'s 64-conditional-sum aggregation (per bit:
@@ -335,6 +436,11 @@ object NativeVectorExprs {
     SimHashSignature(children.head)
   }
 
+  private val hpsigBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_hpsig(v, planes) takes a vector and a plane matrix")
+    HyperplaneSignature(children.head, children(1))
+  }
+
   /** Inject the native vector expressions into a session being built —
     * the public extensions hook (`SparkSessionExtensions`), not a
     * private registry poke, so the registration survives session
@@ -356,6 +462,10 @@ object NativeVectorExprs {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
       simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hpsig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hpsig"),
+      hpsigBuilder))
   }
 
   /** Register into an ALREADY-BUILT session if absent — the fallback for
@@ -386,5 +496,10 @@ object NativeVectorExprs {
         FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
         simhashBuilder)
+    if (!reg.functionExists(FunctionIdentifier("graft_hpsig")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_hpsig"),
+        new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hpsig"),
+        hpsigBuilder)
   }
 }

@@ -505,24 +505,22 @@ object LlmQueries {
 
   /** Append an n-bit sign signature column `sig` (bit j = sign of
     * v·plane_j) to a frame with vector column `v` (array<double>).
-    * Pure per-row O(n·d) HOF math. The plane matrix is ONE
-    * `typedlit` literal (a single Catalyst node) folded with nested
-    * `aggregate`/`zip_with` — the round-3 shape (64 `withColumn`s over
-    * 64-element array literals) paid a ~4096-node analysis/codegen cost
-    * on every invocation. The inner dot product left-folds in array
-    * order, matching [[VectorOps.dot]] bit-for-bit, so signatures are
-    * unchanged. */
+    * One native codegen'd expression ([[graft.functions.HyperplaneSignature]],
+    * `graft_hpsig(v, planes)`) computes the whole n·d loop inside the
+    * consuming WholeStageCodegen span — the earlier HOF fold
+    * (`aggregate` over `graft_dot`) was CodegenFallback, paying
+    * interpreted dispatch for the outer fold and forcing the inner dot
+    * through its interpreted eval. The plane matrix rides along as ONE
+    * foldable `typedlit` (attached to the generated class as a
+    * reference object, not evaluated per row), and the inner dot
+    * left-folds in array order, matching [[VectorOps.dot]] bit-for-bit,
+    * so signatures are unchanged. */
   private[operators] def hyperplaneSig(df: DataFrame, planes: Array[Array[Double]]): DataFrame = {
-    // graft_dot resolves against the frame's session at analysis time —
+    // graft_hpsig resolves against the frame's session at analysis time —
     // self-register for sessions not built via graft.Session.
     graft.functions.NativeVectorExprs.ensureRegistered(df.sparkSession)
-    df.withColumn("_planes", typedLit(planes.map(_.toSeq).toSeq))
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, size(_planes) - 1), cast(0 as bigint),
-             (acc, j) -> acc | if(
-               graft_dot(v, element_at(_planes, j + 1)) > 0,
-               shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""))
-      .drop("_planes")
+    df.withColumn("sig", call_function("graft_hpsig",
+      col("v"), typedLit(planes.map(_.toSeq).toSeq)))
   }
 
   /** L12 — LSH-bucketed approximate nearest neighbor (the scale path for

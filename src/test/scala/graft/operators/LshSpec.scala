@@ -204,6 +204,28 @@ class LshSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_docs") === 550) // 500 + 50 planted
   }
 
+  test("graft_hpsig (native, codegen) equals the HOF aggregate-over-graft_dot fold") {
+    graft.functions.NativeVectorExprs.ensureRegistered(spark)
+    // Real vectors, real planes: sign signatures must agree bit-for-bit
+    // with the interpreted fold the native expression replaced —
+    // including sign flips that hinge on float summation order.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val viaNative = LlmQueries.hyperplaneSig(e, LlmQueries.hyperplanes64)
+      .select("vec_id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHof = e
+      .withColumn("_planes",
+        typedLit(LlmQueries.hyperplanes64.map(_.toSeq).toSeq))
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, size(_planes) - 1), cast(0 as bigint),
+             (acc, j) -> acc | if(
+               graft_dot(v, element_at(_planes, j + 1)) > 0,
+               shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""))
+      .select("vec_id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNative === viaHof)
+    assert(viaNative.values.toSet.size > 1, "degenerate signatures")
+  }
+
   test("l14 recovers at least 80% of the planted cosine near-duplicate pairs") {
     import graft.functions.VectorOps
     val row = LlmQueries.l14.fn(spark, sf).collect()(0)
