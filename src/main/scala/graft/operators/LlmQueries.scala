@@ -31,7 +31,10 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
-  private val normHash: Column = sha2(lower(trim(col("text"))), 256)
+  /** Canonical content hash for exact dedup — shared by batch L1 and the
+    * streaming ingest dedup ([[graft.streaming.StreamingDedup]]) so the
+    * two can never disagree on what "same document" means. */
+  private[graft] val normHash: Column = sha2(lower(trim(col("text"))), 256)
 
   // ---------------------------------------------------------------- dedup
 
