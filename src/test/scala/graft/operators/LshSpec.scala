@@ -88,6 +88,32 @@ class LshSpec extends AnyFunSuite {
     assert(plan.contains("graft_minhash"), "native minhash missing from l9's plan")
   }
 
+  test("native signature expressions: empty/null edge cases") {
+    import spark.implicits._
+    graft.functions.NativeVectorExprs.ensureRegistered(spark)
+    // Empty input: minhash = K untouched minima (MaxValue), simhash = 0
+    // (every per-bit sum is 0, ties round down), hpsig on a 0-dim vector
+    // = 0 (every plane length-mismatches -> bit unset, not null).
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+    val mh = empty.select(call_function("graft_minhash", col("hs"))).head().getSeq[Long](0)
+    assert(mh.length === MinHash.K && mh.forall(_ === Long.MaxValue))
+    assert(empty.select(call_function("graft_simhash", col("hs"))).head().getLong(0) === 0L)
+    val emptyV = Seq(Tuple1(Seq.empty[Double])).toDF("v")
+    assert(emptyV.select(call_function("graft_hpsig", col("v"),
+      typedLit(LlmQueries.hyperplanes16.map(_.toSeq).toSeq))).head().getLong(0) === 0L)
+    // Null input nulls all three (null-intolerant unary/binary paths).
+    val nullArr = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS hs, CAST(NULL AS ARRAY<DOUBLE>) AS v")
+    assert(nullArr.select(call_function("graft_minhash", col("hs"))).head().isNullAt(0))
+    assert(nullArr.select(call_function("graft_simhash", col("hs"))).head().isNullAt(0))
+    assert(nullArr.select(call_function("graft_hpsig", col("v"),
+      typedLit(LlmQueries.hyperplanes16.map(_.toSeq).toSeq))).head().isNullAt(0))
+    // A null ELEMENT nulls minhash/simhash (mirrors graft_dot's
+    // conservatism) — both the codegen and interpreted paths.
+    val withNull = spark.sql("SELECT array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)) AS hs")
+    assert(withNull.select(call_function("graft_minhash", col("hs"))).head().isNullAt(0))
+    assert(withNull.select(call_function("graft_simhash", col("hs"))).head().isNullAt(0))
+  }
+
   test("l9 finds every planted near-duplicate pair (drop-first-token copies)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
