@@ -288,14 +288,14 @@ object LlmQueries {
     * long range under ANSI mode; the xor folds in the full 64-bit
     * minhash value). Shared with the spec so the test exercises the
     * production bucketing, not a copy. */
-  private[operators] def minhashBuckets(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), explode(expr(
+  private[graft] def minhashBuckets(sigs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    sigs.select(Seq(col("doc_id"), explode(expr(
       """transform(sequence(0, 15), i ->
            struct(i as band_id,
                   aggregate(slice(sig, i * 4 + 1, 4), cast(98765 as bigint),
                             (acc, x) -> pmod((acc * 31) ^ x, 1000000007)) as bkey))"""))
-      .as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+      .as("b")) ++ keep.map(col): _*)
+      .select(Seq(col("doc_id"), col("b.band_id"), col("b.bkey")) ++ keep.map(col): _*)
 
   /** Word 3-shingles per document as 64-bit shingle hashes, exploded to
     * (doc_id, sh) rows — NOT deduplicated: a repeated shingle within a
@@ -314,6 +314,29 @@ object LlmQueries {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
         .as("sh"))
+
+  /** SHUFFLE-FREE per-document sketch — the map-side stage shared by
+    * batch l9 and the streaming near-dup screen
+    * ([[graft.streaming.StreamingNearDup]]), so the two compute
+    * identical sketches by construction: `documents` is one row per
+    * doc, so the distinct shingle-hash set is an `array_distinct` over
+    * the in-row transform (bounded by document size — docs are KBs even
+    * when the corpus is 100 TB) and the K=64 signature is the native
+    * codegen'd `graft_minhash` over that array, all inside the scan's
+    * WholeStageCodegen span. No explode, no aggregation, no exchange.
+    * Docs under 3 tokens have no 3-shingle and are dropped, exactly as
+    * the exploded form drops them. Output: (doc_id, shs, n_sh, sig) +
+    * any `keep` columns passed through. */
+  private[graft] def docSketch(dd: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    graft.functions.NativeVectorExprs.ensureRegistered(dd.sparkSession)
+    dd.withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select((Seq(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
+        .as("shs")) ++ keep.map(col)): _*)
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .withColumn("sig", call_function("graft_minhash", col("shs")))
+  }
 
   /** L9 — MinHash + banded LSH near-duplicate detection, the canonical
     * web-scale near-dup pipeline (shingle → K=64 minhash via the typed
@@ -343,16 +366,8 @@ object LlmQueries {
   val l9 = DQ(
     "l9_minhash_neardup",
     (s, d) => {
-      graft.functions.NativeVectorExprs.ensureRegistered(s)
       val dd = planted(docs(s, d))
-      val docAgg = dd
-        .withColumn("toks", split(lower(col("text")), "\\s+"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
-          .as("shs"))
-        .withColumn("n_sh", size(col("shs")).cast("long"))
-        .withColumn("sig", call_function("graft_minhash", col("shs")))
+      val docAgg = docSketch(dd)
       val buckets = minhashBuckets(docAgg.select("doc_id", "sig"))
       val pairs = buckets.as("x")
         .join(buckets.as("y"),

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.LlmQueries
+
+/** Streaming NEAR-duplicate screen — incoming documents checked against
+  * the landed corpus before admission, the ingest-side counterpart of
+  * batch L9 (exact-copy screening is [[StreamingDedup]]; this catches
+  * re-crawls and boilerplate variants that hash differently).
+  *
+  * Spark-first decomposition:
+  *
+  *  - The CORPUS index is built in batch by the same shared map-side
+  *    sketch stage as l9 ([[LlmQueries.docSketch]] — identical shingle
+  *    hashing, identical `graft_minhash` signature by construction) and
+  *    consists of two frames: the per-doc sketch and its 16×4 band
+  *    keys. At 100 TB both persist as parquet (the band index bucketed
+  *    by band key, the sketch by doc id) and are refreshed as batches
+  *    land; here they are frames so specs compose them directly.
+  *  - The STREAM side is stateless per row until the final dedup: the
+  *    incoming doc's sketch and band keys are computed map-side, then
+  *    candidates come from STREAM-STATIC equi-joins — band keys against
+  *    the band index, survivors against the sketch frame for the exact
+  *    Jaccard (`array_intersect`, same arithmetic as l9's verification,
+  *    same ≥ threshold contract). No all-pairs step, no stream-side
+  *    aggregation.
+  *  - A pair matched by several bands emits several identical rows;
+  *    the only stateful operator is `dropDuplicatesWithinWatermark` on
+  *    the (incoming, corpus) pair — watermark-bounded state, same
+  *    contract as [[StreamingDedup.withinWatermark]].
+  *
+  * Output: one row per flagged (incoming doc, corpus doc) pair with the
+  * exact Jaccard ×10000. Admission policy (quarantine vs drop vs tag)
+  * is the caller's sink decision — typically `foreachBatch` anti-joining
+  * the microbatch against the flagged ids before landing.
+  */
+object StreamingNearDup {
+
+  /** Jaccard admission threshold ×10000 — l9's near-dup bar. */
+  val DefaultThresholdE4 = 6000L
+
+  /** Batch-built corpus index: `sketch` = (doc_id, shs, n_sh, sig),
+    * `bands` = (doc_id, band_id, bkey). */
+  final case class Index(sketch: DataFrame, bands: DataFrame)
+
+  def buildIndex(corpus: DataFrame): Index = {
+    val sk = LlmQueries.docSketch(corpus)
+    Index(sk, LlmQueries.minhashBuckets(sk.select("doc_id", "sig")))
+  }
+
+  /** Screen a streaming document frame (doc_id, text, `tsCol`) against
+    * `idx`. Emits flagged pairs (doc_id, corpus_id, jac_e4, `tsCol`);
+    * a doc with no flagged pair produces no row (it is admissible).
+    * Docs under 3 tokens carry no 3-shingle signal and are admissible
+    * by construction, exactly as batch l9 skips them.
+    *
+    * The sketch payload (shs, n_sh, ts) rides THROUGH the band explode
+    * rather than re-joining the stream to itself afterwards — a
+    * stream-stream self-join would demand its own watermark/time-range
+    * machinery for what is a purely row-local duplication. Cost: the
+    * doc's shingle array appears on its 16 band rows; rows this wide
+    * exist only between the map stage and the band join's shuffle. */
+  def screen(stream: DataFrame, idx: Index, tsCol: String, delay: String,
+      thresholdE4: Long = DefaultThresholdE4): DataFrame = {
+    val bands = LlmQueries.minhashBuckets(
+      LlmQueries.docSketch(stream, keep = Seq(tsCol)),
+      keep = Seq("shs", "n_sh", tsCol))
+    val corpusBands = idx.bands
+      .select(col("doc_id").as("corpus_id"), col("band_id"), col("bkey"))
+    val corpusSketch = idx.sketch
+      .select(col("doc_id").as("corpus_id"),
+        col("shs").as("c_shs"), col("n_sh").as("c_n"))
+    bands
+      .join(corpusBands, Seq("band_id", "bkey")) // stream-static equi-join
+      .join(corpusSketch, "corpus_id")           // stream-static equi-join
+      .withColumn("n_inter",
+        size(array_intersect(col("shs"), col("c_shs"))).cast("long"))
+      .withColumn("jac_e4",
+        round(col("n_inter") * lit(10000.0) /
+          (col("n_sh") + col("c_n") - col("n_inter"))).cast("long"))
+      .filter(col("jac_e4") >= thresholdE4)
+      .select("doc_id", "corpus_id", "jac_e4", tsCol)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+}

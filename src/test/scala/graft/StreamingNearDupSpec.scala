@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming near-dup screen: incoming docs banded map-side and checked
+  * against the batch-built corpus index through stream-static joins —
+  * the ingest-side gate of batch L9. */
+class StreamingNearDupSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  private val corpusText = "the quick brown fox jumps over the lazy dog " +
+    "while seventeen astronauts compile quarterly reports under moonlight"
+  private val nearDupText = corpusText.split(" ").drop(1).mkString(" ")
+
+  private def corpus = {
+    import spark.implicits._
+    Seq((100L, corpusText),
+        (101L, "completely different language about tax law and gardening tips"))
+      .toDF("doc_id", "text")
+  }
+
+  test("a re-crawled variant is flagged against its corpus doc exactly once; " +
+      "novel and sub-shingle docs are admissible") {
+    val in = Files.createTempDirectory("graft_sneardup_").toString
+    // One microbatch: a near-dup of corpus doc 100 (first token dropped —
+    // hashes differently, so exact dedup would admit it), a novel doc,
+    // and a 2-token doc below the shingle width.
+    Files.write(Paths.get(in, "f1.json"), String.join("\n",
+      s"""{"doc_id":1,"text":"$nearDupText","ts":"2026-01-01T10:00:00Z"}""",
+      """{"doc_id":2,"text":"entirely fresh prose mentioning submarines and accordions with gusto","ts":"2026-01-01T10:00:01Z"}""",
+      """{"doc_id":3,"text":"two tokens","ts":"2026-01-01T10:00:02Z"}""").getBytes)
+
+    val idx = StreamingNearDup.buildIndex(corpus)
+    val stream = spark.readStream.schema(schema).json(in)
+    val q = StreamingNearDup.screen(stream, idx, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("sneardup").collect()
+    // Exactly one flagged pair — several of the 16 bands match the
+    // near-identical signature, so this also proves the pair-level
+    // within-watermark dedup collapsed the band multiplicity.
+    assert(rows.length === 1, s"got ${rows.mkString("; ")}")
+    assert(rows(0).getAs[Long]("doc_id") === 1L)
+    assert(rows(0).getAs[Long]("corpus_id") === 100L)
+    // Dropping 1 of 15 tokens keeps 12 of 13 shingles: jac ≈ 0.92.
+    assert(rows(0).getAs[Long]("jac_e4") >= StreamingNearDup.DefaultThresholdE4,
+      s"jac ${rows(0).getAs[Long]("jac_e4")}")
+  }
+
+  test("the streaming screen's jaccard matches batch l9's verification arithmetic") {
+    // Same pair, computed through the batch doc-sketch + array_intersect
+    // path the screen shares — values must be identical, not just both
+    // above threshold.
+    import spark.implicits._
+    val both = Seq((1L, nearDupText), (100L, corpusText)).toDF("doc_id", "text")
+    val sk = graft.operators.LlmQueries.docSketch(both)
+    val a = sk.filter(col("doc_id") === 1L)
+      .select(col("shs").as("sha"), col("n_sh").as("na"))
+    val b = sk.filter(col("doc_id") === 100L)
+      .select(col("shs").as("shb"), col("n_sh").as("nb"))
+    val batchJac = a.crossJoin(b)
+      .select(round(size(array_intersect(col("sha"), col("shb"))).cast("long") * lit(10000.0) /
+        (col("na") + col("nb") - size(array_intersect(col("sha"), col("shb"))).cast("long")))
+        .cast("long").as("jac_e4"))
+      .head().getLong(0)
+    val streamed = spark.table("sneardup").collect()
+    assume(streamed.nonEmpty, "runs after the screen test in suite order")
+    assert(streamed(0).getAs[Long]("jac_e4") === batchJac)
+  }
+}
