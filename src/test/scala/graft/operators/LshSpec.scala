@@ -88,6 +88,29 @@ class LshSpec extends AnyFunSuite {
     assert(plan.contains("graft_minhash"), "native minhash missing from l9's plan")
   }
 
+  test("property: graft_minhash/graft_simhash equal their aggregation forms " +
+      "on random multisets") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    graft.functions.NativeVectorExprs.ensureRegistered(spark)
+    val hsGen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val p = Prop.forAll(hsGen) { hs =>
+      val viaMinAgg = hs.map(("d", _)).toDF("doc", "h")
+        .groupBy("doc").agg(MinHash.signature(col("h")).as("sig"))
+        .head().getSeq[Long](1)
+      val viaSimAgg = SimHash.signatures(
+        hs.map(("d", _)).toDF("doc", "h"), "doc", "h").head().getLong(1)
+      val native = Seq(Tuple1(hs)).toDF("hs")
+        .select(call_function("graft_minhash", col("hs")).as("m"),
+          call_function("graft_simhash", col("hs")).as("s"))
+        .head()
+      native.getSeq[Long](0) == viaMinAgg && native.getLong(1) == viaSimAgg
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30).withWorkers(1), p)
+    assert(res.passed, res.toString)
+  }
+
   test("native signature expressions: empty/null edge cases") {
     import spark.implicits._
     graft.functions.NativeVectorExprs.ensureRegistered(spark)
