@@ -50,6 +50,22 @@ object StreamingNearDup {
     Index(sk, LlmQueries.minhashBuckets(sk.select("doc_id", "sig")))
   }
 
+  /** Persist an index — the steady-state contract: the corpus is
+    * sketched once per refresh in batch, and every streaming screen
+    * reads the SAME materialized frames instead of re-sketching 100 TB
+    * per query start. Band rows are laid out sorted by (band_id, bkey)
+    * so a band-key equi-join scans clustered row groups; the sketch by
+    * doc_id for the verification join. */
+  def writeIndex(idx: Index, base: String): Unit = {
+    idx.sketch.sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$base/sketch")
+    idx.bands.sortWithinPartitions("band_id", "bkey")
+      .write.mode("overwrite").parquet(s"$base/bands")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, base: String): Index =
+    Index(spark.read.parquet(s"$base/sketch"), spark.read.parquet(s"$base/bands"))
+
   /** Screen a streaming document frame (doc_id, text, `tsCol`) against
     * `idx`. Emits flagged pairs (doc_id, corpus_id, jac_e4, `tsCol`);
     * a doc with no flagged pair produces no row (it is admissible).

@@ -61,6 +61,25 @@ class StreamingNearDupSpec extends AnyFunSuite {
       s"jac ${rows(0).getAs[Long]("jac_e4")}")
   }
 
+  test("a persisted index screens identically to the in-memory one") {
+    val base = Files.createTempDirectory("graft_sneardup_idx_").toString
+    StreamingNearDup.writeIndex(StreamingNearDup.buildIndex(corpus), base)
+    val idx = StreamingNearDup.readIndex(spark, base)
+
+    val in = Files.createTempDirectory("graft_sneardup_pidx_").toString
+    Files.write(Paths.get(in, "f1.json"),
+      s"""{"doc_id":7,"text":"$nearDupText","ts":"2026-01-01T10:00:00Z"}""".getBytes)
+    val stream = spark.readStream.schema(schema).json(in)
+    val q = StreamingNearDup.screen(stream, idx, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sneardup_pidx")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("sneardup_pidx").collect()
+    assert(rows.length === 1 && rows(0).getAs[Long]("corpus_id") === 100L,
+      s"got ${rows.mkString("; ")}")
+  }
+
   test("the streaming screen's jaccard matches batch l9's verification arithmetic") {
     // Same pair, computed through the batch doc-sketch + array_intersect
     // path the screen shares — values must be identical, not just both
