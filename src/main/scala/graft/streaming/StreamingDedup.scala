@@ -35,21 +35,25 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  private def hashed(docs: DataFrame): DataFrame =
-    docs.withColumn("_h", graft.operators.LlmQueries.normHash)
+  // Namespaced so a caller's own `_h`-ish column can't be clobbered by
+  // the withColumn + drop round-trip.
+  private val H = "_graft_content_hash"
 
-  /** Watermark-bounded exact dedup on `textCol` content. `docs` must be
+  private def hashed(docs: DataFrame): DataFrame =
+    docs.withColumn(H, graft.operators.LlmQueries.normHash)
+
+  /** Watermark-bounded exact dedup on text content. `docs` must be
     * a streaming frame with event-time column `tsCol`; emits the first
     * arrival of each content hash, drops copies whose hash is still in
     * state, and bounds state by `delay`. */
   def withinWatermark(docs: DataFrame, tsCol: String, delay: String): DataFrame =
     hashed(docs)
       .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("_h")
-      .drop("_h")
+      .dropDuplicatesWithinWatermark(H)
+      .drop(H)
 
   /** Unbounded exact dedup — state holds every distinct content hash
     * seen since the query started. */
   def unbounded(docs: DataFrame): DataFrame =
-    hashed(docs).dropDuplicates("_h").drop("_h")
+    hashed(docs).dropDuplicates(H).drop(H)
 }

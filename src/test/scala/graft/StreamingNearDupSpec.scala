@@ -80,6 +80,52 @@ class StreamingNearDupSpec extends AnyFunSuite {
       s"got ${rows.mkString("; ")}")
   }
 
+  test("sf0.1: screening a microbatch against the bench-scale corpus index " +
+      "stays candidate-bounded and flags the planted re-crawl") {
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01).isDirectory)
+    import spark.implicits._
+    val corpusDocs = Tables.documents(spark, sf01)
+    val idx = StreamingNearDup.buildIndex(corpusDocs)
+
+    // Microbatch: 30 re-crawled corpus docs (first token dropped — the
+    // same variant family as l9's planted dups) + 10 novel docs, ids
+    // offset past the corpus range.
+    val base = corpusDocs.orderBy("doc_id").limit(30)
+      .select(col("doc_id"), col("text")).collect()
+    val novel = (0 until 10).map(i =>
+      (9000000L + i, s"novel stream doc $i about glaciers accordions and item${i * 7}"))
+    val lines = base.zipWithIndex.map { case (r, i) =>
+      val t = r.getString(1).split("\\s+").drop(1).mkString(" ")
+        .replace("\\", "").replace("\"", "")
+      s"""{"doc_id":${8000000L + i},"text":"$t","ts":"2026-01-01T10:00:00Z"}"""
+    } ++ novel.map { case (id, t) =>
+      s"""{"doc_id":$id,"text":"$t","ts":"2026-01-01T10:00:01Z"}""" }
+    val in = Files.createTempDirectory("graft_sneardup_sf01_").toString
+    Files.write(Paths.get(in, "f1.json"), String.join("\n", lines: _*).getBytes)
+
+    val q = StreamingNearDup.screen(
+      spark.readStream.schema(schema).json(in), idx, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sneardup_sf01")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("sneardup_sf01").collect()
+    val flaggedIn = rows.map(_.getAs[Long]("doc_id")).distinct
+    // Long enough re-crawls must be caught (sub-4-token docs have no
+    // signal by construction); novel docs must pass.
+    val eligible = base.zipWithIndex
+      .filter(_._1.getString(1).split("\\s+").length >= 4).map(8000000L + _._2)
+    val missed = eligible.filterNot(flaggedIn.contains)
+    assert(missed.isEmpty, s"re-crawls admitted: $missed")
+    assert(flaggedIn.forall(_ < 9000000L), "a novel doc was flagged")
+    // Density guard, the same discipline as l9's cand_per_doc_e2: the
+    // flagged-pair volume stays near the planted count — template-y
+    // corpora must not bucket-explode the stream side.
+    assert(rows.length <= 40 * 20,
+      s"pair volume ${rows.length} suggests bucket blowup")
+  }
+
   test("the streaming screen's jaccard matches batch l9's verification arithmetic") {
     // Same pair, computed through the batch doc-sketch + array_intersect
     // path the screen shares — values must be identical, not just both
