@@ -780,7 +780,51 @@ object LlmQueries {
                   AND len(string_split_regex(lower(text), '\s+')) >= 4))
             ORDER BY doc_id"""))
 
+  /** L19 — the composed curation pass: ONE scan classifies every doc
+    * keep / duplicate / low_quality, the decision a nightly corpus
+    * curation job actually emits, built from the already-oracle-checked
+    * pieces (L1's canonical-copy rule via a hash-partitioned window,
+    * L6's quality gate). Rule precedence mirrors production curation:
+    * duplicate dominates low_quality — a low-quality copy of a kept doc
+    * is removed as a copy, so quality counts describe CANONICAL docs.
+    * The window partitions by the content hash (no global sort — it
+    * shuffles exactly like L1's groupBy), and the oracle hash-checks
+    * the full (lang × reason) decision matrix. */
+  val l19 = DQ(
+    "l19_curation",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("stop_bp",
+          round(size(expr(
+            "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
+            * lit(10000.0) / size(col("toks"))).cast("long"))
+        .withColumn("canonical_id",
+          min("doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy(normHash)))
+        .withColumn("reason",
+          when(col("doc_id") =!= col("canonical_id"), "duplicate")
+            .when(!(col("n_chars") >= 200 && col("stop_bp") < 2500), "low_quality")
+            .otherwise("keep"))
+        .groupBy("lang", "reason")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "reason"),
+    Some("""SELECT lang, reason, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM (SELECT lang, n_chars,
+                    CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text))))
+                           THEN 'duplicate'
+                         WHEN NOT (n_chars >= 200 AND
+                              CAST(ROUND(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                     t -> list_contains(['the','a','value','table'], t)))
+                                   * 10000.0 / len(string_split_regex(lower(text), '\s+'))) AS BIGINT) < 2500)
+                           THEN 'low_quality'
+                         ELSE 'keep' END AS reason
+                  FROM documents)
+            GROUP BY lang, reason ORDER BY lang, reason"""))
+
   val all: Seq[DQ] =
-    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16)
+    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
+      l19)
 }
 
