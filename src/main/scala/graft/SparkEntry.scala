@@ -14,9 +14,10 @@ object SparkEntry {
 
   /** The whole declared-query catalog, one DQ per SURVEY.md §2 operator. */
   def catalog: Seq[DQ] =
-    RelationalQueries.all ++ WindowQueries.all ++ SetOpQueries.all ++
-      ScalarQueries.all ++ IngestQueries.all ++ LlmQueries.all ++
-      ValidationQueries.all ++ MartQueries.all
+    RelationalQueries.all ++ TemporalJoinQueries.all ++ WindowQueries.all ++
+      SetOpQueries.all ++ ScalarQueries.all ++ IngestQueries.all ++
+      LlmQueries.all ++ SamplingQueries.all ++ ValidationQueries.all ++
+      MartQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DQ-J1 star join: scan → broadcast joins → hash agg → sort. */

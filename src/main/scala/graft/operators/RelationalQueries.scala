@@ -376,6 +376,34 @@ object RelationalQueries {
             CAST(SUM(LENGTH(event_type)) AS BIGINT) AS type_bytes
             FROM events"""))
 
+  /** A9 — exact interpolated percentiles (order-value distribution by
+    * priority — the p50/p90 latency-style KPI every dashboard carries).
+    * Spark's `percentile` and DuckDB's `quantile_cont` both use linear
+    * interpolation at rank (n-1)*p over the integer-cents values, so the
+    * rounded result is engine-portable. Scale: percentile is a sort-based
+    * agg per group — 5 bounded groups here; at 100 TB the same query
+    * over high-cardinality groups would switch to approx_percentile
+    * (t-digest, partial-aggregable), which a5approx already exercises
+    * for the HLL analog. */
+  val a9 = DQ(
+    "a9_percentiles",
+    (s, d) =>
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5D)"))
+            .cast("long").as("p50_cents"),
+          round(expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9D)"))
+            .cast("long").as("p90_cents"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(ROUND(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5))
+              AS BIGINT) AS p50_cents,
+            CAST(ROUND(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9))
+              AS BIGINT) AS p90_cents
+            FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
+
   val all: Seq[DQ] = Seq(p1, p2, p3, p4, p5, j1, j2, j3, j4, j5, j6, j7, j8,
-    a1, a2, a4, a5, a5approx, a6, a7)
+    a1, a2, a4, a5, a5approx, a6, a7, a9)
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{DQ, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling / packing operators — the data-mixing stages of an
+  * LLM training-data pipeline (no reference analog; north-star extension
+  * like the rest of the L-series).
+  *
+  * Scale design (100 TB):
+  *  - l20's sample predicate is a pure per-row hash compare evaluated at
+  *    the scan — no shuffle, no RNG state, and the SAME rows are chosen
+  *    on any cluster size or re-run (md5 of a stable key, not
+  *    `rand()`). Changing a stratum's rate rescales its sample
+  *    monotonically (a kept doc stays kept when the rate increases),
+  *    which is what lets a 100 TB corpus be re-mixed incrementally.
+  *  - l21 packs per SOURCE shard: one shuffle to co-locate each shard,
+  *    then a per-partition running offset — the concat-and-chunk layout
+  *    used for pretraining batches. No global sequence number is ever
+  *    assigned, so shards pack independently and in parallel.
+  */
+object SamplingQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** L5's BPE-ish pre-tokenizer count, shared by l21. */
+  private def nTok(c: org.apache.spark.sql.Column) =
+    size(regexp_extract_all(lower(c),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Per-language keep-rates as 4-hex-digit md5-prefix thresholds
+    * (lexicographic compare == numeric compare on fixed-width lowercase
+    * hex; 'zzzz' > 'ffff' keeps everything). en is downsampled hardest,
+    * zh kept whole — the usual rebalancing direction. */
+  private val thresholds = Seq(
+    "en" -> "2000", "de" -> "4000", "es" -> "8000", "fr" -> "c000", "zh" -> "zzzz")
+
+  /** L20 — stratified deterministic sampling: keep a per-language share
+    * of documents chosen by an md5-prefix threshold on (doc_id, lang).
+    * Output is per-stratum accounting: population, sample size, realized
+    * rate, and an identity checksum over the chosen doc_ids so the gate
+    * pins WHICH rows were sampled, not just how many.
+    */
+  val l20 = DQ(
+    "l20_stratified_sample",
+    (s, d) => {
+      val dd = docs(s, d)
+      val thr = thresholds.foldLeft(lit("0000")) { case (acc, (lang, t)) =>
+        when(col("lang") === lang, t).otherwise(acc)
+      }
+      val sampled = dd
+        .filter(substring(md5(concat_ws(":", col("doc_id"), col("lang"))), 1, 4) < thr)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("doc_id_sum"))
+      dd.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("lang"), "left")
+        .select(
+          col("lang"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          round(coalesce(col("n_sampled"), lit(0L)) * lit(10000.0) / col("n_total"))
+            .cast("long").as("samp_bp"),
+          coalesce(col("doc_id_sum"), lit(0L)).as("doc_id_sum"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+                       FROM documents GROUP BY 1),
+                 s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                              CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+                       FROM documents
+                       WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) <
+                         CASE lang WHEN 'en' THEN '2000' WHEN 'de' THEN '4000'
+                                   WHEN 'es' THEN '8000' WHEN 'fr' THEN 'c000'
+                                   WHEN 'zh' THEN 'zzzz' ELSE '0000' END
+                       GROUP BY 1)
+            SELECT t.lang AS lang, n_total, COALESCE(n_sampled, 0) AS n_sampled,
+              CAST(ROUND(COALESCE(n_sampled, 0) * 10000.0 / n_total) AS BIGINT) AS samp_bp,
+              COALESCE(doc_id_sum, 0) AS doc_id_sum
+            FROM t LEFT JOIN s ON t.lang = s.lang ORDER BY lang"""))
+
+  private val ctx = 256L // context-window length in pre-tokenizer tokens
+
+  /** L21 — sequence packing: concat-and-chunk each source shard's
+    * documents (ordered by doc_id) into fixed 256-token context windows.
+    * A document starts at its shard's running token offset; its chunk is
+    * `offset div ctx`, and it straddles a boundary when its first and
+    * last token fall in different chunks. Output per shard: documents,
+    * tokens, chunks containing a document start, boundary-straddling
+    * documents, total chunk count, and realized fill rate.
+    */
+  val l21 = DQ(
+    "l21_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("source"), col("doc_id"), nTok(col("text")).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          countDistinct(expr(s"(cum - n_tok) div ${ctx}L")).as("n_start_chunks"),
+          sum(when(col("n_tok") > 0 &&
+              expr(s"(cum - n_tok) div ${ctx}L") =!= expr(s"(cum - 1) div ${ctx}L"), 1L)
+            .otherwise(0L)).as("n_straddlers"))
+        .withColumn("n_chunks", expr(s"(total_tokens + ${ctx - 1}L) div ${ctx}L"))
+        .withColumn("fill_bp",
+          round(col("total_tokens") * lit(10000.0) / (col("n_chunks") * lit(ctx)))
+            .cast("long"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+              SELECT source, doc_id,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                  AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT source, n_tok,
+                SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d),
+            g AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                CAST(COUNT(DISTINCT (cum - n_tok) // 256) AS BIGINT) AS n_start_chunks,
+                CAST(SUM(CASE WHEN n_tok > 0 AND (cum - n_tok) // 256 <> (cum - 1) // 256
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+              FROM c GROUP BY 1)
+            SELECT source, n_docs, total_tokens, n_start_chunks, n_straddlers,
+              CAST((total_tokens + 255) // 256 AS BIGINT) AS n_chunks,
+              CAST(ROUND(total_tokens * 10000.0 / (((total_tokens + 255) // 256) * 256))
+                AS BIGINT) AS fill_bp
+            FROM g ORDER BY source"""))
+
+  val all: Seq[DQ] = Seq(l20, l21)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{Session, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + plan-shape pins for the round-7 operators: j9 as-of join,
+  * j10 range join, l20 stratified sampling, l21 sequence packing, a9
+  * exact percentiles.
+  *
+  * The equivalence cases re-derive each result with the NAIVE definition
+  * (inequality join / local recompute) so the scale-shaped plan is
+  * checked against the semantics inside Spark itself, independently of
+  * the driver's DuckDB oracle.
+  */
+class TemporalSamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- j9
+
+  test("j9 as-of join equals the naive inequality-join argmax") {
+    val e = Tables.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vk"), col("ts_us").as("vt"), col("event_id").as("vid"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pk"), col("ts_us").as("pt"), col("event_id").as("pid"))
+    val naive = p.join(v, col("vk") === col("pk") && col("vt") <= col("pt"), "left")
+      .groupBy("pid", "pt")
+      .agg(max(when(col("vid").isNotNull, struct(col("vt"), col("vid")))).as("m"))
+      .select(
+        col("pid").as("purchase_id"),
+        coalesce(col("m.vid"), lit(-1L)).as("view_id"),
+        coalesce(expr("(pt - m.vt) div 1000000"), lit(-1L)).as("gap_sec"))
+      .orderBy("purchase_id")
+    val got = TemporalJoinQueries.j9.fn(spark, sf)
+    assert(got.collect().toSeq === naive.collect().toSeq)
+  }
+
+  test("j9 plans one key shuffle and NO join operator") {
+    val df = TemporalJoinQueries.j9.fn(spark, sf)
+    df.collect()
+    // the AQE toString appends the pre-adaptive "Initial Plan" — count
+    // operators in the final plan section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"as-of must not materialize pairs:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"expected exactly 1 key shuffle, got $hashEx")
+  }
+
+  test("j9 has real cutoffs: some purchases precede every view of their user") {
+    val got = TemporalJoinQueries.j9.fn(spark, sf).collect()
+    assert(got.exists(_.getAs[Long]("view_id") === -1L))
+    assert(got.count(_.getAs[Long]("view_id") != -1L) > got.length / 2)
+  }
+
+  // ------------------------------------------------------------- j10
+
+  test("j10 bucketed range join equals the naive inequality join") {
+    val winUs = 4L * 3600 * 1000000
+    val e = Tables.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vk"), col("ts_us").as("vt"), col("event_id").as("vid"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pk"), col("ts_us").as("pt"), col("event_id").as("pid"))
+    val naive = v.join(p,
+        col("vk") === col("pk") &&
+          col("pt") >= col("vt") && col("pt") < col("vt") + lit(winUs))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("vid")).as("n_views"),
+        countDistinct(col("pid")).as("n_purchases"),
+        coalesce(sum(expr("(pt - vt) div 1000000")), lit(0L)).as("sum_lag_sec"))
+    val got = TemporalJoinQueries.j10.fn(spark, sf)
+    assert(got.collect().toSeq === naive.collect().toSeq)
+    assert(got.collect()(0).getAs[Long]("n_pairs") > 0)
+  }
+
+  test("j10 joins on the (user, bucket) equi keys, not a nested loop") {
+    val df = TemporalJoinQueries.j10.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[vk#\d+L, vb#\d+L\]".r
+      .findFirstIn(plan).isDefined,
+      s"range join must equi-join on (user, bucket):\n$plan")
+    assert(!plan.contains("NestedLoop"))
+  }
+
+  // ------------------------------------------------------------- l20
+
+  test("l20 sampling is monotone in the rate and consistent with its accounting") {
+    def ids(thr: String): Set[Long] =
+      Tables.documents(spark, sf)
+        .filter(col("lang") === "en" &&
+          substring(md5(concat_ws(":", col("doc_id"), col("lang"))), 1, 4) < lit(thr))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at2000 = ids("2000"); val at4000 = ids("4000"); val all = ids("zzzz")
+    // Raising a stratum's rate only ADDS documents — the property that
+    // makes deterministic-hash sampling re-mixable at scale.
+    assert(at2000.subsetOf(at4000))
+    assert(at4000.subsetOf(all))
+    val enTotal = Tables.documents(spark, sf)
+      .filter(col("lang") === "en").count()
+    assert(all.size.toLong === enTotal)
+    val row = SamplingQueries.l20.fn(spark, sf)
+      .collect().find(_.getString(0) == "en").get
+    assert(row.getAs[Long]("n_sampled") === at2000.size.toLong)
+    assert(row.getAs[Long]("doc_id_sum") === at2000.sum)
+  }
+
+  // ------------------------------------------------------------- l21
+
+  test("l21 packing equals a local greedy concat-and-chunk recompute") {
+    val ctx = 256L
+    val pat = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    def nTok(t: String): Long = {
+      val m = pat.matcher(t.toLowerCase(java.util.Locale.ROOT))
+      var c = 0L; while (m.find()) c += 1; c
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), nTok(r.getString(2))))
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val toks = rows.sortBy(_._2).map(_._3)
+      val cums = toks.scanLeft(0L)(_ + _).tail
+      val total = if (cums.isEmpty) 0L else cums.last
+      val starts = cums.zip(toks).map { case (cum, t) => cum - t }
+      val nStart = starts.map(_ / ctx).distinct.size.toLong
+      val nStraddle = starts.zip(cums).zip(toks).count {
+        case ((st, cum), t) => t > 0 && st / ctx != (cum - 1) / ctx
+      }.toLong
+      val nChunks = (total + ctx - 1) / ctx
+      val fill = math.round(total * 10000.0 / (nChunks * ctx))
+      (src, rows.length.toLong, total, nStart, nStraddle, nChunks, fill)
+    }
+    val got = SamplingQueries.l21.fn(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // the packing must actually straddle/chunk at this context length,
+    // or the operator degenerates to one chunk per shard
+    assert(got.map(_._6).sum > got.length.toLong)
+  }
+
+  // ------------------------------------------------------------- a9
+
+  test("a9 matches a locally computed interpolated percentile") {
+    val byPrio = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(ROUND(o_totalprice*100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    def pct(sorted: Array[Long], p: Double): Long = {
+      val pos = (sorted.length - 1) * p
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      math.round(sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo)).toDouble)
+    }
+    val got = RelationalQueries.a9.fn(spark, sf).collect()
+    for (row <- got) {
+      val vals = byPrio(row.getString(0)).map(_._2).sorted
+      assert(row.getAs[Long]("n") === vals.length.toLong)
+      assert(row.getAs[Long]("p50_cents") === pct(vals, 0.5), row.getString(0))
+      assert(row.getAs[Long]("p90_cents") === pct(vals, 0.9), row.getString(0))
+    }
+  }
+}
