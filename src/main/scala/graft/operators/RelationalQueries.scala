@@ -392,10 +392,13 @@ object RelationalQueries {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
-          round(expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5D)"))
-            .cast("long").as("p50_cents"),
-          round(expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9D)"))
-            .cast("long").as("p90_cents"))
+          // one sort-based percentile pass for both quantiles — the
+          // two-call form buffers and sorts the group twice
+          expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), array(0.5D, 0.9D))")
+            .as("pcts"))
+        .select(col("o_orderpriority"), col("n"),
+          round(element_at(col("pcts"), 1)).cast("long").as("p50_cents"),
+          round(element_at(col("pcts"), 2)).cast("long").as("p90_cents"))
         .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
             CAST(ROUND(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5))
