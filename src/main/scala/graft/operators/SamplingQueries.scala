@@ -134,5 +134,36 @@ object SamplingQueries {
                 AS BIGINT) AS fill_bp
             FROM g ORDER BY source"""))
 
-  val all: Seq[DQ] = Seq(l20, l21)
+  /** L22 — holdout splitting: partition the corpus into train / val /
+    * test by DISJOINT md5-prefix ranges (~75 / 12.5 / 12.5), keyed on
+    * (doc_id, "split") — a different salt than l20's sampling key, so
+    * sampling and splitting are independent hash draws. Every document
+    * lands in exactly one split by construction (the ranges cover the
+    * hex space), membership is stable across re-runs and cluster sizes,
+    * and — because the hash keys the DOCUMENT — a doc can never leak
+    * between train and test no matter where or when it is processed.
+    * Output per (lang, split): count and doc_id checksum.
+    */
+  val l22 = DQ(
+    "l22_holdout_split",
+    (s, d) => {
+      val h = substring(md5(concat_ws(":", col("doc_id"), lit("split"))), 1, 4)
+      docs(s, d)
+        .withColumn("split",
+          when(h < "c000", "train").when(h < "e000", "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("doc_id_sum"))
+        .orderBy("lang", "split")
+    },
+    Some("""SELECT lang,
+              CASE WHEN h < 'c000' THEN 'train'
+                   WHEN h < 'e000' THEN 'val' ELSE 'test' END AS split,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+            FROM (SELECT lang, doc_id,
+                    substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) AS h
+                  FROM documents)
+            GROUP BY 1, 2 ORDER BY lang, split"""))
+
+  val all: Seq[DQ] = Seq(l20, l21, l22)
 }

@@ -143,6 +143,28 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(got.map(_._6).sum > got.length.toLong)
   }
 
+  // ------------------------------------------------------------- l22
+
+  test("l22 splits are a total, disjoint partition with every split non-empty") {
+    val rows = SamplingQueries.l22.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getAs[Long]("n"), r.getAs[Long]("doc_id_sum"))))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    // totality: per language, the three splits sum to the full corpus in
+    // BOTH count and identity checksum — no doc dropped or double-counted
+    for ((lang, (n, s)) <- docs) {
+      val splits = Seq("train", "val", "test").flatMap(sp => rows.get((lang, sp)))
+      assert(splits.map(_._1).sum === n, s"$lang count")
+      assert(splits.map(_._2).sum === s, s"$lang checksum")
+    }
+    // the corpus-wide split is genuinely three-way (train dominates)
+    def tot(sp: String) = rows.collect { case ((_, `sp`), (n, _)) => n }.sum
+    assert(tot("train") > tot("val") && tot("train") > tot("test"))
+    assert(tot("val") > 0 && tot("test") > 0)
+  }
+
   // ------------------------------------------------------------- a9
 
   test("a9 matches a locally computed interpolated percentile") {
