@@ -407,6 +407,32 @@ object RelationalQueries {
               AS BIGINT) AS p90_cents
             FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** A9b — approximate percentile (t-digest-style quantile summary,
+    * partial-aggregable: the 100 TB path a9's exact sort-based agg
+    * hands off to at high group cardinality). Not hash-comparable by
+    * design → no oracle; the relative error vs the exact quantile is an
+    * in-plan invariant column (a5approx pattern) and the spec bounds it
+    * at 1%. */
+  val a9approx = DQ(
+    "a9_approx_percentiles",
+    (s, d) =>
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5D)")
+            .as("p50_exact"),
+          expr("approx_percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5D, 10000)")
+            .as("p50_approx"))
+        .select(
+          col("o_orderpriority"), col("n"),
+          round(col("p50_exact")).cast("long").as("p50_exact_cents"),
+          col("p50_approx").cast("long").as("p50_approx_cents"),
+          round(abs(col("p50_approx") - col("p50_exact")) * lit(10000.0) / col("p50_exact"))
+            .cast("long").as("err_e4"))
+        .orderBy("o_orderpriority"),
+    None)
+
   val all: Seq[DQ] = Seq(p1, p2, p3, p4, p5, j1, j2, j3, j4, j5, j6, j7, j8,
-    a1, a2, a4, a5, a5approx, a6, a7, a9)
+    a1, a2, a4, a5, a5approx, a6, a7, a9, a9approx)
 }

@@ -167,6 +167,27 @@ class TemporalSamplingSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- a9
 
+  test("a9b approx percentile lands within 1% of the median RANK (the sketch's " +
+      "actual contract; value-space error reflects data granularity, not the sketch)") {
+    val rows = RelationalQueries.a9approx.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPrio = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(ROUND(o_totalprice*100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    for (r <- rows) {
+      val vals = byPrio(r.getString(0)).map(_._2).sorted
+      val v = r.getAs[Long]("p50_approx_cents")
+      // approx_percentile returns an actual value from the group
+      assert(vals.contains(v), s"${r.getString(0)}: $v not a group value")
+      val lo = vals.count(_ < v); val hi = vals.count(_ <= v) - 1
+      val target = (vals.length - 1) * 0.5
+      val rankErr = math.min(math.abs(lo - target), math.abs(hi - target))
+      assert(rankErr <= math.max(1.0, 0.01 * vals.length),
+        s"${r.getString(0)}: rank error $rankErr over n=${vals.length}")
+    }
+  }
+
   test("a9 matches a locally computed interpolated percentile") {
     val byPrio = Tables.orders(spark, sf)
       .select(col("o_orderpriority"),
