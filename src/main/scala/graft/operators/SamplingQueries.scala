@@ -165,5 +165,73 @@ object SamplingQueries {
                   FROM documents)
             GROUP BY 1, 2 ORDER BY lang, split"""))
 
-  val all: Seq[DQ] = Seq(l20, l21, l22)
+  /** L23 — the composed mixing manifest: ONE scan runs the full
+    * train-data assembly decision — l19's curation rule (canonical +
+    * quality), l20's stratified sampling draw, l22's holdout split —
+    * and emits the per-(lang, split) manifest a training run consumes:
+    * surviving documents, their token budget (l5's pre-tokenizer), and
+    * an identity checksum. Composition order mirrors production: curate
+    * first (duplicates/low-quality never reach sampling), sample the
+    * survivors, then split — the split hash is salt-independent of the
+    * sampling hash, so the draw cannot bias the split.
+    *
+    * Plan shape: the only shuffle before the rollup is l19's canonical
+    * window (hash-partitioned by content hash, exactly L1's groupBy
+    * shuffle); sampling and splitting stay per-row predicates on the
+    * scan side of it.
+    */
+  val l23 = DQ(
+    "l23_mix_manifest",
+    (s, d) => {
+      val thr = thresholds.foldLeft(lit("0000")) { case (acc, (lang, t)) =>
+        when(col("lang") === lang, t).otherwise(acc)
+      }
+      val h = substring(md5(concat_ws(":", col("doc_id"), lit("split"))), 1, 4)
+      docs(s, d)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("stop_bp",
+          round(size(expr(
+            "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
+            * lit(10000.0) / size(col("toks"))).cast("long"))
+        .withColumn("canonical_id",
+          min("doc_id").over(Window.partitionBy(LlmQueries.normHash)))
+        .filter(col("doc_id") === col("canonical_id") &&
+          col("n_chars") >= 200 && col("stop_bp") < 2500)
+        .filter(substring(md5(concat_ws(":", col("doc_id"), col("lang"))), 1, 4) < thr)
+        .withColumn("split",
+          when(h < "c000", "train").when(h < "e000", "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok(col("text"))).as("n_tokens"),
+          sum("doc_id").as("doc_id_sum"))
+        .orderBy("lang", "split")
+    },
+    Some("""SELECT lang,
+              CASE WHEN sh < 'c000' THEN 'train'
+                   WHEN sh < 'e000' THEN 'val' ELSE 'test' END AS split,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+            FROM (
+              SELECT lang, doc_id,
+                substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) AS sh,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                  AS BIGINT) AS n_tok
+              FROM (
+                SELECT lang, doc_id, text, n_chars,
+                  MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS canonical_id,
+                  CAST(ROUND(len(list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> list_contains(['the','a','value','table'], t)))
+                       * 10000.0 / len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+                    AS stop_bp
+                FROM documents)
+              WHERE doc_id = canonical_id AND n_chars >= 200 AND stop_bp < 2500
+                AND substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) <
+                  CASE lang WHEN 'en' THEN '2000' WHEN 'de' THEN '4000'
+                            WHEN 'es' THEN '8000' WHEN 'fr' THEN 'c000'
+                            WHEN 'zh' THEN 'zzzz' ELSE '0000' END)
+            GROUP BY 1, 2 ORDER BY lang, split"""))
+
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23)
 }

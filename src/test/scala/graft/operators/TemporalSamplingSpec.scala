@@ -165,6 +165,25 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(tot("val") > 0 && tot("test") > 0)
   }
 
+  // ------------------------------------------------------------- l23
+
+  test("l23 manifest is consistent with the operators it composes") {
+    val manifest = SamplingQueries.l23.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n_docs"))).toMap
+    assert(manifest.nonEmpty && manifest.values.forall(_ > 0))
+    // curation can only REMOVE docs: each manifest cell is bounded by
+    // l22's split cell, and each language total by l20's sample size
+    val splits = SamplingQueries.l22.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n"))).toMap
+    for ((cell, n) <- manifest)
+      assert(n <= splits(cell), s"$cell: manifest $n > split ${splits(cell)}")
+    val sampled = SamplingQueries.l20.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_sampled"))).toMap
+    for ((lang, cells) <- manifest.groupBy(_._1._1))
+      assert(cells.values.sum <= sampled(lang),
+        s"$lang: manifest ${cells.values.sum} > sampled ${sampled(lang)}")
+  }
+
   // ------------------------------------------------------------- a9
 
   test("a9b approx percentile lands within 1% of the median RANK (the sketch's " +
