@@ -75,10 +75,10 @@ object Bench {
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-    // Top-5 cap keeps the line under the harness's capture even on a
-    // fully contended run where every query reads noisy (the 66-query
-    // line measures ~1.8 KB with 5 itemized spreads; 8 ran it to 1.92).
-    val noisy = spreads.filter(_._2 > 0.5).toSeq.sortBy(-_._2).take(5)
+    // Top-3 cap keeps the line under the harness's capture even on a
+    // fully contended run where every query reads noisy (the 69-query
+    // line measures ~1.82 KB bare; each itemized spread adds ~30 B).
+    val noisy = spreads.filter(_._2 > 0.5).toSeq.sortBy(-_._2).take(3)
     val sp = noisy.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val spMax = if (spreads.isEmpty) 0.0 else spreads.values.max
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
