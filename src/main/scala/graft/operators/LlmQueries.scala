@@ -823,8 +823,60 @@ object LlmQueries {
                   FROM documents)
             GROUP BY lang, reason ORDER BY lang, reason"""))
 
+  /** L24 — int8 embedding quantization: the storage-side operator of
+    * the ANN family (a vector store holds q = round(|x|·127/max|x|)
+    * with the sign reapplied, 4× smaller than float32). Per-row-only
+    * math — no shuffle before the label rollup — and every emitted
+    * number is an exact integer (per-element quantized values and
+    * e7-scaled reconstruction errors are rounded to longs BEFORE
+    * summation), so the accounting is order- and engine-independent:
+    * the DuckDB oracle runs the identical per-element IEEE chain. The
+    * max-abs scale is exact across engines (comparison only); ties in
+    * round() stay engine-portable because rounding always applies to
+    * the non-negative |x|·scale. */
+  val l24 = DQ(
+    "l24_quantize_int8",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("m", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("scale", expr("CASE WHEN m = 0 THEN 1.0 ELSE 127.0 / m END"))
+        .withColumn("q_sum", expr(
+          """aggregate(v, 0L, (acc, x) -> acc +
+             CAST(sign(x) AS BIGINT) * CAST(ROUND(abs(x) * scale) AS BIGINT))"""))
+        .withColumn("err_sum", expr(
+          """aggregate(v, 0L, (acc, x) -> acc +
+             CAST(ROUND(abs(abs(x) - CAST(ROUND(abs(x) * scale) AS DOUBLE) / scale)
+                  * 10000000.0) AS BIGINT))"""))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum("q_sum").as("q_checksum"),
+          sum("err_sum").as("err_e7_sum"))
+        .orderBy("label"),
+    Some("""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              CAST(SUM(q_sum) AS BIGINT) AS q_checksum,
+              CAST(SUM(err_sum) AS BIGINT) AS err_e7_sum
+            FROM (
+              SELECT label,
+                list_aggregate(list_transform(v, x ->
+                  CAST(sign(x) AS BIGINT) * CAST(ROUND(abs(x) * scale) AS BIGINT)),
+                  'sum') AS q_sum,
+                list_aggregate(list_transform(v, x ->
+                  CAST(ROUND(abs(abs(x) - CAST(ROUND(abs(x) * scale) AS DOUBLE) / scale)
+                       * 10000000.0) AS BIGINT)), 'sum') AS err_sum
+              FROM (
+                SELECT label, v, CASE WHEN m = 0 THEN 1.0 ELSE 127.0 / m END AS scale
+                FROM (
+                  SELECT label,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                    list_aggregate(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+                  FROM embeddings)))
+            GROUP BY 1 ORDER BY label"""))
+
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19)
+      l19, l24)
 }
 

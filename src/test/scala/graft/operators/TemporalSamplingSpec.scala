@@ -184,6 +184,31 @@ class TemporalSamplingSpec extends AnyFunSuite {
         s"$lang: manifest ${cells.values.sum} > sampled ${sampled(lang)}")
   }
 
+  // ------------------------------------------------------------- l24
+
+  test("l24 int8 quantization equals a local recompute and stays in int8 range") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val expected = vecs.groupBy(_._1).toSeq.sortBy(_._1).map { case (label, rows) =>
+      var qSum = 0L; var errSum = 0L
+      for ((_, v) <- rows) {
+        val m = v.map(math.abs).max
+        val scale = if (m == 0) 1.0 else 127.0 / m
+        for (x <- v) {
+          val q = math.round(math.abs(x) * scale)
+          assert(q >= 0 && q <= 127, s"quantized magnitude $q outside int8")
+          qSum += math.signum(x).toLong * q
+          errSum += math.round(math.abs(math.abs(x) - q.toDouble / scale) * 1e7)
+        }
+      }
+      (label, rows.length.toLong, qSum, errSum)
+    }
+    val got = LlmQueries.l24.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
   // ------------------------------------------------------------- a9
 
   test("a9b approx percentile lands within 1% of the median RANK (the sketch's " +
