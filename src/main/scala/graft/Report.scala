@@ -90,6 +90,9 @@ object Report {
       "revenue_trend" -> rowsJson(trend),
       "top_products" -> rowsJson(top),
       "quality_rates" -> rowsJson(quality),
+      // order-value distribution (p50/p90 by priority — cataloged a9)
+      "order_value_percentiles" ->
+        rowsJson(operators.RelationalQueries.a9.fn(spark, sfDir)),
       "sessions" -> rowsJson(operators.WindowQueries.w5.fn(spark, sfDir)),
       "events_hourly_recent" -> rowsJson(recent))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")

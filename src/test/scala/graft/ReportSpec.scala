@@ -15,8 +15,10 @@ class ReportSpec extends AnyFunSuite {
   test("report emits every declared dashboard panel as parseable JSON") {
     val root = mapper.readTree(Report.build(spark, sf))
     for (k <- Seq("source", "n_purchases", "orders_per_minute", "revenue_trend",
-        "top_products", "quality_rates", "sessions", "events_hourly_recent"))
+        "top_products", "quality_rates", "order_value_percentiles", "sessions",
+        "events_hourly_recent"))
       assert(root.has(k), s"missing panel $k")
+    assert(root.get("order_value_percentiles").get(0).has("p50_cents"))
     assert(root.get("source").asText() === sf)
     assert(root.get("orders_per_minute").asDouble() > 0.0)
     assert(root.get("revenue_trend").size() > 0)
