@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench JSON line must survive the official harness's 2000-char
+  * stdout tail capture at FULL catalog size under worst-case noise —
+  * pinned here against the live catalog so adding queries (or spread
+  * itemization) can't silently push the record past the budget again
+  * (BENCH_r04 was recorded `"parsed": null` against a 3.9 KB line). */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("worst-case bench line for the live catalog stays within the 2 KB tail") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst case: three-digit seconds everywhere, every query noisy
+    // (all spreads itemizable), longest plausible sf dir
+    val timings = names.map(_ -> 999.999)
+    val spreads = names.map(_ -> 999.999)
+    val line = Bench.renderLine(timings, spreads, Nil, runs = 3,
+      sfDir = "/root/testdata/sf0.001")
+    assert(line.length <= 2000, s"bench line ${line.length} B > 2000 B budget")
+    // and it must stay parseable JSON with the contract fields
+    assert(line.startsWith("""{"metric":"total","""))
+    for (f <- Seq("\"queries\":", "\"spread_max\":", "\"n_ok\":", "\"sf\":"))
+      assert(line.contains(f))
+  }
+
+  test("a failed query is reported under errors, never as a timing") {
+    val line = Bench.renderLine(
+      Seq("ok_query" -> 1.0), Seq("ok_query" -> 0.1),
+      Seq("bad_query" -> "boom"), runs = 3, sfDir = "/x")
+    assert(line.contains(""""errors":{"bad_query":"boom"}"""))
+    assert(line.contains(""""n_ok":1"""))
+    assert(line.contains(""""n_err":1"""))
+    assert(!line.contains(""""bad_query":1"""))
+  }
+}
