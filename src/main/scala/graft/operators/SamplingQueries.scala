@@ -88,6 +88,16 @@ object SamplingQueries {
     * last token fall in different chunks. Output per shard: documents,
     * tokens, chunks containing a document start, boundary-straddling
     * documents, total chunk count, and realized fill rate.
+    *
+    * Scale note: the running offset serializes each source shard into
+    * one task, which is right while shards are bounded (the layout's
+    * normal case — pretraining shards are sized for exactly this). If
+    * ONE source outgrew a task, the standard escalation is the two-level
+    * prefix sum this codebase already demonstrates as w4's partitioned
+    * window with carry-in (`WindowQueries.scala`): sub-shard on
+    * contiguous `doc_id div B` ranges, aggregate per-sub token totals
+    * (tiny), broadcast the per-sub prefix offsets back, and cumsum
+    * locally within each sub-shard — same result, parallelism = #subs.
     */
   val l21 = DQ(
     "l21_pack_sequences",
