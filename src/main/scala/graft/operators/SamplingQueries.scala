@@ -92,12 +92,9 @@ object SamplingQueries {
     * Scale note: the running offset serializes each source shard into
     * one task, which is right while shards are bounded (the layout's
     * normal case — pretraining shards are sized for exactly this). If
-    * ONE source outgrew a task, the standard escalation is the two-level
-    * prefix sum this codebase already demonstrates as w4's partitioned
-    * window with carry-in (`WindowQueries.scala`): sub-shard on
-    * contiguous `doc_id div B` ranges, aggregate per-sub token totals
-    * (tiny), broadcast the per-sub prefix offsets back, and cumsum
-    * locally within each sub-shard — same result, parallelism = #subs.
+    * ONE source outgrew a task, the escalation is [[packedOffsets]] —
+    * the two-level distributed prefix sum — spec-pinned equal to this
+    * serial definition.
     */
   val l21 = DQ(
     "l21_pack_sequences",
@@ -242,6 +239,41 @@ object SamplingQueries {
                             WHEN 'es' THEN '8000' WHEN 'fr' THEN 'c000'
                             WHEN 'zh' THEN 'zzzz' ELSE '0000' END)
             GROUP BY 1, 2 ORDER BY lang, split"""))
+
+  /** The 100 TB form of l21's running offset: a two-level distributed
+    * prefix sum (the same decomposition as w4's partitioned window with
+    * carry-in). Documents sub-shard on contiguous `doc_id div subSize`
+    * ranges; per-sub token totals aggregate into a TINY frame whose
+    * per-source prefix gives each sub-shard's base offset; the base
+    * broadcasts back and the cumsum runs WITHIN each (source, sub)
+    * partition — identical offsets to the serial per-source window,
+    * with parallelism = number of sub-shards instead of 1 task per
+    * source. Returns (source, sub, doc_id, n_tok, start).
+    *
+    * At real scale the `base` frame would be checkpointed so the scan's
+    * tokenization isn't re-run for the totals branch; at catalog scale
+    * the recompute is cheaper than the materialization.
+    */
+  private[graft] def packedOffsets(
+      docs: org.apache.spark.sql.DataFrame, subSize: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col("source"), col("doc_id"), nTok(col("text")).as("n_tok"))
+      .withColumn("sub", expr(s"doc_id div ${subSize}L"))
+    val subTotals = base.groupBy("source", "sub").agg(sum("n_tok").as("sub_tok"))
+    // prefix over sub-shards: bounded by #subs per source, so the
+    // per-source ordering here is a tiny-frame window, never data-sized
+    val wSub = Window.partitionBy("source").orderBy("sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subTotals
+      .withColumn("sub_base", coalesce(sum("sub_tok").over(wSub), lit(0L)))
+      .select("source", "sub", "sub_base")
+    val wIn = Window.partitionBy("source", "sub").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("source", "sub"))
+      .withColumn("start", col("sub_base") + sum("n_tok").over(wIn) - col("n_tok"))
+      .select("source", "sub", "doc_id", "n_tok", "start")
+  }
 
   val all: Seq[DQ] = Seq(l20, l21, l22, l23)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Session, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -182,6 +183,37 @@ class TemporalSamplingSpec extends AnyFunSuite {
     for ((lang, cells) <- manifest.groupBy(_._1._1))
       assert(cells.values.sum <= sampled(lang),
         s"$lang: manifest ${cells.values.sum} > sampled ${sampled(lang)}")
+  }
+
+  // ------------------------------------------- packedOffsets (l21 at scale)
+
+  test("two-level prefix-sum packing equals the serial per-source offsets, " +
+      "and its data-sized window partitions by (source, sub)") {
+    val docs = Tables.documents(spark, sf)
+    val serial = {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.select(col("source"), col("doc_id"),
+          expr("CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)").as("n_tok"))
+        .withColumn("start", sum("n_tok").over(w) - col("n_tok"))
+        .select("source", "doc_id", "start")
+    }
+    for (subSize <- Seq(4L, 64L, 1000000L)) { // many subs … one sub per source
+      val scaled = SamplingQueries.packedOffsets(docs, subSize)
+        .select("source", "doc_id", "start")
+      val a = serial.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val b = scaled.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(b === a, s"subSize=$subSize")
+    }
+    // the data-sized cumsum window runs per (source, sub), never per source
+    val df = SamplingQueries.packedOffsets(docs, 4L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(raw"windowspecdefinition\(source#\d+, sub#\d+L, doc_id".r
+      .findFirstIn(plan).isDefined,
+      s"expected the row window partitioned by (source, sub):\n$plan")
   }
 
   // ------------------------------------------------------------- l24
