@@ -57,6 +57,47 @@ class StreamingAsOfSpec extends AnyFunSuite {
     assert(out === Seq(Attribution(7, 10, 1)))
   }
 
+  test("property: folding time-split batches with carried state equals one fold, " +
+      "and attributions equal the brute-force argmax") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val eventGen: Gen[(String, Long)] = for {
+      tpe <- Gen.oneOf("view", "purchase", "view", "purchase", "click")
+      us <- Gen.choose(0L, 50L) // tight range → frequent timestamp ties
+    } yield (tpe, us * 1000000)
+    val p = Prop.forAll(Gen.listOfN(14, eventGen), Gen.choose(0, 14)) { (raw, cut) =>
+      // distinct event ids; ties in ts remain (the interesting case)
+      val events = raw.zipWithIndex.map { case ((tpe, us), i) =>
+        ev(tpe, 100 + i, us)
+      }
+      val (outOne, stOne) = StreamingAsOf.foldEmit(events, None)
+      // batches split by EVENT TIME (in-order arrival across batches,
+      // the contract's premise), folded with carried state
+      val ordered = events.sortBy(e => (e.ts_us, e.event_type == "purchase", e.event_id))
+      val (b1, b2) = ordered.splitAt(math.min(cut, ordered.length))
+      val (o1, s1) = StreamingAsOf.foldEmit(b1, None)
+      val (o2, s2) = StreamingAsOf.foldEmit(b2, s1)
+      val splitEqualsOne = (o1 ++ o2).sortBy(_.purchase_id) ==
+        outOne.sortBy(_.purchase_id) && s2 == stOne
+      // brute-force reference: argmax (vt, vid) among views at-or-before
+      val views = events.filter(_.event_type == "view")
+      val brute = events.filter(_.event_type == "purchase").map { pe =>
+        val cands = views.filter(v => v.ts_us < pe.ts_us ||
+          (v.ts_us == pe.ts_us)) // views sort before purchases at equal ts
+        if (cands.isEmpty) Attribution(pe.event_id, -1, -1)
+        else {
+          val best = cands.maxBy(v => (v.ts_us, v.event_id))
+          Attribution(pe.event_id, best.event_id,
+            (pe.ts_us - best.ts_us) / 1000000L)
+        }
+      }
+      splitEqualsOne &&
+        outOne.sortBy(_.purchase_id) == brute.sortBy(_.purchase_id)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300).withWorkers(1), p)
+    assert(res.passed, res.toString)
+  }
+
   // ------------------------------------------------------------- e2e
 
   /** Dump the sf0.001 view/purchase events as time-split JSON batch
