@@ -36,34 +36,31 @@ object TemporalJoinQueries {
   /** J9 — as-of join: for every purchase, the latest view of the same
     * user at-or-before the purchase (last-touch attribution).
     *
-    * Tagged union: views carry (vid, vt), purchases carry pid; the
-    * window orders by (t, side, vid) so at equal timestamps views sort
-    * before the purchases they may attribute (at-or-before inclusive)
-    * and view ties resolve deterministically by event_id. Purchases with
-    * no prior view yield -1 — a real cutoff, not a missing-key artifact.
+    * Instantiates the generic [[TemporalJoins.asOfJoin]] (tagged union,
+    * one key shuffle, running last) with views as the build side
+    * carrying (vid, vt) and purchases as the probe; view ties resolve
+    * deterministically by event_id, and a view at the exact purchase
+    * time attributes (at-or-before inclusive). Purchases with no prior
+    * view yield -1 — a real cutoff, not a missing-key artifact.
     */
   val j9 = DQ(
     "j9_asof_join",
     (s, d) => {
       val e = ev(s, d)
       val views = e.filter(col("event_type") === "view")
-        .select(col("user_id").as("k"), col("ts_us").as("t"),
-          lit(0).as("side"), col("event_id").as("vid"),
-          col("ts_us").as("vt"), lit(null).cast("long").as("pid"))
+        .select(col("user_id").as("vk"), col("ts_us").as("vt"),
+          col("event_id").as("vid"))
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("k"), col("ts_us").as("t"),
-          lit(1).as("side"), lit(null).cast("long").as("vid"),
-          lit(null).cast("long").as("vt"), col("event_id").as("pid"))
-      val win = Window.partitionBy("k").orderBy("t", "side", "vid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      views.unionByName(purchases)
-        .withColumn("asof_view_id", last(col("vid"), ignoreNulls = true).over(win))
-        .withColumn("asof_view_t", last(col("vt"), ignoreNulls = true).over(win))
-        .filter(col("side") === 1)
+        .select(col("user_id").as("pk"), col("ts_us").as("pt"),
+          col("event_id").as("pid"))
+      TemporalJoins.asOfJoin(purchases, views,
+          probeKey = "pk", buildKey = "vk",
+          probeTime = "pt", buildTime = "vt", tieBreak = "vid",
+          carried = Seq("vid", "vt"))
         .select(
           col("pid").as("purchase_id"),
-          coalesce(col("asof_view_id"), lit(-1L)).as("view_id"),
-          coalesce(expr("(t - asof_view_t) div 1000000"), lit(-1L)).as("gap_sec"))
+          coalesce(col("vid"), lit(-1L)).as("view_id"),
+          coalesce(expr("(pt - vt) div 1000000"), lit(-1L)).as("gap_sec"))
         .orderBy("purchase_id")
     },
     // The oracle runs the as-of DEFINITION (same tagged-union window) in
@@ -107,16 +104,12 @@ object TemporalJoinQueries {
       val p = e.filter(col("event_type") === "purchase")
         .select(col("user_id").as("pk"), col("ts_us").as("pt"),
           col("event_id").as("pid"))
-        .withColumn("pb", expr(s"pt div ${winUs}L"))
       val v = e.filter(col("event_type") === "view")
         .select(col("user_id").as("vk"), col("ts_us").as("vt"),
           col("event_id").as("vid"))
-        .withColumn("vb", explode(array_distinct(array(
-          expr(s"vt div ${winUs}L"),
-          expr(s"(vt + ${winUs}L - 1) div ${winUs}L")))))
-      v.join(p,
-          col("vk") === col("pk") && col("vb") === col("pb") &&
-            col("pt") >= col("vt") && col("pt") < col("vt") + lit(winUs))
+      TemporalJoins.rangeJoin(v, p,
+          leftKey = "vk", rightKey = "pk",
+          leftTime = "vt", rightTime = "pt", windowUs = winUs)
         .agg(
           count(lit(1)).as("n_pairs"),
           countDistinct(col("vid")).as("n_views"),

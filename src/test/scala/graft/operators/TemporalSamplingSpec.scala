@@ -56,6 +56,28 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(got.count(_.getAs[Long]("view_id") != -1L) > got.length / 2)
   }
 
+  test("the generic asOfJoin reuses on a different pair (signup ← latest click)") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("ck"), col("ts_us").as("ct"), col("event_id").as("cid"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("sk"), col("ts_us").as("st"), col("event_id").as("sid"))
+    val got = TemporalJoins.asOfJoin(signups, clicks,
+        probeKey = "sk", buildKey = "ck",
+        probeTime = "st", buildTime = "ct", tieBreak = "cid",
+        carried = Seq("cid"))
+      .select(col("sid"), coalesce(col("cid"), lit(-1L)).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val naive = signups.join(clicks,
+        col("ck") === col("sk") && col("ct") <= col("st"), "left")
+      .groupBy("sid")
+      .agg(max(when(col("cid").isNotNull, struct(col("ct"), col("cid")))).as("m"))
+      .select(col("sid"), coalesce(col("m.cid"), lit(-1L)).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === naive)
+    assert(got.nonEmpty && got.exists(_._2 != -1L))
+  }
+
   // ------------------------------------------------------------- j10
 
   test("j10 bucketed range join equals the naive inequality join") {
@@ -82,7 +104,7 @@ class TemporalSamplingSpec extends AnyFunSuite {
     val df = TemporalJoinQueries.j10.fn(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[vk#\d+L, vb#\d+L\]".r
+    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[vk#\d+L, _lb#\d+L\]".r
       .findFirstIn(plan).isDefined,
       s"range join must equi-join on (user, bucket):\n$plan")
     assert(!plan.contains("NestedLoop"))
