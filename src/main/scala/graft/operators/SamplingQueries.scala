@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{DQ, Tables}
+import graft.functions.Sampling
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,11 +48,8 @@ object SamplingQueries {
     "l20_stratified_sample",
     (s, d) => {
       val dd = docs(s, d)
-      val thr = thresholds.foldLeft(lit("0000")) { case (acc, (lang, t)) =>
-        when(col("lang") === lang, t).otherwise(acc)
-      }
       val sampled = dd
-        .filter(substring(md5(concat_ws(":", col("doc_id"), col("lang"))), 1, 4) < thr)
+        .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"), thresholds))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("doc_id_sum"))
       dd.groupBy("lang").agg(count(lit(1)).as("n_total"))
@@ -154,10 +152,9 @@ object SamplingQueries {
   val l22 = DQ(
     "l22_holdout_split",
     (s, d) => {
-      val h = substring(md5(concat_ws(":", col("doc_id"), lit("split"))), 1, 4)
       docs(s, d)
-        .withColumn("split",
-          when(h < "c000", "train").when(h < "e000", "val").otherwise("test"))
+        .withColumn("split", Sampling.splitLabel(col("doc_id"), lit("split"),
+          Seq("train" -> "c000", "val" -> "e000"), last = "test"))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("doc_id_sum"))
         .orderBy("lang", "split")
@@ -190,10 +187,6 @@ object SamplingQueries {
   val l23 = DQ(
     "l23_mix_manifest",
     (s, d) => {
-      val thr = thresholds.foldLeft(lit("0000")) { case (acc, (lang, t)) =>
-        when(col("lang") === lang, t).otherwise(acc)
-      }
-      val h = substring(md5(concat_ws(":", col("doc_id"), lit("split"))), 1, 4)
       docs(s, d)
         .withColumn("toks", split(lower(col("text")), "\\s+"))
         .withColumn("stop_bp",
@@ -204,9 +197,9 @@ object SamplingQueries {
           min("doc_id").over(Window.partitionBy(LlmQueries.normHash)))
         .filter(col("doc_id") === col("canonical_id") &&
           col("n_chars") >= 200 && col("stop_bp") < 2500)
-        .filter(substring(md5(concat_ws(":", col("doc_id"), col("lang"))), 1, 4) < thr)
-        .withColumn("split",
-          when(h < "c000", "train").when(h < "e000", "val").otherwise("test"))
+        .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"), thresholds))
+        .withColumn("split", Sampling.splitLabel(col("doc_id"), lit("split"),
+          Seq("train" -> "c000", "val" -> "e000"), last = "test"))
         .groupBy("lang", "split")
         .agg(
           count(lit(1)).as("n_docs"),

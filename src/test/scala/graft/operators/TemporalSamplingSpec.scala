@@ -207,6 +207,23 @@ class TemporalSamplingSpec extends AnyFunSuite {
         s"$lang: manifest ${cells.values.sum} > sampled ${sampled(lang)}")
   }
 
+  test("the generic Sampling primitives reuse on a different table and key") {
+    import graft.functions.Sampling
+    val ord = Tables.orders(spark, sf)
+    def ids(thr: String) = ord
+      .filter(Sampling.keep(col("o_orderkey"), lit("trainmix"), thr))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val half = ids("8000"); val all = ids("zzzz")
+    assert(ids("2000").subsetOf(half) && half.subsetOf(all))
+    assert(all.size.toLong === ord.count())
+    // a plausible rate actually realizes (±20% of 50% at this scale)
+    assert(math.abs(half.size.toDouble / all.size - 0.5) < 0.1)
+    // distinct salts draw independently: same key set, different sample
+    val otherSalt = ord.filter(Sampling.keep(col("o_orderkey"), lit("evalmix"), "8000"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(otherSalt != half)
+  }
+
   // ------------------------------------------- packedOffsets (l21 at scale)
 
   test("two-level prefix-sum packing equals the serial per-source offsets, " +
