@@ -61,4 +61,14 @@ class ReportSpec extends AnyFunSuite {
       === Report.Args(sf, Some("/tmp/m"), None))
     intercept[IllegalArgumentException](Report.parse(List("--bogus")))
   }
+
+  test("Query CLI arg parsing: name, sf, limit, explain; rejects unknowns") {
+    assert(Query.parse(List("j9_asof_join", "--sf", sf, "--limit", "5", "--explain"))
+      === Query.Args("j9_asof_join", sf, 5, explain = true))
+    assert(Query.parse(List("a1_per_order_total")).name === "a1_per_order_total")
+    assert(Query.parse(Nil).name === "")
+    intercept[IllegalArgumentException](Query.parse(List("--bogus")))
+    // a second positional is an unknown argument, not a silent overwrite
+    intercept[IllegalArgumentException](Query.parse(List("a", "b")))
+  }
 }
