@@ -34,6 +34,14 @@ object TemporalJoins {
       probeKey: String, buildKey: String,
       probeTime: String, buildTime: String, tieBreak: String,
       carried: Seq[String]): DataFrame = {
+    val overlap = probe.columns.toSet.intersect(build.columns.toSet)
+    require(overlap.isEmpty,
+      s"asOfJoin: probe and build column names must be disjoint, both have: " +
+        overlap.toSeq.sorted.mkString(", "))
+    val reserved = Set("_k", "_t", "_side")
+      .intersect(probe.columns.toSet ++ build.columns.toSet)
+    require(reserved.isEmpty,
+      s"asOfJoin: ${reserved.toSeq.sorted.mkString(", ")} are reserved column names")
     val carry = (Seq(buildTime, tieBreak) ++ carried).distinct
     def nulls(df: DataFrame, names: Seq[String]): Seq[Column] =
       names.map(n => lit(null).cast(df.schema(n).dataType).as(n))
@@ -63,6 +71,11 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"rangeJoin: windowUs must be positive, got $windowUs")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"rangeJoin: left and right column names must be disjoint, both have: " +
+        overlap.toSeq.sorted.mkString(", "))
     val l = left.withColumn("_lb", explode(array_distinct(array(
       expr(s"$leftTime div ${windowUs}L"),
       expr(s"($leftTime + ${windowUs}L - 1) div ${windowUs}L")))))

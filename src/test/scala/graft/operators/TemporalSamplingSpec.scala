@@ -207,6 +207,23 @@ class TemporalSamplingSpec extends AnyFunSuite {
         s"$lang: manifest ${cells.values.sum} > sampled ${sampled(lang)}")
   }
 
+  test("the generic temporal joins reject colliding column names up front") {
+    val e = Tables.events(spark, sf).select("user_id", "ts_us", "event_id")
+    val ex1 = intercept[IllegalArgumentException](
+      TemporalJoins.asOfJoin(e, e, "user_id", "user_id",
+        "ts_us", "ts_us", "event_id", Seq("event_id")))
+    assert(ex1.getMessage.contains("disjoint"))
+    val ex2 = intercept[IllegalArgumentException](
+      TemporalJoins.rangeJoin(e, e, "user_id", "user_id", "ts_us", "ts_us", 1000L))
+    assert(ex2.getMessage.contains("disjoint"))
+    val ex3 = intercept[IllegalArgumentException](
+      TemporalJoins.rangeJoin(
+        e.select(col("user_id").as("a"), col("ts_us").as("at"), col("event_id").as("ai")),
+        e.select(col("user_id").as("b"), col("ts_us").as("bt"), col("event_id").as("bi")),
+        "a", "b", "at", "bt", 0L))
+    assert(ex3.getMessage.contains("positive"))
+  }
+
   test("the generic Sampling primitives reuse on a different table and key") {
     import graft.functions.Sampling
     val ord = Tables.orders(spark, sf)
