@@ -20,7 +20,10 @@ object Query {
   private[graft] def parse(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil                    => acc
     case "--sf" :: v :: rest    => parse(rest, acc.copy(sf = v))
-    case "--limit" :: v :: rest => parse(rest, acc.copy(limit = v.toInt))
+    case "--limit" :: v :: rest if v.nonEmpty && v.forall(_.isDigit) =>
+      parse(rest, acc.copy(limit = v.toInt))
+    case "--limit" :: v :: _ =>
+      throw new IllegalArgumentException(s"--limit expects a positive integer, got: $v")
     case "--explain" :: rest    => parse(rest, acc.copy(explain = true))
     case name :: rest if !name.startsWith("--") && acc.name.isEmpty =>
       parse(rest, acc.copy(name = name))
@@ -28,14 +31,19 @@ object Query {
       throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
+  private def usageExit(): Nothing = {
+    System.err.println(
+      s"""usage: graft.Query <name> [--sf DIR] [--limit N] [--explain]
+         |catalog: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}""".stripMargin)
+    sys.exit(2)
+  }
+
   def main(args: Array[String]): Unit = {
-    val a = parse(args.toList)
-    if (a.name.isEmpty || !SparkEntry.queries.contains(a.name)) {
-      System.err.println(
-        s"""usage: graft.Query <name> [--sf DIR] [--limit N] [--explain]
-           |catalog: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}""".stripMargin)
-      sys.exit(2)
+    val a = try parse(args.toList) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); usageExit()
     }
+    if (a.name.isEmpty || !SparkEntry.queries.contains(a.name)) usageExit()
     val spark = Session.get()
     try {
       val df = SparkEntry.queries(a.name)(spark, a.sf)

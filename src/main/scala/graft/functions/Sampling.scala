@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 4-hex-digit md5 prefix of (key ':' salt) — uniform on [0, 16^4).
-    * The salt is a Column so a stratum value can salt its own draw. */
+    * The salt is a Column so a stratum value can salt its own draw.
+    *
+    * NULL-safe: a null key or salt draws NULL (null-propagating
+    * `concat`, not the null-SKIPPING `concat_ws`, which would give
+    * every null-key row the same `md5(salt)` draw and the same
+    * keep/split decision). A null draw fails every `<` predicate, so
+    * null-key rows are dropped by [[keep]]/[[stratifiedKeep]] and
+    * label NULL in [[splitLabel]]. */
   def draw(key: Column, salt: Column): Column =
-    substring(md5(concat_ws(":", key, salt)), 1, 4)
+    substring(md5(concat(key.cast("string"), lit(":"), salt.cast("string"))), 1, 4)
 
   /** Keep-predicate at a fixed rate: threshold is the 4-hex upper bound
     * ('2000' ≈ 12.5%, '8000' ≈ 50%, 'zzzz' = keep all). Monotone in the
@@ -40,12 +47,14 @@ object Sampling {
 
   /** Total, disjoint split label: `cuts` are (label, upperHexExclusive)
     * in ascending order; keys at or past the last cut get `last`. Every
-    * key lands in exactly one label by construction. */
+    * NON-NULL key lands in exactly one label by construction; a null
+    * key labels NULL (not silently `last`). */
   def splitLabel(key: Column, salt: Column,
       cuts: Seq[(String, String)], last: String): Column = {
     val d = draw(key, salt)
-    cuts.foldRight(lit(last): Column) { case ((label, upper), acc) =>
-      when(d < upper, label).otherwise(acc)
+    val label = cuts.foldRight(lit(last): Column) { case ((l, upper), acc) =>
+      when(d < upper, l).otherwise(acc)
     }
+    when(d.isNull, lit(null).cast("string")).otherwise(label)
   }
 }

@@ -31,6 +31,12 @@ object StreamingRange {
     * Emits one row per (view, purchase) pair. */
   def pairs(views: DataFrame, purchases: DataFrame,
       delay: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"StreamingRange: windowUs must be positive, got $windowUs")
+    // the coarse state bound is in whole seconds — round UP so it is
+    // always at-or-looser than the exact microsecond predicate below
+    // (integer division would TIGHTEN a fractional-second window and
+    // silently drop pairs; a sub-second window would drop everything)
+    val boundSec = (windowUs + 999999L) / 1000000L
     val v = views.select(
       col("user_id").as("vk"), col("event_id").as("vid"),
       col("ts").as("vts"), col("ts_us").as("vt"))
@@ -42,7 +48,7 @@ object StreamingRange {
     v.join(p,
       col("vk") === col("pk") &&
         col("pts") >= col("vts") &&
-        col("pts") < col("vts") + expr(s"INTERVAL ${windowUs / 1000000} SECONDS"))
+        col("pts") < col("vts") + expr(s"INTERVAL $boundSec SECONDS"))
       // the exact-microsecond predicate on the integer event times;
       // the timestamp-typed condition above is what bounds state
       .filter(col("pt") >= col("vt") && col("pt") < col("vt") + lit(windowUs))

@@ -70,5 +70,10 @@ class ReportSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Query.parse(List("--bogus")))
     // a second positional is an unknown argument, not a silent overwrite
     intercept[IllegalArgumentException](Query.parse(List("a", "b")))
+    // non-numeric --limit hits the same usage path, not a raw
+    // NumberFormatException stack trace
+    val ex = intercept[IllegalArgumentException](
+      Query.parse(List("a1_per_order_total", "--limit", "x")))
+    assert(ex.getMessage.contains("--limit"))
   }
 }

@@ -40,6 +40,36 @@ class StreamingRangeSpec extends AnyFunSuite {
     in
   }
 
+  test("a fractional-second window keeps its sub-second pairs (the coarse " +
+      "state bound rounds UP; truncation would drop lag in [1.0s, 1.5s))") {
+    val winUs = 1500000L // 1.5 s
+    val base = 1700000000000000L // epoch µs
+    val rows = Seq(
+      (1L, "view", 1L, base),
+      (1L, "purchase", 2L, base + 300000L),  // 0.3 s  — in window
+      (1L, "purchase", 3L, base + 1200000L), // 1.2 s  — in window, above 1 s
+      (1L, "purchase", 4L, base + 1400000L), // 1.4 s  — in window, above 1 s
+      (1L, "purchase", 5L, base + 1800000L)) // 1.8 s  — outside
+    val in = Files.createTempDirectory("graft_srange_frac_").toString
+    val lines = rows.map { case (u, tpe, id, us) =>
+      val iso = java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+      s"""{"user_id":$u,"event_type":"$tpe","event_id":$id,"ts_us":$us,"ts":"$iso"}"""
+    }
+    Files.write(Paths.get(in, "f0.json"), String.join("\n", lines: _*).getBytes)
+    def side(tpe: String) = spark.readStream.schema(schema).json(in)
+      .filter(col("event_type") === tpe)
+    val q = StreamingRange.pairs(side("view"), side("purchase"),
+        delay = "1 minute", windowUs = winUs)
+      .writeStream.format("memory").queryName("srange_frac")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("srange_frac").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (1L, 4L)))
+    intercept[IllegalArgumentException](
+      StreamingRange.pairs(side("view"), side("purchase"), "1 minute", 0L))
+  }
+
   test("stream-stream interval join emits exactly the batch j10 pair set") {
     val winUs = 4L * 3600 * 1000000
     val in = dumpEvents(nSplits = 3)

@@ -207,6 +207,67 @@ class TemporalSamplingSpec extends AnyFunSuite {
         s"$lang: manifest ${cells.values.sum} > sampled ${sampled(lang)}")
   }
 
+  test("rangeJoin pairs negative epoch times exactly (floor-div buckets)") {
+    import spark.implicits._
+    val w = 1000L
+    // times straddling zero — the case where truncate-toward-zero and
+    // floor-division bucket indices diverge
+    val left = Seq((1L, -2500L, 10L), (1L, -1500L, 11L), (1L, -500L, 12L),
+        (1L, 300L, 13L), (2L, -999L, 14L))
+      .toDF("lk", "lt", "lid")
+    val right = Seq((1L, -2400L, 20L), (1L, -1400L, 21L), (1L, -600L, 22L),
+        (1L, -100L, 23L), (1L, 200L, 24L), (1L, 1301L, 25L), (2L, -1L, 26L))
+      .toDF("rk", "rt", "rid")
+    val got = TemporalJoins.rangeJoin(left, right, "lk", "rk", "lt", "rt", w)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = left.join(right, col("lk") === col("rk") &&
+        col("rt") >= col("lt") && col("rt") < col("lt") + lit(w))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === naive)
+    // the pair set genuinely exercises cross-zero windows and excludes
+    // an out-of-window candidate
+    assert(naive.contains((12L, 23L)) && naive.contains((14L, 26L)))
+    assert(!naive.contains((13L, 25L)))
+  }
+
+  test("asOfJoin carries ALL columns from the SAME latest build row, " +
+      "even when one carried value is legitimately null") {
+    import spark.implicits._
+    // build rows: at t=10 both values set; at t=20 (the latest) `b` is
+    // null. Per-column last(ignoreNulls) would mix rows (a from t=20,
+    // b from t=10); the struct carry must report b AS NULL.
+    val build = Seq((1L, 10L, 100L, Some("old")), (1L, 20L, 200L, None))
+      .toDF("bk", "bt", "a", "b")
+    val probe = Seq((1L, 25L, 900L)).toDF("pk", "pt", "pid")
+    val row = TemporalJoins.asOfJoin(probe, build,
+        probeKey = "pk", buildKey = "bk",
+        probeTime = "pt", buildTime = "bt", tieBreak = "a",
+        carried = Seq("a", "b"))
+      .select("pid", "bt", "a", "b").collect()(0)
+    assert(row.getLong(0) === 900L)
+    assert(row.getLong(1) === 20L, "must carry from the latest build row")
+    assert(row.getLong(2) === 200L)
+    assert(row.isNullAt(3), "null in the latest row must stay null, not " +
+      "fall back to an older row's value")
+  }
+
+  test("Sampling draws NULL for null keys (never a shared constant draw)") {
+    import graft.functions.Sampling
+    import spark.implicits._
+    val df = Seq(Some("k1"), Some("k2"), None, None).toDF("k")
+    val draws = df.select(Sampling.draw(col("k"), lit("salt")).as("d")).collect()
+    assert(draws.count(_.isNullAt(0)) === 2, "null keys must draw null")
+    assert(draws.filterNot(_.isNullAt(0)).map(_.getString(0)).distinct.length === 2)
+    // null draw fails every keep predicate and labels NULL in the split
+    assert(df.filter(Sampling.keep(col("k"), lit("salt"), "zzzz")).count() === 2L)
+    val labels = df.select(Sampling.splitLabel(col("k"), lit("s"),
+        Seq(("train", "8000")), "test").as("l")).collect()
+    assert(labels.count(_.isNullAt(0)) === 2,
+      "null keys must label NULL, not silently join the last split")
+  }
+
   test("the generic temporal joins reject colliding column names up front") {
     val e = Tables.events(spark, sf).select("user_id", "ts_us", "event_id")
     val ex1 = intercept[IllegalArgumentException](
