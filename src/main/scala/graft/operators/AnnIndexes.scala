@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Ivf, SimHash, VectorOps}
+
+/** Persisted ANN indexes — the build-once / probe-many split behind the
+  * l12 (hyperplane-LSH) and l16 (IVF) catalog queries.
+  *
+  * The catalog queries compose train + probe into one self-contained
+  * plan so the driver's gate can replay them from nothing. That is the
+  * right shape for a correctness gate and the WRONG shape for steady
+  * state: at 100 TB the corpus is signed/clustered ONCE per refresh in
+  * batch, the index lands on parquet, and every query afterwards only
+  * probes. This object is that steady-state contract — the same
+  * `writeIndex`/`readIndex` treatment the streaming near-dup corpus
+  * index already gets ([[graft.streaming.StreamingNearDup.writeIndex]]),
+  * extended to both ANN families. The reference encodes the identical
+  * philosophy with its precomputed index set (`sql/init/
+  * 03_create_indexes.sql` — build indexes once, point queries probe).
+  *
+  * Build and probe share the SAME code paths as the composed queries
+  * ([[lshBands]] feeds l12; [[Ivf.train]]/[[Ivf.assign]] feed l16), so
+  * a probe against a materialized index cannot drift from the composed
+  * plan — pinned by AnnIndexSpec against the same sf0.01 goldens.
+  *
+  * Persisted layout (the 100 TB shape):
+  *  - LSH bands cluster by (band_id, bval): a probe equi-joins on the
+  *    band key, so row-group min/max stats skip everything outside the
+  *    query's 4 band values.
+  *  - IVF inverted lists are DIRECTORY-partitioned by cell id: a probe
+  *    touches `nprobe`/`k` of the index files by path pruning alone,
+  *    before any row is read. Centroids are a k-row side file.
+  *  - Neither index stores vectors. The probe re-ranks candidates
+  *    against the embeddings table itself — the index stays tens of
+  *    bytes per vector, and re-ranking reads only candidate rows.
+  */
+object AnnIndexes {
+
+  // ------------------------------------------------------------- LSH
+
+  /** Band rows (vec_id, band_id, bval) for a corpus (vec_id, v):
+    * 16-plane sign signature → 4×4-bit bands, identical arithmetic to
+    * the l12 composed plan (shared [[LlmQueries.hyperplaneSig]]). */
+  def lshBands(e: DataFrame): DataFrame =
+    LlmQueries.hyperplaneSig(e, LlmQueries.hyperplanes16)
+      .select(col("vec_id"), explode(SimHash.bands(col("sig"), 4, 16)).as("b"))
+      .select(col("vec_id"), col("b.band_id"), col("b.bval"))
+
+  def writeLsh(bands: DataFrame, base: String): Unit =
+    bands.repartition(col("band_id"))
+      .sortWithinPartitions("band_id", "bval")
+      .write.mode("overwrite").parquet(s"$base/lsh_bands")
+
+  def readLsh(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(s"$base/lsh_bands")
+
+  /** Top-k by exact cosine among the vectors sharing ≥1 LSH band with
+    * the query. `bands` may be the composed [[lshBands]] frame or a
+    * [[readLsh]] read-back — same result by construction. `query` is a
+    * 1-row frame with vector column `v`; its band keys are recomputed
+    * from the vector (the signature is a pure function, so a corpus
+    * query and a novel query probe identically). `excludeId` drops the
+    * query's own corpus row from the candidates (-1 = keep all). */
+  def probeLsh(bands: DataFrame, e: DataFrame, query: DataFrame,
+      topK: Int, excludeId: Long = -1L): DataFrame = {
+    val qb = lshBands(query.select(lit(-1L).as("vec_id"), col("v")))
+      .select("band_id", "bval")
+    // Dedup candidates as bare ids BEFORE re-attaching vectors so the
+    // distinct's shuffle never carries the 512-byte arrays (same
+    // discipline as the composed l12 plan).
+    val candidates = bands.filter(col("vec_id") =!= excludeId)
+      .join(broadcast(qb), Seq("band_id", "bval"))
+      .select("vec_id").distinct()
+    rerank(candidates, e, query, topK)
+  }
+
+  // ------------------------------------------------------------- IVF
+
+  /** Trained IVF index: `centroids` = (cid, cv) — k rows; `lists` =
+    * (vec_id, cid) — the inverted file. */
+  final case class IvfIndex(centroids: DataFrame, lists: DataFrame)
+
+  /** Train k-means cells and assign every vector — the exact l16
+    * composed build ([[Ivf.train]] + [[Ivf.assign]]). */
+  def buildIvf(e: DataFrame, k: Int, iters: Int): IvfIndex = {
+    val c = Ivf.train(e, k, iters)
+    IvfIndex(c, Ivf.assign(e, c))
+  }
+
+  /** Inverted lists directory-partition by `cid`: probing nprobe of k
+    * cells prunes to nprobe/k of the files by PATH, before reading a
+    * row. The centroid side is k rows — one file. */
+  def writeIvf(idx: IvfIndex, base: String): Unit = {
+    idx.centroids.coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/ivf_centroids")
+    idx.lists.repartition(col("cid"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$base/ivf_lists")
+  }
+
+  def readIvf(spark: SparkSession, base: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$base/ivf_centroids"),
+      spark.read.parquet(s"$base/ivf_lists"))
+
+  /** Top-k by exact cosine among the vectors in the query's `nprobe`
+    * nearest cells. `idx` may be the composed [[buildIvf]] result or a
+    * [[readIvf]] read-back. Centroid selection is a k-row broadcast;
+    * the inverted-list join carries bare (vec_id, cid) pairs. */
+  def probeIvf(idx: IvfIndex, e: DataFrame, query: DataFrame,
+      nprobe: Int, topK: Int, excludeId: Long = -1L): DataFrame = {
+    val q = query.select(col("v").as("qv"))
+    val probeCells = idx.centroids.crossJoin(broadcast(q))
+      .withColumn("d2", Ivf.dist2(col("cv"), col("qv")))
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .select("cid")
+    val candidates = idx.lists.join(broadcast(probeCells), "cid")
+      .filter(col("vec_id") =!= excludeId).select("vec_id")
+    rerank(candidates, e, query, topK)
+  }
+
+  // ------------------------------------------------------------- shared
+
+  /** Exact-cosine re-rank of a bare-id candidate frame against the
+    * vector table: vectors join back only for candidates, the query
+    * broadcasts as one row, and the top-k is a TakeOrdered (no global
+    * sort). Shared verbatim by both probe paths and the composed
+    * catalog queries. */
+  private[operators] def rerank(candidates: DataFrame, e: DataFrame,
+      query: DataFrame, topK: Int): DataFrame =
+    candidates.join(e, "vec_id")
+      .crossJoin(broadcast(query.select(col("v").as("qv"))))
+      .withColumn("sim_e4",
+        round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
+      .select("vec_id", "sim_e4")
+      .orderBy(col("sim_e4").desc, col("vec_id"))
+      .limit(topK)
+}

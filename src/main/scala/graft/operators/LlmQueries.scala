@@ -543,37 +543,27 @@ object LlmQueries {
 
   /** L12 — LSH-bucketed approximate nearest neighbor (the scale path for
     * L3): 16 fixed random hyperplanes → 16-bit sign signature → 4×4-bit
-    * band buckets; candidates share ≥1 band with the query, ranked by
-    * exact cosine. At 100 TB the full-scan L3 becomes a per-bucket scan
-    * here — the bucket join prunes the candidate set before any O(d)
-    * math. No oracle (hyperplane constants aren't SQL-portable); the
-    * spec measures recall against L3. */
+    * band buckets (sigBits passed explicitly: the default 64-bit slicing
+    * would leave bands 1-3 all-zero and every vector a candidate —
+    * silent brute force, round-3 advice); candidates share ≥1 band with
+    * the query, ranked by exact cosine. At 100 TB the full-scan L3
+    * becomes a per-bucket scan here — the bucket join prunes the
+    * candidate set before any O(d) math. Band construction and probe
+    * are the shared [[AnnIndexes.lshBands]]/[[AnnIndexes.probeLsh]]:
+    * this query composes build + probe into one gate-replayable plan,
+    * while the steady state persists the band index once and probes it
+    * many times ([[AnnIndexes.writeLsh]]; AnnIndexSpec pins
+    * probe-from-parquet to this query's exact rows). No oracle
+    * (hyperplane constants aren't SQL-portable); the spec measures
+    * recall against L3. */
   val l12 = DQ(
     "l12_ann_lsh",
     (s, d) => {
       val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val withSig = hyperplaneSig(e, hyperplanes16).select(col("vec_id"), col("v"), col("sig"))
-      // 16-bit signature → 4 bands of 4 bits (sigBits passed explicitly:
-      // the default 64-bit slicing would leave bands 1-3 all-zero and
-      // every vector a candidate — silent brute force, round-3 advice).
-      val banded = withSig.select(col("vec_id"),
-        explode(SimHash.bands(col("sig"), 4, 16)).as("b"))
-        .select(col("vec_id"), col("b.band_id"), col("b.bval"))
-      val qb = banded.filter(col("vec_id") === 0).select("band_id", "bval")
+      val banded = AnnIndexes.lshBands(e)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      // Dedup candidates as bare ids BEFORE re-attaching vectors so the
-      // distinct's shuffle never carries the 512-byte arrays.
-      val candidates = banded.filter(col("vec_id") =!= 0)
-        .join(broadcast(qb), Seq("band_id", "bval"))
-        .select("vec_id").distinct()
-      val ann = candidates
-        .join(e, "vec_id")
-        .crossJoin(broadcast(q)) // 1-row query vector
-        .withColumn("sim_e4",
-          round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
-        .select("vec_id", "sim_e4")
-        .orderBy(col("sim_e4").desc, col("vec_id"))
-        .limit(5)
+      val ann = AnnIndexes.probeLsh(banded, e, e.filter(col("vec_id") === 0),
+        topK = 5, excludeId = 0L)
       // Recall vs the exact scan as an in-plan invariant column (no
       // oracle → the driver's record pins this value): how many of the
       // 5 ANN results are in the TRUE top-5. The exact pass is the L3
@@ -700,31 +690,24 @@ object LlmQueries {
     * → exact cosine re-rank of candidates only. The whole train+probe is
     * ONE declarative plan (`functions.Ivf`): no driver actions, centroid
     * joins broadcast, and the only per-vector shuffle carries bare
-    * (vec_id, cid) pairs. At 100 TB the trained index persists and is
-    * reused; composing it here keeps the operator self-contained. No
-    * oracle (iterative centroid arithmetic is not portably expressible
-    * in DuckDB SQL); IvfSpec pins exactness of the re-rank, pruning, and
+    * (vec_id, cid) pairs. Build and probe are the shared
+    * [[AnnIndexes.buildIvf]]/[[AnnIndexes.probeIvf]]: this query
+    * composes them into one gate-replayable plan, while the steady
+    * state persists the centroids + inverted lists once
+    * ([[AnnIndexes.writeIvf]], lists directory-partitioned by cell) and
+    * probes the materialized index — AnnIndexSpec pins
+    * probe-from-parquet to this query's exact rows. No oracle
+    * (iterative centroid arithmetic is not portably expressible in
+    * DuckDB SQL); IvfSpec pins exactness of the re-rank, pruning, and
     * recall against L3. */
   val l16 = DQ(
     "l16_ann_ivf",
     (s, d) => {
       val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val centroids = Ivf.train(e, k = 16, iters = 2)
-      val index = Ivf.assign(e, centroids)
+      val idx = AnnIndexes.buildIvf(e, k = 16, iters = 2)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      val probeCells = centroids.crossJoin(broadcast(q))
-        .withColumn("d2", Ivf.dist2(col("cv"), col("qv")))
-        .orderBy(col("d2"), col("cid")).limit(4)
-        .select("cid")
-      val candidates = index.join(broadcast(probeCells), "cid")
-        .filter(col("vec_id") =!= 0).select("vec_id")
-      val ann = candidates.join(e, "vec_id")
-        .crossJoin(broadcast(q))
-        .withColumn("sim_e4",
-          round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
-        .select("vec_id", "sim_e4")
-        .orderBy(col("sim_e4").desc, col("vec_id"))
-        .limit(5)
+      val ann = AnnIndexes.probeIvf(idx, e, e.filter(col("vec_id") === 0),
+        nprobe = 4, topK = 5, excludeId = 0L)
       // Same in-plan recall invariant as l12: overlap with the exact
       // top-5, pinned by the driver's per-round record.
       val exact5 = e.filter(col("vec_id") =!= 0)
