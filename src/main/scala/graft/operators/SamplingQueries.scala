@@ -79,6 +79,42 @@ object SamplingQueries {
 
   private val ctx = 256L // context-window length in pre-tokenizer tokens
 
+  /** Per-source row bound above which [[packingOffsets]] switches from
+    * the serial per-source window to the two-level prefix sum: 1M rows
+    * is a comfortable single-task cumsum (a window over ≤1M narrow rows
+    * is milliseconds), so below it the extra sub-total aggregate +
+    * broadcast would be pure overhead. */
+  private[graft] val PackShardRowLimit = 1L << 20
+
+  /** Cataloged packing-offset path with the scale selector: per-doc
+    * (source, doc_id, n_tok, start). Sources whose shards stay under
+    * `maxShardRows` pack with the serial per-source running window —
+    * one task per source, the normal case (pretraining shards are sized
+    * for exactly this); if ANY source exceeds the bound, the two-level
+    * distributed prefix sum ([[packedOffsets]]) engages with sub-shards
+    * of `maxShardRows` ids, spec-pinned offset-identical to the serial
+    * definition (TemporalSamplingSpec). The selector reads ONE bounded
+    * row (max per-source count over the pruned `source` column — the
+    * same bounded-action budget as m1's refresh key); at 100 TB that
+    * count comes from shard metadata, and the sub-shard width keys on
+    * doc_id ranges, so parallelism assumes roughly dense ids (true for
+    * generated corpus ids; a sparse id space just yields smaller subs).
+    */
+  private[graft] def packingOffsets(
+      dd: org.apache.spark.sql.DataFrame,
+      maxShardRows: Long = PackShardRowLimit): org.apache.spark.sql.DataFrame = {
+    val maxShard = dd.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).first().getLong(0)
+    if (maxShard <= maxShardRows) {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dd.select(col("source"), col("doc_id"), nTok(col("text")).as("n_tok"))
+        .withColumn("start", sum("n_tok").over(w) - col("n_tok"))
+    } else
+      packedOffsets(dd, subSize = maxShardRows)
+        .select("source", "doc_id", "n_tok", "start")
+  }
+
   /** L21 — sequence packing: concat-and-chunk each source shard's
     * documents (ordered by doc_id) into fixed 256-token context windows.
     * A document starts at its shard's running token offset; its chunk is
@@ -87,21 +123,15 @@ object SamplingQueries {
     * tokens, chunks containing a document start, boundary-straddling
     * documents, total chunk count, and realized fill rate.
     *
-    * Scale note: the running offset serializes each source shard into
-    * one task, which is right while shards are bounded (the layout's
-    * normal case — pretraining shards are sized for exactly this). If
-    * ONE source outgrew a task, the escalation is [[packedOffsets]] —
-    * the two-level distributed prefix sum — spec-pinned equal to this
-    * serial definition.
+    * Offsets come from [[packingOffsets]] — the serial window while
+    * shards stay under [[PackShardRowLimit]] rows (the gate-scale
+    * plan), the two-level distributed prefix sum beyond it.
     */
   val l21 = DQ(
     "l21_pack_sequences",
     (s, d) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
-        .select(col("source"), col("doc_id"), nTok(col("text")).as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+      packingOffsets(docs(s, d))
+        .withColumn("cum", col("start") + col("n_tok"))
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -333,6 +333,36 @@ class TemporalSamplingSpec extends AnyFunSuite {
       s"expected the row window partitioned by (source, sub):\n$plan")
   }
 
+  test("packingOffsets selects the serial window under the shard bound and " +
+      "the two-level prefix sum above it — offsets identical across the switch") {
+    val dd = Tables.documents(spark, sf)
+    val serial = SamplingQueries.packingOffsets(dd) // default bound ≫ sf0.001
+    val packed = SamplingQueries.packingOffsets(dd, maxShardRows = 16L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "doc_id", "n_tok", "start").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val a = rows(serial); val b = rows(packed)
+    assert(a === b, "offsets must not depend on the selected path")
+    assert(a.nonEmpty)
+    // the selector genuinely switched plans: serial windows per source,
+    // packed windows per (source, sub)
+    val sPlan = serial.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(raw"windowspecdefinition\(source#\d+, doc_id".r.findFirstIn(sPlan).isDefined,
+      s"expected the serial per-source window:\n$sPlan")
+    val pPlan = packed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(raw"windowspecdefinition\(source#\d+, sub#\d+L, doc_id".r.findFirstIn(pPlan).isDefined,
+      s"expected the (source, sub) sub-shard window:\n$pPlan")
+    // and l21's cataloged aggregate is invariant to the forced switch
+    val viaPacked = packed.withColumn("cum", col("start") + col("n_tok"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaCatalog = SamplingQueries.l21.fn(spark, sf)
+      .select("source", "n_docs", "total_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaPacked === viaCatalog)
+  }
+
   // ------------------------------------------------------------- l24
 
   test("l24 int8 quantization equals a local recompute and stays in int8 range") {
