@@ -86,16 +86,32 @@ object Bench {
     * bounded tail of stdout (the r4 record kept 2000 chars and recorded
     * `"parsed": null` against our 3.9 KB line), so the line must stay
     * under that budget at full catalog size even on a fully contended
-    * run: 3-decimal seconds (1 ms resolution — below that is JVM
-    * noise), and only the top-3 noisiest spreads itemized (~30 B each;
-    * `spread_max` covers the rest). BenchLineSpec pins the worst-case
-    * length against the live catalog. */
+    * run. Normal render: 3-decimal seconds (1 ms resolution — below
+    * that is JVM noise) with the top-3 noisiest spreads itemized
+    * (`spread_max` covers the rest). If that would overflow the tail
+    * (only possible when every query reads 3-digit contended seconds),
+    * the render degrades ONCE to whole-second values ≥ 10 s and drops
+    * the spread itemization — contended digits past the second are
+    * noise anyway, and a parseable coarse record beats a truncated
+    * precise one. BenchLineSpec pins the worst case against the live
+    * catalog. */
   private[graft] def renderLine(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-    val noisy = spreads.filter(_._2 > 0.5).sortBy(-_._2).take(3)
-    val sp = noisy.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val normal = renderAt(timings, spreads, errors, runs, sfDir, coarse = false)
+    if (normal.length <= 2000) normal
+    else renderAt(timings, spreads, errors, runs, sfDir, coarse = true)
+  }
+
+  private def renderAt(
+      timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
+      errors: Seq[(String, String)], runs: Int, sfDir: String,
+      coarse: Boolean): String = {
+    def rv(v: Double): String =
+      if (!coarse) r3(v) else if (v < 10) fmt(v, 2) else fmt(v, 0)
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${rv(v)}" }.mkString("{", ",", "}")
+    val noisy = if (coarse) Nil else spreads.filter(_._2 > 0.5).sortBy(-_._2).take(3)
+    val sp = noisy.map { case (k, v) => s"${jstr(k)}:${rv(v)}" }.mkString("{", ",", "}")
     val spMax = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum

@@ -858,8 +858,72 @@ object LlmQueries {
                   FROM embeddings)))
             GROUP BY 1 ORDER BY label"""))
 
+  /** L26 — SemDeDup-style semantic deduplication (cluster-then-prune,
+    * Abbas et al. 2023, arXiv:2303.09540): embeddings cluster into IVF
+    * cells (the SAME trained index as l16 — [[AnnIndexes.buildIvf]]),
+    * and within each cell every vector with an ε-similar
+    * (cosine ≥ 0.9) neighbor of smaller id is marked a semantic
+    * duplicate — the declarative keep-min-id form of the paper's greedy
+    * per-cluster prune, the same canonical-copy rule as L1/L19. Where
+    * L14 finds near-IDENTICAL vectors by LSH collision, this prunes
+    * merely-redundant ones inside a semantic cluster — the corpus-
+    * shrinking pass the paper shows preserves downstream accuracy.
+    *
+    * Scale shape: the quadratic term is bounded PER CELL — candidate
+    * pairs ≈ n²/(2k), and k scales as n/targetCellSize so per-cell work
+    * stays constant at 100 TB; l14's 64-plane Hamming pre-filter
+    * (`bit_count ≤ 18` at the 0.9 threshold) drops far pairs before any
+    * O(d) cosine, and pairs travel as bare ids until the surviving few
+    * re-join their vectors. A near-dup pair split across cells is the
+    * method's documented miss mode (the spec bounds planted recall, not
+    * exactness). No oracle (k-means arithmetic not portably expressible
+    * in DuckDB); IvfSpec pins planted recall, plan shape, and sf0.01
+    * goldens. */
+  val l26 = DQ(
+    "l26_semantic_dedup",
+    (s, d) => {
+      val e = plantedVecs(embs(s, d))
+      val idx = AnnIndexes.buildIvf(e, k = 16, iters = 2)
+      val cells = idx.lists
+        .join(hyperplaneSig(e, hyperplanes64).select("vec_id", "sig"), "vec_id")
+      val a = cells.select(col("cid"), col("vec_id").as("ida"), col("sig").as("sa"))
+      val b = cells.select(col("cid").as("cid2"), col("vec_id").as("idb"),
+        col("sig").as("sb"))
+      val cand = a.join(b,
+          col("cid") === col("cid2") && col("ida") < col("idb") &&
+            bit_count(col("sa").bitwiseXOR(col("sb"))) <= 18)
+        .select("ida", "idb") // one cell per vector → pairs already unique
+      val near = cand
+        .join(e.toDF("ida", "va"), "ida")
+        .join(e.toDF("idb", "vb"), "idb")
+        .withColumn("cos_e4",
+          round(lit(10000) * VectorOps.cosineNative(col("va"), col("vb"))).cast("long"))
+        .filter(col("cos_e4") >= 9000)
+      val marked = near.select(col("idb").as("vec_id")).distinct()
+      val off = plantedOffset(embs(s, d), "vec_id")
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nVecs = e.agg(count(lit(1)).as("n_vecs"))
+      val nPlanted = embs(s, d).filter(col("vec_id") % 10 === 0)
+        .agg(count(lit(1)).as("n_planted"))
+      marked
+        .crossJoin(broadcast(off))
+        .agg(
+          count(lit(1)).as("n_dup_marked"),
+          coalesce(sum("vec_id"), lit(0L)).as("dup_checksum"),
+          coalesce(sum(when(col("vec_id") >= col("_off") &&
+            (col("vec_id") - col("_off")) % 10 === 0, 1L)), lit(0L))
+            .as("n_planted_found"))
+        .crossJoin(broadcast(nVecs))
+        .crossJoin(broadcast(nCand))
+        .crossJoin(broadcast(nPlanted))
+        .select(col("n_vecs"), col("n_candidates"), col("n_dup_marked"),
+          (col("n_vecs") - col("n_dup_marked")).as("n_kept"),
+          col("n_planted_found"), col("n_planted"), col("dup_checksum"))
+    },
+    None)
+
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24)
+      l19, l24, l26)
 }
 

@@ -263,6 +263,84 @@ object SamplingQueries {
                             WHEN 'zh' THEN 'zzzz' ELSE '0000' END)
             GROUP BY 1, 2 ORDER BY lang, split"""))
 
+  /** L25 — decontamination screening: flag every TRAIN document that
+    * shares at least one distinctive word 5-gram with any TEST document
+    * — the published train/test-overlap method (the n-gram collision
+    * screens reported with GPT-2/GPT-3 and PaLM; 8–13-gram windows at
+    * web scale, 5 here to match the synthetic corpus' short docs). A
+    * contaminated holdout silently inflates eval numbers, so this gate
+    * runs before l23's manifest is trusted.
+    *
+    * Splits are l22's hash ranges (same salt, so this screens the
+    * ACTUAL holdout), n-grams the same tokenization as l15. Scale
+    * shape: n-gram sets are per-row map-side work ending in ONE
+    * equi-join shuffle keyed on the gram (at 100 TB the gram would
+    * xxhash64 to 8 bytes on the wire — kept as strings here for oracle
+    * portability); the test side is ~12.5% of the corpus and the
+    * contaminated-id dedup is bounded by the matches. No all-pairs
+    * anywhere. Output per language: train size, contaminated count,
+    * rate, and the identity checksum pinning WHICH docs are flagged.
+    */
+  val l25 = DQ(
+    "l25_decontaminate",
+    (s, d) => {
+      val labeled = docs(s, d)
+        .withColumn("split", Sampling.splitLabel(col("doc_id"), lit("split"),
+          Seq("train" -> "c000", "val" -> "e000"), last = "test"))
+      val grams = labeled
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+        .filter(size(col("ta")) >= 5)
+        .select(col("lang"), col("doc_id"), col("split"),
+          explode(expr("array_distinct(transform(sequence(0, size(ta) - 5), " +
+            "i -> concat_ws(' ', slice(ta, i + 1, 5))))")).as("gram"))
+      val testGrams = grams.filter(col("split") === "test")
+        .select("gram").distinct()
+      val contaminated = grams.filter(col("split") === "train")
+        .join(testGrams, Seq("gram"), "left_semi")
+        .select("lang", "doc_id").distinct()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_contaminated"), sum("doc_id").as("doc_id_sum"))
+      labeled.filter(col("split") === "train")
+        .groupBy("lang").agg(count(lit(1)).as("n_train"))
+        .join(contaminated, Seq("lang"), "left")
+        .select(col("lang"), col("n_train"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          round(coalesce(col("n_contaminated"), lit(0L)) * lit(10000.0) / col("n_train"))
+            .cast("long").as("contam_bp"),
+          coalesce(col("doc_id_sum"), lit(0L)).as("doc_id_sum"))
+        .orderBy("lang")
+    },
+    Some("""WITH labeled AS (
+              SELECT lang, doc_id, text,
+                CASE WHEN h < 'c000' THEN 'train'
+                     WHEN h < 'e000' THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT lang, doc_id, text,
+                      substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) AS h
+                    FROM documents)),
+            toks AS (
+              SELECT lang, doc_id, split,
+                string_split_regex(lower(text), '\s+') AS ta
+              FROM labeled),
+            grams AS (
+              SELECT lang, doc_id, split,
+                unnest(list_distinct(list_transform(range(len(ta) - 4),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 5), ' ')))) AS gram
+              FROM toks WHERE len(ta) >= 5),
+            contaminated AS (
+              SELECT DISTINCT lang, doc_id FROM grams
+              WHERE split = 'train'
+                AND gram IN (SELECT gram FROM grams WHERE split = 'test')),
+            c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_c,
+                         CAST(SUM(doc_id) AS BIGINT) AS s_c
+                  FROM contaminated GROUP BY 1),
+            t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train
+                  FROM labeled WHERE split = 'train' GROUP BY 1)
+            SELECT t.lang AS lang, n_train,
+              COALESCE(n_c, 0) AS n_contaminated,
+              CAST(ROUND(COALESCE(n_c, 0) * 10000.0 / n_train) AS BIGINT) AS contam_bp,
+              COALESCE(s_c, 0) AS doc_id_sum
+            FROM t LEFT JOIN c ON t.lang = c.lang ORDER BY lang"""))
+
   /** The 100 TB form of l21's running offset: a two-level distributed
     * prefix sum (the same decomposition as w4's partitioned window with
     * carry-in). Documents sub-shard on contiguous `doc_id div subSize`
@@ -298,5 +376,5 @@ object SamplingQueries {
       .select("source", "sub", "doc_id", "n_tok", "start")
   }
 
-  val all: Seq[DQ] = Seq(l20, l21, l22, l23)
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25)
 }

@@ -20,7 +20,11 @@ class PlanSpec extends AnyFunSuite {
       "l9_minhash_neardup", "l14_cosine_neardup",
       // l16: the k-row centroid broadcast (k=16 ≪ corpus) is the IVF
       // assignment step itself, plus the 1-row query-vector broadcast.
-      "l16_ann_ivf")
+      "l16_ann_ivf",
+      // l26: l16's centroid broadcast plus the 1-row invariant-counter
+      // combines (off/n_vecs/n_candidates/n_planted — same shape as l14;
+      // IvfSpec's plan case asserts they are 1-row aggregates only).
+      "l26_semantic_dedup")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

@@ -113,6 +113,57 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("l26 semantic dedup: keeps = corpus minus marked, planted recall >= 80%, " +
+      "and every mark is sound against brute force") {
+    val row = LlmQueries.l26.fn(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_kept") ===
+      row.getAs[Long]("n_vecs") - row.getAs[Long]("n_dup_marked"))
+    assert(row.getAs[Long]("n_planted_found") >=
+      (row.getAs[Long]("n_planted") * 8) / 10,
+      s"planted recall ${row.getAs[Long]("n_planted_found")}/${row.getAs[Long]("n_planted")}")
+    // per-cell pairing keeps the candidate volume near-linear
+    assert(row.getAs[Long]("n_candidates") <= 20 * row.getAs[Long]("n_vecs"))
+    // soundness: every marked id must have SOME smaller-id ε-neighbor in
+    // the full corpus (cells only restrict, never invent, neighbors)
+    val pv = LlmQueries.plantedVecs(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val byId = pv.toMap
+    val checksum = row.getAs[Long]("dup_checksum")
+    val candidates = pv.map(_._1).filter(idb =>
+      pv.exists { case (ida, va) =>
+        ida < idb && math.round(10000 * cos(va, byId(idb))) >= 9000 })
+    // the marked set must be a subset of brute-force ε-neighbored ids:
+    // its checksum is bounded by (and composed of) candidate ids
+    assert(row.getAs[Long]("n_dup_marked") <= candidates.length.toLong,
+      s"marked ${row.getAs[Long]("n_dup_marked")} > brute-force ${candidates.length}")
+    assert(checksum <= candidates.sum,
+      "dup checksum exceeds the brute-force candidate checksum")
+  }
+
+  test("l26 plan has no cartesian product; pairing is the (cid) equi-join") {
+    val exec = LlmQueries.l26.fn(spark, sf).queryExecution.executedPlan
+    assert(!exec.toString.contains("CartesianProduct"))
+    val nlJoins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlJoins.forall(_.children.exists(_.toString.contains("keys=[]"))),
+      "l26 has a nested-loop join beyond 1-row global-aggregate broadcasts")
+  }
+
+  test("sf0.01 golden: l26's invariant row is pinned exactly") {
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).isDirectory)
+    val r = LlmQueries.l26.fn(spark, sf01).collect()(0)
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(got === ((550L, 98L, 50L, 500L, 50L, 50L, 37250L)), s"l26 $got")
+  }
+
   test("l16 recall: the probed cells contain most of the brute-force top-10") {
     import spark.implicits._
     val top10 = LlmQueries.l3.fn(spark, sf).select("vec_id").as[Long].collect().toSet

@@ -363,6 +363,43 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(viaPacked === viaCatalog)
   }
 
+  // ------------------------------------------------------------- l25
+
+  test("l25 decontamination equals a local recompute of train/test 5-gram overlap") {
+    val rows = Tables.documents(spark, sf).select("lang", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def md4(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+    def splitOf(id: Long): String = {
+      val h = md4(s"$id:split")
+      if (h < "c000") "train" else if (h < "e000") "val" else "test"
+    }
+    def grams(t: String): Set[String] = {
+      val ta = t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      if (ta.length < 5) Set.empty
+      else ta.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val testGrams = rows.filter(r => splitOf(r._2) == "test")
+      .flatMap(r => grams(r._3)).toSet
+    val train = rows.filter(r => splitOf(r._2) == "train")
+    val expected = train.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ds) =>
+      val contaminated = ds.filter(d => grams(d._3).exists(testGrams))
+      val bp = math.round(contaminated.length * 10000.0 / ds.length)
+      (lang, ds.length.toLong, contaminated.length.toLong, bp,
+        contaminated.map(_._2).sum)
+    }
+    val got = SamplingQueries.l25.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // the screen must catch REAL contamination at this corpus (template
+    // docs share 5-grams across the split), or the operator is vacuous
+    assert(got.map(_._3).sum > 0, "no contamination found at all")
+    // and not degenerate to flagging everything
+    assert(got.map(_._3).sum < got.map(_._2).sum / 2)
+  }
+
   // ------------------------------------------------------------- l24
 
   test("l24 int8 quantization equals a local recompute and stays in int8 range") {
