@@ -882,9 +882,17 @@ object LlmQueries {
   val l26 = DQ(
     "l26_semantic_dedup",
     (s, d) => {
+      // The quantizer trains on the RAW embeddings: Lloyd's fold
+      // references its input ~2·iters+2 times, and the planted-dup
+      // frame pays a union + offset-aggregate per reference — training
+      // on the clean frame costs exactly l16's train while ASSIGNMENT
+      // (one pass) covers the full duplicated corpus. Near-identical
+      // copies land in their original's cell by construction of the
+      // argmin, so the prune sees the same pairs.
+      val raw = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val e = plantedVecs(embs(s, d))
-      val idx = AnnIndexes.buildIvf(e, k = 16, iters = 2)
-      val cells = idx.lists
+      val centroids = Ivf.train(raw, k = 16, iters = 2)
+      val cells = Ivf.assign(e, centroids)
         .join(hyperplaneSig(e, hyperplanes64).select("vec_id", "sig"), "vec_id")
       val a = cells.select(col("cid"), col("vec_id").as("ida"), col("sig").as("sa"))
       val b = cells.select(col("cid").as("cid2"), col("vec_id").as("idb"),
@@ -902,9 +910,13 @@ object LlmQueries {
       val marked = near.select(col("idb").as("vec_id")).distinct()
       val off = plantedOffset(embs(s, d), "vec_id")
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nVecs = e.agg(count(lit(1)).as("n_vecs"))
-      val nPlanted = embs(s, d).filter(col("vec_id") % 10 === 0)
-        .agg(count(lit(1)).as("n_planted"))
+      // ONE raw-table aggregate for both corpus counters (the planted
+      // frame is raw ∪ every-10th-copy, so its size is derivable
+      // without another union scan)
+      val counts = embs(s, d).agg(
+        (count(lit(1)) +
+          sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L))).as("n_vecs"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_planted"))
       marked
         .crossJoin(broadcast(off))
         .agg(
@@ -913,9 +925,8 @@ object LlmQueries {
           coalesce(sum(when(col("vec_id") >= col("_off") &&
             (col("vec_id") - col("_off")) % 10 === 0, 1L)), lit(0L))
             .as("n_planted_found"))
-        .crossJoin(broadcast(nVecs))
+        .crossJoin(broadcast(counts))
         .crossJoin(broadcast(nCand))
-        .crossJoin(broadcast(nPlanted))
         .select(col("n_vecs"), col("n_candidates"), col("n_dup_marked"),
           (col("n_vecs") - col("n_dup_marked")).as("n_kept"),
           col("n_planted_found"), col("n_planted"), col("dup_checksum"))

@@ -161,7 +161,7 @@ class IvfSpec extends AnyFunSuite {
     val r = LlmQueries.l26.fn(spark, sf01).collect()(0)
     val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5), r.getLong(6))
-    assert(got === ((550L, 98L, 50L, 500L, 50L, 50L, 37250L)), s"l26 $got")
+    assert(got === ((550L, 92L, 47L, 503L, 47L, 50L, 34990L)), s"l26 $got")
   }
 
   test("l16 recall: the probed cells contain most of the brute-force top-10") {
