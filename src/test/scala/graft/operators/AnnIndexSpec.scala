@@ -51,6 +51,17 @@ class AnnIndexSpec extends AnyFunSuite {
     // every corpus vector is in exactly one persisted list
     assert(back.lists.count() === e.count())
     assert(back.lists.select("vec_id").distinct().count() === e.count())
+    // and the probe PRUNES: the inverted-list scan must carry a dynamic
+    // partition-pruning filter on cid (the probed-cells broadcast), so
+    // only nprobe/k of the files are read — the load-bearing scale
+    // claim of the directory-partitioned layout
+    val probePlan = AnnIndexes.probeIvf(back, e,
+      e.filter(col("vec_id") === 0), nprobe = 4, topK = 5, excludeId = 0L)
+    probePlan.collect()
+    val scan = probePlan.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ivf_lists")).mkString("\n")
+    assert(scan.contains("dynamicpruning"),
+      s"IVF probe scan lost dynamic partition pruning:\n$scan")
   }
 
   test("a NOVEL query vector (not in the corpus) probes both indexes without rebuild") {
