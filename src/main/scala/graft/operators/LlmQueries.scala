@@ -858,6 +858,68 @@ object LlmQueries {
                   FROM embeddings)))
             GROUP BY 1 ORDER BY label"""))
 
+  /** L27 — repetition-based quality screening (the Gopher repetition
+    * rules, Rae et al. 2021 arXiv:2112.11446 Appendix A: documents
+    * dominated by a repeated n-gram are generation/boilerplate
+    * artifacts and poison training): per document, the fraction of
+    * word-2-gram occurrences covered by the single most frequent
+    * 2-gram; documents past 10% flag. (Gopher's published bound is
+    * 0.20 of CHARACTERS in the top 2-gram at web-document length; the
+    * occurrence-fraction form with a 10% bar realizes the same rule on
+    * this corpus' short synthetic docs.) Complements L6's stopword/
+    * length gates — that screens vocabulary, this screens structure.
+    *
+    * Scale shape: gram counting is ONE partial-aggregable hash agg
+    * keyed (doc, gram) — the same shuffle family as L4's token stats —
+    * then a per-doc max and a language rollup, both tiny. No windows,
+    * no self-joins. Output per language: docs, flagged docs, mean
+    * top-2-gram share, and the flagged-id checksum pinning WHICH docs.
+    */
+  val l27 = DQ(
+    "l27_repetition",
+    (s, d) => {
+      val g = docs(s, d)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+        .filter(size(col("ta")) >= 2)
+        .select(col("lang"), col("doc_id"),
+          (size(col("ta")) - 1).cast("long").as("n_grams"),
+          explode(expr("transform(sequence(0, size(ta) - 2), " +
+            "i -> concat_ws(' ', slice(ta, i + 1, 2)))")).as("gram"))
+      val perDoc = g.groupBy("lang", "doc_id", "n_grams", "gram")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang", "doc_id", "n_grams")
+        .agg(max("c").as("max_c"))
+        .withColumn("top2_bp",
+          round(col("max_c") * lit(10000.0) / col("n_grams")).cast("long"))
+      perDoc.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("top2_bp") > 1000, 1L).otherwise(0L)).as("n_flagged"),
+          round(sum("top2_bp") * lit(1.0) / count(lit(1))).cast("long")
+            .as("avg_top2_bp"),
+          coalesce(sum(when(col("top2_bp") > 1000, col("doc_id"))), lit(0L))
+            .as("flagged_checksum"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (SELECT lang, doc_id,
+                string_split_regex(lower(text), '\s+') AS ta FROM documents),
+            g AS (SELECT lang, doc_id, len(ta) - 1 AS n_grams,
+                    unnest(list_transform(range(len(ta) - 1),
+                      i -> array_to_string(list_slice(ta, i + 1, i + 2), ' '))) AS gram
+                  FROM t WHERE len(ta) >= 2),
+            c AS (SELECT lang, doc_id, n_grams, gram, COUNT(*) AS c
+                  FROM g GROUP BY 1, 2, 3, 4),
+            p AS (SELECT lang, doc_id,
+                    CAST(ROUND(MAX(c) * 10000.0 / n_grams) AS BIGINT) AS top2_bp
+                  FROM c GROUP BY lang, doc_id, n_grams)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN top2_bp > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged,
+              CAST(ROUND(SUM(top2_bp) * 1.0 / COUNT(*)) AS BIGINT) AS avg_top2_bp,
+              CAST(COALESCE(SUM(CASE WHEN top2_bp > 1000 THEN doc_id END), 0)
+                AS BIGINT) AS flagged_checksum
+            FROM p GROUP BY 1 ORDER BY lang"""))
+
   /** L26 — SemDeDup-style semantic deduplication (cluster-then-prune,
     * Abbas et al. 2023, arXiv:2303.09540): embeddings cluster into IVF
     * cells (the SAME trained index as l16 — [[AnnIndexes.buildIvf]]),
@@ -935,6 +997,6 @@ object LlmQueries {
 
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26)
+      l19, l24, l26, l27)
 }
 

@@ -437,6 +437,31 @@ class LshSpec extends AnyFunSuite {
     assert((sigs(1L) ^ sigs(2L)) === 0xFFFFL)
   }
 
+  test("l27 repetition screening equals a local top-2-gram recompute and flags real docs") {
+    val rows = Tables.documents(spark, sf).select("lang", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val perDoc = rows.flatMap { case (lang, id, text) =>
+      val ta = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      if (ta.length < 2) None
+      else {
+        val grams = ta.sliding(2).map(_.mkString(" ")).toSeq
+        val maxC = grams.groupBy(identity).values.map(_.size).max
+        Some((lang, id, math.round(maxC * 10000.0 / grams.length)))
+      }
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ds) =>
+      val flagged = ds.filter(_._3 > 1000)
+      (lang, ds.length.toLong, flagged.length.toLong,
+        math.round(ds.map(_._3).sum * 1.0 / ds.length), flagged.map(_._2).sum)
+    }
+    val got = LlmQueries.l27.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // the rule must bite on this repetitive corpus without flagging it all
+    assert(got.map(_._3).sum > 0 && got.map(_._3).sum < got.map(_._2).sum / 10)
+  }
+
   test("l15 n-gram jaccard scores are high for first-token-dropped variants") {
     val rows = LlmQueries.l15.fn(spark, sf).collect()
     assert(rows.length === 50) // doc_id % 10 == 0 of 500
