@@ -363,18 +363,38 @@ object LlmQueries {
     * sigs). No DuckDB oracle (signature hashing is not SQL-portable);
     * the spec pins recall on the planted dups, exact sf0.01 golden
     * invariants, and a cartesian-free plan. */
+  /** L9's candidate stage as a reusable frame: banded-LSH candidate
+    * pairs with their EXACT Jaccard — (ida, idb, jac_e4), ida < idb, no
+    * threshold applied. Shared by l9's accounting aggregate and l28's
+    * component closure so the two can never disagree on what a
+    * near-dup pair is. Same dataflow as always: shuffle-free map-side
+    * sketch, band-bucket equi-join, shingle frame shuffled ONCE
+    * (ReusedExchange across the two side-joins). */
+  private[graft] def candidatePairs(dd: DataFrame): DataFrame = {
+    val docAgg = docSketch(dd)
+    val buckets = minhashBuckets(docAgg.select("doc_id", "sig"))
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+      .join(docAgg.select(col("doc_id").as("ida"),
+        col("shs").as("sha"), col("n_sh").as("na")), "ida")
+      .join(docAgg.select(col("doc_id").as("idb"),
+        col("shs").as("shb"), col("n_sh").as("nb")), "idb")
+      .withColumn("n_inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jac_e4",
+        round(col("n_inter") * lit(10000.0) /
+          (col("na") + col("nb") - col("n_inter"))).cast("long"))
+      .select("ida", "idb", "jac_e4")
+  }
+
   val l9 = DQ(
     "l9_minhash_neardup",
     (s, d) => {
       val dd = planted(docs(s, d))
-      val docAgg = docSketch(dd)
-      val buckets = minhashBuckets(docAgg.select("doc_id", "sig"))
-      val pairs = buckets.as("x")
-        .join(buckets.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-        .distinct()
       // In-plan invariants (there is no DuckDB oracle for this query, so
       // the driver's per-round record only pins row count + these
       // columns): planted-pair recall — a planted pair is (d, d+off)
@@ -388,16 +408,7 @@ object LlmQueries {
           size(split(lower(col("text")), "\\s+")) >= 4) // dup keeps >= 3 tokens
         .agg(count(lit(1)).as("n_planted"))
       val nDocs = dd.agg(count(lit(1)).as("_n_docs"))
-      pairs
-        .join(docAgg.select(col("doc_id").as("ida"),
-          col("shs").as("sha"), col("n_sh").as("na")), "ida")
-        .join(docAgg.select(col("doc_id").as("idb"),
-          col("shs").as("shb"), col("n_sh").as("nb")), "idb")
-        .withColumn("n_inter",
-          size(array_intersect(col("sha"), col("shb"))).cast("long"))
-        .withColumn("jac_e4",
-          round(col("n_inter") * lit(10000.0) /
-            (col("na") + col("nb") - col("n_inter"))).cast("long"))
+      candidatePairs(dd)
         .crossJoin(broadcast(off))
         .agg(
           count(lit(1)).as("n_candidates"),
@@ -920,6 +931,46 @@ object LlmQueries {
                 AS BIGINT) AS flagged_checksum
             FROM p GROUP BY 1 ORDER BY lang"""))
 
+  /** L28 — near-dup cluster closure: the step that turns L9's PAIRS into
+    * removable CLUSTERS. Banding emits (a,b), (b,c) without ever testing
+    * (a,c); keep-one-per-cluster dedup therefore needs the transitive
+    * closure — [[graft.functions.Components]]' min-label propagation
+    * (the standard distributed construction) over the verified near-dup
+    * edges, sharing [[candidatePairs]] with l9 so the edge definition
+    * cannot drift. Output: cluster count, docs clustered, docs a
+    * keep-canonical pass would remove, the largest cluster (the skew
+    * bound for any per-cluster work), the canonical-id checksum pinning
+    * WHICH doc survives each cluster, and `n_unconverged` — an in-plan
+    * proof the fixed 8-round budget reached the fixpoint (0 = every
+    * label stable; the gate pins it, so a graph too deep for the budget
+    * fails loudly instead of under-merging silently).
+    *
+    * The edge frame is `localCheckpoint`ed before iterating — the
+    * standard Spark pattern for iterative algorithms (compute the graph
+    * once, cut lineage, loop over the materialized frame); without it
+    * each of the 8 rounds would re-derive the whole sketch+band+Jaccard
+    * subtree. No oracle (minhash isn't SQL-portable); the spec pins the
+    * closure against a driver-side union-find over the same pairs. */
+  val l28 = DQ(
+    "l28_dedup_components",
+    (s, d) => {
+      import graft.functions.Components
+      val edges = candidatePairs(planted(docs(s, d)))
+        .filter(col("jac_e4") >= 6000)
+        .select("ida", "idb")
+        .localCheckpoint()
+      val labels = Components.close(edges, iters = 8)
+      val sizes = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+      sizes.agg(
+          count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_docs_clustered"),
+          (sum("sz") - count(lit(1))).as("n_removable"),
+          max("sz").as("largest_cluster"),
+          sum("comp").as("canonical_checksum"))
+        .crossJoin(broadcast(Components.unconverged(edges, labels)))
+    },
+    None)
+
   /** L26 — SemDeDup-style semantic deduplication (cluster-then-prune,
     * Abbas et al. 2023, arXiv:2303.09540): embeddings cluster into IVF
     * cells (the SAME trained index as l16 — [[AnnIndexes.buildIvf]]),
@@ -997,6 +1048,6 @@ object LlmQueries {
 
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27)
+      l19, l24, l26, l27, l28)
 }
 

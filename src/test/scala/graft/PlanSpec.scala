@@ -24,7 +24,9 @@ class PlanSpec extends AnyFunSuite {
       // l26: l16's centroid broadcast plus the 1-row invariant-counter
       // combines (off/n_vecs/n_candidates/n_planted — same shape as l14;
       // IvfSpec's plan case asserts they are 1-row aggregates only).
-      "l26_semantic_dedup")
+      "l26_semantic_dedup",
+      // l28: the 1-row n_unconverged invariant broadcast (a global agg).
+      "l28_dedup_components")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

@@ -437,6 +437,44 @@ class LshSpec extends AnyFunSuite {
     assert((sigs(1L) ^ sigs(2L)) === 0xFFFFL)
   }
 
+  test("l28 component closure equals a driver-side union-find over the same " +
+      "verified pairs, and the fixed round budget reaches the fixpoint") {
+    val pairs = LlmQueries.candidatePairs(
+        LlmQueries.planted(Tables.documents(spark, sf)))
+      .filter(col("jac_e4") >= 6000).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val comps = nodes.groupBy(find).values.map(_.min).toSeq
+    val sizes = nodes.groupBy(find).values.map(_.size).toSeq
+    val row = LlmQueries.l28.fn(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_clusters") === comps.length.toLong)
+    assert(row.getAs[Long]("n_docs_clustered") === nodes.length.toLong)
+    assert(row.getAs[Long]("n_removable") === (nodes.length - comps.length).toLong)
+    assert(row.getAs[Long]("largest_cluster") === sizes.max.toLong)
+    assert(row.getAs[Long]("canonical_checksum") === comps.sum)
+    assert(row.getAs[Long]("n_unconverged") === 0L,
+      "8 propagation rounds must reach the fixpoint on this graph")
+    // the closure genuinely merges beyond pairs — at least one cluster
+    // larger than 2, or this operator degenerates to the pair list
+    assert(sizes.max > 2)
+  }
+
+  test("sf0.01 golden: l28's component row is pinned exactly") {
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).isDirectory)
+    val r = LlmQueries.l28.fn(spark, sf01).collect()(0)
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+    assert(got === ((67L, 141L, 74L, 3L, 14329L, 0L)), s"l28 $got")
+  }
+
   test("l27 repetition screening equals a local top-2-gram recompute and flags real docs") {
     val rows = Tables.documents(spark, sf).select("lang", "doc_id", "text")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
