@@ -420,6 +420,17 @@ class LshSpec extends AnyFunSuite {
     val l16 = LlmQueries.l16.fn(spark, sf1).collect()(0)
     assert(l16.getAs[Long]("n_exact_top5_overlap") >= 4,
       s"l16 exact-top5 overlap ${l16.getAs[Long]("n_exact_top5_overlap")}/5")
+    // l26: the per-cell prune must keep >= 80% planted recall at the
+    // bench corpus density; l28: the deeper bench-scale pair graph must
+    // still close inside the fixed 8-round budget (fixpoint proof 0)
+    val l26 = LlmQueries.l26.fn(spark, sf1).collect()(0)
+    assert(l26.getAs[Long]("n_planted_found") >=
+      (l26.getAs[Long]("n_planted") * 8) / 10,
+      s"l26 planted recall ${l26.getAs[Long]("n_planted_found")}/${l26.getAs[Long]("n_planted")}")
+    val l28 = LlmQueries.l28.fn(spark, sf1).collect()(0)
+    assert(l28.getAs[Long]("n_unconverged") === 0L,
+      s"l28 label propagation unconverged at bench scale: $l28")
+    assert(l28.getAs[Long]("n_clusters") > 0)
   }
 
   test("hyperplaneSig works on a session missing the extension functions") {
