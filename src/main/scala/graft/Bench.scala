@@ -90,27 +90,32 @@ object Bench {
     * that is JVM noise) with the top-3 noisiest spreads itemized
     * (`spread_max` covers the rest). If that would overflow the tail
     * (only possible when every query reads 3-digit contended seconds),
-    * the render degrades ONCE to whole-second values ≥ 10 s and drops
-    * the spread itemization — contended digits past the second are
-    * noise anyway, and a parseable coarse record beats a truncated
-    * precise one. BenchLineSpec pins the worst case against the live
-    * catalog. */
+    * the render degrades in stages — first the spread itemization goes
+    * (pure diagnostics; `spread_max` stays), then values coarsen to
+    * centiseconds/whole seconds — so a quiet run keeps millisecond
+    * per-query floors and even a fully contended 3-digit-seconds run
+    * stays a parseable record instead of a truncated one. BenchLineSpec
+    * pins the worst case against the live catalog. */
   private[graft] def renderLine(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
-    val normal = renderAt(timings, spreads, errors, runs, sfDir, coarse = false)
-    if (normal.length <= 2000) normal
-    else renderAt(timings, spreads, errors, runs, sfDir, coarse = true)
+    val stages = Seq((false, true), (false, false), (true, false))
+    stages.map { case (coarse, withSpread) =>
+        renderAt(timings, spreads, errors, runs, sfDir, coarse, withSpread)
+      }
+      .find(_.length <= 2000)
+      .getOrElse(renderAt(timings, spreads, errors, runs, sfDir,
+        coarse = true, withSpread = false))
   }
 
   private def renderAt(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String,
-      coarse: Boolean): String = {
+      coarse: Boolean, withSpread: Boolean): String = {
     def rv(v: Double): String =
       if (!coarse) r3(v) else if (v < 10) fmt(v, 2) else fmt(v, 0)
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${rv(v)}" }.mkString("{", ",", "}")
-    val noisy = if (coarse) Nil else spreads.filter(_._2 > 0.5).sortBy(-_._2).take(3)
+    val noisy = if (!withSpread) Nil else spreads.filter(_._2 > 0.5).sortBy(-_._2).take(3)
     val sp = noisy.map { case (k, v) => s"${jstr(k)}:${rv(v)}" }.mkString("{", ",", "}")
     val spMax = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
