@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.Components
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generic guarantees for the min-label-propagation closure, beyond the
+  * l28 instantiation: property-tested against union-find on random
+  * graphs, plus the budget/fixpoint contract. */
+class ComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    nodes.map(n => n -> minOfRoot(find(n))).toMap
+  }
+
+  private def closed(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Components.close(edges.toDF("ida", "idb"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("property: closure equals union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // sparse random graphs over a small id space force multi-hop chains
+    val edgeGen = Gen.chooseNum(1, 18).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 23L), Gen.chooseNum(0L, 23L)))
+    }
+    val p = Prop.forAll(edgeGen) { es =>
+      val edges = es.filter(e => e._1 != e._2)
+      edges.isEmpty || closed(edges, iters = 24) == unionFind(edges)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(12).withWorkers(1), p)
+    assert(res.passed, res.toString)
+  }
+
+  test("a chain deeper than the round budget reports unconverged > 0, " +
+      "never a silently wrong merge") {
+    import spark.implicits._
+    // path 0-1-2-...-9: label 0 travels one hop per round
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val few = Components.close(chain.toDF("ida", "idb"), iters = 3)
+    val unconv = Components.unconverged(chain.toDF("ida", "idb"), few)
+      .collect()(0).getLong(0)
+    assert(unconv > 0, "a 9-hop chain cannot close in 3 rounds")
+    val enough = Components.close(chain.toDF("ida", "idb"), iters = 9)
+    val labels = enough.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(0L), s"chain must collapse to 0: $labels")
+    assert(Components.unconverged(chain.toDF("ida", "idb"), enough)
+      .collect()(0).getLong(0) === 0L)
+    intercept[IllegalArgumentException](
+      Components.close(chain.toDF("ida", "idb"), iters = 0))
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (4L, 5L), (4L, 5L))
+    val labels = closed(edges, iters = 4)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+}
