@@ -400,6 +400,16 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < got.map(_._2).sum / 2)
   }
 
+  test("l25's contamination check broadcasts the holdout gram side (no " +
+      "shuffle of the train grams against a small test set)") {
+    val df = SamplingQueries.l25.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(raw"BroadcastHashJoin \[gram#\d+\], \[gram#\d+\], LeftSemi".r
+      .findFirstIn(plan).isDefined,
+      s"the gram semi-join must broadcast the test side:\n${plan.take(1500)}")
+  }
+
   // ------------------------------------------------------------- l24
 
   test("l24 int8 quantization equals a local recompute and stays in int8 range") {
