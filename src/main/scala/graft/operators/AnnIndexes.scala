@@ -26,9 +26,10 @@ import graft.functions.{Ivf, SimHash, VectorOps}
   * plan — pinned by AnnIndexSpec against the same sf0.01 goldens.
   *
   * Persisted layout (the 100 TB shape):
-  *  - LSH bands cluster by (band_id, bval): a probe equi-joins on the
-  *    band key, so row-group min/max stats skip everything outside the
-  *    query's 4 band values.
+  *  - LSH bands cluster by (band_id, bval): a probe pushes its 4 band
+  *    keys down as literal predicates, so row-group min/max stats on
+  *    the clustered layout skip everything outside the query's 4 band
+  *    values.
   *  - IVF inverted lists are DIRECTORY-partitioned by cell id: a probe
   *    touches `nprobe`/`k` of the index files by path pruning alone,
   *    before any row is read. Centroids are a k-row side file.
@@ -62,16 +63,27 @@ object AnnIndexes {
     * 1-row frame with vector column `v`; its band keys are recomputed
     * from the vector (the signature is a pure function, so a corpus
     * query and a novel query probe identically). `excludeId` drops the
-    * query's own corpus row from the candidates (-1 = keep all). */
+    * query's own corpus row from the candidates (-1 = keep all).
+    *
+    * The 4 band keys are collected driver-side (a BOUNDED action: one
+    * query row → 4 keys, the same budget as m1's refresh key) and
+    * pushed as LITERAL predicates, so the band-index scan row-group-
+    * skips via parquet min/max stats — the point-lookup shape a
+    * production probe uses. The join form would read the whole index:
+    * a broadcast join filters AFTER the scan, it cannot push min/max
+    * skipping into it. */
   def probeLsh(bands: DataFrame, e: DataFrame, query: DataFrame,
       topK: Int, excludeId: Long = -1L): DataFrame = {
     val qb = lshBands(query.select(lit(-1L).as("vec_id"), col("v")))
-      .select("band_id", "bval")
+      .select("band_id", "bval").collect()
+    require(qb.nonEmpty, "probeLsh: query frame produced no band keys")
+    val hit = qb.map(r => col("band_id") === r.getInt(0) && col("bval") === r.getLong(1))
+      .reduce(_ || _)
     // Dedup candidates as bare ids BEFORE re-attaching vectors so the
     // distinct's shuffle never carries the 512-byte arrays (same
     // discipline as the composed l12 plan).
     val candidates = bands.filter(col("vec_id") =!= excludeId)
-      .join(broadcast(qb), Seq("band_id", "bval"))
+      .filter(hit)
       .select("vec_id").distinct()
     rerank(candidates, e, query, topK)
   }

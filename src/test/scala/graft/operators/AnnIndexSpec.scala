@@ -25,12 +25,20 @@ class AnnIndexSpec extends AnyFunSuite {
     val e = vecs(sf)
     val base = Files.createTempDirectory("graft_annidx_lsh_").toString
     AnnIndexes.writeLsh(AnnIndexes.lshBands(e), base)
-    val probed = pairs(AnnIndexes.probeLsh(
+    val probe = AnnIndexes.probeLsh(
       AnnIndexes.readLsh(spark, base), e,
-      e.filter(col("vec_id") === 0), topK = 5, excludeId = 0L))
+      e.filter(col("vec_id") === 0), topK = 5, excludeId = 0L)
+    val probed = pairs(probe)
     val composed = pairs(LlmQueries.l12.fn(spark, sf))
     assert(probed === composed)
     assert(probed.length === 5)
+    // the band keys reach the index scan as PUSHED literal predicates
+    // (row-group min/max skipping on the clustered layout) — a join
+    // form would read the whole index
+    val scan = probe.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("lsh_bands")).mkString("\n")
+    assert(scan.contains("PushedFilters: [") && scan.contains("bval"),
+      s"band keys not pushed into the index scan:\n$scan")
   }
 
   test("IVF probe from materialized centroids + inverted lists equals the composed l16 plan") {
