@@ -100,12 +100,13 @@ object Bench {
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
     val stages = Seq((false, true), (false, false), (true, false))
-    stages.map { case (coarse, withSpread) =>
-        renderAt(timings, spreads, errors, runs, sfDir, coarse, withSpread)
-      }
-      .find(_.length <= 2000)
-      .getOrElse(renderAt(timings, spreads, errors, runs, sfDir,
-        coarse = true, withSpread = false))
+    val rendered = stages.iterator.map { case (coarse, withSpread) =>
+      renderAt(timings, spreads, errors, runs, sfDir, coarse, withSpread)
+    }
+    // lazy iterator: the common (fits-at-stage-1) case renders once;
+    // the stage-3 string doubles as the oversize fallback
+    var last = ""
+    rendered.map { l => last = l; l }.find(_.length <= 2000).getOrElse(last)
   }
 
   private def renderAt(

@@ -20,7 +20,11 @@ object Query {
   private[graft] def parse(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil                    => acc
     case "--sf" :: v :: rest    => parse(rest, acc.copy(sf = v))
-    case "--limit" :: v :: rest if v.nonEmpty && v.forall(_.isDigit) =>
+    // toLongOption also rejects digit strings past Long range; the
+    // bounds check rejects 0 and Int overflow — the error message
+    // promises a POSITIVE integer, so 0 must not silently show(0)
+    case "--limit" :: v :: rest if v.nonEmpty && v.forall(_.isDigit) &&
+        v.toLongOption.exists(n => n > 0 && n <= Int.MaxValue) =>
       parse(rest, acc.copy(limit = v.toInt))
     case "--limit" :: v :: _ =>
       throw new IllegalArgumentException(s"--limit expects a positive integer, got: $v")

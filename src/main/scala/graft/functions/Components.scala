@@ -71,7 +71,8 @@ object Components {
     val next = step(closedSym(edges), labels)
     labels.select(col("id"), col("comp").as("c0"))
       .join(next.select(col("id"), col("comp").as("c1")), "id")
-      .agg(sum(when(col("c0") =!= col("c1"), 1L).otherwise(0L))
-        .as("n_unconverged"))
+      // coalesce: an empty graph is trivially converged (0), not null
+      .agg(coalesce(sum(when(col("c0") =!= col("c1"), 1L).otherwise(0L)),
+        lit(0L)).as("n_unconverged"))
   }
 }

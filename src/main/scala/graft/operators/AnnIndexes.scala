@@ -120,7 +120,12 @@ object AnnIndexes {
   /** Top-k by exact cosine among the vectors in the query's `nprobe`
     * nearest cells. `idx` may be the composed [[buildIvf]] result or a
     * [[readIvf]] read-back. Centroid selection is a k-row broadcast;
-    * the inverted-list join carries bare (vec_id, cid) pairs. */
+    * the inverted-list join carries bare (vec_id, cid) pairs.
+    *
+    * Fully lazy (no driver action, unlike [[probeLsh]]'s band-key
+    * collect): an EMPTY query frame therefore yields an empty result,
+    * not an error — validate the query exists upstream if that
+    * distinction matters. */
   def probeIvf(idx: IvfIndex, e: DataFrame, query: DataFrame,
       nprobe: Int, topK: Int, excludeId: Long = -1L): DataFrame = {
     val q = query.select(col("v").as("qv"))

