@@ -92,10 +92,12 @@ object Bench {
     * (only possible when every query reads 3-digit contended seconds),
     * the render degrades in stages — first the spread itemization goes
     * (pure diagnostics; `spread_max` stays), then values coarsen to
-    * centiseconds/whole seconds — so a quiet run keeps millisecond
-    * per-query floors and even a fully contended 3-digit-seconds run
-    * stays a parseable record instead of a truncated one. BenchLineSpec
-    * pins the worst case against the live catalog. */
+    * centiseconds/whole seconds, and as a last resort the per-query
+    * itemization is dropped entirely (totals + counts + the first 3
+    * errors, each clipped — a PROVABLY bounded record, asserted under
+    * the budget by BenchLineSpec) — so a quiet run keeps millisecond
+    * per-query floors and even a pathological run stays a parseable
+    * record instead of a truncated one. */
   private[graft] def renderLine(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
@@ -104,9 +106,26 @@ object Bench {
       renderAt(timings, spreads, errors, runs, sfDir, coarse, withSpread)
     }
     // lazy iterator: the common (fits-at-stage-1) case renders once;
-    // the stage-3 string doubles as the oversize fallback
-    var last = ""
-    rendered.map { l => last = l; l }.find(_.length <= 2000).getOrElse(last)
+    // the minimal render is the guaranteed-bounded oversize fallback
+    rendered.find(_.length <= 2000)
+      .getOrElse(renderMinimal(timings, spreads, errors, runs, sfDir))
+  }
+
+  /** The last-resort render: no per-query itemization, error map capped
+    * at 3 entries with names/messages clipped. Every field is either a
+    * number or a clipped string, so the worst-case length is a small
+    * constant (≲ 400 chars) no matter how large the catalog grows —
+    * the stage the doc comment's "stays a parseable record" claim
+    * bottoms out on. */
+  private def renderMinimal(
+      timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
+      errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
+    val spMax = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
+    val es = errors.take(3)
+      .map { case (k, v) => s"${jstr(k.take(24))}:${jstr(v.take(48))}" }
+      .mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"spread":{},"spread_max":${r3(spMax)},"runs":$runs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir.take(64))}}"""
   }
 
   private def renderAt(

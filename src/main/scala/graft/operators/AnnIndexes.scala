@@ -88,6 +88,26 @@ object AnnIndexes {
     rerank(candidates, e, query, topK)
   }
 
+  /** [[probeLsh]]'s fully-LAZY sibling: candidates come from a
+    * broadcast equi-join of the query's 4-row band frame against the
+    * index, so building the plan runs NO Spark job. Same rows as
+    * [[probeLsh]] by construction (identical band arithmetic, identical
+    * re-rank). Use this when the bands are an IN-PLAN frame (the
+    * composed l12 catalog query): there the collect-and-push-literals
+    * path costs an eager job at DataFrame-build time and buys nothing —
+    * min/max row-group skipping only exists on a parquet-backed scan.
+    * Reserve [[probeLsh]] for materialized indexes, where the pushed
+    * literals are the point. */
+  def probeLshJoin(bands: DataFrame, e: DataFrame, query: DataFrame,
+      topK: Int, excludeId: Long = -1L): DataFrame = {
+    val qb = lshBands(query.select(lit(-1L).as("vec_id"), col("v")))
+      .select("band_id", "bval")
+    val candidates = bands.filter(col("vec_id") =!= excludeId)
+      .join(broadcast(qb), Seq("band_id", "bval"))
+      .select("vec_id").distinct()
+    rerank(candidates, e, query, topK)
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Trained IVF index: `centroids` = (cid, cv) — k rows; `lists` =

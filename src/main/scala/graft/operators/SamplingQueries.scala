@@ -197,7 +197,12 @@ object SamplingQueries {
         .orderBy("lang", "split")
     },
     Some("""SELECT lang,
-              CASE WHEN h < 'c000' THEN 'train'
+              -- the NULL branch mirrors Sampling.splitLabel exactly: a
+              -- null key draws NULL and labels NULL (never 'test'), so
+              -- the two definitions cannot diverge if doc_id ever
+              -- admits nulls (today it is non-null)
+              CASE WHEN h IS NULL THEN NULL
+                   WHEN h < 'c000' THEN 'train'
                    WHEN h < 'e000' THEN 'val' ELSE 'test' END AS split,
               CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
@@ -245,7 +250,9 @@ object SamplingQueries {
         .orderBy("lang", "split")
     },
     Some("""SELECT lang,
-              CASE WHEN sh < 'c000' THEN 'train'
+              -- NULL branch mirrors splitLabel (see l22's oracle note)
+              CASE WHEN sh IS NULL THEN NULL
+                   WHEN sh < 'c000' THEN 'train'
                    WHEN sh < 'e000' THEN 'val' ELSE 'test' END AS split,
               CAST(COUNT(*) AS BIGINT) AS n_docs,
               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
@@ -319,7 +326,9 @@ object SamplingQueries {
     },
     Some("""WITH labeled AS (
               SELECT lang, doc_id, text,
-                CASE WHEN h < 'c000' THEN 'train'
+                -- NULL branch mirrors splitLabel (see l22's oracle note)
+                CASE WHEN h IS NULL THEN NULL
+                     WHEN h < 'c000' THEN 'train'
                      WHEN h < 'e000' THEN 'val' ELSE 'test' END AS split
               FROM (SELECT lang, doc_id, text,
                       substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) AS h

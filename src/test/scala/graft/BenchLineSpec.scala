@@ -24,6 +24,23 @@ class BenchLineSpec extends AnyFunSuite {
       assert(line.contains(f))
   }
 
+  test("pathological input degrades to the minimal render, still parseable and bounded") {
+    // worst case the staged renders can NOT absorb: a huge catalog where
+    // every query fails with a max-length (200-char) message — the error
+    // map alone would be ~50 KB. The final degradation stage must emit a
+    // bounded record (no per-query itemization, errors capped at 3).
+    val names = (1 to 400).map(i => f"pathological_query_name_$i%03d")
+    val timings = names.map(_ -> 999.999)
+    val spreads = names.map(_ -> 999.999)
+    val errors = names.map(_ -> ("x" * 200))
+    val line = Bench.renderLine(timings, spreads, errors, runs = 3,
+      sfDir = "/root/testdata/" + ("y" * 100))
+    assert(line.length <= 2000, s"minimal render ${line.length} B > 2000 B budget")
+    assert(line.startsWith("""{"metric":"total","""))
+    for (f <- Seq("\"queries\":{}", "\"spread_max\":", "\"n_ok\":400", "\"n_err\":400"))
+      assert(line.contains(f), s"missing $f in: $line")
+  }
+
   test("a failed query is reported under errors, never as a timing") {
     val line = Bench.renderLine(
       Seq("ok_query" -> 1.0), Seq("ok_query" -> 0.1),
