@@ -270,12 +270,21 @@ object LlmQueries {
   private[operators] def plantedOffset(dd: DataFrame, idCol: String): DataFrame =
     dd.agg((coalesce(max(col(idCol)), lit(-1L)) + lit(1L)).as("_off"))
 
+  /** THE planting rule, in one place: ids divisible by [[PlantedEvery]]
+    * get a planted near-duplicate copy. [[planted]]/[[plantedVecs]] and
+    * every planted-recall counter (l9/l10/l14/l26) derive from this
+    * predicate, so a density change cannot silently desynchronize a
+    * query's invariant columns from the frame it measures. */
+  private[operators] val PlantedEvery = 10
+  private[operators] def isPlantedSrc(id: Column): Column =
+    id % PlantedEvery === 0
+
   /** Documents plus planted near-duplicates (every doc_id % 10 == 0 is
     * re-added at id+offset with its first token dropped) so near-dup
     * recall is verifiable by construction on any corpus snapshot. */
   private[operators] def planted(dd: DataFrame): DataFrame = {
     val base = dd.select("doc_id", "text")
-    val dups = dd.filter(col("doc_id") % 10 === 0)
+    val dups = dd.filter(isPlantedSrc(col("doc_id")))
       .crossJoin(broadcast(plantedOffset(dd, "doc_id")))
       .select((col("doc_id") + col("_off")).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
@@ -404,7 +413,7 @@ object LlmQueries {
       // CORRECTNESS_r{N}, not only in ScalaTest.
       val off = plantedOffset(docs(s, d), "doc_id")
       val nPlanted = docs(s, d)
-        .filter(col("doc_id") % 10 === 0 &&
+        .filter(isPlantedSrc(col("doc_id")) &&
           size(split(lower(col("text")), "\\s+")) >= 4) // dup keeps >= 3 tokens
         .agg(count(lit(1)).as("n_planted"))
       val nDocs = dd.agg(count(lit(1)).as("_n_docs"))
@@ -415,7 +424,7 @@ object LlmQueries {
           sum(when(col("jac_e4") >= 6000, 1L).otherwise(0L)).as("n_near_dup"),
           coalesce(sum(when(col("jac_e4") >= 6000, col("ida") + col("idb"))), lit(0L))
             .as("pair_checksum"),
-          coalesce(sum(when(col("jac_e4") >= 6000 && col("ida") % 10 === 0 &&
+          coalesce(sum(when(col("jac_e4") >= 6000 && isPlantedSrc(col("ida")) &&
             col("idb") === col("ida") + col("_off"), 1L)), lit(0L))
             .as("n_planted_found"))
         .crossJoin(broadcast(nPlanted))
@@ -464,7 +473,7 @@ object LlmQueries {
       // these values are what the driver's per-round record pins).
       val off = plantedOffset(docs(s, d), "doc_id")
       val nPlanted = docs(s, d)
-        .filter(col("doc_id") % 10 === 0 &&
+        .filter(isPlantedSrc(col("doc_id")) &&
           size(split(lower(col("text")), "\\s+")) >= 2) // dup keeps >= 1 token
         .agg(count(lit(1)).as("n_planted"))
       sigs.agg(count(lit(1)).as("n_docs"), countDistinct("sig").as("n_sig"))
@@ -477,7 +486,7 @@ object LlmQueries {
             coalesce(sum(when(col("hamming") <= 3, 1L)), lit(0L)).as("n_pairs_ham_le3"),
             coalesce(sum(when(col("hamming") <= 3, col("ida") + col("idb"))), lit(0L))
               .as("pair_checksum"),
-            coalesce(sum(when(col("hamming") <= 3 && col("ida") % 10 === 0 &&
+            coalesce(sum(when(col("hamming") <= 3 && isPlantedSrc(col("ida")) &&
               col("idb") === col("ida") + col("_off"), 1L)), lit(0L))
               .as("n_planted_found")))
         .crossJoin(broadcast(nPlanted))
@@ -564,16 +573,19 @@ object LlmQueries {
     * this query composes build + probe into one gate-replayable plan,
     * while the steady state persists the band index once and probes it
     * many times ([[AnnIndexes.writeLsh]]; AnnIndexSpec pins
-    * probe-from-parquet to this query's exact rows). No oracle
-    * (hyperplane constants aren't SQL-portable); the spec measures
-    * recall against L3. */
+    * probe-from-parquet to this query's exact rows). The composed plan
+    * probes via [[AnnIndexes.probeLshJoin]] — the bands here are an
+    * in-plan frame, so the parquet path's collect-and-push-literals
+    * trick would cost an eager job at build time for no scan pruning.
+    * No oracle (hyperplane constants aren't SQL-portable); the spec
+    * measures recall against L3. */
   val l12 = DQ(
     "l12_ann_lsh",
     (s, d) => {
       val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val banded = AnnIndexes.lshBands(e)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      val ann = AnnIndexes.probeLsh(banded, e, e.filter(col("vec_id") === 0),
+      val ann = AnnIndexes.probeLshJoin(banded, e, e.filter(col("vec_id") === 0),
         topK = 5, excludeId = 0L)
       // Recall vs the exact scan as an in-plan invariant column (no
       // oracle → the driver's record pins this value): how many of the
@@ -622,7 +634,7 @@ object LlmQueries {
     * cosine near-dup recall is verifiable by construction. */
   private[operators] def plantedVecs(e: DataFrame): DataFrame = {
     val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val dups = base.filter(col("vec_id") % 10 === 0)
+    val dups = base.filter(isPlantedSrc(col("vec_id")))
       .crossJoin(broadcast(plantedOffset(e, "vec_id")))
       .select((col("vec_id") + col("_off")).as("vec_id"),
         expr("concat(array(element_at(v, 1) + 0.3), slice(v, 2, size(v) - 1))").as("v"))
@@ -668,7 +680,7 @@ object LlmQueries {
       // candidate volume per vector (the near-linear-growth claim),
       // pinned numerically by the driver's per-round record.
       val off = plantedOffset(embs(s, d), "vec_id")
-      val nPlanted = embs(s, d).filter(col("vec_id") % 10 === 0)
+      val nPlanted = embs(s, d).filter(isPlantedSrc(col("vec_id")))
         .agg(count(lit(1)).as("n_planted"))
       val nVecs = e.agg(count(lit(1)).as("_n_vecs"))
       pairs
@@ -682,7 +694,7 @@ object LlmQueries {
           sum(when(col("cos_e4") >= 9000, 1L).otherwise(0L)).as("n_near"),
           coalesce(sum(when(col("cos_e4") >= 9000, col("ida") + col("idb"))), lit(0L))
             .as("pair_checksum"),
-          coalesce(sum(when(col("cos_e4") >= 9000 && col("ida") % 10 === 0 &&
+          coalesce(sum(when(col("cos_e4") >= 9000 && isPlantedSrc(col("ida")) &&
             col("idb") === col("ida") + col("_off"), 1L)), lit(0L))
             .as("n_planted_found"))
         .crossJoin(broadcast(nPlanted))
@@ -931,6 +943,279 @@ object LlmQueries {
                 AS BIGINT) AS flagged_checksum
             FROM p GROUP BY 1 ORDER BY lang"""))
 
+  /** [[planted]] with provenance kept: same rows (the spec pins the
+    * (doc_id, text) projection equal to [[planted]] row-for-row), plus
+    * the `lang` and `n_chars` columns the curation matrix groups and
+    * accounts by. Planted copies inherit their source's lang and
+    * re-measure n_chars on the shortened text, exactly as an ingest of
+    * the re-crawled copy would. Kept separate from [[planted]] so the
+    * long-pinned l9/l10/l28 plans stay byte-identical. */
+  private[operators] def plantedFull(dd: DataFrame): DataFrame = {
+    val base = dd.select(col("doc_id"), col("lang"), col("text"),
+      col("n_chars").cast("long").as("n_chars"))
+    val dups = dd.filter(isPlantedSrc(col("doc_id")))
+      .crossJoin(broadcast(plantedOffset(dd, "doc_id")))
+      .select((col("doc_id") + col("_off")).as("doc_id"), col("lang"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    base.unionByName(dups)
+  }
+
+  /** The per-doc near-dup-aware curation frame l29 aggregates and the
+    * spec inspects: every doc in the planted corpus classified
+    * `near_duplicate` / `low_quality` / `keep`, where the duplicate rule
+    * is CLUSTER canonicality (l28's closure over l9's verified pairs —
+    * keep the min id per transitive cluster) instead of l19's exact
+    * content hash. Precedence mirrors l19: duplicate dominates
+    * low_quality, so quality counts describe canonical docs.
+    *
+    * Exact dups are a subset by construction: identical texts have
+    * identical minhash signatures, so every exact-copy pair collides in
+    * ALL bands, clears the Jaccard verify at 10000, and lands in one
+    * cluster whose min id is ≤ the content-hash min — any doc l19 calls
+    * `duplicate` this frame also removes (LshSpec pins that inclusion).
+    *
+    * Scale shape: the label frame (one row per CLUSTERED doc — a small
+    * fraction of the corpus) left-joins the corpus keyed on doc_id (one
+    * shuffle, no window), the closure itself is l28's checkpointed
+    * propagation, and everything after is per-row predicates into a
+    * 5×3 rollup. No new quadratic term anywhere. */
+  private[operators] def neardupCuration(s: SparkSession, d: String): DataFrame =
+    neardupParts(docs(s, d))._3
+
+  /** (edges, labels, per-doc curation frame) over any raw documents
+    * frame (doc_id, lang, text, n_chars) — parameterized so the spec
+    * can inject exact duplicates (the stock corpus has none) and prove
+    * the exact-dup-subset property non-vacuously. Edges and labels are
+    * `localCheckpoint`ed ONCE — l29 references all three (matrix,
+    * cluster count, fixpoint proof), so sharing the materialized frames
+    * keeps the sketch+band+Jaccard subtree at one execution. */
+  private[operators] def neardupParts(
+      raw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.Components
+    // identical edge derivation to l28 (shared candidatePairs + the
+    // same 0.6 Jaccard bar), so this closure IS l28's clustering
+    val edges = candidatePairs(planted(raw))
+      .filter(col("jac_e4") >= 6000)
+      .select("ida", "idb")
+      .localCheckpoint()
+    val labels = Components.close(edges, iters = 8).localCheckpoint()
+    val perDoc = plantedFull(raw)
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("stop_bp",
+        round(size(expr(
+          "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
+          * lit(10000.0) / size(col("toks"))).cast("long"))
+      .withColumn("reason",
+        when(col("comp").isNotNull && col("doc_id") =!= col("comp"),
+          "near_duplicate")
+          .when(!(col("n_chars") >= 200 && col("stop_bp") < 2500), "low_quality")
+          .otherwise("keep"))
+      .select("doc_id", "lang", "n_chars", "comp", "reason")
+    (edges, labels, perDoc)
+  }
+
+  /** L29 — near-dup-aware curation: THE composition L28 exists for (its
+    * own scaladoc: keep-one-per-cluster needs the closure). l19's
+    * nightly decision removes exact copies only, so a re-crawl chain
+    * a~b~c — pairwise near-dups, never byte-identical — survives it;
+    * here the duplicate rule is cluster canonicality over l9's verified
+    * near-dup pairs, the decision a training-data curation run actually
+    * ships. Output: the (lang × reason) decision matrix with doc and
+    * char volumes plus the removed-id checksum pinning WHICH docs go,
+    * and three invariant columns — `n_clusters` (must equal l28's),
+    * `n_unconverged` (closure fixpoint proof, pinned 0), and
+    * `n_exact_dup_escapees` (docs l19's exact rule would remove that
+    * this pass kept — structurally 0, the subset proof as a gate value
+    * rather than only a ScalaTest claim).
+    *
+    * No oracle (minhash closure isn't SQL-portable); the driver record
+    * pins every cell, and LshSpec pins consistency with l19 (exact-dup
+    * subset) and l28 (cluster count) plus the sf0.01 golden row. */
+  val l29 = DQ(
+    "l29_curation_neardup",
+    (s, d) => {
+      val (edges, labels, perDoc) = neardupParts(docs(s, d))
+      // perDoc is referenced by the matrix AND the escapee probe; the
+      // edge/label frames are already materialized, so checkpointing it
+      // costs one corpus join and saves the second
+      val curated = perDoc.localCheckpoint()
+      val nClusters = labels.agg(countDistinct("comp").as("n_clusters"))
+      // exact-dup escapees: non-canonical-by-content-hash docs whose
+      // cluster rule nevertheless said keep — the subset claim, in-plan
+      val exactDup = plantedFull(docs(s, d))
+        .withColumn("exact_canon",
+          min("doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy(normHash)))
+        .filter(col("doc_id") =!= col("exact_canon"))
+        .select("doc_id")
+      val escapees = curated.filter(col("reason") =!= "near_duplicate")
+        .join(exactDup, "doc_id")
+        .agg(count(lit(1)).as("n_exact_dup_escapees"))
+      curated.groupBy("lang", "reason")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          coalesce(sum(when(col("reason") =!= "keep", col("doc_id"))), lit(0L))
+            .as("removed_checksum"))
+        .crossJoin(broadcast(nClusters))
+        .crossJoin(broadcast(escapees))
+        .crossJoin(broadcast(
+          graft.functions.Components.unconverged(edges, labels)))
+        .orderBy("lang", "reason")
+        .select(col("lang"), col("reason"), col("n"), col("sum_chars"),
+          col("removed_checksum"), col("n_clusters"),
+          col("n_exact_dup_escapees"), col("n_unconverged"))
+    },
+    None)
+
+  /** L27b — the full Gopher repetition rule LADDER (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1), extending [[l27]]'s single screen to
+    * the published battery: duplicate-line fraction (> 0.30) and the
+    * fraction of CHARACTERS inside the most frequent word 2-/3-/4-gram
+    * (> 0.20 / 0.18 / 0.16). Lines split on `\n` exactly as published —
+    * this corpus' docs are single-line, so that rule correctly flags
+    * nothing here while staying live for real corpora (the oracle pins
+    * the zeros). The top-gram is chosen by occurrence count with
+    * char-coverage as the deterministic tie-break, and every comparison
+    * is integer-exact (`cov·100 > pct·n_chars`), so Spark and DuckDB
+    * cannot disagree on a boundary document.
+    *
+    * Scale shape: one exploded (doc, n, gram) hash agg — the SAME
+    * shuffle family as l27, just 3 gram widths in one pass — then a
+    * per-(doc, n) window max (partition-local, keyed like the agg) and
+    * a 5-row rollup. */
+  val l27b = DQ(
+    "l27b_gopher_ladder",
+    (s, d) => {
+      val base = docs(s, d)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+        .withColumn("n_chars_txt", length(col("text")).cast("long"))
+      // duplicate-line fraction, integer-exact: (n_lines - n_distinct)
+      // * 100 > 30 * n_lines
+      val lineFlag = base
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), "\n")).as("line"))
+        .groupBy("lang", "doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct("line").as("n_uniq_lines"))
+        .select(col("lang"), col("doc_id"),
+          ((col("n_lines") - col("n_uniq_lines")) * lit(100L) >
+            lit(30L) * col("n_lines")).as("f_line"))
+      // one exploded pass emits 2-, 3- and 4-grams tagged by width (the
+      // filter-then-transform shape sidesteps sequence() on a negative
+      // bound for docs shorter than the gram width)
+      val grams = base
+        .filter(size(col("ta")) >= 2)
+        .select(col("lang"), col("doc_id"), col("n_chars_txt"),
+          explode(expr(
+            """flatten(transform(filter(array(2, 3, 4), n -> size(ta) >= n),
+                 n -> transform(sequence(0, size(ta) - n),
+                   i -> struct(n AS n, concat_ws(' ', slice(ta, i + 1, n)) AS gram))))"""))
+            .as("g"))
+        .select(col("lang"), col("doc_id"), col("n_chars_txt"),
+          col("g.n").as("n"), col("g.gram").as("gram"))
+      val counts = grams.groupBy("lang", "doc_id", "n_chars_txt", "n", "gram")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cov", col("c") * length(col("gram")).cast("long"))
+      // top gram per (doc, width): max occurrences, char-coverage
+      // tie-break — expressed as max-c window + conditional max so both
+      // engines run the identical comparison (no struct ordering)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "n")
+      val top = counts
+        .withColumn("tm", max("c").over(w))
+        .groupBy("lang", "doc_id", "n_chars_txt", "n")
+        .agg(max(when(col("c") === col("tm"), col("cov"))).as("cov"))
+      val gramFlags = top.groupBy("lang", "doc_id")
+        .agg(
+          max(when(col("n") === 2,
+            col("cov") * 100L > lit(20L) * col("n_chars_txt"))).as("f_2g"),
+          max(when(col("n") === 3,
+            col("cov") * 100L > lit(18L) * col("n_chars_txt"))).as("f_3g"),
+          max(when(col("n") === 4,
+            col("cov") * 100L > lit(16L) * col("n_chars_txt"))).as("f_4g"))
+      lineFlag.join(gramFlags, Seq("lang", "doc_id"), "left")
+        .select(col("lang"), col("doc_id"),
+          col("f_line"),
+          coalesce(col("f_2g"), lit(false)).as("f_2g"),
+          coalesce(col("f_3g"), lit(false)).as("f_3g"),
+          coalesce(col("f_4g"), lit(false)).as("f_4g"))
+        .withColumn("f_any",
+          col("f_line") || col("f_2g") || col("f_3g") || col("f_4g"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("f_line"), 1L).otherwise(0L)).as("n_flag_dupline"),
+          sum(when(col("f_2g"), 1L).otherwise(0L)).as("n_flag_top2"),
+          sum(when(col("f_3g"), 1L).otherwise(0L)).as("n_flag_top3"),
+          sum(when(col("f_4g"), 1L).otherwise(0L)).as("n_flag_top4"),
+          sum(when(col("f_any"), 1L).otherwise(0L)).as("n_flag_any"),
+          coalesce(sum(when(col("f_any"), col("doc_id"))), lit(0L))
+            .as("flagged_checksum"))
+        .orderBy("lang")
+    },
+    Some("""WITH base AS (
+              SELECT lang, doc_id, text,
+                string_split_regex(lower(text), '\s+') AS ta,
+                CAST(len(text) AS BIGINT) AS n_chars_txt
+              FROM documents),
+            lines AS (
+              SELECT lang, doc_id,
+                (COUNT(*) - COUNT(DISTINCT line)) * 100 > 30 * COUNT(*) AS f_line
+              FROM (SELECT lang, doc_id, unnest(string_split(text, chr(10))) AS line
+                    FROM base)
+              GROUP BY 1, 2),
+            grams AS (
+              SELECT lang, doc_id, n_chars_txt, 2 AS n,
+                unnest(list_transform(range(len(ta) - 1),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 2), ' '))) AS gram
+              FROM base WHERE len(ta) >= 2
+              UNION ALL
+              SELECT lang, doc_id, n_chars_txt, 3 AS n,
+                unnest(list_transform(range(len(ta) - 2),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 3), ' '))) AS gram
+              FROM base WHERE len(ta) >= 3
+              UNION ALL
+              SELECT lang, doc_id, n_chars_txt, 4 AS n,
+                unnest(list_transform(range(len(ta) - 3),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 4), ' '))) AS gram
+              FROM base WHERE len(ta) >= 4),
+            counts AS (
+              SELECT lang, doc_id, n_chars_txt, n, gram, COUNT(*) AS c,
+                COUNT(*) * len(gram) AS cov
+              FROM grams GROUP BY 1, 2, 3, 4, 5),
+            top AS (
+              SELECT lang, doc_id, n_chars_txt, n,
+                MAX(CASE WHEN c = tm THEN cov END) AS cov
+              FROM (SELECT *, MAX(c) OVER (PARTITION BY doc_id, n) AS tm
+                    FROM counts)
+              GROUP BY 1, 2, 3, 4),
+            gflags AS (
+              SELECT lang, doc_id,
+                MAX(CASE WHEN n = 2 THEN cov * 100 > 20 * n_chars_txt END) AS f_2g,
+                MAX(CASE WHEN n = 3 THEN cov * 100 > 18 * n_chars_txt END) AS f_3g,
+                MAX(CASE WHEN n = 4 THEN cov * 100 > 16 * n_chars_txt END) AS f_4g
+              FROM top GROUP BY 1, 2),
+            perdoc AS (
+              SELECT l.lang, l.doc_id, l.f_line,
+                COALESCE(g.f_2g, false) AS f_2g,
+                COALESCE(g.f_3g, false) AS f_3g,
+                COALESCE(g.f_4g, false) AS f_4g,
+                (l.f_line OR COALESCE(g.f_2g, false) OR COALESCE(g.f_3g, false)
+                  OR COALESCE(g.f_4g, false)) AS f_any
+              FROM lines l LEFT JOIN gflags g
+                ON l.lang = g.lang AND l.doc_id = g.doc_id)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN f_line THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dupline,
+              CAST(SUM(CASE WHEN f_2g THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top2,
+              CAST(SUM(CASE WHEN f_3g THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top3,
+              CAST(SUM(CASE WHEN f_4g THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top4,
+              CAST(SUM(CASE WHEN f_any THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_any,
+              CAST(COALESCE(SUM(CASE WHEN f_any THEN doc_id END), 0) AS BIGINT)
+                AS flagged_checksum
+            FROM perdoc GROUP BY 1 ORDER BY lang"""))
+
   /** L28 — near-dup cluster closure: the step that turns L9's PAIRS into
     * removable CLUSTERS. Banding emits (a,b), (b,c) without ever testing
     * (a,c); keep-one-per-cluster dedup therefore needs the transitive
@@ -1033,15 +1318,15 @@ object LlmQueries {
       // without another union scan)
       val counts = embs(s, d).agg(
         (count(lit(1)) +
-          sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L))).as("n_vecs"),
-        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_planted"))
+          sum(when(isPlantedSrc(col("vec_id")), 1L).otherwise(0L))).as("n_vecs"),
+        sum(when(isPlantedSrc(col("vec_id")), 1L).otherwise(0L)).as("n_planted"))
       marked
         .crossJoin(broadcast(off))
         .agg(
           count(lit(1)).as("n_dup_marked"),
           coalesce(sum("vec_id"), lit(0L)).as("dup_checksum"),
           coalesce(sum(when(col("vec_id") >= col("_off") &&
-            (col("vec_id") - col("_off")) % 10 === 0, 1L)), lit(0L))
+            isPlantedSrc(col("vec_id") - col("_off")), 1L)), lit(0L))
             .as("n_planted_found"))
         .crossJoin(broadcast(counts))
         .crossJoin(broadcast(nCand))
@@ -1053,6 +1338,6 @@ object LlmQueries {
 
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l28)
+      l19, l24, l26, l27, l27b, l28, l29)
 }
 

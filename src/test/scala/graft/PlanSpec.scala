@@ -26,7 +26,11 @@ class PlanSpec extends AnyFunSuite {
       // IvfSpec's plan case asserts they are 1-row aggregates only).
       "l26_semantic_dedup",
       // l28: the 1-row n_unconverged invariant broadcast (a global agg).
-      "l28_dedup_components")
+      "l28_dedup_components",
+      // l29: three 1-row invariant broadcasts (n_clusters /
+      // n_exact_dup_escapees / n_unconverged — each a global agg
+      // crossJoined onto the 15-row matrix).
+      "l29_curation_neardup")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

@@ -482,6 +482,108 @@ class LshSpec extends AnyFunSuite {
     assert(got === ((67L, 141L, 74L, 3L, 14329L, 0L)), s"l28 $got")
   }
 
+  test("plantedFull is planted plus provenance: same (doc_id, text) rows") {
+    // l29's matrix groups the SAME corpus l9/l28 sketch — if the two
+    // planted frames ever diverge, the curation decision and the
+    // cluster labels would describe different documents.
+    val docs = Tables.documents(spark, sf)
+    val a = LlmQueries.planted(docs).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = LlmQueries.plantedFull(docs).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("l29 duplicate rule is cluster-canonical (union-find agreement), " +
+      "l19's exact dups are a strict subset, and the matrix reconciles per cell") {
+    val docsDf = Tables.documents(spark, sf)
+    val pairs = LlmQueries.candidatePairs(LlmQueries.planted(docsDf))
+      .filter(col("jac_e4") >= 6000).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ufLabels = graft.TestGraphs.unionFindLabels(pairs)
+    val perDoc = LlmQueries.neardupCuration(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4)))
+    // (1) per-doc duplicate mark ⟺ union-find says non-canonical
+    perDoc.foreach { case (id, _, _, comp, reason) =>
+      val ufDup = ufLabels.get(id).exists(_ != id)
+      assert((reason == "near_duplicate") === ufDup,
+        s"doc $id: reason=$reason comp=$comp but union-find=${ufLabels.get(id)}")
+    }
+    // (2) the published matrix reconciles cell-for-cell with the per-doc
+    // frame, and the invariant columns hold
+    val matrix = LlmQueries.l29.fn(spark, sf).collect()
+    val cells = perDoc.groupBy(t => (t._2, t._5))
+    matrix.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val ds = cells(key)
+      assert(r.getLong(2) === ds.size.toLong, s"n mismatch at $key")
+      assert(r.getLong(3) === ds.map(_._3).sum, s"sum_chars mismatch at $key")
+      val expectedChecksum =
+        if (key._2 == "keep") 0L else ds.map(_._1).sum
+      assert(r.getLong(4) === expectedChecksum, s"checksum mismatch at $key")
+      assert(r.getLong(5) === ufLabels.values.toSet.size.toLong, "n_clusters")
+      assert(r.getLong(6) === 0L, "exact-dup escapees must be structurally 0")
+      assert(r.getLong(7) === 0L, "closure must be converged")
+    }
+    assert(matrix.map(r => (r.getString(0), r.getString(1))).toSet === cells.keySet)
+  }
+
+  test("l29 exact-dup subset: injected byte-identical copies are always " +
+      "removed by the cluster rule (the stock corpus has none — l1 pins 0)") {
+    // identical text → identical minhash → ALL bands collide → jaccard
+    // 10000 → same cluster, and the cluster min id ≤ the content-hash
+    // min id, so every doc l19's exact rule removes, l29 removes too.
+    val raw = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text", "n_chars")
+    val maxId = raw.agg(max("doc_id")).head().getLong(0)
+    // copy 7 spread-out docs (planted sources and not) with fresh ids
+    // far past the planted offset so nothing collides
+    val copies = raw.filter(col("doc_id") % 71 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10 * (maxId + 1)))
+    val injected = raw.unionByName(copies)
+    val perDoc = LlmQueries.neardupParts(injected)._3
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val copyIds = copies.select("doc_id").collect().map(_.getLong(0))
+    assert(copyIds.nonEmpty)
+    copyIds.foreach(id =>
+      assert(perDoc(id) == "near_duplicate",
+        s"injected exact copy $id escaped curation (${perDoc(id)})"))
+  }
+
+  test("sf0.01 golden: l29's curation matrix is pinned exactly and its " +
+      "cluster count equals l28's pinned golden") {
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).isDirectory)
+    val collected = LlmQueries.l29.fn(spark, sf01).collect()
+    val rows = collected
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val expected = Seq(
+      ("de", "keep", 47L, 15810L, 0L),
+      ("de", "low_quality", 20L, 2532L, 5392L),
+      ("de", "near_duplicate", 11L, 3560L, 7093L),
+      ("en", "keep", 136L, 51132L, 0L),
+      ("en", "low_quality", 66L, 8677L, 13693L),
+      ("en", "near_duplicate", 36L, 10333L, 20300L),
+      ("es", "keep", 48L, 18265L, 0L),
+      ("es", "low_quality", 22L, 2986L, 5336L),
+      ("es", "near_duplicate", 11L, 2599L, 6967L),
+      ("fr", "keep", 50L, 18787L, 0L),
+      ("fr", "low_quality", 12L, 1193L, 3047L),
+      ("fr", "near_duplicate", 9L, 3345L, 5754L),
+      ("zh", "keep", 53L, 19591L, 0L),
+      ("zh", "low_quality", 22L, 3242L, 5020L),
+      ("zh", "near_duplicate", 7L, 1957L, 5630L))
+    assert(rows === expected)
+    val inv = collected(0)
+    // 67 = l28's sf0.01 n_clusters golden: same edges, same closure
+    assert(inv.getAs[Long]("n_clusters") === 67L)
+    assert(inv.getAs[Long]("n_exact_dup_escapees") === 0L)
+    assert(inv.getAs[Long]("n_unconverged") === 0L)
+  }
+
   test("l27 repetition screening equals a local top-2-gram recompute and flags real docs") {
     val rows = Tables.documents(spark, sf).select("lang", "doc_id", "text")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
