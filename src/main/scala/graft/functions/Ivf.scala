@@ -67,6 +67,21 @@ object Ivf {
       .select("cid", "cv")
   }
 
+  /** The shared cell-count selector: k = ceil(n / targetCellSize),
+    * clamped to [1, 4096]. One rule for every IVF consumer (l16, l26,
+    * [[graft.operators.AnnIndexes.buildIvf]]) so per-cell work stays
+    * CONSTANT as the corpus grows — candidate pairs in a
+    * cluster-then-prune pass are ~n²/2k, and with k ∝ n that is
+    * ~n·target/2, linear. The 4096 cap bounds the broadcast centroid
+    * frame (~2 MB at 512-byte vectors), far past any corpus this
+    * target size meets in practice; at 100 TB you would raise the cap
+    * with the executor budget, not the formula. IvfSpec pins that
+    * realized cell sizes stay within a factor of the target. */
+  def cellCount(n: Long, targetCellSize: Int = 32): Int = {
+    require(targetCellSize >= 1, s"cellCount: target must be >= 1, got $targetCellSize")
+    math.min(4096L, math.max(1L, (n + targetCellSize - 1) / targetCellSize)).toInt
+  }
+
   /** Assign every vector to its nearest centroid: broadcast the k-row
     * centroid frame, per-row O(k·d) distance math, `min_by` argmin in
     * one hash agg. The shuffle carries only (vec_id, cid). */
@@ -75,6 +90,17 @@ object Ivf {
       .withColumn("d2", dist2(col("v"), col("cv")))
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** [[assign]] keeping the winning squared distance — the drift
+    * telemetry an incremental index append reads
+    * ([[graft.operators.AnnIndexes.ivfDrift]]). Same argmin tie-break
+    * as [[assign]] (struct min orders by (d2, cid)). */
+  def assignWithDist(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
 
   /** Elementwise mean of a vector column as a typed `Aggregator` with a
     * fixed (sums, count) buffer — the same scale shape as

@@ -57,6 +57,18 @@ object AnnIndexes {
   def readLsh(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/lsh_bands")
 
+  /** Incremental append: band rows for `newVecs` land beside the
+    * existing index files. The LSH signature is a PURE per-row function
+    * of the vector — no trained state — so append-then-probe equals a
+    * full rebuild EXACTLY (AnnIndexSpec pins row equality), and a daily
+    * refresh only signs the new vectors. New files cluster by band key
+    * like the original write; row-group skipping still applies per
+    * file. */
+  def appendLsh(newVecs: DataFrame, base: String): Unit =
+    lshBands(newVecs).repartition(col("band_id"))
+      .sortWithinPartitions("band_id", "bval")
+      .write.mode("append").parquet(s"$base/lsh_bands")
+
   /** Top-k by exact cosine among the vectors sharing ≥1 LSH band with
     * the query. `bands` may be the composed [[lshBands]] frame or a
     * [[readLsh]] read-back — same result by construction. `query` is a
@@ -108,6 +120,37 @@ object AnnIndexes {
     rerank(candidates, e, query, topK)
   }
 
+  /** Batch probe: top-k for a whole query FRAME (qid, v) in one plan —
+    * the shape for re-ranking a day's queries or an evaluation set,
+    * where [[probeLsh]]'s per-query driver collect would serialize into
+    * N driver round-trips. Candidates come from ONE equi-join of the
+    * index against the batch's band rows (4·|queries| rows, broadcast);
+    * the per-query top-k is a rank window partitioned by qid — the
+    * partition count is the query count, so the window never sees
+    * corpus-sized partitions. Self-matches drop when the query id
+    * appears in the corpus (`qid === vec_id`), mirroring probeLsh's
+    * excludeId. Returns (qid, vec_id, sim_e4); AnnIndexSpec pins a
+    * 3-query batch equal to 3 single probes row-for-row. */
+  def probeLshBatch(bands: DataFrame, e: DataFrame, queries: DataFrame,
+      topK: Int): DataFrame = {
+    val qb = lshBands(queries.select(col("qid").as("vec_id"), col("v")))
+      .select(col("vec_id").as("qid"), col("band_id"), col("bval"))
+    val candidates = bands
+      .join(broadcast(qb), Seq("band_id", "bval"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val scored = candidates.join(e, "vec_id")
+      .join(broadcast(queries.select(col("qid"), col("v").as("qv"))), "qid")
+      .withColumn("sim_e4",
+        round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("sim_e4").desc, col("vec_id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topK)
+      .select("qid", "vec_id", "sim_e4")
+      .orderBy(col("qid"), col("sim_e4").desc, col("vec_id"))
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Trained IVF index: `centroids` = (cid, cv) — k rows; `lists` =
@@ -121,6 +164,14 @@ object AnnIndexes {
     IvfIndex(c, Ivf.assign(e, c))
   }
 
+  /** [[buildIvf]] with k from the shared [[Ivf.cellCount]] selector.
+    * The corpus count is a deliberate build-time action: k shapes the
+    * training plan itself (seed limit, broadcast width), and an index
+    * BUILD is a batch job that runs jobs by definition — unlike a probe,
+    * where build-time eagerness is a defect ([[probeLshJoin]]). */
+  def buildIvf(e: DataFrame, iters: Int): IvfIndex =
+    buildIvf(e, Ivf.cellCount(e.count()), iters)
+
   /** Inverted lists directory-partition by `cid`: probing nprobe of k
     * cells prunes to nprobe/k of the files by PATH, before reading a
     * row. The centroid side is k rows — one file. */
@@ -132,10 +183,52 @@ object AnnIndexes {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$base/ivf_lists")
   }
 
+  /** [[writeIvf]] plus the 1-row training-quality stats file the drift
+    * criterion compares against: mean squared assignment distance and
+    * count over the TRAINING corpus `e`. Write this form when the index
+    * will be appended to; [[ivfDrift]] reads it back. */
+  def writeIvfWithStats(idx: IvfIndex, e: DataFrame, base: String): Unit = {
+    writeIvf(idx, base)
+    Ivf.assignWithDist(e, idx.centroids)
+      .agg(avg("d2").as("train_mean_d2"), count(lit(1)).as("n_train"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/ivf_stats")
+  }
+
   def readIvf(spark: SparkSession, base: String): IvfIndex =
     IvfIndex(
       spark.read.parquet(s"$base/ivf_centroids"),
       spark.read.parquet(s"$base/ivf_lists"))
+
+  /** Incremental append: assign `newVecs` against the FROZEN persisted
+    * centroids and append to the cid-partitioned inverted lists — the
+    * IndexIVF `add` operation (Jégou 2011 separates train from add
+    * exactly so ingestion never retrains). A probe then equals a probe
+    * of assign-over-everything with the same centroids row-for-row
+    * (AnnIndexSpec pins it); what append does NOT do is move the
+    * centroids, so cell BALANCE degrades as the corpus drifts — that
+    * staleness is what [[ivfDrift]] measures and a retrain fixes. */
+  def appendIvf(spark: SparkSession, newVecs: DataFrame, base: String): Unit =
+    Ivf.assign(newVecs, spark.read.parquet(s"$base/ivf_centroids"))
+      .repartition(col("cid")).sortWithinPartitions("vec_id")
+      .write.mode("append").partitionBy("cid").parquet(s"$base/ivf_lists")
+
+  /** The retrain criterion: 1-row frame comparing the mean squared
+    * assignment distance of `newVecs` under the persisted centroids
+    * against the training-time mean ([[writeIvfWithStats]]).
+    * `drift_ratio` ≈ 1 means the new batch looks like the training
+    * distribution; past ~1.5 the frozen cells are a poor quantizer for
+    * what is arriving and the operator should schedule a retrain.
+    * Driver reads ONE bounded row — the same budget as l28's
+    * convergence poll. */
+  def ivfDrift(spark: SparkSession, newVecs: DataFrame, base: String): DataFrame = {
+    val stats = spark.read.parquet(s"$base/ivf_stats")
+    Ivf.assignWithDist(newVecs, spark.read.parquet(s"$base/ivf_centroids"))
+      .agg(avg("d2").as("new_mean_d2"), count(lit(1)).as("n_new"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_new"), col("n_train"), col("new_mean_d2"),
+        col("train_mean_d2"),
+        (col("new_mean_d2") / col("train_mean_d2")).as("drift_ratio"))
+  }
 
   /** Top-k by exact cosine among the vectors in the query's `nprobe`
     * nearest cells. `idx` may be the composed [[buildIvf]] result or a

@@ -709,11 +709,13 @@ object LlmQueries {
     * scale path beside L12's hyperplane-LSH one (both prune before any
     * exact math; IVF adapts to the data's cluster structure where LSH is
     * data-oblivious). Seeded deterministic init → 2 Lloyd iterations →
-    * per-cell inverted index → probe the query's nprobe=4 of k=16 cells
-    * → exact cosine re-rank of candidates only. The whole train+probe is
-    * ONE declarative plan (`functions.Ivf`): no driver actions, centroid
-    * joins broadcast, and the only per-vector shuffle carries bare
-    * (vec_id, cid) pairs. Build and probe are the shared
+    * per-cell inverted index → probe the query's ~k/4 of k cells (k
+    * from the shared [[Ivf.cellCount]] selector, ≈32 vecs/cell) →
+    * exact cosine re-rank of candidates only. The whole train+probe is
+    * ONE declarative plan (`functions.Ivf`): the single driver action
+    * is the corpus count that sizes k (a build concern, see
+    * [[AnnIndexes.buildIvf]]), centroid joins broadcast, and the only
+    * per-vector shuffle carries bare (vec_id, cid) pairs. Build and probe are the shared
     * [[AnnIndexes.buildIvf]]/[[AnnIndexes.probeIvf]]: this query
     * composes them into one gate-replayable plan, while the steady
     * state persists the centroids + inverted lists once
@@ -727,10 +729,15 @@ object LlmQueries {
     "l16_ann_ivf",
     (s, d) => {
       val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val idx = AnnIndexes.buildIvf(e, k = 16, iters = 2)
+      // k from the shared cell-size selector (≈32 vecs/cell — 16 cells
+      // at this corpus); the count is a deliberate build-time action,
+      // see AnnIndexes.buildIvf. nprobe scales as k/4 so the probed
+      // fraction (and thus the recall/speed point) is corpus-invariant.
+      val k = Ivf.cellCount(e.count())
+      val idx = AnnIndexes.buildIvf(e, k, iters = 2)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val ann = AnnIndexes.probeIvf(idx, e, e.filter(col("vec_id") === 0),
-        nprobe = 4, topK = 5, excludeId = 0L)
+        nprobe = math.max(4, (k + 3) / 4), topK = 5, excludeId = 0L)
       // Same in-plan recall invariant as l12: overlap with the exact
       // top-5, pinned by the driver's per-round record.
       val exact5 = e.filter(col("vec_id") =!= 0)
@@ -1294,7 +1301,9 @@ object LlmQueries {
       // argmin, so the prune sees the same pairs.
       val raw = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val e = plantedVecs(embs(s, d))
-      val centroids = Ivf.train(raw, k = 16, iters = 2)
+      // shared cell-size selector: k ∝ n keeps the per-cell quadratic
+      // term (~n²/2k) LINEAR in the corpus — the scale claim below
+      val centroids = Ivf.train(raw, k = Ivf.cellCount(raw.count()), iters = 2)
       val cells = Ivf.assign(e, centroids)
         .join(hyperplaneSig(e, hyperplanes64).select("vec_id", "sig"), "vec_id")
       val a = cells.select(col("cid"), col("vec_id").as("ida"), col("sig").as("sa"))

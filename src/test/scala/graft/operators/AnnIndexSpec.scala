@@ -87,6 +87,77 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ivf.collect().head.getLong(0) === 0L)
   }
 
+  test("appendLsh: build on half the corpus, append the rest — index and " +
+      "probe equal the full rebuild exactly (stateless signature)") {
+    val e = vecs(sf)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val inc = Files.createTempDirectory("graft_annidx_applsh_i_").toString
+    val full = Files.createTempDirectory("graft_annidx_applsh_f_").toString
+    AnnIndexes.writeLsh(AnnIndexes.lshBands(evens), inc)
+    AnnIndexes.appendLsh(odds, inc)
+    AnnIndexes.writeLsh(AnnIndexes.lshBands(e), full)
+    def rows(base: String) = AnnIndexes.readLsh(spark, base)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(rows(inc) === rows(full))
+    val q = e.filter(col("vec_id") === 0)
+    assert(pairs(AnnIndexes.probeLsh(AnnIndexes.readLsh(spark, inc), e, q, 5, 0L)) ===
+      pairs(AnnIndexes.probeLsh(AnnIndexes.readLsh(spark, full), e, q, 5, 0L)))
+  }
+
+  test("appendIvf: assign-only append equals assign-over-everything with " +
+      "the same frozen centroids, and ivfDrift separates in-distribution " +
+      "from shifted batches") {
+    val e = vecs(sf)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val base = Files.createTempDirectory("graft_annidx_appivf_").toString
+    val idxHalf = AnnIndexes.buildIvf(evens, k = 16, iters = 2)
+    AnnIndexes.writeIvfWithStats(idxHalf, evens, base)
+    AnnIndexes.appendIvf(spark, odds, base)
+    val back = AnnIndexes.readIvf(spark, base)
+    // the appended inverted file IS the full assignment under the
+    // frozen centroids (cid column comes back as the partition key)
+    def lists(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("vec_id", "CAST(cid AS INT) AS cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(lists(back.lists) === lists(graft.functions.Ivf.assign(e, idxHalf.centroids)))
+    // probe equality modulo nothing: same centroids, same lists
+    val q = e.filter(col("vec_id") === 0)
+    val fromAppend = pairs(AnnIndexes.probeIvf(back, e, q, 4, 5, 0L))
+    val fromRebuild = pairs(AnnIndexes.probeIvf(
+      AnnIndexes.IvfIndex(idxHalf.centroids, graft.functions.Ivf.assign(e, idxHalf.centroids)),
+      e, q, 4, 5, 0L))
+    assert(fromAppend === fromRebuild)
+    // drift criterion: the held-out half is the SAME distribution →
+    // ratio near 1; an additively shifted copy must read strictly worse
+    val inDist = AnnIndexes.ivfDrift(spark, odds, base).collect()(0)
+    assert(inDist.getAs[Long]("n_new") === odds.count())
+    assert(inDist.getAs[Long]("n_train") === evens.count())
+    val r0 = inDist.getAs[Double]("drift_ratio")
+    assert(r0 > 0.5 && r0 < 1.5, s"in-distribution drift ratio $r0")
+    val shifted = odds.select(col("vec_id"),
+      expr("transform(v, x -> x + 3.0)").as("v"))
+    val r1 = AnnIndexes.ivfDrift(spark, shifted, base)
+      .collect()(0).getAs[Double]("drift_ratio")
+    assert(r1 > r0 * 2, s"shifted batch must drift: $r1 vs $r0")
+  }
+
+  test("probeLshBatch: a 3-query batch equals 3 single probes row-for-row") {
+    val e = vecs(sf)
+    val bands = AnnIndexes.lshBands(e)
+    val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val batch = AnnIndexes.probeLshBatch(bands, e, queries, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val single = pairs(AnnIndexes.probeLshJoin(bands, e,
+        e.filter(col("vec_id") === qid), topK = 5, excludeId = qid))
+      assert(batch(qid) === single, s"qid $qid batch/single divergence")
+    }
+  }
+
   test("sf0.01 golden: probe-from-parquet reproduces the pinned l12/l16 rows") {
     val sf01 = "/root/testdata/sf0.01"
     assume(new java.io.File(sf01).isDirectory)

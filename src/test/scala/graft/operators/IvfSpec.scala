@@ -52,6 +52,42 @@ class IvfSpec extends AnyFunSuite {
     assert(d1 <= d0 * (1.0 + 1e-9), s"distortion rose: $d0 -> $d1")
   }
 
+  test("cellCount: ceil(n/target) clamped to [1, 4096], shared by every IVF consumer") {
+    assert(Ivf.cellCount(0) === 1)
+    assert(Ivf.cellCount(1) === 1)
+    assert(Ivf.cellCount(32) === 1)
+    assert(Ivf.cellCount(33) === 2)
+    assert(Ivf.cellCount(500) === 16)   // the sf0.001/sf0.01 corpus → k unchanged
+    assert(Ivf.cellCount(2000) === 63)  // the sf0.1 corpus
+    assert(Ivf.cellCount(1000000) === 4096, "broadcast-width clamp")
+    assert(Ivf.cellCount(100, targetCellSize = 10) === 10)
+    intercept[IllegalArgumentException](Ivf.cellCount(100, targetCellSize = 0))
+  }
+
+  test("realized cell sizes stay within a factor of the target (sf0.01 and sf0.1)") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        if new java.io.File(dir).isDirectory) {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = e.count()
+      val k = Ivf.cellCount(n)
+      val sizes = Ivf.assign(e, Ivf.train(e, k, iters = 2))
+        .groupBy("cid").count().select("count")
+        .collect().map(_.getLong(0))
+      val target = 32.0
+      // Lloyd may empty some seeds, but the surviving cells must carry
+      // a sane average (no degenerate one-giant-cell quantizer) and no
+      // cell may blow past a small multiple of the target
+      assert(sizes.sum === n)
+      assert(sizes.length >= k / 4,
+        s"$dir: only ${sizes.length} of $k cells survived")
+      val mean = sizes.sum.toDouble / sizes.length
+      assert(mean <= 4 * target, s"$dir: mean cell size $mean vs target $target")
+      assert(sizes.max <= 8 * target,
+        s"$dir: largest cell ${sizes.max} vs target $target")
+    }
+  }
+
   test("l16 prunes (candidates < corpus) and re-ranks with exact cosine values") {
     val rows = LlmQueries.l16.fn(spark, sf).collect()
     assert(rows.nonEmpty)
