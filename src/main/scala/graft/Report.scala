@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * that emits the advertised KPI set — orders per minute, revenue
   * trend, top products, data-quality rates — plus the session stats
   * and recent hourly event trend a live dashboard would chart, as ONE
-  * JSON artifact over a table directory. Every panel reuses a cataloged
+  * JSON artifact over a table directory. Round 9 adds the
+  * pipeline-health panels a training-data operator reads daily: exact
+  * and near-dup dedup rates (l1/l9), cluster closure (l28),
+  * decontamination (l25), and the mixing manifest (l23). Every panel reuses a cataloged
   * query (a2 / j3 / a4 / w5 / t2) instead of re-deriving it, so the
   * report can never drift from the correctness-gated definitions.
   *
@@ -94,7 +97,16 @@ object Report {
       "order_value_percentiles" ->
         rowsJson(operators.RelationalQueries.a9.fn(spark, sfDir)),
       "sessions" -> rowsJson(operators.WindowQueries.w5.fn(spark, sfDir)),
-      "events_hourly_recent" -> rowsJson(recent))
+      "events_hourly_recent" -> rowsJson(recent),
+      // Pipeline-health panels (round 9): the numbers a training-data
+      // operator reads daily, each served by a cataloged gate query so
+      // the dashboard cannot drift from the gated definitions. All are
+      // bounded (1-row rollups / 5 langs / ≤15 manifest cells).
+      "dedup_exact" -> rowsJson(operators.LlmQueries.l1.fn(spark, sfDir)),
+      "dedup_neardup" -> rowsJson(operators.LlmQueries.l9.fn(spark, sfDir)),
+      "dedup_clusters" -> rowsJson(operators.LlmQueries.l28.fn(spark, sfDir)),
+      "contamination" -> rowsJson(operators.SamplingQueries.l25.fn(spark, sfDir)),
+      "mix_manifest" -> rowsJson(operators.SamplingQueries.l23.fn(spark, sfDir)))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val martBacked = Seq("revenue_trend" -> trendM, "top_products" -> topM,
       "quality_rates" -> qualityM).collect { case (k, true) => s""""$k"""" }

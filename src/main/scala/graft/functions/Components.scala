@@ -64,6 +64,55 @@ object Components {
       (labels, _) => step(closed, labels))
   }
 
+  /** Convergence-adaptive closure for graphs whose diameter is NOT
+    * known small: propagate in blocks of `checkpointEvery` rounds,
+    * `localCheckpoint` each block (bounded lineage — the fixed-budget
+    * [[close]] composes its whole cascade into one plan, which is the
+    * right trade only for small budgets), and poll ONE bounded row
+    * after each block (did any label change?), stopping at the
+    * fixpoint. A 40-hop chain thus converges without anyone hand-
+    * setting a budget, and the cost on an easy graph is one extra
+    * no-change block. Throws if `maxIters` rounds pass without
+    * convergence — under-merged labels must never escape silently
+    * (same contract as l28's pinned `n_unconverged = 0`).
+    *
+    * Returns the fixpoint labels; [[closeAdaptiveMeasured]] also
+    * reports the rounds run (spec observability). */
+  def closeAdaptive(edges: DataFrame, maxIters: Int = 64,
+      checkpointEvery: Int = 4): DataFrame =
+    closeAdaptiveMeasured(edges, maxIters, checkpointEvery)._1
+
+  private[graft] def closeAdaptiveMeasured(edges: DataFrame, maxIters: Int,
+      checkpointEvery: Int): (DataFrame, Int) = {
+    require(maxIters >= 1, s"closeAdaptive: maxIters must be >= 1, got $maxIters")
+    require(checkpointEvery >= 1,
+      s"closeAdaptive: checkpointEvery must be >= 1, got $checkpointEvery")
+    val closed = closedSym(edges).localCheckpoint()
+    var labels = closed.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var rounds = 0
+    while (rounds < maxIters) {
+      val block = math.min(checkpointEvery, maxIters - rounds)
+      val next = (1 to block).foldLeft(labels)((l, _) => step(closed, l))
+        .localCheckpoint()
+      rounds += block
+      // bounded poll: one driver-side existence check per BLOCK, not
+      // per round (min-label propagation is monotone, so an unchanged
+      // block means the fixpoint)
+      val changed = labels.select(col("id"), col("comp").as("c0"))
+        .join(next.select(col("id"), col("comp").as("c1")), "id")
+        .filter(col("c0") =!= col("c1")).limit(1).count()
+      labels = next
+      if (changed == 0L) return (labels, rounds)
+    }
+    // one more step would still change labels → the budget was too small
+    val left = unconverged(edges, labels).collect()(0).getLong(0)
+    if (left > 0)
+      throw new IllegalStateException(
+        s"closeAdaptive: $left labels still unconverged after $maxIters rounds")
+    (labels, rounds)
+  }
+
   /** 1-row frame counting labels that would still change in ONE more
     * round — 0 iff [[close]]'s budget reached the fixpoint. Composable
     * as an in-plan invariant column. */

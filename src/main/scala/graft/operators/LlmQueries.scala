@@ -1006,7 +1006,11 @@ object LlmQueries {
       .filter(col("jac_e4") >= 6000)
       .select("ida", "idb")
       .localCheckpoint()
-    val labels = Components.close(edges, iters = 8).localCheckpoint()
+    // adaptive closure: converges on ANY diameter (returns checkpointed
+    // fixpoint labels), where a fixed budget would under-merge deep
+    // graphs; identical labels here since the fixed-8 run was already
+    // at fixpoint (n_unconverged pinned 0)
+    val labels = Components.closeAdaptive(edges)
     val perDoc = plantedFull(raw)
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("toks", split(lower(col("text")), "\\s+"))
@@ -1232,17 +1236,20 @@ object LlmQueries {
     * cannot drift. Output: cluster count, docs clustered, docs a
     * keep-canonical pass would remove, the largest cluster (the skew
     * bound for any per-cluster work), the canonical-id checksum pinning
-    * WHICH doc survives each cluster, and `n_unconverged` — an in-plan
-    * proof the fixed 8-round budget reached the fixpoint (0 = every
-    * label stable; the gate pins it, so a graph too deep for the budget
-    * fails loudly instead of under-merging silently).
+    * WHICH doc survives each cluster, and `n_unconverged` — the
+    * in-plan fixpoint proof (0 = every label stable; now guaranteed by
+    * [[graft.functions.Components.closeAdaptive]], which polls
+    * convergence per block and throws rather than under-merge — the
+    * gate keeps pinning the value so the guarantee stays a recorded
+    * fact, not a code comment).
     *
     * The edge frame is `localCheckpoint`ed before iterating — the
     * standard Spark pattern for iterative algorithms (compute the graph
     * once, cut lineage, loop over the materialized frame); without it
-    * each of the 8 rounds would re-derive the whole sketch+band+Jaccard
-    * subtree. No oracle (minhash isn't SQL-portable); the spec pins the
-    * closure against a driver-side union-find over the same pairs. */
+    * every propagation round would re-derive the whole
+    * sketch+band+Jaccard subtree. No oracle (minhash isn't
+    * SQL-portable); the spec pins the closure against a driver-side
+    * union-find over the same pairs. */
   val l28 = DQ(
     "l28_dedup_components",
     (s, d) => {
@@ -1251,10 +1258,12 @@ object LlmQueries {
         .filter(col("jac_e4") >= 6000)
         .select("ida", "idb")
         .localCheckpoint()
-      // labels checkpoints too: it feeds the sizes aggregate AND both
-      // sides of the unconverged proof — un-materialized, the 8-round
-      // cascade would re-execute three times in one plan
-      val labels = Components.close(edges, iters = 8).localCheckpoint()
+      // the ADAPTIVE closure (round 9): block-checkpointed propagation
+      // polling one bounded row per block, so ANY diameter converges
+      // without a hand-set budget — and the returned labels are already
+      // materialized for the three consumers below (sizes + both sides
+      // of the unconverged proof)
+      val labels = Components.closeAdaptive(edges)
       val sizes = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
       // every aggregate coalesces: an edge-free corpus (no pair past
       // the threshold) must report ZEROS, not a row of nulls

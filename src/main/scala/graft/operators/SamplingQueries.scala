@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{DQ, Tables}
 import graft.functions.Sampling
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -288,42 +288,63 @@ object SamplingQueries {
     * Splits are l22's hash ranges (same salt, so this screens the
     * ACTUAL holdout), n-grams the same tokenization as l15. Scale
     * shape: n-gram sets are per-row map-side work ending in ONE
-    * equi-join shuffle keyed on the gram (at 100 TB the gram would
-    * xxhash64 to 8 bytes on the wire — kept as strings here for oracle
-    * portability); the test side is ~12.5% of the corpus and the
+    * equi-join shuffle keyed on the gram (the gate form keys on the
+    * string for oracle portability; [[decontaminate]]'s
+    * `hashedGrams = true` sibling is the 100 TB form — 8-byte xxhash64
+    * keys on the wire, spec-pinned to the identical flag set); the
+    * test side is ~12.5% of the corpus and the
     * contaminated-id dedup is bounded by the matches. No all-pairs
     * anywhere. Output per language: train size, contaminated count,
     * rate, and the identity checksum pinning WHICH docs are flagged.
     */
+  /** The decontamination rollup shared by [[l25]] (string gram keys —
+    * oracle-portable) and the 100 TB form (`hashedGrams = true`:
+    * `xxhash64(gram)` join keys, so the equi-join shuffle carries 8
+    * bytes per gram instead of a ~40-byte string — the wire-size trim
+    * the l25 scaladoc promises). A 64-bit collision can only ADD a
+    * false flag, never lose a true one, and needs two distinct grams
+    * hashing equal: at 10¹² distinct grams (a 100 TB corpus) the
+    * birthday bound puts ~0.03 expected collisions across the WHOLE
+    * join — negligible against the screen's own n-gram heuristic.
+    * TemporalSamplingSpec pins both forms to the identical flag set on
+    * sf0.01. */
+  private[graft] def decontaminate(
+      labeled: DataFrame, hashedGrams: Boolean): DataFrame = {
+    val grams0 = labeled
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .filter(size(col("ta")) >= 5)
+      .select(col("lang"), col("doc_id"), col("split"),
+        explode(expr("array_distinct(transform(sequence(0, size(ta) - 5), " +
+          "i -> concat_ws(' ', slice(ta, i + 1, 5))))")).as("gram"))
+    val grams =
+      if (hashedGrams) grams0.withColumn("gram", xxhash64(col("gram")))
+      else grams0
+    val testGrams = grams.filter(col("split") === "test")
+      .select("gram").distinct()
+    val contaminated = grams.filter(col("split") === "train")
+      .join(testGrams, Seq("gram"), "left_semi")
+      .select("lang", "doc_id").distinct()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_contaminated"), sum("doc_id").as("doc_id_sum"))
+    labeled.filter(col("split") === "train")
+      .groupBy("lang").agg(count(lit(1)).as("n_train"))
+      .join(contaminated, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) * lit(10000.0) / col("n_train"))
+          .cast("long").as("contam_bp"),
+        coalesce(col("doc_id_sum"), lit(0L)).as("doc_id_sum"))
+      .orderBy("lang")
+  }
+
+  private[graft] def splitLabeled(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("split", Sampling.splitLabel(col("doc_id"), lit("split"),
+        Seq("train" -> "c000", "val" -> "e000"), last = "test"))
+
   val l25 = DQ(
     "l25_decontaminate",
-    (s, d) => {
-      val labeled = docs(s, d)
-        .withColumn("split", Sampling.splitLabel(col("doc_id"), lit("split"),
-          Seq("train" -> "c000", "val" -> "e000"), last = "test"))
-      val grams = labeled
-        .withColumn("ta", split(lower(col("text")), "\\s+"))
-        .filter(size(col("ta")) >= 5)
-        .select(col("lang"), col("doc_id"), col("split"),
-          explode(expr("array_distinct(transform(sequence(0, size(ta) - 5), " +
-            "i -> concat_ws(' ', slice(ta, i + 1, 5))))")).as("gram"))
-      val testGrams = grams.filter(col("split") === "test")
-        .select("gram").distinct()
-      val contaminated = grams.filter(col("split") === "train")
-        .join(testGrams, Seq("gram"), "left_semi")
-        .select("lang", "doc_id").distinct()
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_contaminated"), sum("doc_id").as("doc_id_sum"))
-      labeled.filter(col("split") === "train")
-        .groupBy("lang").agg(count(lit(1)).as("n_train"))
-        .join(contaminated, Seq("lang"), "left")
-        .select(col("lang"), col("n_train"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-          round(coalesce(col("n_contaminated"), lit(0L)) * lit(10000.0) / col("n_train"))
-            .cast("long").as("contam_bp"),
-          coalesce(col("doc_id_sum"), lit(0L)).as("doc_id_sum"))
-        .orderBy("lang")
-    },
+    (s, d) => decontaminate(splitLabeled(s, d), hashedGrams = false),
     Some("""WITH labeled AS (
               SELECT lang, doc_id, text,
                 -- NULL branch mirrors splitLabel (see l22's oracle note)

@@ -49,6 +49,40 @@ class ComponentsSpec extends AnyFunSuite {
       Components.close(chain.toDF("ida", "idb"), iters = 0))
   }
 
+  test("closeAdaptive: a 40-hop chain converges without a hand-set budget, " +
+      "easy graphs stop early, and an impossible budget throws") {
+    import spark.implicits._
+    // path 0-1-...-40: diameter 40, far past close()'s usual budget
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val (labels, rounds) = Components.closeAdaptiveMeasured(
+      chain, maxIters = 64, checkpointEvery = 4)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size === 41 && m.values.toSet === Set(0L),
+      s"chain must collapse to component 0: $m")
+    // 40 hops need >= 40 rounds; block granularity rounds up to 44
+    assert(rounds >= 40 && rounds <= 48, s"rounds $rounds")
+    // a diameter-2 star stops after the first no-change block, not 64
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("ida", "idb")
+    val (sl, sr) = Components.closeAdaptiveMeasured(star, 64, 4)
+    assert(sl.collect().map(_.getLong(1)).toSet === Set(0L))
+    assert(sr <= 8, s"star graph must converge in ~2 blocks, ran $sr rounds")
+    // equivalence with the fixed-budget closure on a multi-cluster graph
+    val g = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("ida", "idb")
+    val adaptive = Components.closeAdaptive(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = Components.close(g, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adaptive === fixed)
+    // a budget too small for the diameter must THROW, never under-merge
+    intercept[IllegalStateException](
+      Components.closeAdaptiveMeasured(chain, maxIters = 3, checkpointEvery = 4))
+    intercept[IllegalArgumentException](
+      Components.closeAdaptiveMeasured(chain, maxIters = 0, checkpointEvery = 4))
+    intercept[IllegalArgumentException](
+      Components.closeAdaptiveMeasured(chain, maxIters = 8, checkpointEvery = 0))
+  }
+
   test("an empty edge set closes to an empty label frame and reports CONVERGED (0, not null)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")

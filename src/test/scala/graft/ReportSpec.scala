@@ -16,8 +16,22 @@ class ReportSpec extends AnyFunSuite {
     val root = mapper.readTree(Report.build(spark, sf))
     for (k <- Seq("source", "n_purchases", "orders_per_minute", "revenue_trend",
         "top_products", "quality_rates", "order_value_percentiles", "sessions",
-        "events_hourly_recent"))
+        "events_hourly_recent", "dedup_exact", "dedup_neardup",
+        "dedup_clusters", "contamination", "mix_manifest"))
       assert(root.has(k), s"missing panel $k")
+    // pipeline-health panels carry the gate queries' own columns and
+    // hold their gated invariants (closure converged, 5-lang screens)
+    assert(root.get("dedup_exact").get(0).has("n_dupes"))
+    assert(root.get("dedup_neardup").get(0).has("n_near_dup"))
+    assert(root.get("dedup_clusters").get(0).get("n_unconverged").asLong() === 0L)
+    assert(root.get("contamination").size() === 5)
+    assert(root.get("contamination").get(0).has("contam_bp"))
+    assert(root.get("mix_manifest").size() > 0)
+    assert(root.get("mix_manifest").get(0).has("n_tokens"))
+    // consistency: the contamination panel IS l25's rollup
+    val l25 = operators.SamplingQueries.l25.fn(spark, sf).collect()
+    assert(root.get("contamination").get(0).get("n_contaminated").asLong()
+      === l25(0).getAs[Long]("n_contaminated"))
     assert(root.get("order_value_percentiles").get(0).has("p50_cents"))
     assert(root.get("source").asText() === sf)
     assert(root.get("orders_per_minute").asDouble() > 0.0)

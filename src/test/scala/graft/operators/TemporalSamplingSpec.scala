@@ -400,6 +400,20 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < got.map(_._2).sum / 2)
   }
 
+  test("l25 hashed-gram scale form flags the identical rollup as the " +
+      "string form (sf0.001 and sf0.01)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")
+        if new java.io.File(dir).isDirectory) {
+      val labeled = SamplingQueries.splitLabeled(spark, dir)
+      def rollup(hashed: Boolean) =
+        SamplingQueries.decontaminate(labeled, hashedGrams = hashed)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq
+      assert(rollup(hashed = true) === rollup(hashed = false),
+        s"$dir: hashed-gram flags diverge from string-gram flags")
+    }
+  }
+
   test("l25's contamination check broadcasts the holdout gram side (no " +
       "shuffle of the train grams against a small test set)") {
     val df = SamplingQueries.l25.fn(spark, sf)
