@@ -121,8 +121,15 @@ object Bench {
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
     val spMax = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
-    val es = errors.take(3)
-      .map { case (k, v) => s"${jstr(k.take(24))}:${jstr(v.take(48))}" }
+    // clipped names get a `~i` ordinal suffix: two failing queries that
+    // share a 24-char prefix must not collapse into duplicate JSON keys
+    // (a parser would keep only the last). `~` can't appear in a real
+    // query name, so the suffixed key never collides with an unclipped one.
+    val es = errors.take(3).zipWithIndex
+      .map { case ((k, v), i) =>
+        val key = if (k.length > 24) k.take(22) + "~" + i else k
+        s"${jstr(key)}:${jstr(v.take(48))}"
+      }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"spread":{},"spread_max":${r3(spMax)},"runs":$runs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir.take(64))}}"""

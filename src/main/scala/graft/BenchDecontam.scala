@@ -30,8 +30,11 @@ object BenchDecontam {
       SamplingQueries.decontaminate(
         SamplingQueries.splitLabeled(spark, sfDir), hashedGrams = hashed)))
 
-    // warm codegen/JVM paths once so neither form pays class loading
+    // warm codegen/JVM paths once PER FORM so neither pays first-run
+    // class loading in its timed pass (the two plans codegen different
+    // join keys)
     run(hashed = false)
+    run(hashed = true)
     val stringGram = run(hashed = false)
     val hashedGram = run(hashed = true)
 

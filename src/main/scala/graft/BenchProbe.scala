@@ -31,14 +31,21 @@ object BenchProbe {
 
     // warm codegen/JVM paths once so build numbers aren't class loading
     try noop(LlmQueries.l12.fn(spark, sfDir)) catch { case _: Throwable => () }
+    try noop(LlmQueries.l16.fn(spark, sfDir)) catch { case _: Throwable => () }
 
     val q = e.filter(col("vec_id") === 0)
+    // same index geometry as the composed l16 plan (shared cellCount
+    // selector + the k/4 nprobe rule) so probe-vs-composed prices the
+    // SAME index, not two different ones
+    val k = graft.functions.Ivf.cellCount(e.count())
+    val nprobe = math.max(4, (k + 3) / 4)
     val buildLsh = secs(AnnIndexes.writeLsh(AnnIndexes.lshBands(e), base))
-    val buildIvf = secs(AnnIndexes.writeIvf(AnnIndexes.buildIvf(e, 16, 2), base))
+    val buildIvf = secs(AnnIndexes.writeIvf(AnnIndexes.buildIvf(e, k, 2), base))
     val probeLsh = minOf(noop(AnnIndexes.probeLsh(
       AnnIndexes.readLsh(spark, base), e, q, topK = 5, excludeId = 0L)))
     val probeIvf = minOf(noop(AnnIndexes.probeIvf(
-      AnnIndexes.readIvf(spark, base), e, q, nprobe = 4, topK = 5, excludeId = 0L)))
+      AnnIndexes.readIvf(spark, base), e, q, nprobe = nprobe, topK = 5,
+      excludeId = 0L)))
     val composedLsh = minOf(noop(LlmQueries.l12.fn(spark, sfDir)))
     val composedIvf = minOf(noop(LlmQueries.l16.fn(spark, sfDir)))
 

@@ -89,6 +89,8 @@ object Report {
     // re-sorted ascending for charting.
     val recent = operators.ValidationQueries.t2.fn(spark, sfDir)
       .orderBy(col("win_start_us").desc).limit(24).orderBy("win_start_us")
+    // near-dup pair frame computed once for the two panels that read it
+    lazy val sharedPairs = operators.LlmQueries.sharedPairs(spark, sfDir)
     val panels = Seq(
       "revenue_trend" -> rowsJson(trend),
       "top_products" -> rowsJson(top),
@@ -101,10 +103,14 @@ object Report {
       // Pipeline-health panels (round 9): the numbers a training-data
       // operator reads daily, each served by a cataloged gate query so
       // the dashboard cannot drift from the gated definitions. All are
-      // bounded (1-row rollups / 5 langs / ≤15 manifest cells).
+      // bounded (1-row rollups / 5 langs / ≤15 manifest cells). The
+      // l9/l28 panels share ONE checkpointed candidate-pair frame —
+      // the sketch+band+Jaccard subtree is the report's dominant cost
+      // and the composed queries would each run it.
       "dedup_exact" -> rowsJson(operators.LlmQueries.l1.fn(spark, sfDir)),
-      "dedup_neardup" -> rowsJson(operators.LlmQueries.l9.fn(spark, sfDir)),
-      "dedup_clusters" -> rowsJson(operators.LlmQueries.l28.fn(spark, sfDir)),
+      "dedup_neardup" -> rowsJson(
+        operators.LlmQueries.l9From(spark, sfDir, sharedPairs)),
+      "dedup_clusters" -> rowsJson(operators.LlmQueries.l28From(sharedPairs)),
       "contamination" -> rowsJson(operators.SamplingQueries.l25.fn(spark, sfDir)),
       "mix_manifest" -> rowsJson(operators.SamplingQueries.l23.fn(spark, sfDir)))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")

@@ -109,7 +109,13 @@ object AnnIndexes {
     * path costs an eager job at DataFrame-build time and buys nothing —
     * min/max row-group skipping only exists on a parquet-backed scan.
     * Reserve [[probeLsh]] for materialized indexes, where the pushed
-    * literals are the point. */
+    * literals are the point.
+    *
+    * Laziness trade ([[probeIvf]] has the same contract): an EMPTY
+    * query frame yields an empty result, not [[probeLsh]]'s loud
+    * `require` — validate the query exists upstream if that
+    * distinction matters (the composed l12 gate pins rows = topK, so
+    * a vanished query row surfaces as a failed row count there). */
   def probeLshJoin(bands: DataFrame, e: DataFrame, query: DataFrame,
       topK: Int, excludeId: Long = -1L): DataFrame = {
     val qb = lshBands(query.select(lit(-1L).as("vec_id"), col("v")))
@@ -227,7 +233,15 @@ object AnnIndexes {
       .crossJoin(broadcast(stats))
       .select(col("n_new"), col("n_train"), col("new_mean_d2"),
         col("train_mean_d2"),
-        (col("new_mean_d2") / col("train_mean_d2")).as("drift_ratio"))
+        // a degenerate training set (mean d² = 0, e.g. constant vectors
+        // after heavy dedup) must not NULL the ratio and silently
+        // disarm the retrain alert: identical new data → 1.0, anything
+        // off the centroids → +Inf (always fires)
+        when(col("train_mean_d2") === 0d,
+          when(col("new_mean_d2") === 0d, lit(1.0))
+            .otherwise(lit(Double.PositiveInfinity)))
+          .otherwise(col("new_mean_d2") / col("train_mean_d2"))
+          .as("drift_ratio"))
   }
 
   /** Top-k by exact cosine among the vectors in the query's `nprobe`

@@ -400,9 +400,18 @@ object LlmQueries {
       .select("ida", "idb", "jac_e4")
   }
 
-  val l9 = DQ(
-    "l9_minhash_neardup",
-    (s, d) => {
+  /** One verified-pair frame, checkpointed, for callers that fan it to
+    * MULTIPLE consumers ([[graft.Report]]'s l9 + l28 panels): the
+    * sketch+band+Jaccard subtree runs once instead of once per panel.
+    * The catalog queries keep deriving their own frame — each gate
+    * query must stay a self-contained replayable plan. */
+  private[graft] def sharedPairs(s: SparkSession, d: String): DataFrame =
+    candidatePairs(planted(docs(s, d))).localCheckpoint()
+
+  /** L9's accounting rollup over a caller-supplied candidate-pair
+    * frame — see [[sharedPairs]]. */
+  private[graft] def l9From(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
       val dd = planted(docs(s, d))
       // In-plan invariants (there is no DuckDB oracle for this query, so
       // the driver's per-round record only pins row count + these
@@ -417,7 +426,7 @@ object LlmQueries {
           size(split(lower(col("text")), "\\s+")) >= 4) // dup keeps >= 3 tokens
         .agg(count(lit(1)).as("n_planted"))
       val nDocs = dd.agg(count(lit(1)).as("_n_docs"))
-      candidatePairs(dd)
+      pairs
         .crossJoin(broadcast(off))
         .agg(
           count(lit(1)).as("n_candidates"),
@@ -432,7 +441,11 @@ object LlmQueries {
         .withColumn("cand_per_doc_e2",
           round(col("n_candidates") * lit(100.0) / col("_n_docs")).cast("long"))
         .drop("_n_docs")
-    },
+  }
+
+  val l9 = DQ(
+    "l9_minhash_neardup",
+    (s, d) => l9From(s, d, candidatePairs(planted(docs(s, d)))),
     None)
 
   /** L10 — SimHash near-dup: 64-bit signature per doc from token hashes,
@@ -970,17 +983,21 @@ object LlmQueries {
 
   /** The per-doc near-dup-aware curation frame l29 aggregates and the
     * spec inspects: every doc in the planted corpus classified
-    * `near_duplicate` / `low_quality` / `keep`, where the duplicate rule
-    * is CLUSTER canonicality (l28's closure over l9's verified pairs —
-    * keep the min id per transitive cluster) instead of l19's exact
-    * content hash. Precedence mirrors l19: duplicate dominates
-    * low_quality, so quality counts describe canonical docs.
+    * `near_duplicate` / `low_quality` / `keep`, where the duplicate
+    * rule is the UNION of cluster canonicality (l28's closure over
+    * l9's verified pairs — keep the min id per transitive cluster) and
+    * l19's exact content-hash canonicality. Precedence mirrors l19:
+    * duplicate dominates low_quality, so quality counts describe
+    * canonical docs.
     *
-    * Exact dups are a subset by construction: identical texts have
-    * identical minhash signatures, so every exact-copy pair collides in
-    * ALL bands, clears the Jaccard verify at 10000, and lands in one
-    * cluster whose min id is ≤ the content-hash min — any doc l19 calls
-    * `duplicate` this frame also removes (LshSpec pins that inclusion).
+    * The exact rule is a belt-and-braces backstop, not redundancy:
+    * MOST exact copies land in one cluster anyway (identical text →
+    * identical signatures → all bands collide → Jaccard 10000), but
+    * the sketch only sees docs with ≥ 3 tokens, and trim-only copies
+    * share [[normHash]] (which trims) without sharing token shingles —
+    * both shapes would escape a pure-cluster rule. With the union,
+    * every doc l19 calls `duplicate` this frame also removes, for ALL
+    * corpora (LshSpec pins the inclusion on injected copies).
     *
     * Scale shape: the label frame (one row per CLUSTERED doc — a small
     * fraction of the corpus) left-joins the corpus keyed on doc_id (one
@@ -1012,6 +1029,12 @@ object LlmQueries {
     // at fixpoint (n_unconverged pinned 0)
     val labels = Components.closeAdaptive(edges)
     val perDoc = plantedFull(raw)
+      // exact-hash canonical id rides along (one window on the content
+      // hash): the l29 escapee probe reads it instead of rescanning the
+      // corpus, and the duplicate rule below unions it in
+      .withColumn("exact_canon",
+        min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(normHash)))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("toks", split(lower(col("text")), "\\s+"))
       .withColumn("stop_bp",
@@ -1019,11 +1042,11 @@ object LlmQueries {
           "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
           * lit(10000.0) / size(col("toks"))).cast("long"))
       .withColumn("reason",
-        when(col("comp").isNotNull && col("doc_id") =!= col("comp"),
-          "near_duplicate")
+        when((col("comp").isNotNull && col("doc_id") =!= col("comp")) ||
+          col("doc_id") =!= col("exact_canon"), "near_duplicate")
           .when(!(col("n_chars") >= 200 && col("stop_bp") < 2500), "low_quality")
           .otherwise("keep"))
-      .select("doc_id", "lang", "n_chars", "comp", "reason")
+      .select("doc_id", "lang", "n_chars", "comp", "reason", "exact_canon")
     (edges, labels, perDoc)
   }
 
@@ -1038,8 +1061,10 @@ object LlmQueries {
     * and three invariant columns — `n_clusters` (must equal l28's),
     * `n_unconverged` (closure fixpoint proof, pinned 0), and
     * `n_exact_dup_escapees` (docs l19's exact rule would remove that
-    * this pass kept — structurally 0, the subset proof as a gate value
-    * rather than only a ScalaTest claim).
+    * this pass kept — structurally 0 by construction since the
+    * duplicate rule unions the exact-hash canon in; kept as a gate
+    * value so a rule-wiring regression fails loudly rather than only
+    * in ScalaTest).
     *
     * No oracle (minhash closure isn't SQL-portable); the driver record
     * pins every cell, and LshSpec pins consistency with l19 (exact-dup
@@ -1053,16 +1078,12 @@ object LlmQueries {
       // costs one corpus join and saves the second
       val curated = perDoc.localCheckpoint()
       val nClusters = labels.agg(countDistinct("comp").as("n_clusters"))
-      // exact-dup escapees: non-canonical-by-content-hash docs whose
-      // cluster rule nevertheless said keep — the subset claim, in-plan
-      val exactDup = plantedFull(docs(s, d))
-        .withColumn("exact_canon",
-          min("doc_id").over(
-            org.apache.spark.sql.expressions.Window.partitionBy(normHash)))
-        .filter(col("doc_id") =!= col("exact_canon"))
-        .select("doc_id")
-      val escapees = curated.filter(col("reason") =!= "near_duplicate")
-        .join(exactDup, "doc_id")
+      // exact-dup escapees: non-canonical-by-content-hash docs the
+      // duplicate rule nevertheless kept — 0 by construction (the rule
+      // unions the exact canon in), read off the carried column so the
+      // probe costs one scan of the already-checkpointed frame
+      val escapees = curated.filter(col("reason") =!= "near_duplicate" &&
+          col("doc_id") =!= col("exact_canon"))
         .agg(count(lit(1)).as("n_exact_dup_escapees"))
       curated.groupBy("lang", "reason")
         .agg(
@@ -1250,11 +1271,11 @@ object LlmQueries {
     * sketch+band+Jaccard subtree. No oracle (minhash isn't
     * SQL-portable); the spec pins the closure against a driver-side
     * union-find over the same pairs. */
-  val l28 = DQ(
-    "l28_dedup_components",
-    (s, d) => {
+  /** L28's closure rollup over a caller-supplied candidate-pair frame —
+    * see [[sharedPairs]]. */
+  private[graft] def l28From(pairs: DataFrame): DataFrame = {
       import graft.functions.Components
-      val edges = candidatePairs(planted(docs(s, d)))
+      val edges = pairs
         .filter(col("jac_e4") >= 6000)
         .select("ida", "idb")
         .localCheckpoint()
@@ -1274,7 +1295,11 @@ object LlmQueries {
           coalesce(max("sz"), lit(0L)).as("largest_cluster"),
           coalesce(sum("comp"), lit(0L)).as("canonical_checksum"))
         .crossJoin(broadcast(Components.unconverged(edges, labels)))
-    },
+  }
+
+  val l28 = DQ(
+    "l28_dedup_components",
+    (s, d) => l28From(candidatePairs(planted(docs(s, d)))),
     None)
 
   /** L26 — SemDeDup-style semantic deduplication (cluster-then-prune,

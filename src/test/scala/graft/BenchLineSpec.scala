@@ -39,6 +39,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total","""))
     for (f <- Seq("\"queries\":{}", "\"spread_max\":", "\"n_ok\":400", "\"n_err\":400"))
       assert(line.contains(f), s"missing $f in: $line")
+    // the 3 kept errors all share a 24-char name prefix: clipping must
+    // keep their JSON keys UNIQUE (duplicate keys collapse in a parser)
+    val keys = """"(pathological[^"]*)":""".r
+      .findAllMatchIn(line).map(_.group(1)).toSeq
+    assert(keys.size == 3 && keys.distinct.size == 3,
+      s"clipped error keys not unique: $keys")
   }
 
   test("a failed query is reported under errors, never as a timing") {

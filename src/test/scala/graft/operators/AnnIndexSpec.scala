@@ -143,6 +143,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(r1 > r0 * 2, s"shifted batch must drift: $r1 vs $r0")
   }
 
+  test("ivfDrift survives a degenerate zero-variance training set: " +
+      "identical data reads 1.0, shifted data +Inf — the alert still fires") {
+    // constant vectors → every centroid coincides with the data →
+    // train_mean_d2 = 0; a naive ratio would be NULL (Spark divide by
+    // zero) and silently disarm any drift_ratio > threshold alert
+    val const = spark.createDataFrame((0L until 8L).map(i =>
+      (i, Seq.fill(4)(1.0)))).toDF("vec_id", "v")
+    val base = Files.createTempDirectory("graft_annidx_drift0_").toString
+    AnnIndexes.writeIvfWithStats(
+      AnnIndexes.buildIvf(const, k = 2, iters = 1), const, base)
+    val same = AnnIndexes.ivfDrift(spark, const, base).collect()(0)
+    assert(same.getAs[Double]("train_mean_d2") === 0.0)
+    assert(same.getAs[Double]("drift_ratio") === 1.0)
+    val shifted = const.select(col("vec_id"),
+      expr("transform(v, x -> x + 1.0)").as("v"))
+    val r = AnnIndexes.ivfDrift(spark, shifted, base)
+      .collect()(0).getAs[Double]("drift_ratio")
+    assert(r.isPosInfinity, s"shifted drift ratio must be +Inf, got $r")
+  }
+
   test("probeLshBatch: a 3-query batch equals 3 single probes row-for-row") {
     val e = vecs(sf)
     val bands = AnnIndexes.lshBands(e)

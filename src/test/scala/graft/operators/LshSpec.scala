@@ -504,7 +504,11 @@ class LshSpec extends AnyFunSuite {
     val perDoc = LlmQueries.neardupCuration(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4)))
-    // (1) per-doc duplicate mark ⟺ union-find says non-canonical
+    // (1) per-doc duplicate mark ⟺ union-find says non-canonical. The
+    // production rule also unions in exact-hash canonicality, but l1
+    // pins this corpus exact-dup-free, so the iff against pure
+    // union-find is exact here (the injected-copy test below exercises
+    // the exact-hash arm).
     perDoc.foreach { case (id, _, _, comp, reason) =>
       val ufDup = ufLabels.get(id).exists(_ != id)
       assert((reason == "near_duplicate") === ufDup,
@@ -530,10 +534,12 @@ class LshSpec extends AnyFunSuite {
   }
 
   test("l29 exact-dup subset: injected byte-identical copies are always " +
-      "removed by the cluster rule (the stock corpus has none — l1 pins 0)") {
-    // identical text → identical minhash → ALL bands collide → jaccard
-    // 10000 → same cluster, and the cluster min id ≤ the content-hash
-    // min id, so every doc l19's exact rule removes, l29 removes too.
+      "removed (the stock corpus has none — l1 pins 0)") {
+    // ≥3-token copies: identical text → identical minhash → ALL bands
+    // collide → jaccard 10000 → same cluster. Short or trim-only
+    // copies never enter the sketch — the exact-hash arm of the union
+    // rule removes those. Either way every doc l19's exact rule
+    // removes, l29 removes too.
     val raw = Tables.documents(spark, sf)
       .select("doc_id", "lang", "text", "n_chars")
     val maxId = raw.agg(max("doc_id")).head().getLong(0)
@@ -541,7 +547,16 @@ class LshSpec extends AnyFunSuite {
     // far past the planted offset so nothing collides
     val copies = raw.filter(col("doc_id") % 71 === 0)
       .withColumn("doc_id", col("doc_id") + lit(10 * (maxId + 1)))
-    val injected = raw.unionByName(copies)
+    // the sketch-invisible shapes: a 2-token pair (below the ≥3-token
+    // shingle floor) and a trim-only copy (same normHash, different
+    // token shingles) — only the exact-hash arm can catch these
+    val base = 20 * (maxId + 1)
+    val shorts = spark.createDataFrame(Seq(
+      (base, "en", "hello world", 11L),
+      (base + 1, "en", "hello world", 11L),
+      (base + 2, "en", "  hello world  ", 15L))).toDF(
+      "doc_id", "lang", "text", "n_chars")
+    val injected = raw.unionByName(copies).unionByName(shorts)
     val perDoc = LlmQueries.neardupParts(injected)._3
       .select("doc_id", "reason").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -550,6 +565,11 @@ class LshSpec extends AnyFunSuite {
     copyIds.foreach(id =>
       assert(perDoc(id) == "near_duplicate",
         s"injected exact copy $id escaped curation (${perDoc(id)})"))
+    // min-id canon keeps the first short doc; the byte-identical and
+    // trim-only copies are duplicates despite never entering the sketch
+    assert(perDoc(base) != "near_duplicate")
+    assert(perDoc(base + 1) == "near_duplicate")
+    assert(perDoc(base + 2) == "near_duplicate")
   }
 
   test("sf0.01 golden: l29's curation matrix is pinned exactly and its " +
