@@ -69,8 +69,9 @@ object Components {
     * `localCheckpoint` each block (bounded lineage — the fixed-budget
     * [[close]] composes its whole cascade into one plan, which is the
     * right trade only for small budgets), and poll ONE bounded row
-    * after each block (did any label change?), stopping at the
-    * fixpoint. A 40-hop chain thus converges without anyone hand-
+    * after each block — an exact label-sum aggregate whose
+    * monotonicity makes sum-unchanged equivalent to fixpoint — stopping
+    * there. A 40-hop chain thus converges without anyone hand-
     * setting a budget, and the cost on an easy graph is one extra
     * no-change block. Throws if `maxIters` rounds pass without
     * convergence — under-merged labels must never escape silently
@@ -90,20 +91,27 @@ object Components {
     val closed = closedSym(edges).localCheckpoint()
     var labels = closed.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    // bounded poll: ONE scan-aggregate per BLOCK, not a join — each
+    // round every comp either stays or strictly decreases (min over a
+    // closed neighborhood that includes self), so the exact label sum
+    // is unchanged iff NO label changed ⟺ fixpoint. decimal(38,0)
+    // keeps the sum exact at any corpus size (n·maxId ≲ 10³² ≪ 10³⁸);
+    // a long sum could wrap and alias two different labelings.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
     while (rounds < maxIters) {
       val block = math.min(checkpointEvery, maxIters - rounds)
       val next = (1 to block).foldLeft(labels)((l, _) => step(closed, l))
         .localCheckpoint()
       rounds += block
-      // bounded poll: one driver-side existence check per BLOCK, not
-      // per round (min-label propagation is monotone, so an unchanged
-      // block means the fixpoint)
-      val changed = labels.select(col("id"), col("comp").as("c0"))
-        .join(next.select(col("id"), col("comp").as("c1")), "id")
-        .filter(col("c0") =!= col("c1")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      if (changed == 0L) return (labels, rounds)
+      if (nextSum.compareTo(prevSum) == 0) return (labels, rounds)
+      prevSum = nextSum
     }
     // one more step would still change labels → the budget was too small
     val left = unconverged(edges, labels).collect()(0).getLong(0)
