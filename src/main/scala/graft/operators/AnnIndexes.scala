@@ -145,6 +145,17 @@ object AnnIndexes {
       .join(broadcast(qb), Seq("band_id", "bval"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
+    rerankBatch(candidates, e, queries, topK)
+  }
+
+  /** Per-qid exact-cosine re-rank for BATCH probes: a (qid, vec_id)
+    * candidate frame joins its vectors back, scores against the
+    * broadcast query batch, and takes top-k per qid via a rank window
+    * whose partitions are per-query candidate sets — never
+    * corpus-sized. Shared by [[probeLshBatch]] and [[probeIvfBatch]]
+    * (the batch siblings of [[rerank]]). */
+  private[operators] def rerankBatch(candidates: DataFrame, e: DataFrame,
+      queries: DataFrame, topK: Int): DataFrame = {
     val scored = candidates.join(e, "vec_id")
       .join(broadcast(queries.select(col("qid"), col("v").as("qv"))), "qid")
       .withColumn("sim_e4",
@@ -263,6 +274,35 @@ object AnnIndexes {
     val candidates = idx.lists.join(broadcast(probeCells), "cid")
       .filter(col("vec_id") =!= excludeId).select("vec_id")
     rerank(candidates, e, query, topK)
+  }
+
+  /** Batch IVF probe: top-k for a whole query FRAME (qid, v) in one
+    * plan — [[probeLshBatch]]'s sibling for the IVF index, completing
+    * the batch surface (an evaluation set probes hundreds of queries;
+    * N single probes would run N jobs). Cell selection is per qid: the
+    * k×|queries| centroid-distance frame (small — k centroids, batch-
+    * bounded queries) ranks within each qid by (d2, cid), exactly the
+    * single probe's orderBy-limit tie-break, so a batch of one equals
+    * [[probeIvf]] row-for-row. Candidates come from ONE equi-join of
+    * the cid-partitioned lists against the broadcast (qid, cid) probe
+    * set; each vector lives in exactly one cell, so (qid, vec_id) needs
+    * no distinct. Self-matches drop when the query id appears in the
+    * corpus (`qid === vec_id`), mirroring probeLshBatch. Returns
+    * (qid, vec_id, sim_e4); AnnIndexSpec pins a 3-query batch equal to
+    * 3 single probes row-for-row. */
+  def probeIvfBatch(idx: IvfIndex, e: DataFrame, queries: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val qc = idx.centroids
+      .crossJoin(broadcast(queries.select(col("qid"), col("v").as("qv"))))
+      .withColumn("d2", Ivf.dist2(col("cv"), col("qv")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("d2"), col("cid"))
+    val probeCells = qc.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= nprobe).select("qid", "cid")
+    val candidates = idx.lists.join(broadcast(probeCells), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    rerankBatch(candidates, e, queries, topK)
   }
 
   // ------------------------------------------------------------- shared

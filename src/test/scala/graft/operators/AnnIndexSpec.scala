@@ -178,6 +178,21 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probeIvfBatch: a 3-query batch equals 3 single probes row-for-row") {
+    val e = vecs(sf)
+    val idx = AnnIndexes.buildIvf(e, k = 16, iters = 2)
+    val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val batch = AnnIndexes.probeIvfBatch(idx, e, queries, nprobe = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val single = pairs(AnnIndexes.probeIvf(idx, e,
+        e.filter(col("vec_id") === qid), nprobe = 4, topK = 5, excludeId = qid))
+      assert(batch(qid) === single, s"qid $qid batch/single divergence")
+    }
+  }
+
   test("sf0.01 golden: probe-from-parquet reproduces the pinned l12/l16 rows") {
     val sf01 = "/root/testdata/sf0.01"
     assume(new java.io.File(sf01).isDirectory)
