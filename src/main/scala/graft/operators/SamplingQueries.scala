@@ -308,17 +308,28 @@ object SamplingQueries {
     * join — negligible against the screen's own n-gram heuristic.
     * TemporalSamplingSpec pins both forms to the identical flag set on
     * sf0.01. */
-  private[graft] def decontaminate(
-      labeled: DataFrame, hashedGrams: Boolean): DataFrame = {
-    val grams0 = labeled
+  /** THE distinctive-word-5-gram stage, in one place: each row of `df`
+    * (must carry `text`) explodes to its DISTINCT lowercase word
+    * 5-grams as (keep..., gram) — map-side only, no shuffle. Batch
+    * [[decontaminate]] and the streaming ingest screen
+    * ([[graft.streaming.StreamingDecontam]]) both derive from this
+    * definition, so the two can never disagree on what an overlapping
+    * gram is. `hashed = true` is the 100 TB wire format (xxhash64 —
+    * see [[decontaminate]]'s collision analysis). */
+  private[graft] def docGrams(df: DataFrame, keep: Seq[String],
+      hashed: Boolean): DataFrame = {
+    val g = df
       .withColumn("ta", split(lower(col("text")), "\\s+"))
       .filter(size(col("ta")) >= 5)
-      .select(col("lang"), col("doc_id"), col("split"),
+      .select(keep.map(col) :+
         explode(expr("array_distinct(transform(sequence(0, size(ta) - 5), " +
-          "i -> concat_ws(' ', slice(ta, i + 1, 5))))")).as("gram"))
-    val grams =
-      if (hashedGrams) grams0.withColumn("gram", xxhash64(col("gram")))
-      else grams0
+          "i -> concat_ws(' ', slice(ta, i + 1, 5))))")).as("gram"): _*)
+    if (hashed) g.withColumn("gram", xxhash64(col("gram"))) else g
+  }
+
+  private[graft] def decontaminate(
+      labeled: DataFrame, hashedGrams: Boolean): DataFrame = {
+    val grams = docGrams(labeled, Seq("lang", "doc_id", "split"), hashedGrams)
     val testGrams = grams.filter(col("split") === "test")
       .select("gram").distinct()
     val contaminated = grams.filter(col("split") === "train")
