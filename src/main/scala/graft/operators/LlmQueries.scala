@@ -36,6 +36,23 @@ object LlmQueries {
     * two can never disagree on what "same document" means. */
   private[graft] val normHash: Column = sha2(lower(trim(col("text"))), 256)
 
+  /** THE corpus quality rule, in one place (round-9: the rule was
+    * inlined at three sites — l6's good/low gate, l19/l29's
+    * low_quality arm — and the streaming admission gate makes a
+    * fourth; a threshold drift between them would silently
+    * desynchronize the gates). [[withStopBp]] appends the lowercase
+    * whitespace tokens and the stopword share in basis points;
+    * [[qualityKeep]] is the keep predicate over (n_chars, stop_bp). */
+  private[graft] def withStopBp(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("stop_bp",
+        round(size(expr(
+          "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
+          * lit(10000.0) / size(col("toks"))).cast("long"))
+
+  private[graft] val qualityKeep: Column =
+    col("n_chars") >= 200 && col("stop_bp") < 2500
+
   // ---------------------------------------------------------------- dedup
 
   /** L1 — exact deduplication: normalize → sha256 → hash groupBy keeping
@@ -161,14 +178,8 @@ object LlmQueries {
   val l6 = DQ(
     "l6_quality_score",
     (s, d) =>
-      docs(s, d)
-        .withColumn("toks", split(lower(col("text")), "\\s+"))
-        .withColumn("stop_bp",
-          round(size(expr(
-            "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
-            * lit(10000.0) / size(col("toks"))).cast("long"))
-        .withColumn("quality",
-          when(col("n_chars") >= 200 && col("stop_bp") < 2500, "good").otherwise("low"))
+      withStopBp(docs(s, d))
+        .withColumn("quality", when(qualityKeep, "good").otherwise("low"))
         .groupBy("lang", "quality")
         .agg(count(lit(1)).as("n"), sum("stop_bp").as("sum_stop_bp"))
         .orderBy("lang", "quality"),
@@ -819,18 +830,13 @@ object LlmQueries {
   val l19 = DQ(
     "l19_curation",
     (s, d) =>
-      docs(s, d)
-        .withColumn("toks", split(lower(col("text")), "\\s+"))
-        .withColumn("stop_bp",
-          round(size(expr(
-            "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
-            * lit(10000.0) / size(col("toks"))).cast("long"))
+      withStopBp(docs(s, d))
         .withColumn("canonical_id",
           min("doc_id").over(
             org.apache.spark.sql.expressions.Window.partitionBy(normHash)))
         .withColumn("reason",
           when(col("doc_id") =!= col("canonical_id"), "duplicate")
-            .when(!(col("n_chars") >= 200 && col("stop_bp") < 2500), "low_quality")
+            .when(!qualityKeep, "low_quality")
             .otherwise("keep"))
         .groupBy("lang", "reason")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
@@ -1036,15 +1042,11 @@ object LlmQueries {
         min("doc_id").over(
           org.apache.spark.sql.expressions.Window.partitionBy(normHash)))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .withColumn("stop_bp",
-        round(size(expr(
-          "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
-          * lit(10000.0) / size(col("toks"))).cast("long"))
+      .transform(withStopBp)
       .withColumn("reason",
         when((col("comp").isNotNull && col("doc_id") =!= col("comp")) ||
           col("doc_id") =!= col("exact_canon"), "near_duplicate")
-          .when(!(col("n_chars") >= 200 && col("stop_bp") < 2500), "low_quality")
+          .when(!qualityKeep, "low_quality")
           .otherwise("keep"))
       .select("doc_id", "lang", "n_chars", "comp", "reason", "exact_canon")
     (edges, labels, perDoc)

@@ -69,9 +69,18 @@ object StreamingDecontam {
     * contaminated doc. */
   def screen(stream: DataFrame, index: DataFrame, tsCol: String,
       delay: String): DataFrame =
-    SamplingQueries.docGrams(stream, Seq("doc_id", tsCol), hashed = true)
-      .join(index, Seq("gram"), "left_semi") // stream-static semi join
-      .select("doc_id", tsCol)
+    screenRaw(stream, index, Seq(tsCol))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("doc_id")
+
+  /** The STATELESS part of [[screen]] (gram explode + semi-join, no
+    * watermark) — runs on a batch frame as well as a stream; the
+    * per-microbatch admission decision composes it inside
+    * `foreachBatch`. A doc overlapping in several grams emits several
+    * rows. */
+  def screenRaw(df: DataFrame, index: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    SamplingQueries.docGrams(df, Seq("doc_id") ++ keep, hashed = true)
+      .join(index, Seq("gram"), "left_semi") // stream-static semi join
+      .select("doc_id", keep: _*)
 }

@@ -79,10 +79,22 @@ object StreamingNearDup {
     * doc's shingle array appears on its 16 band rows; rows this wide
     * exist only between the map stage and the band join's shuffle. */
   def screen(stream: DataFrame, idx: Index, tsCol: String, delay: String,
+      thresholdE4: Long = DefaultThresholdE4): DataFrame =
+    screenRaw(stream, idx, Seq(tsCol), thresholdE4)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+
+  /** The STATELESS part of [[screen]]: band + verify joins only, no
+    * watermark, so it runs on a batch frame as well as a stream — the
+    * per-microbatch admission decision ([[AdmissionPipeline.decide]])
+    * composes it inside `foreachBatch`, where the pair-level dedup is
+    * a plain `distinct`. A pair matched by several bands emits one row
+    * per matching band. */
+  def screenRaw(df: DataFrame, idx: Index, keep: Seq[String],
       thresholdE4: Long = DefaultThresholdE4): DataFrame = {
     val bands = LlmQueries.minhashBuckets(
-      LlmQueries.docSketch(stream, keep = Seq(tsCol)),
-      keep = Seq("shs", "n_sh", tsCol))
+      LlmQueries.docSketch(df, keep = keep),
+      keep = Seq("shs", "n_sh") ++ keep)
     val corpusBands = idx.bands
       .select(col("doc_id").as("corpus_id"), col("band_id"), col("bkey"))
     val corpusSketch = idx.sketch
@@ -97,8 +109,7 @@ object StreamingNearDup {
         round(col("n_inter") * lit(10000.0) /
           (col("n_sh") + col("c_n") - col("n_inter"))).cast("long"))
       .filter(col("jac_e4") >= thresholdE4)
-      .select("doc_id", "corpus_id", "jac_e4", tsCol)
-      .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+      .select(Seq(col("doc_id"), col("corpus_id"), col("jac_e4")) ++
+        keep.map(col): _*)
   }
 }

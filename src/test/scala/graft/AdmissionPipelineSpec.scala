@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.{AdmissionPipeline, StreamingDecontam, StreamingNearDup}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Composed streaming admission: exact dedup in stream state, then the
+  * per-batch decision built from the gates' own stateless screens —
+  * one reason per doc with l19/l29's precedence. */
+class AdmissionPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+
+  // ≥200 chars of distinctive low-stopword prose (the quality keep bar)
+  private val longCorpusText = "glacier harmonium bicycle observatory " +
+    "penumbra cartography velvet isotope meridian chrysanthemum quarry " +
+    "lighthouse obsidian fjord tapestry nebula saffron pendulum archipelago " +
+    "marzipan telescope bassoon citadel juniper"
+  private val shortCorpusText = "quartz falcon ember dune mosaic lantern"
+  private val holdoutText = "the benchmark answer to question seven is " +
+    "forty two according to the official eval rubric"
+
+  private def corpus = {
+    import spark.implicits._
+    Seq((100L, longCorpusText), (101L, shortCorpusText)).toDF("doc_id", "text")
+  }
+
+  private def gates = AdmissionPipeline.Gates(
+    StreamingNearDup.buildIndex(corpus),
+    StreamingDecontam.buildIndex({
+      import spark.implicits._
+      Seq((900L, holdoutText)).toDF("doc_id", "text")
+    }))
+
+  private def mkBatch(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("decide: each gate fires on its doc, precedence is duplicate-family " +
+      "over quality, and a clean long doc admits") {
+    val batch = mkBatch(Seq(
+      // near-dup of 100 (first token dropped), still ≥200 chars → pure near_duplicate
+      1L -> longCorpusText.split(" ").drop(1).mkString(" "),
+      // near-dup of the SHORT corpus doc: also low-quality by length —
+      // precedence must say near_duplicate
+      2L -> shortCorpusText.split(" ").drop(1).mkString(" "),
+      // quotes 5+ consecutive holdout tokens; also short — contaminated
+      // must dominate low_quality
+      3L -> "leaked the benchmark answer to question seven is forty two",
+      // long, distinctive, no overlap → admit
+      4L -> ("submarine accordion whistle prairie cobalt thimble orchard " +
+        "granite sparrow lighthouse mahogany crescent bamboo furnace opal " +
+        "ladder trumpet satchel willow compass anvil ribbon meadow falcon " +
+        "zirconium mandolin"),
+      // short and novel → low_quality
+      5L -> "tiny novel fragment here"))
+    val got = AdmissionPipeline.decide(batch, gates)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "near_duplicate", 2L -> "near_duplicate", 3L -> "contaminated",
+      4L -> "admit", 5L -> "low_quality"), got.toString)
+  }
+
+  test("decide preserves the batch's columns plus one reason column, " +
+      "one row per input doc") {
+    val batch = mkBatch(Seq(6L -> "any text at all here"))
+    val out = AdmissionPipeline.decide(batch, gates)
+    assert(out.columns.toSeq === batch.columns.toSeq :+ "reason")
+    assert(out.count() === 1L)
+  }
+
+  test("end-to-end: exact dup suppressed by stream state, decisions land " +
+      "partitioned by reason, admitted corpus is one pruned read") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val cleanText = "porcelain zeppelin hammock quasar bobbin anchovy " +
+      "tundra gazebo parchment kaleidoscope derrick awning lacquer plinth " +
+      "sextant bugle cornice dynamo easel fresco garnet hinge ingot " +
+      "javelin obelisk mandolin"
+    val in = Files.createTempDirectory("graft_admission_in_").toString
+    Files.write(Paths.get(in, "f1.json"), String.join("\n",
+      s"""{"doc_id":11,"text":"$cleanText","ts":"2026-01-01T10:00:00Z"}""",
+      // byte-identical payload under a fresh id within the horizon —
+      // stream state must suppress it before any decision
+      s"""{"doc_id":12,"text":"$cleanText","ts":"2026-01-01T10:00:01Z"}""",
+      s"""{"doc_id":13,"text":"leaked the benchmark answer to question seven is forty two","ts":"2026-01-01T10:00:02Z"}""").getBytes)
+    val out = Files.createTempDirectory("graft_admission_out_").toString
+
+    val q = AdmissionPipeline.start(spark,
+      spark.readStream.schema(schema).json(in), gates, out, "ts", "10 minutes")
+    q.processAllAvailable()
+    q.stop()
+
+    val decisions = spark.read.parquet(s"$out/decisions")
+    val got = decisions.select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // EXACTLY ONE of the identical pair lands (which one is an
+    // intra-batch ordering detail of the state store, not a contract);
+    // the copy is ABSENT — suppressed pre-decision, not rejected
+    val dupSurvivors = got.keySet.intersect(Set(11L, 12L))
+    assert(dupSurvivors.size === 1, got.toString)
+    assert(got(dupSurvivors.head) === "admit", got.toString)
+    assert(got(13L) === "contaminated", got.toString)
+    assert(got.size === 2, got.toString)
+    // the admitted corpus is a partition-pruned read
+    val admitted = spark.read.parquet(s"$out/decisions")
+      .filter(col("reason") === "admit").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted === dupSurvivors.toSeq)
+  }
+}
