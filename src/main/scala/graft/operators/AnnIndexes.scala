@@ -133,17 +133,21 @@ object AnnIndexes {
     * index against the batch's band rows (4·|queries| rows, broadcast);
     * the per-query top-k is a rank window partitioned by qid — the
     * partition count is the query count, so the window never sees
-    * corpus-sized partitions. Self-matches drop when the query id
-    * appears in the corpus (`qid === vec_id`), mirroring probeLsh's
-    * excludeId. Returns (qid, vec_id, sim_e4); AnnIndexSpec pins a
-    * 3-query batch equal to 3 single probes row-for-row. */
+    * corpus-sized partitions. `excludeSelf` (default) drops the
+    * self-match when the query id appears in the corpus (`qid ===
+    * vec_id`), mirroring probeLsh's excludeId — pass false when the
+    * query ids are a namespace UNRELATED to corpus ids (a novel eval
+    * set numbered from 0), where the coincidental-id drop would
+    * silently exclude a genuine neighbor. Returns (qid, vec_id,
+    * sim_e4); AnnIndexSpec pins a 3-query batch equal to 3 single
+    * probes row-for-row. */
   def probeLshBatch(bands: DataFrame, e: DataFrame, queries: DataFrame,
-      topK: Int): DataFrame = {
+      topK: Int, excludeSelf: Boolean = true): DataFrame = {
     val qb = lshBands(queries.select(col("qid").as("vec_id"), col("v")))
       .select(col("vec_id").as("qid"), col("band_id"), col("bval"))
     val candidates = bands
       .join(broadcast(qb), Seq("band_id", "bval"))
-      .filter(col("vec_id") =!= col("qid"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
       .select("qid", "vec_id").distinct()
     rerankBatch(candidates, e, queries, topK)
   }
@@ -223,7 +227,12 @@ object AnnIndexes {
     * of assign-over-everything with the same centroids row-for-row
     * (AnnIndexSpec pins it); what append does NOT do is move the
     * centroids, so cell BALANCE degrades as the corpus drifts — that
-    * staleness is what [[ivfDrift]] measures and a retrain fixes. */
+    * staleness is what [[ivfDrift]] measures and a retrain fixes.
+    * Caller contract: `newVecs` must be DISJOINT from already-indexed
+    * vec_ids — append cannot dedup against the landed lists without
+    * reading them, so a replayed overlapping batch lands duplicates
+    * (the batch probe tolerates this via its candidate distinct; dedup
+    * the ingest upstream, e.g. [[graft.streaming.StreamingDedup]]). */
   def appendIvf(spark: SparkSession, newVecs: DataFrame, base: String): Unit =
     Ivf.assign(newVecs, spark.read.parquet(s"$base/ivf_centroids"))
       .repartition(col("cid")).sortWithinPartitions("vec_id")
@@ -285,13 +294,15 @@ object AnnIndexes {
     * single probe's orderBy-limit tie-break, so a batch of one equals
     * [[probeIvf]] row-for-row. Candidates come from ONE equi-join of
     * the cid-partitioned lists against the broadcast (qid, cid) probe
-    * set; each vector lives in exactly one cell, so (qid, vec_id) needs
-    * no distinct. Self-matches drop when the query id appears in the
-    * corpus (`qid === vec_id`), mirroring probeLshBatch. Returns
-    * (qid, vec_id, sim_e4); AnnIndexSpec pins a 3-query batch equal to
-    * 3 single probes row-for-row. */
+    * set, then a distinct: a healthy inverted file holds each vec_id
+    * once, but a replayed [[appendIvf]] over an overlapping vector
+    * batch can land a vec_id twice, and an undeduped duplicate would
+    * occupy two top-k slots in the re-rank. `excludeSelf` as in
+    * [[probeLshBatch]] — pass false for query-id namespaces unrelated
+    * to corpus ids. Returns (qid, vec_id, sim_e4); AnnIndexSpec pins a
+    * 3-query batch equal to 3 single probes row-for-row. */
   def probeIvfBatch(idx: IvfIndex, e: DataFrame, queries: DataFrame,
-      nprobe: Int, topK: Int): DataFrame = {
+      nprobe: Int, topK: Int, excludeSelf: Boolean = true): DataFrame = {
     val qc = idx.centroids
       .crossJoin(broadcast(queries.select(col("qid"), col("v").as("qv"))))
       .withColumn("d2", Ivf.dist2(col("cv"), col("qv")))
@@ -300,8 +311,8 @@ object AnnIndexes {
     val probeCells = qc.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= nprobe).select("qid", "cid")
     val candidates = idx.lists.join(broadcast(probeCells), "cid")
-      .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id")
+      .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
+      .select("qid", "vec_id").distinct()
     rerankBatch(candidates, e, queries, topK)
   }
 

@@ -229,16 +229,10 @@ object SamplingQueries {
   val l23 = DQ(
     "l23_mix_manifest",
     (s, d) => {
-      docs(s, d)
-        .withColumn("toks", split(lower(col("text")), "\\s+"))
-        .withColumn("stop_bp",
-          round(size(expr(
-            "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
-            * lit(10000.0) / size(col("toks"))).cast("long"))
+      LlmQueries.withStopBp(docs(s, d))
         .withColumn("canonical_id",
           min("doc_id").over(Window.partitionBy(LlmQueries.normHash)))
-        .filter(col("doc_id") === col("canonical_id") &&
-          col("n_chars") >= 200 && col("stop_bp") < 2500)
+        .filter(col("doc_id") === col("canonical_id") && LlmQueries.qualityKeep)
         .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"), thresholds))
         .withColumn("split", Sampling.splitLabel(col("doc_id"), lit("split"),
           Seq("train" -> "c000", "val" -> "e000"), last = "test"))

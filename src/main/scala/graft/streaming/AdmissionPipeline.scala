@@ -62,27 +62,40 @@ object AdmissionPipeline {
       .withColumn("reason",
         when(col("_nd"), "near_duplicate")
           .when(col("_ct"), "contaminated")
-          .when(!LlmQueries.qualityKeep, "low_quality")
-          .otherwise("admit"))
+          // admit only on a POSITIVE quality verdict: a null text (a
+          // malformed/permissive-parsed record) nulls the predicate,
+          // and three-valued logic must land it in low_quality, not
+          // fall through every gate into the curated corpus
+          .when(LlmQueries.qualityKeep, "admit")
+          .otherwise("low_quality"))
       .select(batch.columns.map(col) :+ col("reason"): _*)
   }
 
   /** Wire the full pipeline over a JSON document stream directory:
     * watermark-bounded exact dedup, then the per-batch decision, landed
-    * to ONE parquet sink partitioned by `reason` (so "the admitted
-    * corpus" is a partition-pruned read of `reason=admit`, and every
-    * reject stays audit-readable with its reason — the dual-sink
-    * contract in one table). `n_chars` is measured here if absent so
-    * the quality arm always has its input. */
+    * to ONE parquet sink partitioned by (batch, reason) — "the admitted
+    * corpus" is a partition-pruned read of `reason=admit` across batch
+    * dirs, and every reject stays audit-readable with its reason (the
+    * dual-sink contract in one table). The write keys on the BATCH ID
+    * with dynamic partition overwrite, so a microbatch replayed after a
+    * crash-between-commit-and-checkpoint overwrites its own partitions
+    * instead of appending duplicate decision rows (the same
+    * exactly-once discipline as [[IngestPipeline]]'s sinks, via
+    * partition idempotence rather than an offset high-water mark).
+    * `n_chars` is measured here if absent so the quality arm always
+    * has its input. */
   def start(spark: SparkSession, stream: DataFrame, gates: Gates,
       outDir: String, tsCol: String, delay: String): StreamingQuery = {
     val deduped = StreamingDedup.withinWatermark(
       withNChars(stream), tsCol, delay)
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         decide(batch, gates)
-          .write.mode("append").partitionBy("reason")
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id", "reason")
           .parquet(s"$outDir/decisions")
       }
       .start()

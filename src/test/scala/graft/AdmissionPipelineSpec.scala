@@ -58,13 +58,17 @@ class AdmissionPipelineSpec extends AnyFunSuite {
         "ladder trumpet satchel willow compass anvil ribbon meadow falcon " +
         "zirconium mandolin"),
       // short and novel → low_quality
-      5L -> "tiny novel fragment here"))
+      5L -> "tiny novel fragment here",
+      // null text (a malformed/permissive-parsed record): every gate
+      // predicate nulls out — three-valued logic must NOT fall through
+      // to admit; the positive-verdict ordering lands it in low_quality
+      6L -> null.asInstanceOf[String]))
     val got = AdmissionPipeline.decide(batch, gates)
       .select("doc_id", "reason").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(
       1L -> "near_duplicate", 2L -> "near_duplicate", 3L -> "contaminated",
-      4L -> "admit", 5L -> "low_quality"), got.toString)
+      4L -> "admit", 5L -> "low_quality", 6L -> "low_quality"), got.toString)
   }
 
   test("decide preserves the batch's columns plus one reason column, " +

@@ -193,6 +193,27 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("batch probes with excludeSelf=false keep a corpus vector whose id " +
+      "coincides with a novel query's qid") {
+    // A novel eval set numbered from 0 probing a corpus whose vec_ids
+    // also start at 0: the coincidental-id drop would silently exclude
+    // corpus vector 0 from qid 0's candidates.
+    val e = vecs(sf)
+    val queries = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v"))
+    val idx = AnnIndexes.buildIvf(e, k = 16, iters = 2)
+    val ivfKept = AnnIndexes.probeIvfBatch(idx, e, queries, nprobe = 4,
+      topK = 5, excludeSelf = false).collect()
+    // the query IS corpus vector 0 → its own cell is probed and the
+    // self-match (cosine 1.0) must rank first
+    assert(ivfKept.head.getLong(1) === 0L && ivfKept.head.getLong(2) === 10000L,
+      ivfKept.mkString("; "))
+    val lshKept = AnnIndexes.probeLshBatch(AnnIndexes.lshBands(e), e, queries,
+      topK = 5, excludeSelf = false).collect()
+    assert(lshKept.head.getLong(1) === 0L && lshKept.head.getLong(2) === 10000L,
+      lshKept.mkString("; "))
+  }
+
   test("sf0.01 golden: probe-from-parquet reproduces the pinned l12/l16 rows") {
     val sf01 = "/root/testdata/sf0.01"
     assume(new java.io.File(sf01).isDirectory)
