@@ -54,6 +54,7 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    writeFullRecord(timings.toSeq, spreads.toSeq, errors.toSeq, runs, sfDir)
     println(renderLine(timings.toSeq, spreads.toSeq, errors.toSeq, runs, sfDir))
     spark.stop()
   }
@@ -82,33 +83,63 @@ object Bench {
   private def r3(v: Double): String =
     if (v < 10) fmt(v, 3) else if (v < 100) fmt(v, 2) else fmt(v, 1)
 
-  /** The ONE-line JSON bench record. The official harness captures a
-    * bounded tail of stdout (the r4 record kept 2000 chars and recorded
-    * `"parsed": null` against our 3.9 KB line), so the line must stay
-    * under that budget at full catalog size even on a fully contended
-    * run. Normal render: 3-decimal seconds (1 ms resolution — below
-    * that is JVM noise) with the top-3 noisiest spreads itemized
-    * (`spread_max` covers the rest). If that would overflow the tail
-    * (only possible when every query reads 3-digit contended seconds),
-    * the render degrades in stages — first the spread itemization goes
-    * (pure diagnostics; `spread_max` stays), then values coarsen to
-    * centiseconds/whole seconds, and as a last resort the per-query
-    * itemization is dropped entirely (totals + counts + the first 3
-    * errors, each clipped — a PROVABLY bounded record, asserted under
-    * the budget by BenchLineSpec) — so a quiet run keeps millisecond
-    * per-query floors and even a pathological run stays a parseable
-    * record instead of a truncated one. */
+  /** What the driver actually keeps: a 2000-char tail of stdout that
+    * ALSO contains sbt's `[success] Total time: …` epilogue (~75-90
+    * chars, printed AFTER our line — BENCH_r05–r09 all recorded
+    * `"parsed": null` because the line itself was budgeted to 2000 and
+    * the epilogue pushed its HEAD out of the tail). The line budget is
+    * therefore the tail minus the worst-case epilogue minus margin. */
+  private[graft] val DriverTailChars   = 2000
+  private[graft] val SbtEpilogueChars  = 100 // observed 75; margin for long runtimes
+  private[graft] val LineBudget: Int   = DriverTailChars - SbtEpilogueChars - 50
+
+  /** The ONE-line JSON bench record, guaranteed to fit the driver's
+    * stdout tail WITH the sbt epilogue appended (see [[LineBudget]]).
+    * The full catalog's query names alone cost ~1.5 KB, so the fine
+    * 3-decimal render cannot fit — the render degrades in stages until
+    * one fits: (1) 3-dec + top-3 spread itemization, (2) 3-dec without
+    * itemization, (3) centisecond values (trailing zeros trimmed) with
+    * tight fields (drop `spread`/`runs`, empty `errors`, sf basename —
+    * `spread_max`/`n_ok`/`n_err` always stay), (4) decisecond values
+    * tight, (5) decisecond tight keeping only the SLOWEST entries that
+    * fit plus an `"omitted":N` count (slow queries are the regression
+    * signal; omitted ones were sub-noise), and finally (6) the bounded
+    * minimal record. The exact 3-decimal per-query record is written to
+    * `bench_full.json` by main() regardless, so reduced line precision
+    * never loses the floors. BenchLineSpec pins the DRIVER-VISIBLE
+    * budget: line + worst-case epilogue ≤ 2000. */
   private[graft] def renderLine(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
-    val stages = Seq((false, true), (false, false), (true, false))
-    val rendered = stages.iterator.map { case (coarse, withSpread) =>
-      renderAt(timings, spreads, errors, runs, sfDir, coarse, withSpread)
+    // (decimals, itemizeSpread, tight)
+    val stages = Seq((3, true, false), (3, false, false),
+                     (2, false, true), (1, false, true))
+    val rendered = stages.iterator.map { case (dec, sp, tight) =>
+      renderAt(timings, spreads, errors, runs, sfDir, dec, sp, tight)
     }
-    // lazy iterator: the common (fits-at-stage-1) case renders once;
-    // the minimal render is the guaranteed-bounded oversize fallback
-    rendered.find(_.length <= 2000)
+    // lazy iterator: the common case renders until first fit; then the
+    // slowest-K render; the minimal render is the guaranteed fallback
+    rendered.find(_.length <= LineBudget)
+      .orElse(renderSlowest(timings, spreads, errors, runs, sfDir))
       .getOrElse(renderMinimal(timings, spreads, errors, runs, sfDir))
+  }
+
+  /** Stage-5 render: keep only the slowest entries that fit the budget
+    * (largest-first), report the rest as `"omitted":N`. The total stays
+    * exact; the itemization keeps exactly the queries a regression
+    * watch needs. Binary-search-free: drops in chunks of 8 from the
+    * fast end until it fits, None if even 8 entries don't fit. */
+  private def renderSlowest(
+      timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
+      errors: Seq[(String, String)], runs: Int, sfDir: String): Option[String] = {
+    val bySlow = timings.sortBy(-_._2)
+    Iterator.iterate(bySlow.size - 8)(_ - 8).takeWhile(_ >= 8).map { keep =>
+      val kept = bySlow.take(keep)
+      val line = renderAt(kept, spreads, errors, runs, sfDir,
+        decimals = 1, itemizeSpread = false, tight = true,
+        omitted = timings.size - keep, totalOverride = Some(timings.map(_._2).sum))
+      line
+    }.find(_.length <= LineBudget)
   }
 
   /** The last-resort render: no per-query itemization, error map capped
@@ -135,18 +166,57 @@ object Bench {
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"spread":{},"spread_max":${r3(spMax)},"runs":$runs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir.take(64))}}"""
   }
 
+  /** One render attempt. `decimals` is the sub-10 s resolution (values
+    * ≥10 s always coarsen one step further, see [[r3]]); `tight` drops
+    * the pure-diagnostic fields (`spread` itemization, `runs`, an EMPTY
+    * `errors` map — a non-empty one always survives) and shortens the
+    * sf dir to its basename; trailing zeros are trimmed below 3
+    * decimals ("0.40" → "0.4") because they carry no information at
+    * reduced precision. `spread_max`, `n_ok`, `n_err` are always kept:
+    * they are the one-glance contention/failure markers. */
   private def renderAt(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String,
-      coarse: Boolean, withSpread: Boolean): String = {
-    def rv(v: Double): String =
-      if (!coarse) r3(v) else if (v < 10) fmt(v, 2) else fmt(v, 0)
+      decimals: Int, itemizeSpread: Boolean, tight: Boolean,
+      omitted: Int = 0, totalOverride: Option[Double] = None): String = {
+    def trim(s: String): String =
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    def rv(v: Double): String = decimals match {
+      case 3 => r3(v)
+      case d => trim(if (v < 10) fmt(v, d) else if (v < 100) fmt(v, (d - 1).max(0)) else fmt(v, 0))
+    }
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${rv(v)}" }.mkString("{", ",", "}")
-    val noisy = if (!withSpread) Nil else spreads.filter(_._2 > 0.5).sortBy(-_._2).take(3)
-    val sp = noisy.map { case (k, v) => s"${jstr(k)}:${rv(v)}" }.mkString("{", ",", "}")
+    val noisy = if (!itemizeSpread) Nil else spreads.filter(_._2 > 0.5).sortBy(-_._2).take(3)
     val spMax = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = timings.map(_._2).sum
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$sp,"spread_max":${r3(spMax)},"runs":$runs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+    val total = totalOverride.getOrElse(timings.map(_._2).sum)
+    val sf = if (tight) sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir) else sfDir
+    val b = new StringBuilder
+    b ++= s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs"""
+    if (!tight)
+      b ++= s""","spread":${noisy.map { case (k, v) => s"${jstr(k)}:${rv(v)}" }.mkString("{", ",", "}")}"""
+    b ++= s""","spread_max":${r3(spMax)}"""
+    if (!tight) b ++= s""","runs":$runs"""
+    if (!tight || errors.nonEmpty) b ++= s""","errors":$es"""
+    if (omitted > 0) b ++= s""","omitted":$omitted"""
+    b ++= s""","n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sf)}}"""
+    b.result()
   }
+
+  /** Best-effort sidecar with the EXACT 3-decimal per-query record —
+    * the stdout line may legitimately render at reduced precision (the
+    * catalog's names alone approach the driver-tail budget), so the
+    * full-precision floors land here for BENCH_NOTES reconciliation.
+    * Never throws: a read-only cwd must not cost the stdout record. */
+  private def writeFullRecord(
+      timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
+      errors: Seq[(String, String)], runs: Int, sfDir: String): Unit =
+    try {
+      val full = renderAt(timings, spreads, errors, runs, sfDir,
+        decimals = 3, itemizeSpread = true, tight = false)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
 }

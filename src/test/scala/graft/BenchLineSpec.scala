@@ -3,25 +3,72 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench JSON line must survive the official harness's 2000-char
-  * stdout tail capture at FULL catalog size under worst-case noise —
-  * pinned here against the live catalog so adding queries (or spread
-  * itemization) can't silently push the record past the budget again
-  * (BENCH_r04 was recorded `"parsed": null` against a 3.9 KB line). */
+  * stdout tail capture — WITH sbt's `[success] Total time …` epilogue
+  * (~75-90 chars) appended after it, which is what actually truncated
+  * the line head in BENCH_r05–r09 even though the line itself was
+  * ≤2000 chars. Pinned here against the live catalog so adding queries
+  * (or spread itemization) can't silently push the record past the
+  * DRIVER-VISIBLE budget again. */
 class BenchLineSpec extends AnyFunSuite {
 
-  test("worst-case bench line for the live catalog stays within the 2 KB tail") {
+  // A worst-case epilogue, longer than any observed (75 chars in r9).
+  private val epilogue =
+    "\n[success] Total time: 99999 s (999:59:59), completed Dec 31, 2026, 12:59:59 PM\n"
+
+  private def assertDriverVisible(line: String): Unit = {
+    assert(line.length + epilogue.length <= Bench.DriverTailChars,
+      s"line ${line.length} B + epilogue ${epilogue.length} B exceeds the " +
+        s"${Bench.DriverTailChars} B driver tail: the line HEAD would be cut")
+    // and the configured internal budget must itself leave that room
+    assert(Bench.LineBudget + epilogue.length <= Bench.DriverTailChars,
+      "LineBudget leaves no room for the sbt epilogue")
+  }
+
+  test("quiet-run bench line for the live catalog fits the driver tail with the sbt epilogue") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // realistic quiet values: mixed sub-second and few-second floors
+    val timings = names.zipWithIndex.map { case (n, i) => n -> (0.107 + (i % 40) * 0.1) }
+    val spreads = names.map(_ -> 0.02)
+    val line = Bench.renderLine(timings, spreads, Nil, runs = 3,
+      sfDir = "/root/testdata/sf0.1")
+    assertDriverVisible(line)
+    assert(line.startsWith("""{"metric":"total","""))
+    for (f <- Seq("\"queries\":", "\"spread_max\":", "\"n_ok\":", "\"sf\":"))
+      assert(line.contains(f))
+    // every query must still be itemized on a quiet run (no omission)
+    names.foreach(n => assert(line.contains("\"" + n + "\":"), s"$n missing from quiet line"))
+    assert(!line.contains("\"omitted\":"))
+  }
+
+  test("worst-case contended line for the live catalog stays within the driver tail") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst case: three-digit seconds everywhere, every query noisy
-    // (all spreads itemizable), longest plausible sf dir
     val timings = names.map(_ -> 999.999)
     val spreads = names.map(_ -> 999.999)
     val line = Bench.renderLine(timings, spreads, Nil, runs = 3,
       sfDir = "/root/testdata/sf0.001")
-    assert(line.length <= 2000, s"bench line ${line.length} B > 2000 B budget")
-    // and it must stay parseable JSON with the contract fields
+    assertDriverVisible(line)
     assert(line.startsWith("""{"metric":"total","""))
     for (f <- Seq("\"queries\":", "\"spread_max\":", "\"n_ok\":", "\"sf\":"))
       assert(line.contains(f))
+  }
+
+  test("oversized catalog degrades to slowest-K itemization with an omitted count") {
+    val names = (1 to 300).map(i => f"generated_query_name_$i%03d")
+    // make the slow end distinctive: query 300 is the slowest
+    val timings = names.zipWithIndex.map { case (n, i) => n -> (0.1 + i * 0.05) }
+    val spreads = names.map(_ -> 0.3)
+    val line = Bench.renderLine(timings, spreads, Nil, runs = 3,
+      sfDir = "/root/testdata/sf0.1")
+    assertDriverVisible(line)
+    assert(line.contains("\"omitted\":"), s"expected omitted count in: ${line.take(200)}")
+    // the slowest query must be present; the fastest must be the one omitted
+    assert(line.contains("\"generated_query_name_300\":"))
+    assert(!line.contains("\"generated_query_name_001\":"))
+    // the total must still cover ALL queries, not just the kept ones
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val expected = timings.map(_._2).sum
+    assert(math.abs(total - expected) < 1.0, s"total $total != full-catalog $expected")
   }
 
   test("pathological input degrades to the minimal render, still parseable and bounded") {
@@ -35,7 +82,7 @@ class BenchLineSpec extends AnyFunSuite {
     val errors = names.map(_ -> ("x" * 200))
     val line = Bench.renderLine(timings, spreads, errors, runs = 3,
       sfDir = "/root/testdata/" + ("y" * 100))
-    assert(line.length <= 2000, s"minimal render ${line.length} B > 2000 B budget")
+    assertDriverVisible(line)
     assert(line.startsWith("""{"metric":"total","""))
     for (f <- Seq("\"queries\":{}", "\"spread_max\":", "\"n_ok\":400", "\"n_err\":400"))
       assert(line.contains(f), s"missing $f in: $line")
