@@ -89,6 +89,11 @@ object AnnIndexes {
     val qb = lshBands(query.select(lit(-1L).as("vec_id"), col("v")))
       .select("band_id", "bval").collect()
     require(qb.nonEmpty, "probeLsh: query frame produced no band keys")
+    // one query row signs into exactly 4 band rows — more means a
+    // multi-row query frame, whose band keys would blend into one
+    // candidate set and rerank into a meaningless mixed top-k
+    require(qb.length <= 4,
+      s"probeLsh: query frame has ${qb.length / 4} rows — use probeLshBatch")
     val hit = qb.map(r => col("band_id") === r.getInt(0) && col("bval") === r.getLong(1))
       .reduce(_ || _)
     // Dedup candidates as bare ids BEFORE re-attaching vectors so the
@@ -316,20 +321,155 @@ object AnnIndexes {
     rerankBatch(candidates, e, queries, topK)
   }
 
+  // ------------------------------------------- versioned retrain / swap
+
+  /** Versioned IVF index lifecycle — the ACTION for [[ivfDrift]]'s
+    * alert, closing the drift→retrain loop. Layout under `base`:
+    * {{{
+    *   base/CURRENT      one line, e.g. "v3" — the live version
+    *   base/v1 … base/vN immutable index trees ([[writeIvfWithStats]])
+    * }}}
+    * [[retrainIvf]] builds v(n+1) COMPLETELY beside the live tree and
+    * only then renames a temp pointer over CURRENT — a same-directory
+    * rename, atomic on POSIX and HDFS, so a reader either sees the old
+    * version or the new one, never a half-written tree. (On an object
+    * store without atomic rename the pointer becomes a small manifest
+    * written with put-if-absent + generation number — same contract,
+    * different primitive.) In-flight probes that already resolved vN
+    * keep reading it: version trees are immutable and never deleted by
+    * a retrain ([[pruneIvfVersions]] is the separate, explicit GC).
+    * Single-writer contract: retrains are a scheduled batch refresh
+    * job, not concurrent mutators. Reference analog: the index set is
+    * derived, rebuildable state (`sql/init/03_create_indexes.sql:27-93`
+    * — drop and rebuild without touching the data). */
+  def currentIvfVersion(base: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(base, "CURRENT")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("v").toInt)
+  }
+
+  /** The live version tree — every `*Current` accessor resolves the
+    * pointer ONCE and then only touches that immutable directory. */
+  def currentIvfDir(base: String): String = {
+    val v = currentIvfVersion(base).getOrElse(throw new IllegalStateException(
+      s"no CURRENT pointer under $base — run initIvfVersioned first"))
+    s"$base/v$v"
+  }
+
+  private def flipPointer(base: String, v: Int): Unit = {
+    val dir = java.nio.file.Paths.get(base)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(".CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      s"v$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** First-time versioned build: trains on `e`, writes `base/v1` with
+    * drift stats, points CURRENT at it. Returns the version dir. */
+  def initIvfVersioned(e: DataFrame, k: Int, iters: Int, base: String): String = {
+    require(currentIvfVersion(base).isEmpty,
+      s"initIvfVersioned: $base already has a CURRENT pointer — use retrainIvf")
+    val dir = s"$base/v1"
+    writeIvfWithStats(buildIvf(e, k, iters), e, dir)
+    flipPointer(base, 1)
+    dir
+  }
+
+  /** Retrain-and-atomic-swap: train fresh centroids on `e` (the corpus
+    * as it stands NOW, drifted appends included), write the complete
+    * v(n+1) tree with fresh drift stats, then flip CURRENT. The old
+    * tree stays on disk for in-flight readers. Returns the new version
+    * dir. After a retrain on the drifted corpus, [[ivfDriftCurrent]]
+    * of that same corpus reads ≈ 1 by construction — the staleness
+    * [[ivfDrift]] measured is gone (AnnIndexSpec pins both this and
+    * probe continuity across the swap on unchanged data). */
+  def retrainIvf(e: DataFrame, k: Int, iters: Int, base: String): String = {
+    val cur = currentIvfVersion(base).getOrElse(throw new IllegalStateException(
+      s"retrainIvf: no CURRENT under $base — run initIvfVersioned first"))
+    val dir = s"$base/v${cur + 1}"
+    writeIvfWithStats(buildIvf(e, k, iters), e, dir)
+    flipPointer(base, cur + 1)
+    dir
+  }
+
+  /** [[retrainIvf]] with k from the shared [[Ivf.cellCount]] selector —
+    * a retrain re-sizes the cell grid to the corpus as it is NOW, which
+    * is half the point of retraining (appends grow cells; k∝n restores
+    * the n²/2k pair bound the semantic-dedup path relies on). */
+  def retrainIvf(e: DataFrame, iters: Int, base: String): String =
+    retrainIvf(e, Ivf.cellCount(e.count()), iters, base)
+
+  def readIvfCurrent(spark: SparkSession, base: String): IvfIndex =
+    readIvf(spark, currentIvfDir(base))
+
+  def appendIvfCurrent(spark: SparkSession, newVecs: DataFrame, base: String): Unit =
+    appendIvf(spark, newVecs, currentIvfDir(base))
+
+  def ivfDriftCurrent(spark: SparkSession, newVecs: DataFrame, base: String): DataFrame =
+    ivfDrift(spark, newVecs, currentIvfDir(base))
+
+  /** Explicit GC for superseded version trees: deletes every version
+    * older than the newest `keep` (default 2 — live + one rollback).
+    * Never touches CURRENT's tree: `keep` is clamped to ≥1 and the
+    * pointer's version is always retained even if an operator points
+    * CURRENT at an old version manually (rollback). Driver-side
+    * directory walk — bounded by the version count, not data size. */
+  def pruneIvfVersions(base: String, keep: Int = 2): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(base)
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val versions = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      .toSeq.sorted
+    val live = currentIvfVersion(base)
+    val doomed = versions.dropRight(keep.max(1))
+      .filterNot(live.contains)
+    doomed.foreach { v =>
+      val root = dir.resolve(s"v$v")
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.delete)
+    }
+    doomed
+  }
+
   // ------------------------------------------------------------- shared
 
   /** Exact-cosine re-rank of a bare-id candidate frame against the
     * vector table: vectors join back only for candidates, the query
     * broadcasts as one row, and the top-k is a TakeOrdered (no global
     * sort). Shared verbatim by both probe paths and the composed
-    * catalog queries. */
+    * catalog queries.
+    *
+    * The contract is a ≤1-row query frame (empty → empty result, the
+    * documented lazy trade). A multi-row query would silently BLEND:
+    * every candidate scores against every query row and the top-k
+    * means nothing. Guarded lazily — a 1-row aggregate over the (tiny)
+    * query frame rides along as a broadcast scalar and `assert_true`
+    * fails the job loudly at execution, keeping plan construction
+    * action-free; the require message directs multi-row callers to the
+    * batch probes. */
   private[operators] def rerank(candidates: DataFrame, e: DataFrame,
-      query: DataFrame, topK: Int): DataFrame =
+      query: DataFrame, topK: Int): DataFrame = {
+    val guard = query.agg(assert_true(count(lit(1)) <= 1,
+      lit("rerank: query frame must have at most 1 row — use " +
+        "probeLshBatch/probeIvfBatch for multi-row query sets")).as("_g"))
     candidates.join(e, "vec_id")
       .crossJoin(broadcast(query.select(col("v").as("qv"))))
+      // assert_true yields NULL on success, so the filter keeps every
+      // row — but REFERENCING _g keeps column pruning from deleting the
+      // guard expression (a bare drop("_g") optimizes the assert away)
+      .crossJoin(broadcast(guard))
+      .filter(col("_g").isNull).drop("_g")
       .withColumn("sim_e4",
         round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
       .select("vec_id", "sim_e4")
       .orderBy(col("sim_e4").desc, col("vec_id"))
       .limit(topK)
+  }
 }

@@ -754,10 +754,12 @@ object LlmQueries {
     (s, d) => {
       val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // k from the shared cell-size selector (≈32 vecs/cell — 16 cells
-      // at this corpus); the count is a deliberate build-time action,
-      // see AnnIndexes.buildIvf. nprobe scales as k/4 so the probed
-      // fraction (and thus the recall/speed point) is corpus-invariant.
-      val k = Ivf.cellCount(e.count())
+      // at this corpus); the sizing count comes from the per-JVM memo
+      // (Tables.rowCount), so only the FIRST construction pays a job —
+      // plan-only sweeps and bench re-runs stay action-free. nprobe
+      // scales as k/4 so the probed fraction (and thus the recall/speed
+      // point) is corpus-invariant.
+      val k = Ivf.cellCount(graft.Tables.rowCount(s, d, "embeddings"))
       val idx = AnnIndexes.buildIvf(e, k, iters = 2)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val ann = AnnIndexes.probeIvf(idx, e, e.filter(col("vec_id") === 0),
@@ -1338,8 +1340,11 @@ object LlmQueries {
       val raw = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val e = plantedVecs(embs(s, d))
       // shared cell-size selector: k ∝ n keeps the per-cell quadratic
-      // term (~n²/2k) LINEAR in the corpus — the scale claim below
-      val centroids = Ivf.train(raw, k = Ivf.cellCount(raw.count()), iters = 2)
+      // term (~n²/2k) LINEAR in the corpus — the scale claim below.
+      // Sizing count via the per-JVM memo: construction is action-free
+      // after the first call (raw IS the embeddings table).
+      val centroids = Ivf.train(raw,
+        k = Ivf.cellCount(graft.Tables.rowCount(s, d, "embeddings")), iters = 2)
       val cells = Ivf.assign(e, centroids)
         .join(hyperplaneSig(e, hyperplanes64).select("vec_id", "sig"), "vec_id")
       val a = cells.select(col("cid"), col("vec_id").as("ida"), col("sig").as("sa"))

@@ -48,6 +48,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN query construction is action-free once the sizing memo is warm " +
+      "(plan-only consumers must not launch cluster jobs)") {
+    // l16/l26 size IVF's k from the corpus count; the count lives in a
+    // per-JVM memo (Tables.rowCount), so after this warm-up call,
+    // CONSTRUCTING the plans below must start zero Spark jobs. l12 is
+    // included as the always-lazy reference point (probeLshJoin).
+    graft.Tables.rowCount(spark, sf, "embeddings")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      operators.LlmQueries.l12.fn(spark, sf)
+      operators.LlmQueries.l16.fn(spark, sf)
+      operators.LlmQueries.l26.fn(spark, sf)
+      // listener bus is async: give a stray job event time to surface
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0,
+      s"${jobs.get()} Spark job(s) launched during plan construction")
+  }
+
   test("p2 filter reaches the parquet scan as a pushed filter") {
     val plan = operators.RelationalQueries.p2.fn(spark, sf)
       .queryExecution.executedPlan.toString

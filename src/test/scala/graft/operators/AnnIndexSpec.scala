@@ -214,6 +214,78 @@ class AnnIndexSpec extends AnyFunSuite {
       lshKept.mkString("; "))
   }
 
+  test("retrainIvf: atomic swap keeps probe results IDENTICAL on unchanged " +
+      "data, leaves the old version tree for in-flight readers") {
+    val e = vecs(sf)
+    val base = Files.createTempDirectory("graft_annidx_retrain_").toString
+    assert(AnnIndexes.currentIvfVersion(base).isEmpty)
+    AnnIndexes.initIvfVersioned(e, k = 16, iters = 2, base)
+    assert(AnnIndexes.currentIvfVersion(base) === Some(1))
+    val q = e.filter(col("vec_id") === 0)
+    def probe() = pairs(AnnIndexes.probeIvf(
+      AnnIndexes.readIvfCurrent(spark, base), e, q, nprobe = 4, topK = 5,
+      excludeId = 0L))
+    val before = probe()
+    // retrain on the SAME corpus: deterministic seeding → identical
+    // centroids → the swap must be invisible to a probe
+    AnnIndexes.retrainIvf(e, k = 16, iters = 2, base)
+    assert(AnnIndexes.currentIvfVersion(base) === Some(2))
+    assert(probe() === before, "probe continuity broken across the swap")
+    // the superseded tree is still on disk (in-flight reader contract)
+    assert(new java.io.File(s"$base/v1/ivf_lists").isDirectory)
+    assert(new java.io.File(s"$base/v2/ivf_lists").isDirectory)
+    // GC keeps live + 1 rollback here (both) — build v3 then prune to 2
+    AnnIndexes.retrainIvf(e, k = 16, iters = 2, base)
+    assert(AnnIndexes.pruneIvfVersions(base, keep = 2) === Seq(1))
+    assert(!new java.io.File(s"$base/v1").exists())
+    assert(new java.io.File(s"$base/v2").isDirectory)
+    assert(new java.io.File(s"$base/v3").isDirectory)
+  }
+
+  test("retrainIvf: a drifted corpus reads drift_ratio >> 1 before and ≈ 1 " +
+      "after the retrain — the alert now has an action that clears it") {
+    val e = vecs(sf)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val shiftedOdds = e.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), expr("transform(v, x -> x + 3.0)").as("v"))
+    val base = Files.createTempDirectory("graft_annidx_retrain2_").toString
+    AnnIndexes.initIvfVersioned(evens, k = 16, iters = 2, base)
+    // the shifted half arrives: appended under frozen centroids, drifted
+    AnnIndexes.appendIvfCurrent(spark, shiftedOdds, base)
+    val before = AnnIndexes.ivfDriftCurrent(spark, shiftedOdds, base)
+      .collect()(0).getAs[Double]("drift_ratio")
+    assert(before > 1.5, s"shifted batch should alert, ratio $before")
+    // the action: retrain on the corpus as it stands now
+    AnnIndexes.retrainIvf(evens.union(shiftedOdds), k = 16, iters = 2, base)
+    val after = AnnIndexes.ivfDriftCurrent(spark, shiftedOdds, base)
+      .collect()(0).getAs[Double]("drift_ratio")
+    assert(after > 0.4 && after < 1.5,
+      s"post-retrain ratio should normalize, got $after")
+  }
+
+  test("multi-row query frames fail loudly: probeLsh via require, the lazy " +
+      "probes via the in-plan guard — never a silent blended top-k") {
+    val e = vecs(sf)
+    val two = e.filter(col("vec_id").isin(0L, 1L))
+    val reqEx = intercept[IllegalArgumentException] {
+      AnnIndexes.probeLsh(AnnIndexes.lshBands(e), e, two, topK = 5)
+    }
+    assert(reqEx.getMessage.contains("probeLshBatch"))
+    // lazy paths: plan construction stays silent, execution throws
+    def causeChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    val lazyLsh = AnnIndexes.probeLshJoin(AnnIndexes.lshBands(e), e, two, topK = 5)
+    val lshEx = intercept[Exception] { lazyLsh.collect() }
+    assert(causeChain(lshEx).exists(_.contains("probeLshBatch")),
+      s"unexpected failure: $lshEx")
+    val lazyIvf = AnnIndexes.probeIvf(AnnIndexes.buildIvf(e, 16, 2), e, two,
+      nprobe = 4, topK = 5)
+    val ivfEx = intercept[Exception] { lazyIvf.collect() }
+    assert(causeChain(ivfEx).exists(_.contains("probeIvfBatch")),
+      s"unexpected failure: $ivfEx")
+  }
+
   test("sf0.01 golden: probe-from-parquet reproduces the pinned l12/l16 rows") {
     val sf01 = "/root/testdata/sf0.01"
     assume(new java.io.File(sf01).isDirectory)
