@@ -76,14 +76,24 @@ object AdmissionPipeline {
     * to ONE parquet sink partitioned by (batch, reason) — "the admitted
     * corpus" is a partition-pruned read of `reason=admit` across batch
     * dirs, and every reject stays audit-readable with its reason (the
-    * dual-sink contract in one table). The write keys on the BATCH ID
-    * with dynamic partition overwrite, so a microbatch replayed after a
-    * crash-between-commit-and-checkpoint overwrites its own partitions
-    * instead of appending duplicate decision rows (the same
-    * exactly-once discipline as [[IngestPipeline]]'s sinks, via
-    * partition idempotence rather than an offset high-water mark).
-    * `n_chars` is measured here if absent so the quality arm always
-    * has its input. */
+    * dual-sink contract in one table). A replayed microbatch overwrites
+    * its ENTIRE `_batch_id=N` directory (mode overwrite on the batch
+    * path, `reason` the only in-write partition key), so idempotence
+    * holds even when the gates or quality rule changed between a
+    * crashed attempt and its replay — a doc's stale decision row under
+    * the old reason partition cannot survive beside its new one, which
+    * dynamic partition overwrite (only replacing partitions PRESENT in
+    * the replay) could not guarantee. Same exactly-once discipline as
+    * [[IngestPipeline]]'s sinks, via partition idempotence rather than
+    * an offset high-water mark. `n_chars` is measured here if absent so
+    * the quality arm always has its input.
+    *
+    * STALENESS window, by design: the near-dup and contamination arms
+    * screen against `gates` as loaded at start — two novel
+    * near-identical docs arriving after the last index refresh are
+    * both admitted (only byte-identical copies are caught by stream
+    * state), until the batch l9/l28 backstop sweeps the landed corpus.
+    * [[startLive]] closes the cross-BATCH part of that window. */
   def start(spark: SparkSession, stream: DataFrame, gates: Gates,
       outDir: String, tsCol: String, delay: String): StreamingQuery = {
     val deduped = StreamingDedup.withinWatermark(
@@ -91,15 +101,58 @@ object AdmissionPipeline {
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        decide(batch, gates)
-          .withColumn("_batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id", "reason")
-          .parquet(s"$outDir/decisions")
+        writeDecisions(decide(batch, gates), outDir, batchId)
       }
       .start()
   }
+
+  /** [[start]] with a LIVE near-dup index: each microbatch re-resolves
+    * the persisted band index by PATH, and the batch's admitted docs
+    * are appended to it ([[StreamingNearDup.appendIndex]]) after the
+    * decision lands — so a doc admitted in batch N flags its near-copy
+    * in batch N+1 without waiting for a corpus rebuild. What remains
+    * open, by design, is the INTRA-batch window: two novel
+    * near-identical docs inside one microbatch still both admit (the
+    * batch l9/l28 sweep is that backstop). The per-batch re-read costs
+    * one plan construction against the index directory — file listing,
+    * no data scan beyond what the screen join reads anyway.
+    *
+    * Replay: decisions stay exactly-once via the batch-dir overwrite;
+    * a replayed append lands duplicate index rows, which screens
+    * tolerate (pair-level distinct) at the cost of index bytes until
+    * the next rebuild compacts them — the [[StreamingNearDup
+    * .appendIndex]] contract. */
+  def startLive(spark: SparkSession, stream: DataFrame,
+      neardupIndexDir: String, holdoutGrams: DataFrame,
+      outDir: String, tsCol: String, delay: String): StreamingQuery = {
+    val deduped = StreamingDedup.withinWatermark(
+      withNChars(stream), tsCol, delay)
+    deduped.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val gates = Gates(
+          StreamingNearDup.readIndex(spark, neardupIndexDir), holdoutGrams)
+        // one decision pass, two consumers (sink + index append)
+        val decisions = decide(batch, gates).localCheckpoint()
+        writeDecisions(decisions, outDir, batchId)
+        StreamingNearDup.appendIndex(
+          decisions.filter(col("reason") === "admit")
+            .select("doc_id", "text"),
+          neardupIndexDir)
+      }
+      .start()
+  }
+
+  /** One batch's decisions land under their own `_batch_id=N` dir,
+    * fully overwritten on replay — see [[start]]'s idempotence note.
+    * The directory name carries `_batch_id` as a discovered partition
+    * column, so readers of `decisions/` see the same schema as the old
+    * in-write partitioning. */
+  private def writeDecisions(decisions: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    decisions.write.mode("overwrite")
+      .partitionBy("reason")
+      .parquet(s"$outDir/decisions/_batch_id=$batchId")
 
   private def withNChars(df: DataFrame): DataFrame =
     if (df.columns.contains("n_chars")) df

@@ -66,6 +66,26 @@ object StreamingNearDup {
   def readIndex(spark: org.apache.spark.sql.SparkSession, base: String): Index =
     Index(spark.read.parquet(s"$base/sketch"), spark.read.parquet(s"$base/bands"))
 
+  /** Incremental append — newly admitted docs join the persisted corpus
+    * index without a rebuild (the [[graft.operators.AnnIndexes.appendLsh]]
+    * pattern for the document sketch index). Sketch and band rows are a
+    * PURE per-row function of the text (the same map-side stage as
+    * [[buildIndex]]), so append-then-read equals a rebuild over the
+    * union corpus exactly. Caller contract, as for `appendIvf`: `docs`
+    * should be disjoint from already-indexed doc_ids — a replayed
+    * overlapping batch lands duplicate rows, which downstream screens
+    * tolerate (the pair-level `distinct`/`dropDuplicates` collapses
+    * them, so DECISIONS are unaffected) but which cost index bytes
+    * until the next batch rebuild compacts them. */
+  def appendIndex(docs: DataFrame, base: String): Unit = {
+    val sk = LlmQueries.docSketch(docs).localCheckpoint()
+    sk.sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(s"$base/sketch")
+    LlmQueries.minhashBuckets(sk.select("doc_id", "sig"))
+      .sortWithinPartitions("band_id", "bkey")
+      .write.mode("append").parquet(s"$base/bands")
+  }
+
   /** Screen a streaming document frame (doc_id, text, `tsCol`) against
     * `idx`. Emits flagged pairs (doc_id, corpus_id, jac_e4, `tsCol`);
     * a doc with no flagged pair produces no row (it is admissible).

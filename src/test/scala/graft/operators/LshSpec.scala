@@ -78,9 +78,13 @@ class LshSpec extends AnyFunSuite {
     // documents is one row per doc, so signatures and shingle sets are
     // computed map-side (array_distinct + graft_minhash) inside the
     // scan's codegen span — an ObjectHashAggregate (udaf/collect_set)
-    // in l9's plan means the shuffle-free doc stage regressed. The only
+    // in the plan means the shuffle-free doc stage regressed. The only
     // aggregates left are the 1-row invariant counters (HashAggregate).
-    val df = LlmQueries.l9.fn(spark, sf)
+    // Composed WITHOUT the sharedPairs memo: the catalog l9 reads the
+    // sketch from the shared checkpoint, so its own plan no longer
+    // CONTAINS the sketch subtree — this is the subtree's plan shape.
+    val df = LlmQueries.l9From(spark, sf,
+      LlmQueries.candidatePairs(LlmQueries.planted(Tables.documents(spark, sf))))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("ObjectHashAggregate"),
@@ -181,12 +185,26 @@ class LshSpec extends AnyFunSuite {
   test("l9's shared subtrees execute via exchange reuse (corpus not re-scanned per consumer)") {
     // The shingle frame feeds four consumers; the scaladoc's claim that
     // Spark shares the shuffled subtrees must hold in the EXECUTED
-    // (AQE-final) plan, not just in intent.
-    val df = LlmQueries.l9.fn(spark, sf)
+    // (AQE-final) plan, not just in intent. Composed without the
+    // sharedPairs memo, as above — the sketch subtree's own shape.
+    val df = LlmQueries.l9From(spark, sf,
+      LlmQueries.candidatePairs(LlmQueries.planted(Tables.documents(spark, sf))))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"),
       s"no exchange reuse in l9's executed plan:\n${plan.take(2000)}")
+  }
+
+  test("sharedPairs memo: one frame instance per corpus, and the memoized " +
+      "l9 equals the from-scratch composition row-for-row") {
+    // same instance back → the sketch subtree is priced once per
+    // (context, dir) no matter how many consumers ask
+    assert(LlmQueries.sharedPairs(spark, sf) eq LlmQueries.sharedPairs(spark, sf))
+    val viaMemo = LlmQueries.l9.fn(spark, sf).collect().toSeq
+    val scratch = LlmQueries.l9From(spark, sf,
+      LlmQueries.candidatePairs(LlmQueries.planted(Tables.documents(spark, sf))))
+      .collect().toSeq
+    assert(viaMemo === scratch, "memoized sketch diverged from a rebuild")
   }
 
   test("l9 reports at least the planted near-duplicates") {
