@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes straight to this process's stdout/stderr instead of
+// through sbt's logger: every BENCH_r01–r10 record has `"parsed": null`
+// even when the JSON line survived complete in the captured tail, because
+// sbt's default LoggedOutput prefixes it with `[info] ` — so it never
+// starts with `{` and a line-oriented JSON parse can't see it. With
+// StdoutOutput the bench line lands raw (and a single <4 KiB println is
+// one atomic pipe write, so it can't interleave mid-line with stderr).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

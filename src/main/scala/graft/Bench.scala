@@ -111,17 +111,43 @@ object Bench {
   private[graft] def renderLine(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
+    // Errors are compacted before ANY timing degradation (see
+    // compactErrors): a failing catalog must cost floors, not render them.
+    val (errC, errOmitted) = compactErrors(errors)
+    val nErr = errors.size
     // (decimals, itemizeSpread, tight)
     val stages = Seq((3, true, false), (3, false, false),
                      (2, false, true), (1, false, true))
     val rendered = stages.iterator.map { case (dec, sp, tight) =>
-      renderAt(timings, spreads, errors, runs, sfDir, dec, sp, tight)
+      renderAt(timings, spreads, errC, errOmitted, nErr, runs, sfDir, dec, sp, tight)
     }
     // lazy iterator: the common case renders until first fit; then the
     // slowest-K render; the minimal render is the guaranteed fallback
     rendered.find(_.length <= LineBudget)
       .orElse(renderSlowest(timings, spreads, errors, runs, sfDir))
       .getOrElse(renderMinimal(timings, spreads, errors, runs, sfDir))
+  }
+
+  /** Compact error itemization, applied BEFORE any timing degradation:
+    * each value reduced to its error class (the leading `[…]` tag when
+    * present, else a 48-char clip), at most [[MaxItemizedErrors]] entries
+    * itemized, the rest reported as an `errors_omitted` count. Round 10
+    * lesson: 14 × ~90-char error strings consumed the whole line budget
+    * and the stages dropped EVERY per-query floor before touching the
+    * errors — the official record came out with `"queries":{}`.
+    * Compacting errors up front bounds their line cost to ~250 chars no
+    * matter how many queries fail, so the floors always survive. The
+    * full messages still land in the sidecar ([[writeFullRecord]]). */
+  private[graft] val MaxItemizedErrors = 3
+  private[graft] def compactErrors(
+      errors: Seq[(String, String)]): (Seq[(String, String)], Int) = {
+    val classed = errors.map { case (k, v) =>
+      val cls =
+        if (v.startsWith("[") && v.indexOf(']') > 1) v.substring(1, v.indexOf(']'))
+        else v
+      k -> cls.take(48)
+    }
+    (classed.take(MaxItemizedErrors), (errors.size - MaxItemizedErrors).max(0))
   }
 
   /** Stage-5 render: keep only the slowest entries that fit the budget
@@ -132,10 +158,11 @@ object Bench {
   private def renderSlowest(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): Option[String] = {
+    val (errC, errOmitted) = compactErrors(errors)
     val bySlow = timings.sortBy(-_._2)
     Iterator.iterate(bySlow.size - 8)(_ - 8).takeWhile(_ >= 8).map { keep =>
       val kept = bySlow.take(keep)
-      val line = renderAt(kept, spreads, errors, runs, sfDir,
+      val line = renderAt(kept, spreads, errC, errOmitted, errors.size, runs, sfDir,
         decimals = 1, itemizeSpread = false, tight = true,
         omitted = timings.size - keep, totalOverride = Some(timings.map(_._2).sum))
       line
@@ -152,21 +179,25 @@ object Bench {
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): String = {
     val spMax = if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
+    val (errC, _) = compactErrors(errors)
     // clipped names get a `~i` ordinal suffix: two failing queries that
     // share a 24-char prefix must not collapse into duplicate JSON keys
     // (a parser would keep only the last). `~` can't appear in a real
     // query name, so the suffixed key never collides with an unclipped one.
-    val es = errors.take(3).zipWithIndex
+    val es = errC.zipWithIndex
       .map { case ((k, v), i) =>
         val key = if (k.length > 24) k.take(22) + "~" + i else k
-        s"${jstr(key)}:${jstr(v.take(48))}"
+        s"${jstr(key)}:${jstr(v)}"
       }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"spread":{},"spread_max":${r3(spMax)},"runs":$runs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir.take(64))}}"""
   }
 
-  /** One render attempt. `decimals` is the sub-10 s resolution (values
+  /** One render attempt. `errors` is the (already-compacted, ≤3-entry)
+    * itemization and `errOmitted`/`nErr` the counts that go with it —
+    * the sidecar passes the FULL error list with `errOmitted = 0`.
+    * `decimals` is the sub-10 s resolution (values
     * ≥10 s always coarsen one step further, see [[r3]]); `tight` drops
     * the pure-diagnostic fields (`spread` itemization, `runs`, an EMPTY
     * `errors` map — a non-empty one always survives) and shortens the
@@ -176,7 +207,8 @@ object Bench {
     * they are the one-glance contention/failure markers. */
   private def renderAt(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
-      errors: Seq[(String, String)], runs: Int, sfDir: String,
+      errors: Seq[(String, String)], errOmitted: Int, nErr: Int,
+      runs: Int, sfDir: String,
       decimals: Int, itemizeSpread: Boolean, tight: Boolean,
       omitted: Int = 0, totalOverride: Option[Double] = None): String = {
     def trim(s: String): String =
@@ -199,8 +231,9 @@ object Bench {
     b ++= s""","spread_max":${r3(spMax)}"""
     if (!tight) b ++= s""","runs":$runs"""
     if (!tight || errors.nonEmpty) b ++= s""","errors":$es"""
+    if (errOmitted > 0) b ++= s""","errors_omitted":$errOmitted"""
     if (omitted > 0) b ++= s""","omitted":$omitted"""
-    b ++= s""","n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sf)}}"""
+    b ++= s""","n_ok":${timings.size},"n_err":$nErr,"sf":${jstr(sf)}}"""
     b.result()
   }
 
@@ -213,10 +246,17 @@ object Bench {
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       errors: Seq[(String, String)], runs: Int, sfDir: String): Unit =
     try {
-      val full = renderAt(timings, spreads, errors, runs, sfDir,
+      val full = renderAt(timings, spreads, errors,
+        errOmitted = 0, nErr = errors.size, runs, sfDir,
         decimals = 3, itemizeSpread = true, tight = false)
+      val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"), bytes)
+      // Timestamped copy too: the fixed-name sidecar of round 10's
+      // OFFICIAL run was clobbered by a later repro invocation in the
+      // same cwd — a per-invocation name preserves every record.
+      val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date())
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
-        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Paths.get(s"bench_full_$stamp.json"), bytes)
     } catch { case _: Throwable => () }
 }

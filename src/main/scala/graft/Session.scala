@@ -32,9 +32,11 @@ object Session {
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The driver's events table stores TIMESTAMP(NANOS) which the
-      // parquet reader rejects; read it as raw nanos and convert
-      // explicitly (see Tables.events).
+      // Dual-layout events support: OLDER testdata snapshots stored
+      // events.ts as TIMESTAMP(NANOS), readable only as raw-nanos BIGINT
+      // under this flag; current snapshots store TIMESTAMP(MICROS) where
+      // the flag is a no-op. Kept so either layout reads (Tables.events
+      // branches on the scanned type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def get(): SparkSession = {

@@ -38,23 +38,37 @@ object Tables {
   private def schemaOf(spark: SparkSession, path: String) =
     schemas.computeIfAbsent(path, _ => spark.read.parquet(path).schema)
 
-  /** Events stream table. The driver writes `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark's reader rejects outright
-    * (PARQUET_TYPE_ILLEGAL). With `spark.sql.legacy.parquet.nanosAsLong`
-    * the column arrives as raw nanoseconds; we expose:
-    *   - `ts_us` — microseconds since epoch (bigint; integer division so
-    *     it truncates exactly like DuckDB's ns→us read does)
+  /** Events stream table — dual-layout `ts` contract. Snapshot
+    * generations have stored `ts` two ways:
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it unless
+    *     `spark.sql.legacy.parquet.nanosAsLong` makes it arrive as a raw
+    *     BIGINT of nanoseconds;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives natively as
+    *     TIMESTAMP_NTZ (the legacy flag is a no-op on this layout).
+    * The reader branches on the SCANNED type and normalizes both to:
+    *   - `ts_us` — microseconds since epoch (bigint; nanos truncate via
+    *     integer division exactly like DuckDB's ns→us read; micros pass
+    *     through exact, equal to DuckDB's `epoch_us(ts)`)
     *   - `ts` — TimestampType at microsecond precision, for
     *     window/session operators.
+    * The UTC session time zone makes the NTZ→Timestamp cast
+    * wall-clock-exact, so both layouts agree with the DuckDB oracle.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Runtime-settable conf: make the reader work even when the caller's
-    // session was not built by Session.builder (round-2 advice).
+    // Runtime-settable conf: make the nanos layout readable even when the
+    // caller's session was not built by Session.builder (round-2 advice).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    spark.read.schema(schemaOf(spark, path))
-      .parquet(path)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val schema = schemaOf(spark, path)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsUs = schema("ts").dataType match {
+      case LongType                          => expr("ts div 1000")
+      case TimestampNTZType | TimestampType  => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected BIGINT nanos or TIMESTAMP[_NTZ])")
+    }
+    spark.read.schema(schema).parquet(path)
+      .withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
@@ -87,4 +101,11 @@ object Tables {
       _ => table(spark, dir, name).count())
 
   def invalidateRowCounts(): Unit = rowCounts.clear()
+
+  /** Drop BOTH memo layers (schemas and row counts). The memos' contract
+    * is immutable snapshot paths, but round 10 proved the testdata CAN be
+    * regenerated in place under a warm JVM — after any suspected in-place
+    * rewrite (e.g. the schema-drift canary firing), call this so the next
+    * construction re-infers from the live footers. */
+  def invalidateCaches(): Unit = { schemas.clear(); rowCounts.clear() }
 }

@@ -71,12 +71,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(total - expected) < 1.0, s"total $total != full-catalog $expected")
   }
 
+  test("a 14-error round keeps the per-query floors AND fits the driver tail") {
+    // Round-10 regression pin: 14 events-broken queries each threw a
+    // ~90-char DATATYPE_MISMATCH message; the error map ate the budget
+    // and the official record degraded to `"queries":{}` — losing every
+    // floor. Errors must now compact to their error class (≤3 itemized
+    // + errors_omitted) BEFORE any floor is dropped.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val (broken, ok) = names.splitAt(14)
+    val timings = ok.zipWithIndex.map { case (n, i) => n -> (0.107 + (i % 40) * 0.1) }
+    val spreads = ok.map(_ -> 0.02)
+    val errors = broken.map(_ -> ("[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] Cannot resolve \"(ts div 1000)\" due to data type mismatch: differing types"))
+    val line = Bench.renderLine(timings, spreads, errors, runs = 3,
+      sfDir = "/root/testdata/sf0.1")
+    assertDriverVisible(line)
+    // every surviving query floor must still be itemized
+    ok.foreach(n => assert(line.contains("\"" + n + "\":"), s"$n floor lost"))
+    assert(!line.contains("\"queries\":{}"), "per-query map must not be empty")
+    // errors: ≤3 itemized, class-only values, the rest counted
+    assert(line.contains("\"errors\":{"))
+    assert(line.contains("DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES"))
+    assert(!line.contains("Cannot resolve"), "full error message must not be itemized")
+    assert(line.contains("\"errors_omitted\":11"))
+    assert(line.contains(s""""n_err":14"""))
+  }
+
   test("pathological input degrades to the minimal render, still parseable and bounded") {
-    // worst case the staged renders can NOT absorb: a huge catalog where
-    // every query fails with a max-length (200-char) message — the error
-    // map alone would be ~50 KB. The final degradation stage must emit a
-    // bounded record (no per-query itemization, errors capped at 3).
-    val names = (1 to 400).map(i => f"pathological_query_name_$i%03d")
+    // worst case the staged renders can NOT absorb: a huge catalog of
+    // ~200-char query names (so even 8 slowest-K entries overflow) where
+    // every query fails with a max-length message. The final degradation
+    // stage must emit a bounded record (no per-query itemization, errors
+    // capped at 3).
+    val names = (1 to 400).map(i => f"pathological_query_name_$i%03d" + "_pad" * 44)
     val timings = names.map(_ -> 999.999)
     val spreads = names.map(_ -> 999.999)
     val errors = names.map(_ -> ("x" * 200))
