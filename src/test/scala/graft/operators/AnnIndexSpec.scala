@@ -286,6 +286,61 @@ class AnnIndexSpec extends AnyFunSuite {
       s"unexpected failure: $ivfEx")
   }
 
+  test("sf0.01 e2e lifecycle: init → ingest drifted batch → drift alert → " +
+      "retrain → prune → probe, all through the CURRENT pointer") {
+    // The full operational loop a 100 TB deployment runs, in one
+    // scenario: every read/write goes through the versioned pointer —
+    // no step touches a vN directory by name.
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).isDirectory)
+    val e = vecs(sf01)
+    val cutoff = 350L // sf0.01 has 500 vectors: 350 initial + 150 arrivals
+    val initial = e.filter(col("vec_id") < cutoff)
+    val arrivals = e.filter(col("vec_id") >= cutoff)
+      .select(col("vec_id"), expr("transform(v, x -> x + 2.5)").as("v"))
+    val base = Files.createTempDirectory("graft_annidx_e2e_").toString
+
+    // day 0: first index version from the initial corpus
+    AnnIndexes.initIvfVersioned(initial, k = 16, iters = 2, base)
+    assert(AnnIndexes.currentIvfVersion(base) === Some(1))
+
+    // day 1: a distribution-shifted batch lands — append under the
+    // frozen centroids (cheap assign-only), then the drift monitor fires
+    AnnIndexes.appendIvfCurrent(spark, arrivals, base)
+    val corpus = initial.union(arrivals)
+    assert(AnnIndexes.readIvfCurrent(spark, base).lists.count() === corpus.count())
+    val alert = AnnIndexes.ivfDriftCurrent(spark, arrivals, base).collect()(0)
+    assert(alert.getAs[Double]("drift_ratio") > 1.5,
+      s"shifted arrivals must alert: ${alert.getAs[Double]("drift_ratio")}")
+
+    // day 1, the action: retrain on the corpus as it now stands — the
+    // pointer flips atomically and the alert clears on the new centroids
+    AnnIndexes.retrainIvf(corpus, k = 16, iters = 2, base)
+    assert(AnnIndexes.currentIvfVersion(base) === Some(2))
+    val cleared = AnnIndexes.ivfDriftCurrent(spark, arrivals, base)
+      .collect()(0).getAs[Double]("drift_ratio")
+    assert(cleared > 0.4 && cleared < 1.5, s"post-retrain ratio $cleared")
+
+    // day N: a later scheduled retrain, then GC to live + 1 rollback
+    AnnIndexes.retrainIvf(corpus, k = 16, iters = 2, base)
+    assert(AnnIndexes.currentIvfVersion(base) === Some(3))
+    assert(AnnIndexes.pruneIvfVersions(base, keep = 2) === Seq(1))
+    assert(!new java.io.File(s"$base/v1").exists())
+
+    // steady state: a probe through the pointer equals a from-scratch
+    // build on the same corpus (deterministic seeding) — the lifecycle
+    // machinery added no drift of its own
+    val q = corpus.filter(col("vec_id") === 0)
+    val viaPointer = pairs(AnnIndexes.probeIvf(
+      AnnIndexes.readIvfCurrent(spark, base), corpus, q, nprobe = 4,
+      topK = 5, excludeId = 0L))
+    val fromScratch = pairs(AnnIndexes.probeIvf(
+      AnnIndexes.buildIvf(corpus, k = 16, iters = 2), corpus, q, nprobe = 4,
+      topK = 5, excludeId = 0L))
+    assert(viaPointer === fromScratch)
+    assert(viaPointer.length === 5)
+  }
+
   test("sf0.01 golden: probe-from-parquet reproduces the pinned l12/l16 rows") {
     val sf01 = "/root/testdata/sf0.01"
     assume(new java.io.File(sf01).isDirectory)
