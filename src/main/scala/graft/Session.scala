@@ -20,6 +20,7 @@ object Session {
       // Engine-native Catalyst expressions (codegen'd vector math) via
       // the public extensions hook.
       .withExtensions(graft.functions.NativeVectorExprs.register _)
+      .withExtensions(graft.functions.NativeTextExprs.register _)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Cost-based optimization (SURVEY §4's ANALYZE analog): with

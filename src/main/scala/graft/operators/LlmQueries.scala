@@ -936,26 +936,27 @@ object LlmQueries {
     * this corpus' short synthetic docs.) Complements L6's stopword/
     * length gates — that screens vocabulary, this screens structure.
     *
-    * Scale shape: gram counting is ONE partial-aggregable hash agg
-    * keyed (doc, gram) — the same shuffle family as L4's token stats —
-    * then a per-doc max and a language rollup, both tiny. No windows,
-    * no self-joins. Output per language: docs, flagged docs, mean
-    * top-2-gram share, and the flagged-id checksum pinning WHICH docs.
+    * Scale shape (since round 11): the top-2-gram count is computed
+    * ROW-LOCALLY by the native [[graft.functions.TopGramStats]]
+    * expression — the whole screen is one map-side scan into the
+    * per-language rollup, no explode and no (doc, gram) shuffle (the
+    * per-doc answer never needed any other document's rows; see
+    * [[l27b]] for the full rationale). The oracle keeps the independent
+    * exploded-SQL formulation as a cross-check. One semantic pin: the
+    * top 2-gram is selected by max COUNT (coverage only tie-breaks, and
+    * `top2_bp` uses the count alone), identical to the previous
+    * `max(c)` — a tie in count cannot change `max_c`.
     */
   val l27 = DQ(
     "l27_repetition",
     (s, d) => {
-      val g = docs(s, d)
+      val perDoc = docs(s, d)
+        .filter(col("text").isNotNull)
         .withColumn("ta", split(lower(col("text")), "\\s+"))
         .filter(size(col("ta")) >= 2)
         .select(col("lang"), col("doc_id"),
           (size(col("ta")) - 1).cast("long").as("n_grams"),
-          explode(expr("transform(sequence(0, size(ta) - 2), " +
-            "i -> concat_ws(' ', slice(ta, i + 1, 2)))")).as("gram"))
-      val perDoc = g.groupBy("lang", "doc_id", "n_grams", "gram")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("lang", "doc_id", "n_grams")
-        .agg(max("c").as("max_c"))
+          expr("graft_topgram_stats(ta)").getItem(0).as("max_c"))
         .withColumn("top2_bp",
           round(col("max_c") * lit(10000.0) / col("n_grams")).cast("long"))
       perDoc.groupBy("lang")
@@ -1139,65 +1140,39 @@ object LlmQueries {
     * is integer-exact (`cov·100 > pct·n_chars`), so Spark and DuckDB
     * cannot disagree on a boundary document.
     *
-    * Scale shape: one exploded (doc, n, gram) hash agg — the SAME
-    * shuffle family as l27, just 3 gram widths in one pass — then a
-    * per-(doc, n) window max (partition-local, keyed like the agg) and
-    * a 5-row rollup. */
+    * Scale shape (since round 11): every flag is computed ROW-LOCALLY —
+    * duplicate-line fraction via `size(lines) - size(array_distinct(
+    * lines))`, the three top-gram coverages via one native
+    * [[graft.functions.TopGramCoverage]] call (`graft_topgram_cov`) —
+    * so the whole ladder is a single map-side scan feeding the 5-row
+    * lang rollup: NO explode, NO (doc, gram) shuffle, no window. The
+    * earlier exploded form pushed ~3× the corpus' token text through a
+    * shuffle to compute per-document answers that never needed any
+    * other document's rows; the oracle SQL deliberately keeps that
+    * independent exploded formulation, so the gate cross-checks the
+    * native expression against a structurally different computation. */
   val l27b = DQ(
     "l27b_gopher_ladder",
     (s, d) => {
-      val base = docs(s, d)
+      docs(s, d)
+        .filter(col("text").isNotNull)
         .withColumn("ta", split(lower(col("text")), "\\s+"))
         .withColumn("n_chars_txt", length(col("text")).cast("long"))
-      // duplicate-line fraction, integer-exact: (n_lines - n_distinct)
-      // * 100 > 30 * n_lines
-      val lineFlag = base
-        .select(col("lang"), col("doc_id"),
-          explode(split(col("text"), "\n")).as("line"))
-        .groupBy("lang", "doc_id")
-        .agg(count(lit(1)).as("n_lines"),
-          countDistinct("line").as("n_uniq_lines"))
-        .select(col("lang"), col("doc_id"),
-          ((col("n_lines") - col("n_uniq_lines")) * lit(100L) >
-            lit(30L) * col("n_lines")).as("f_line"))
-      // one exploded pass emits 2-, 3- and 4-grams tagged by width (the
-      // filter-then-transform shape sidesteps sequence() on a negative
-      // bound for docs shorter than the gram width)
-      val grams = base
-        .filter(size(col("ta")) >= 2)
-        .select(col("lang"), col("doc_id"), col("n_chars_txt"),
-          explode(expr(
-            """flatten(transform(filter(array(2, 3, 4), n -> size(ta) >= n),
-                 n -> transform(sequence(0, size(ta) - n),
-                   i -> struct(n AS n, concat_ws(' ', slice(ta, i + 1, n)) AS gram))))"""))
-            .as("g"))
-        .select(col("lang"), col("doc_id"), col("n_chars_txt"),
-          col("g.n").as("n"), col("g.gram").as("gram"))
-      val counts = grams.groupBy("lang", "doc_id", "n_chars_txt", "n", "gram")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cov", col("c") * length(col("gram")).cast("long"))
-      // top gram per (doc, width): max occurrences, char-coverage
-      // tie-break — expressed as max-c window + conditional max so both
-      // engines run the identical comparison (no struct ordering)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "n")
-      val top = counts
-        .withColumn("tm", max("c").over(w))
-        .groupBy("lang", "doc_id", "n_chars_txt", "n")
-        .agg(max(when(col("c") === col("tm"), col("cov"))).as("cov"))
-      val gramFlags = top.groupBy("lang", "doc_id")
-        .agg(
-          max(when(col("n") === 2,
-            col("cov") * 100L > lit(20L) * col("n_chars_txt"))).as("f_2g"),
-          max(when(col("n") === 3,
-            col("cov") * 100L > lit(18L) * col("n_chars_txt"))).as("f_3g"),
-          max(when(col("n") === 4,
-            col("cov") * 100L > lit(16L) * col("n_chars_txt"))).as("f_4g"))
-      lineFlag.join(gramFlags, Seq("lang", "doc_id"), "left")
-        .select(col("lang"), col("doc_id"),
-          col("f_line"),
-          coalesce(col("f_2g"), lit(false)).as("f_2g"),
-          coalesce(col("f_3g"), lit(false)).as("f_3g"),
-          coalesce(col("f_4g"), lit(false)).as("f_4g"))
+        .withColumn("lines", split(col("text"), "\n"))
+        // duplicate-line fraction, integer-exact: (n_lines - n_distinct)
+        // * 100 > 30 * n_lines
+        .withColumn("f_line",
+          (size(col("lines")).cast("long")
+            - size(array_distinct(col("lines"))).cast("long")) * lit(100L) >
+            lit(30L) * size(col("lines")).cast("long"))
+        .withColumn("tg", expr("graft_topgram_stats(ta)"))
+        .select(col("lang"), col("doc_id"), col("f_line"),
+          (col("tg").getItem(1) * lit(100L) >
+            lit(20L) * col("n_chars_txt")).as("f_2g"),
+          (col("tg").getItem(3) * lit(100L) >
+            lit(18L) * col("n_chars_txt")).as("f_3g"),
+          (col("tg").getItem(5) * lit(100L) >
+            lit(16L) * col("n_chars_txt")).as("f_4g"))
         .withColumn("f_any",
           col("f_line") || col("f_2g") || col("f_3g") || col("f_4g"))
         .groupBy("lang")
@@ -1244,9 +1219,8 @@ object LlmQueries {
               FROM grams GROUP BY 1, 2, 3, 4, 5),
             top AS (
               SELECT lang, doc_id, n_chars_txt, n,
-                MAX(CASE WHEN c = tm THEN cov END) AS cov
-              FROM (SELECT *, MAX(c) OVER (PARTITION BY doc_id, n) AS tm
-                    FROM counts)
+                arg_max(cov, c * 4294967296 + cov) AS cov
+              FROM counts
               GROUP BY 1, 2, 3, 4),
             gflags AS (
               SELECT lang, doc_id,

@@ -192,4 +192,76 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Long].collect()
     assert(sparkFp.toSeq === sample.map(fpJvm).toSeq)
   }
+
+  private def topgram(tokens: String*): Seq[Long] = {
+    import spark.implicits._
+    Seq(tokens).toDF("ta")
+      .select(expr("graft_topgram_stats(ta)").as("tg"))
+      .as[Seq[Long]].collect().head
+  }
+
+  test("graft_topgram_stats: counts and coverages on a hand-checked doc") {
+    // "a b a b a b c": 2-grams = [a b, b a, a b, b a, a b, b c] →
+    // top "a b" c=3, cov=3·3=9; 3-grams top "a b a" c=2 cov=10
+    // (tie "b a b" also c=2 cov=10 → equal cov, same answer);
+    // 4-grams "a b a b" c=2? ["a b a b","b a b a","a b a b"... ] —
+    // windows: abab, baba, abab, bab c → "a b a b" c=2, cov=14
+    assert(topgram("a", "b", "a", "b", "a", "b", "c") ===
+      Seq(3L, 9L, 2L, 10L, 2L, 14L))
+  }
+
+  test("graft_topgram_stats: tie on count breaks to larger coverage") {
+    // 2-grams of [xx yy xx yy] → "xx yy" c=1? windows: [xx yy, yy xx,
+    // xx yy] → "xx yy" c=2 cov=2·5=10, "yy xx" c=1 — top (2, 10).
+    // For a REAL tie: [aa b aa cc] → grams aa_b, b_aa, aa_cc all c=1;
+    // coverage tie-break picks the longest ("aa cc", 5 chars)
+    assert(topgram("aa", "b", "aa", "cc").take(2) === Seq(1L, 5L))
+  }
+
+  test("graft_topgram_stats: widths beyond the doc report zeros, never flag") {
+    assert(topgram("only") === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(topgram("two", "words") === Seq(1L, 9L, 0L, 0L, 0L, 0L))
+  }
+
+  test("graft_topgram_stats: lengths are code points (Unicode parity with len/length)") {
+    // 3-char CJK tokens: top 2-gram "你好 世界" = 5 code points, c=2
+    assert(topgram("你好", "世界", "你好", "世界").take(2) === Seq(2L, 10L))
+  }
+
+  test("graft_topgram_stats equals the exploded hash-agg recompute on real docs") {
+    // the native row-local path against the shuffle formulation it
+    // replaced, over the live corpus — the same cross-check shape the
+    // DuckDB oracle runs at the gate
+    import spark.implicits._
+    val base = Tables.documents(spark, sf)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .filter(size(col("ta")) >= 2)
+    val native = base
+      .select(col("doc_id"), expr("graft_topgram_stats(ta)").as("tg"))
+      .select(col("doc_id"), col("tg").getItem(0).as("c2"),
+        col("tg").getItem(1).as("cov2"), col("tg").getItem(5).as("cov4"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exploded = base
+      .select(col("doc_id"),
+        explode(expr(
+          """flatten(transform(filter(array(2, 4), n -> size(ta) >= n),
+               n -> transform(sequence(0, size(ta) - n),
+                 i -> struct(n AS n, concat_ws(' ', slice(ta, i + 1, n)) AS gram))))"""))
+          .as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("cov", col("c") * length(col("gram")).cast("long"))
+      .groupBy("doc_id", "n")
+      .agg(expr("max_by(cov, c * 4294967296 + cov)").as("cov"),
+        max("c").as("max_c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(native.nonEmpty)
+    for ((doc, (c2, cov2, cov4)) <- native) {
+      assert(exploded((doc, 2)) === ((cov2, c2)), s"doc $doc width 2")
+      exploded.get((doc, 4)).foreach { case (cov, _) =>
+        assert(cov === cov4, s"doc $doc width 4") }
+      if (!exploded.contains((doc, 4))) assert(cov4 === 0L, s"doc $doc width 4 empty")
+    }
+  }
 }
