@@ -53,6 +53,20 @@ object LlmQueries {
   private[graft] val qualityKeep: Column =
     col("n_chars") >= 200 && col("stop_bp") < 2500
 
+  /** THE repetition rule, in one place for the same reason as
+    * [[qualityKeep]]: batch [[l27]] and the streaming admission gate
+    * must flag the identical documents. [[top2Bp]] is the Gopher
+    * 2-gram statistic — the share (basis points) of 2-gram occurrences
+    * covered by the single most frequent 2-gram, via the row-local
+    * native expression; callers guarantee `size(ta) >= 2`.
+    * [[RepetitionFlagBp]] is the published-rule bar realized for this
+    * corpus (see l27's scaladoc). */
+  private[graft] def top2Bp(ta: Column): Column =
+    round(call_function("graft_topgram_stats", ta).getItem(0) * lit(10000.0) /
+      (size(ta) - 1).cast("long")).cast("long")
+
+  private[graft] val RepetitionFlagBp = 1000L
+
   // ---------------------------------------------------------------- dedup
 
   /** L1 — exact deduplication: normalize → sha256 → hash groupBy keeping
@@ -954,19 +968,16 @@ object LlmQueries {
         .filter(col("text").isNotNull)
         .withColumn("ta", split(lower(col("text")), "\\s+"))
         .filter(size(col("ta")) >= 2)
-        .select(col("lang"), col("doc_id"),
-          (size(col("ta")) - 1).cast("long").as("n_grams"),
-          expr("graft_topgram_stats(ta)").getItem(0).as("max_c"))
-        .withColumn("top2_bp",
-          round(col("max_c") * lit(10000.0) / col("n_grams")).cast("long"))
+        .select(col("lang"), col("doc_id"), top2Bp(col("ta")).as("top2_bp"))
       perDoc.groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(when(col("top2_bp") > 1000, 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("top2_bp") > RepetitionFlagBp, 1L).otherwise(0L))
+            .as("n_flagged"),
           round(sum("top2_bp") * lit(1.0) / count(lit(1))).cast("long")
             .as("avg_top2_bp"),
-          coalesce(sum(when(col("top2_bp") > 1000, col("doc_id"))), lit(0L))
-            .as("flagged_checksum"))
+          coalesce(sum(when(col("top2_bp") > RepetitionFlagBp, col("doc_id"))),
+            lit(0L)).as("flagged_checksum"))
         .orderBy("lang")
     },
     Some("""WITH t AS (SELECT lang, doc_id,

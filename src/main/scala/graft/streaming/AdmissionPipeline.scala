@@ -9,8 +9,9 @@ import graft.operators.LlmQueries
 /** Composed streaming ADMISSION pipeline — the ingest-side counterpart
   * of batch l29: every admission gate a training-data ingest runs at
   * the door, in one entry point, emitting a per-document DECISION
-  * (`admit` / `near_duplicate` / `contaminated` / `low_quality`)
-  * instead of four separate flag streams a caller must reconcile. The
+  * (`admit` / `near_duplicate` / `contaminated` / `repetitive` /
+  * `low_quality`)
+  * instead of five separate flag streams a caller must reconcile. The
   * reference's analog is its consumer → validator → dual-sink shape
   * (every message lands with a verdict); this is that shape for the
   * document corpus, with the LLM-pipeline gates as the validators.
@@ -49,8 +50,20 @@ object AdmissionPipeline {
   /** The per-batch decision frame: `batch`'s columns plus `reason`.
     * Pure function of (batch, gates) — spec-tested directly and reused
     * by [[start]]'s foreachBatch. Precedence: near_duplicate >
-    * contaminated > low_quality > admit (duplicate-family first,
-    * mirroring l19/l29 so quality counts describe admissible docs). */
+    * contaminated > low_quality > repetitive > admit (duplicate-family
+    * first, mirroring l19/l29 so quality counts describe admissible
+    * docs; the repetition screen — batch [[LlmQueries.l27]]'s published
+    * Gopher 2-gram rule, the SAME shared threshold — runs AFTER the
+    * vocabulary/length rule because the top-2-gram share is only
+    * meaningful past the length bar: a 4-token fragment has a ~33%
+    * share by pigeonhole, and labeling it `repetitive` would bury the
+    * actual defect. A doc that passes quality but repeats one 2-gram —
+    * the generation-loop artifact the Gopher rule exists for — is
+    * exactly what this arm catches, since such docs are long and
+    * vocabulary-diverse enough to admit otherwise). The repetition arm
+    * is row-local (native `graft_topgram_stats`), so unlike the index
+    * screens it costs no join and screens each doc against itself —
+    * stateless and trivially streaming-safe. */
   def decide(batch: DataFrame, gates: Gates): DataFrame = {
     val near = StreamingNearDup.screenRaw(batch, gates.neardup, keep = Nil)
       .select("doc_id").distinct().withColumn("_nd", lit(true))
@@ -62,11 +75,16 @@ object AdmissionPipeline {
       .withColumn("reason",
         when(col("_nd"), "near_duplicate")
           .when(col("_ct"), "contaminated")
-          // admit only on a POSITIVE quality verdict: a null text (a
-          // malformed/permissive-parsed record) nulls the predicate,
-          // and three-valued logic must land it in low_quality, not
-          // fall through every gate into the curated corpus
-          .when(LlmQueries.qualityKeep, "admit")
+          // the POSITIVE quality verdict guards both remaining arms: a
+          // null text (malformed/permissive-parsed record) nulls the
+          // predicate, skips this branch, and lands in low_quality —
+          // never admit, never a spurious `repetitive`. Inside the
+          // verdict, a repetition flag that is itself null (a 200-char
+          // SINGLE token has no 2-grams: top2Bp divides by zero → null)
+          // correctly admits — no grams means nothing repeats.
+          .when(LlmQueries.qualityKeep,
+            when(LlmQueries.top2Bp(col("toks")) > LlmQueries.RepetitionFlagBp,
+              "repetitive").otherwise("admit"))
           .otherwise("low_quality"))
       .select(batch.columns.map(col) :+ col("reason"): _*)
   }

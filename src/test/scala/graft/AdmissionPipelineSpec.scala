@@ -62,13 +62,18 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       // null text (a malformed/permissive-parsed record): every gate
       // predicate nulls out — three-valued logic must NOT fall through
       // to admit; the positive-verdict ordering lands it in low_quality
-      6L -> null.asInstanceOf[String]))
+      6L -> null.asInstanceOf[String],
+      // ≥200 chars, zero stopwords — passes the VOCABULARY rule — but
+      // one 2-gram covers half the occurrences: the repetition gate
+      // (batch l27's shared rule) must catch what qualityKeep cannot
+      7L -> Seq.fill(18)("badger ferret").mkString(" ")))
     val got = AdmissionPipeline.decide(batch, gates)
       .select("doc_id", "reason").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(
       1L -> "near_duplicate", 2L -> "near_duplicate", 3L -> "contaminated",
-      4L -> "admit", 5L -> "low_quality", 6L -> "low_quality"), got.toString)
+      4L -> "admit", 5L -> "low_quality", 6L -> "low_quality",
+      7L -> "repetitive"), got.toString)
   }
 
   test("decide preserves the batch's columns plus one reason column, " +
