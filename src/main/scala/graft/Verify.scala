@@ -8,6 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Session.get()
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       // coalesce(1) is required by the gate, not a style choice: the
       // driver hashes rows in FILE order and globs multi-file output in
@@ -18,6 +19,7 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -36,6 +38,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest, even when empty: a query that THROWS at plan or
+    // execution time is otherwise just ABSENT from the dump, and absent
+    // rows read as "not attempted" in the correctness record (round 10:
+    // 14 erroring queries silently vanished and the round looked
+    // all-green until diffed against round 9). An explicit empty map is
+    // the positive signal that everything ran.
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

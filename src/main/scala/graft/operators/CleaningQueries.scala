@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.{DQ, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus CLEANING operators — the text-hygiene passes a training-data
+  * pipeline runs before any dedup/curation: the C4 line-level rules
+  * (Raffel et al. 2020, arXiv:1910.10683 §2.2) and PII redaction (the
+  * scrub every published web-corpus recipe applies before release).
+  * Both are strictly ROW-LOCAL — HOF line filters and regex passes, no
+  * explode, no shuffle before the per-language rollup — so at 100 TB
+  * each is one map-side scan, embarrassingly parallel.
+  *
+  * The synthetic documents corpus is single-line prose with no
+  * punctuation and no PII, which would make both operators vacuous
+  * zero-rows. Both DQs therefore run on a deterministically PLANTED
+  * corpus derived in-query from `documents` (the same fixture
+  * discipline as l9/l29's planted near-dups): line structure and PII
+  * strings keyed on `doc_id` arithmetic, constructed by IDENTICAL
+  * expressions in the Spark plan and the DuckDB oracle, so the gate
+  * pins differential behavior — some docs keep lines / carry PII, some
+  * don't — rather than an all-zero answer.
+  */
+object CleaningQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** The planted LINED corpus for [[l31]], as one SQL expression used
+    * verbatim on both engines (column `text2`):
+    *  - every doc keeps its original (unpunctuated, thus always-dropped)
+    *    word-soup line;
+    *  - docs with `doc_id % 4 = 0` gain THREE terminal-punctuated lines
+    *    built from their own words (slices of 6 words + '.') — enough to
+    *    pass C4's ≥ 3-sentence page bar when the doc has ≥ 18 words;
+    *  - docs with `doc_id % 6 = 0` gain a 6-word line containing
+    *    'javascript' (line-dropped by rule, page otherwise unaffected);
+    *  - docs with `doc_id % 10 = 0` gain a ' lorem ipsum' suffix on the
+    *    first line (page-dropped outright). */
+  private val linedSql =
+    """concat(
+         text,
+         CASE WHEN doc_id % 10 = 0 THEN ' lorem ipsum' ELSE '' END,
+         CASE WHEN doc_id % 4 = 0 THEN concat(
+           chr(10), concat_ws(' ', slice(split(text, ' '), 1, 6)), '.',
+           chr(10), concat_ws(' ', slice(split(text, ' '), 7, 6)), '.',
+           chr(10), concat_ws(' ', slice(split(text, ' '), 13, 6)), '.')
+          ELSE '' END,
+         CASE WHEN doc_id % 6 = 0
+          THEN concat(chr(10), 'enable javascript to view this page')
+          ELSE '' END)"""
+
+  /** L31 — C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    * only lines that end in terminal punctuation, have ≥ 5 words, and do
+    * not mention javascript; drop whole pages containing 'lorem ipsum'
+    * or '{', or retaining fewer than 3 lines ("sentences"). Per
+    * language: pages in/kept, lines in/kept, chars in/out, and the
+    * dropped-page checksum pinning WHICH pages died.
+    *
+    * Scale shape: line rules are HOF filters over `split(text, '\n')`
+    * and page rules plain predicates — one row-local pass, one 5-row
+    * rollup. The cleaned corpus a real pipeline would LAND is
+    * `kept_text` on kept pages; the DQ aggregates instead of dumping it
+    * so the gate pins counts and the checksum. */
+  val l31 = DQ(
+    "l31_c4_clean",
+    (s, d) => {
+      docs(s, d)
+        .withColumn("text2", expr(linedSql))
+        .withColumn("lines", split(col("text2"), "\n"))
+        .withColumn("kept", expr(
+          """filter(lines, l ->
+               substring(l, -1, 1) IN ('.', '!', '?', '"')
+               AND size(split(l, ' ')) >= 5
+               AND NOT contains(lower(l), 'javascript'))"""))
+        .withColumn("page_kept",
+          !contains(lower(col("text2")), lit("lorem ipsum")) &&
+            !contains(col("text2"), lit("{")) && size(col("kept")) >= 3)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_pages"),
+          sum(when(col("page_kept"), 1L).otherwise(0L)).as("n_pages_kept"),
+          sum(size(col("lines")).cast("long")).as("n_lines"),
+          sum(when(col("page_kept"), size(col("kept")).cast("long"))
+            .otherwise(0L)).as("n_lines_kept"),
+          sum(length(col("text2")).cast("long")).as("n_chars_in"),
+          sum(when(col("page_kept"),
+            length(concat_ws("\n", col("kept"))).cast("long"))
+            .otherwise(0L)).as("n_chars_out"),
+          coalesce(sum(when(!col("page_kept"), col("doc_id"))), lit(0L))
+            .as("dropped_checksum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH lined AS (
+              SELECT lang, doc_id,
+                $duckLinedSql AS text2
+              FROM documents),
+            pages AS (
+              SELECT lang, doc_id, text2,
+                string_split(text2, chr(10)) AS lines,
+                list_filter(string_split(text2, chr(10)), l ->
+                  substring(l, -1, 1) IN ('.', '!', '?', '"')
+                  AND len(string_split(l, ' ')) >= 5
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM lined),
+            flags AS (
+              SELECT lang, doc_id, lines, kept, text2,
+                NOT contains(lower(text2), 'lorem ipsum')
+                  AND NOT contains(text2, '{')
+                  AND len(kept) >= 3 AS page_kept
+              FROM pages)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_pages,
+              CAST(SUM(CASE WHEN page_kept THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pages_kept,
+              CAST(SUM(len(lines)) AS BIGINT) AS n_lines,
+              CAST(SUM(CASE WHEN page_kept THEN len(kept) ELSE 0 END) AS BIGINT)
+                AS n_lines_kept,
+              CAST(SUM(len(text2)) AS BIGINT) AS n_chars_in,
+              CAST(SUM(CASE WHEN page_kept
+                THEN len(array_to_string(kept, chr(10))) ELSE 0 END) AS BIGINT)
+                AS n_chars_out,
+              CAST(COALESCE(SUM(CASE WHEN NOT page_kept THEN doc_id END), 0)
+                AS BIGINT) AS dropped_checksum
+            FROM flags GROUP BY 1 ORDER BY lang"""))
+
+  /** [[linedSql]] transliterated to DuckDB builtins (chr/concat are
+    * shared; slice → list_slice with 1-based inclusive bounds,
+    * split → string_split, concat_ws → array_to_string). */
+  private def duckLinedSql =
+    """concat(
+         text,
+         CASE WHEN doc_id % 10 = 0 THEN ' lorem ipsum' ELSE '' END,
+         CASE WHEN doc_id % 4 = 0 THEN concat(
+           chr(10), array_to_string(list_slice(string_split(text, ' '), 1, 6), ' '), '.',
+           chr(10), array_to_string(list_slice(string_split(text, ' '), 7, 12), ' '), '.',
+           chr(10), array_to_string(list_slice(string_split(text, ' '), 13, 18), ' '), '.')
+          ELSE '' END,
+         CASE WHEN doc_id % 6 = 0
+          THEN concat(chr(10), 'enable javascript to view this page')
+          ELSE '' END)"""
+
+  // PII patterns — deliberately restricted to syntax both Java regex
+  // (Spark) and RE2 (DuckDB) interpret identically: character classes,
+  // bounded repetition, literal escapes; no backrefs, no lookaround,
+  // no word boundaries.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+  private val IpRe    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  // spec-visible handles (CleaningSpec pins rule-level behavior)
+  private[operators] def linedSqlForTest = linedSql
+  private[operators] def emailReForTest  = EmailRe
+  private[operators] def phoneReForTest  = PhoneRe
+  private[operators] def ipReForTest     = IpRe
+
+  /** The planted PII corpus for [[l32]] (column `text2`): emails on
+    * `doc_id % 5 = 0` (address derived from doc_id), phones on
+    * `% 7 = 0`, IPv4 on `% 11 = 0` — overlapping moduli so some docs
+    * carry several PII kinds. */
+  private val piiSql =
+    """concat(
+         text,
+         CASE WHEN doc_id % 5 = 0
+          THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now')
+          ELSE '' END,
+         CASE WHEN doc_id % 7 = 0
+          THEN concat(' call +1 (555) 010-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+          ELSE '' END,
+         CASE WHEN doc_id % 11 = 0
+          THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.7')
+          ELSE '' END)"""
+
+  private val duckPiiSql = piiSql.replace("AS STRING", "AS VARCHAR")
+
+  /** L32 — PII detection + redaction (the pre-release scrub of every
+    * published web corpus; e.g. the CCNet/RefinedWeb recipes): regex
+    * passes for emails, E.164-styled phone numbers and IPv4 addresses,
+    * each occurrence replaced by a typed tag. Per language: docs
+    * scanned, docs carrying each PII kind, total occurrences, the
+    * redaction char delta, a flagged-doc checksum — and `n_residual`,
+    * the count of PII matches REMAINING after redaction, an in-plan
+    * invariant (0) proving the scrub converged rather than sampled.
+    *
+    * Scale shape: three codegen'd regex passes per row plus the
+    * rollup; no shuffle, no UDF. */
+  val l32 = DQ(
+    "l32_pii_scrub",
+    (s, d) => {
+      docs(s, d)
+        .withColumn("text2", expr(piiSql))
+        .withColumn("n_email", regexp_count(col("text2"), lit(EmailRe)))
+        .withColumn("n_phone", regexp_count(col("text2"), lit(PhoneRe)))
+        .withColumn("n_ip", regexp_count(col("text2"), lit(IpRe)))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(regexp_replace(col("text2"),
+            lit(EmailRe), lit("<EMAIL>")),
+            lit(PhoneRe), lit("<PHONE>")),
+            lit(IpRe), lit("<IP>")))
+        .withColumn("n_residual",
+          regexp_count(col("redacted"), lit(EmailRe)) +
+            regexp_count(col("redacted"), lit(PhoneRe)) +
+            regexp_count(col("redacted"), lit(IpRe)))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_email"),
+          sum(when(col("n_phone") > 0, 1L).otherwise(0L)).as("docs_phone"),
+          sum(when(col("n_ip") > 0, 1L).otherwise(0L)).as("docs_ip"),
+          sum((col("n_email") + col("n_phone") + col("n_ip")).cast("long"))
+            .as("n_pii"),
+          sum((length(col("text2")) - length(col("redacted"))).cast("long"))
+            .as("char_delta"),
+          coalesce(sum(when(
+            col("n_email") + col("n_phone") + col("n_ip") > 0, col("doc_id"))),
+            lit(0L)).as("flagged_checksum"),
+          sum(col("n_residual").cast("long")).as("n_residual"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH pii AS (
+              SELECT lang, doc_id,
+                $duckPiiSql AS text2
+              FROM documents),
+            scrubbed AS (
+              SELECT lang, doc_id, text2,
+                len(regexp_extract_all(text2, '$EmailRe')) AS n_email,
+                len(regexp_extract_all(text2, '$PhoneRe')) AS n_phone,
+                len(regexp_extract_all(text2, '$IpRe')) AS n_ip,
+                regexp_replace(regexp_replace(regexp_replace(text2,
+                  '$EmailRe', '<EMAIL>', 'g'),
+                  '$PhoneRe', '<PHONE>', 'g'),
+                  '$IpRe', '<IP>', 'g') AS redacted
+              FROM pii)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+              CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+              CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ip,
+              CAST(SUM(n_email + n_phone + n_ip) AS BIGINT) AS n_pii,
+              CAST(SUM(len(text2) - len(redacted)) AS BIGINT) AS char_delta,
+              CAST(COALESCE(SUM(CASE WHEN n_email + n_phone + n_ip > 0
+                THEN doc_id END), 0) AS BIGINT) AS flagged_checksum,
+              CAST(SUM(len(regexp_extract_all(redacted, '$EmailRe'))
+                + len(regexp_extract_all(redacted, '$PhoneRe'))
+                + len(regexp_extract_all(redacted, '$IpRe'))) AS BIGINT)
+                AS n_residual
+            FROM scrubbed GROUP BY 1 ORDER BY lang"""))
+
+  val all: Seq[DQ] = Seq(l31, l32)
+}

@@ -228,6 +228,57 @@ class FunctionsSpec extends AnyFunSuite {
     assert(topgram("你好", "世界", "你好", "世界").take(2) === Seq(2L, 10L))
   }
 
+  test("graft_topgram_stats participates in WholeStageCodegen and " +
+      "type-checks its argument") {
+    import spark.implicits._
+    val df = Tables.documents(spark, sf)
+      .select(split(lower(col("text")), "\\s+").as("ta"))
+      .select(expr("graft_topgram_stats(ta)").as("tg"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "graft_topgram_stats fell out of codegen")
+    val err = intercept[Exception](
+      spark.range(1).select(expr("graft_topgram_stats(id)")).collect())
+    assert(err.getMessage.toLowerCase.contains("graft_topgram_stats"))
+    // interpreted eval (no codegen path) agrees with the codegen'd run:
+    // a literal-folded projection evaluates interpreted at optimize time
+    val folded = Seq(Seq("x", "y", "x", "y")).toDF("ta")
+      .select(expr("graft_topgram_stats(array('x','y','x','y'))").as("a"),
+        expr("graft_topgram_stats(ta)").as("b"))
+      .as[(Seq[Long], Seq[Long])].collect().head
+    assert(folded._1 === folded._2)
+  }
+
+  test("property: graft_topgram_stats equals a naive Scala recompute on random docs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val word: Gen[String] = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "cd", "éf")).map(_.mkString))
+    val doc: Gen[List[String]] = Gen.chooseNum(0, 40).flatMap(Gen.listOfN(_, word))
+    def naive(toks: List[String], g: Int): (Long, Long) = {
+      val grams = toks.sliding(g).filter(_.size == g).map(_.mkString(" ")).toList
+      if (grams.isEmpty) (0L, 0L)
+      else grams.groupBy(identity).toList
+        // toList first: mapping a Map with a pair function RE-KEYS by
+        // count and silently collapses every same-count gram
+        .map { case (s, occ) =>
+          (occ.size.toLong, occ.size.toLong * s.codePointCount(0, s.length)) }
+        .max
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30).withWorkers(1),
+      Prop.forAll(doc) { toks =>
+        val got = Seq(toks).toDF("ta")
+          .select(expr("graft_topgram_stats(ta)").as("tg"))
+          .as[Seq[Long]].collect().head
+        val want = Seq(2, 3, 4).flatMap { g =>
+          val (c, cov) = naive(toks, g); Seq(c, cov)
+        }
+        got == want
+      })
+    assert(res.passed, res.toString)
+  }
+
   test("graft_topgram_stats equals the exploded hash-agg recompute on real docs") {
     // the native row-local path against the shuffle formulation it
     // replaced, over the live corpus — the same cross-check shape the

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Session
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cleaning operators (l31 C4 line rules, l32 PII scrub): rule-level
+  * pins on the planted corpus the DQs construct — the oracle hashes the
+  * rollup; these tests pin WHY individual documents land where they do. */
+class CleaningSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("l31: planted page classes behave per rule — lorem pages die, " +
+      "sentence-planted pages survive, plain word soup keeps nothing") {
+    val rows = CleaningQueries.l31.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalPages = rows.map(_.getAs[Long]("n_pages")).sum
+    val keptPages = rows.map(_.getAs[Long]("n_pages_kept")).sum
+    // kept ⊂ pages strictly: %10 lorem docs and unplanted docs must die
+    assert(keptPages > 0 && keptPages < totalPages)
+    // kept pages contribute at most their 3 planted sentence lines
+    val keptLines = rows.map(_.getAs[Long]("n_lines_kept")).sum
+    assert(keptLines <= keptPages * 3)
+    // cleaning never grows text
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_chars_out") <= r.getAs[Long]("n_chars_in")))
+  }
+
+  test("l31: a page kept by the rules loses its unpunctuated lines — " +
+      "doc 4 (sentence-planted, not lorem, not javascript) keeps exactly 3") {
+    // doc 4: %4=0 → three planted '.'-terminated 6-word lines; %10≠0,
+    // %6≠0 → no page kill, no javascript line. The original word-soup
+    // line has no terminal punctuation and must be dropped.
+    val doc = graft.Tables.documents(spark, sf).filter(col("doc_id") === 4)
+      .selectExpr("size(split(text, ' ')) AS words").collect().head
+    assume(doc.getAs[Int]("words") >= 18, "fixture doc too short")
+    val kept = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 4)
+      .withColumn("text2", expr(CleaningQueries.linedSqlForTest))
+      .selectExpr(
+        """size(filter(split(text2, '\n'), l ->
+             substring(l, -1, 1) IN ('.', '!', '?', '"')
+             AND size(split(l, ' ')) >= 5
+             AND NOT contains(lower(l), 'javascript'))) AS n""")
+      .collect().head.getAs[Int]("n")
+    assert(kept === 3)
+  }
+
+  test("l32: redaction is idempotent and complete (n_residual pinned 0)") {
+    val rows = CleaningQueries.l32.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_residual") === 0L),
+      "PII survived redaction")
+    // every planted kind was found somewhere
+    assert(rows.map(_.getAs[Long]("docs_email")).sum > 0)
+    assert(rows.map(_.getAs[Long]("docs_phone")).sum > 0)
+    assert(rows.map(_.getAs[Long]("docs_ip")).sum > 0)
+    // redaction shrinks text overall (tags are shorter than the PII)
+    assert(rows.map(_.getAs[Long]("char_delta")).sum > 0)
+  }
+
+  test("l32: the planted PII strings match their patterns exactly once each") {
+    import spark.implicits._
+    val probes = Seq(
+      " contact user35@example.com now" -> ("<EMAIL>", 1, 0, 0),
+      " call +1 (555) 010-0042" -> ("<PHONE>", 0, 1, 0),
+      " from 10.0.35.7" -> ("<IP>", 0, 0, 1),
+      "no pii in this fragment at all" -> ("", 0, 0, 0))
+    for ((text, (tag, ne, np, ni)) <- probes) {
+      val r = Seq(text).toDF("text2")
+        .select(
+          regexp_count(col("text2"), lit(CleaningQueries.emailReForTest)).as("e"),
+          regexp_count(col("text2"), lit(CleaningQueries.phoneReForTest)).as("p"),
+          regexp_count(col("text2"), lit(CleaningQueries.ipReForTest)).as("i"))
+        .collect().head
+      assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((ne, np, ni)), text)
+      if (tag.nonEmpty) {
+        val red = Seq(text).toDF("t").select(
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(CleaningQueries.emailReForTest), lit("<EMAIL>")),
+            lit(CleaningQueries.phoneReForTest), lit("<PHONE>")),
+            lit(CleaningQueries.ipReForTest), lit("<IP>")).as("r"))
+          .as[String].collect().head
+        assert(red.contains(tag), s"$text → $red")
+      }
+    }
+  }
+}
