@@ -418,5 +418,163 @@ object SamplingQueries {
       .select("source", "sub", "doc_id", "n_tok", "start")
   }
 
-  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25)
+  // ------------------------------------------------------- substring dedup
+
+  /** Span gram width: 15 tokens. Lee et al. use 50 BPE tokens on web
+    * text; 15 word tokens realizes the same "long verbatim repeat"
+    * criterion on this corpus' ~25-40-word documents (the planted
+    * near-dup copies share their source's whole tail, far past 15;
+    * independent word-soup docs share none — ~30-word vocabulary makes
+    * a chance 15-gram repeat impossible in practice). */
+  private[graft] val SpanK = 15
+
+  /** POSITIONAL k-grams (unlike [[docGrams]], positions are kept and
+    * NOT dedup'd — span merging needs every occurrence site). */
+  private[graft] def spanGrams(df: DataFrame, k: Int, hashed: Boolean): DataFrame = {
+    val g = df
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .filter(size(col("ta")) >= k)
+      .select(col("lang"), col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(ta) - $k), " +
+          s"i -> concat_ws(' ', slice(ta, i + 1, $k)))")))
+      .withColumnRenamed("col", "gram")
+    if (hashed) g.withColumn("gram", xxhash64(col("gram"))) else g
+  }
+
+  /** L33 core — substring-level deduplication (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr criterion): find every maximal
+    * token span repeated VERBATIM across ≥ 2 distinct documents, the
+    * granularity document-level dedup (l1/l9) cannot see — two mostly
+    * different pages quoting the same boilerplate paragraph.
+    *
+    * The published implementation is a suffix array over the
+    * concatenated corpus — inherently sequential and memory-resident.
+    * The distributed re-expression: positional k-gram fingerprints →
+    * one hash agg keeps grams seen in ≥ 2 docs → occurrences of those
+    * grams, merged per document into maximal spans (overlapping or
+    * adjacent [pos, pos+k) intervals coalesce) by a running-max window.
+    * Equivalent on spans ≥ k tokens — a repeat of length L ≥ k is
+    * covered by exactly its L−k+1 member grams, which merge back into
+    * one [start, start+L) span; repeats shorter than k are below the
+    * published threshold by construction.
+    *
+    * Scale shape: the gram agg is the SAME shuffle family as l25
+    * (string grams here for oracle parity; `hashed = true` is the
+    * 100 TB form — 8-byte xxhash64 keys, SubstringSpanSpec pins
+    * hashed ≡ string). The window only ever sees HIT positions
+    * (repeated grams), a vanishing fraction of the corpus, so the
+    * per-doc sort is bounded by repeat density, not document count. */
+  private[graft] def substringSpans(corpus: DataFrame, k: Int,
+      hashed: Boolean): DataFrame = {
+    // the gram frame feeds BOTH the repeated-gram agg and the hit join;
+    // materializing it once (l29's shared-subtree discipline) saves the
+    // second corpus-scan + posexplode execution (measured 2.30 → 1.71 s
+    // at sf0.1). At 100 TB the equivalent move is persisting the
+    // positional-gram frame to storage once (it IS the substring index
+    // a deployment would keep); block-manager checkpoint is its
+    // single-job stand-in here.
+    val grams = spanGrams(corpus, k, hashed).localCheckpoint()
+    val repeated = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val hits = grams.join(repeated, Seq("gram"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(k))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("span_id", sum("new_span")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("lang", "doc_id", "span_id")
+      .agg(min("pos").as("s"), (max("pos") + lit(k)).as("e"))
+    val perLang = spans.groupBy("lang")
+      .agg(
+        countDistinct("doc_id").as("n_docs_with_spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("tokens_covered"),
+        max(col("e") - col("s")).cast("long").as("max_span_tokens"),
+        sum_distinct(col("doc_id")).as("span_checksum"))
+    corpus.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(perLang, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_docs_with_spans"), lit(0L)).as("n_docs_with_spans"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_covered"), lit(0L)).as("tokens_covered"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("span_checksum"), lit(0L)).as("span_checksum"))
+      .orderBy("lang")
+  }
+
+  /** L33 — the DQ: substring dedup over the PLANTED corpus (the stock
+    * corpus shares no 15-gram across documents — the planted near-dup
+    * copies are the verifiable-by-construction repeats, exactly as in
+    * the l9 family). String grams so the DuckDB oracle runs the
+    * identical computation. */
+  val l33 = DQ(
+    "l33_substring_dedup",
+    (s, d) => substringSpans(
+      LlmQueries.plantedFull(docs(s, d)), SpanK, hashed = false),
+    Some(s"""WITH corpus AS (
+              SELECT lang, doc_id, text FROM documents
+              UNION ALL
+              SELECT d.lang,
+                d.doc_id + (SELECT COALESCE(MAX(doc_id), -1) + 1 FROM documents),
+                substring(d.text, instr(d.text, ' ') + 1)
+              FROM documents d WHERE d.doc_id % 10 = 0),
+            toks AS (
+              SELECT lang, doc_id, string_split_regex(lower(text), '\\s+') AS ta
+              FROM corpus),
+            posn AS (
+              SELECT lang, doc_id, ta,
+                unnest(range(len(ta) - ${SpanK - 1})) AS pos
+              FROM toks WHERE len(ta) >= $SpanK),
+            grams AS (
+              SELECT lang, doc_id, pos,
+                array_to_string(list_slice(ta, pos + 1, pos + $SpanK), ' ') AS gram
+              FROM posn),
+            repeated AS (
+              SELECT gram FROM grams GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT lang, doc_id, pos FROM grams
+              WHERE gram IN (SELECT gram FROM repeated)),
+            marked AS (
+              SELECT lang, doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos + $SpanK) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+              FROM hits),
+            spanid AS (
+              SELECT lang, doc_id, pos,
+                SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+              FROM marked),
+            spans AS (
+              SELECT lang, doc_id, span_id,
+                MIN(pos) AS s, MAX(pos) + $SpanK AS e
+              FROM spanid GROUP BY 1, 2, 3),
+            perlang AS (
+              SELECT lang,
+                COUNT(DISTINCT doc_id) AS n_docs_with_spans,
+                COUNT(*) AS n_spans,
+                SUM(e - s) AS tokens_covered,
+                MAX(e - s) AS max_span_tokens,
+                SUM(DISTINCT doc_id) AS span_checksum
+              FROM spans GROUP BY 1),
+            total AS (SELECT lang, COUNT(*) AS n_docs FROM corpus GROUP BY 1)
+            SELECT t.lang,
+              CAST(t.n_docs AS BIGINT) AS n_docs,
+              CAST(COALESCE(p.n_docs_with_spans, 0) AS BIGINT) AS n_docs_with_spans,
+              CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(COALESCE(p.tokens_covered, 0) AS BIGINT) AS tokens_covered,
+              CAST(COALESCE(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+              CAST(COALESCE(p.span_checksum, 0) AS BIGINT) AS span_checksum
+            FROM total t LEFT JOIN perlang p ON t.lang = p.lang
+            ORDER BY t.lang"""))
+
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33)
 }

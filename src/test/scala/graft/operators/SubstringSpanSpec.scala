@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{Session, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Substring-level dedup (l33): the distributed k-gram re-expression of
+  * Lee et al.'s ExactSubstr must behave like its definition — maximal
+  * repeated spans, merged exactly — and the 8-byte hashed-key scale
+  * form must agree with the string form. */
+class SubstringSpanSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def frame(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  private def spans(df: org.apache.spark.sql.DataFrame, k: Int) =
+    SamplingQueries.substringSpans(df, k, hashed = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+  test("a verbatim L-token repeat across two docs merges into ONE span of L tokens") {
+    // 8 shared tokens inside different surroundings, k = 3: the 6
+    // member grams must merge back to a single [start, start+8) span
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = frame(Seq(
+      (1L, "en", s"one two $shared nine ten"),
+      (2L, "en", s"$shared completely different tail words here")))
+    val got = spans(rows, k = 3)
+    assert(got === Seq(("en", 2L, 2L, 2L, 16L, 8L)),
+      s"per-lang (docs, withSpans, spans, covered, max): $got")
+  }
+
+  test("two separated repeats in one doc stay TWO spans; adjacent grams merge") {
+    // doc 1 carries two 4-token repeats split by 5 unshared tokens;
+    // docs 2/3 each carry one of them. k = 3 → per repeat: 2 grams,
+    // overlapping, one 4-token span; the gap prevents cross-merge.
+    val r1 = "red orange yellow green"
+    val r2 = "cyan blue indigo violet"
+    val rows = frame(Seq(
+      (1L, "en", s"$r1 aa bb cc dd ee $r2"),
+      (2L, "en", s"$r1 zz yy xx ww vv uu tt"),
+      (3L, "en", s"pp qq rr ss tt uu vv $r2")))
+    val got = spans(rows, k = 3)
+    // doc1: 2 spans × 4 tokens; docs 2,3: 1 span × 4 each → 4 spans, 16 tokens
+    assert(got === Seq(("en", 3L, 3L, 4L, 16L, 4L)), got.toString)
+  }
+
+  test("no span shorter than k ever emerges, and sub-k repeats are invisible") {
+    val rows = frame(Seq(
+      (1L, "en", "shared pair one aaa bbb ccc ddd eee fff"),
+      (2L, "en", "shared pair two ggg hhh iii jjj kkk lll")))
+    // only a 2-token prefix repeats; k = 3 sees nothing
+    assert(spans(rows, k = 3) === Seq(("en", 2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("hashed (8-byte key) form ≡ string form on the live planted corpus") {
+    val corpus = LlmQueries.plantedFull(Tables.documents(spark, sf))
+    val s = SamplingQueries.substringSpans(corpus, SamplingQueries.SpanK,
+      hashed = false).collect().map(_.toSeq).toSeq
+    val h = SamplingQueries.substringSpans(corpus, SamplingQueries.SpanK,
+      hashed = true).collect().map(_.toSeq).toSeq
+    assert(s === h)
+    // and the planted copies genuinely fire: every lang's planted pair
+    // count is visible as docs-with-spans ≥ 2 wherever a source exists
+    assert(s.map(_(2).asInstanceOf[Long]).sum > 0)
+  }
+
+  test("l33 DQ equals a driver-side brute-force recompute at sf0.001") {
+    val corpus = LlmQueries.plantedFull(Tables.documents(spark, sf))
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val k = SamplingQueries.SpanK
+    val grams = corpus.flatMap { case (lang, id, text) =>
+      val ta = text.toLowerCase.split("\\s+")
+      if (ta.length < k) Seq.empty
+      else (0 to ta.length - k).map(i =>
+        (ta.slice(i, i + k).mkString(" "), lang, id, i))
+    }
+    val repeated = grams.groupBy(_._1)
+      .filter(_._2.map(_._3).distinct.size >= 2).keySet
+    val perDocSpans = grams.filter(g => repeated(g._1))
+      .groupBy(g => (g._2, g._3)).map { case ((lang, id), hs) =>
+        val ps = hs.map(_._4).sorted
+        val spans = ps.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, p) if acc.nonEmpty && p <= acc.head._2 =>
+            (acc.head._1, math.max(acc.head._2, p + k)) :: acc.tail
+          case (acc, p) => (p, p + k) :: acc
+        }
+        (lang, id, spans.reverse)
+      }
+    val expect = perDocSpans.groupBy(_._1).map { case (lang, docs) =>
+      val all = docs.flatMap(_._3)
+      (lang, docs.size.toLong, all.size.toLong,
+        all.map(s => (s._2 - s._1).toLong).sum,
+        all.map(s => (s._2 - s._1).toLong).max,
+        docs.map(_._2).toSeq.distinct.sum)
+    }.toSeq.sortBy(_._1)
+    val got = SamplingQueries.l33.fn(spark, sf).collect()
+      .filter(_.getLong(2) > 0)
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expect, s"got $got\nexpect $expect")
+  }
+}
