@@ -186,6 +186,13 @@ object AnnIndexes {
   /** Train k-means cells and assign every vector — the exact l16
     * composed build ([[Ivf.train]] + [[Ivf.assign]]). */
   def buildIvf(e: DataFrame, k: Int, iters: Int): IvfIndex = {
+    // Deliberately NOT checkpointed: l16's single-plan compose already
+    // collapses the duplicated train subtree through broadcast-exchange
+    // reuse, and forcing a materialization boundary here measured
+    // SLOWER (1.49 → 1.94 s at sf0.1) — the checkpoint pays a block
+    // write + a fresh broadcast where ReusedExchange was free. The
+    // self-JOIN case, where exchange reuse genuinely fails to collapse
+    // the fold, checkpoints at its call site instead (l26).
     val c = Ivf.train(e, k, iters)
     IvfIndex(c, Ivf.assign(e, c))
   }

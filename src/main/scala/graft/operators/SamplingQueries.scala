@@ -474,7 +474,7 @@ object SamplingQueries {
     // positional-gram frame to storage once (it IS the substring index
     // a deployment would keep); block-manager checkpoint is its
     // single-job stand-in here.
-    val grams = spanGrams(corpus, k, hashed).localCheckpoint()
+    val grams = spanGrams(corpus, k, hashed).localCheckpoint(false)
     val repeated = grams.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)

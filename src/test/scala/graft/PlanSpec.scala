@@ -57,7 +57,14 @@ class PlanSpec extends AnyFunSuite {
     // per-JVM memo (Tables.rowCount), so after this warm-up call,
     // CONSTRUCTING the plans below must start zero Spark jobs. l12 is
     // included as the always-lazy reference point (probeLshJoin).
+    // l26 additionally consumes the shared checkpointed centroid frame
+    // (sharedIvfCentroids): under AQE even a lazy localCheckpoint
+    // executes its intermediate stages at construction, so — exactly
+    // like sharedPairs for l9/l28/l29 — the FIRST construction per JVM
+    // trains, and the pin covers every construction after (the shape
+    // bench re-runs and plan sweeps actually hit). Warm both memos.
     graft.Tables.rowCount(spark, sf, "embeddings")
+    operators.LlmQueries.l26.fn(spark, sf)
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
