@@ -311,13 +311,20 @@ object SamplingQueries {
     * gram is. `hashed = true` is the 100 TB wire format (xxhash64 —
     * see [[decontaminate]]'s collision analysis). */
   private[graft] def docGrams(df: DataFrame, keep: Seq[String],
+      hashed: Boolean): DataFrame = docGramsK(df, keep, 5, hashed)
+
+  /** [[docGrams]] at any width: each doc's DISTINCT word k-grams (one
+    * row per distinct gram per doc), the map-side stage every gram
+    * screen shares — l25/L30 at k = 5, the verbatim-repeat screen at
+    * k = [[SpanK]]. Same tokenization as [[spanGrams]] by construction. */
+  private[graft] def docGramsK(df: DataFrame, keep: Seq[String], k: Int,
       hashed: Boolean): DataFrame = {
     val g = df
       .withColumn("ta", split(lower(col("text")), "\\s+"))
-      .filter(size(col("ta")) >= 5)
+      .filter(size(col("ta")) >= k)
       .select(keep.map(col) :+
-        explode(expr("array_distinct(transform(sequence(0, size(ta) - 5), " +
-          "i -> concat_ws(' ', slice(ta, i + 1, 5))))")).as("gram"): _*)
+        explode(expr(s"array_distinct(transform(sequence(0, size(ta) - $k), " +
+          s"i -> concat_ws(' ', slice(ta, i + 1, $k))))")).as("gram"): _*)
     if (hashed) g.withColumn("gram", xxhash64(col("gram"))) else g
   }
 

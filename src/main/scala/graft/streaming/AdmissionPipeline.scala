@@ -9,9 +9,9 @@ import graft.operators.LlmQueries
 /** Composed streaming ADMISSION pipeline — the ingest-side counterpart
   * of batch l29: every admission gate a training-data ingest runs at
   * the door, in one entry point, emitting a per-document DECISION
-  * (`admit` / `near_duplicate` / `contaminated` / `repetitive` /
-  * `low_quality`)
-  * instead of five separate flag streams a caller must reconcile. The
+  * (`admit` / `near_duplicate` / `verbatim_repeat` (opt-in) /
+  * `contaminated` / `repetitive` / `low_quality`)
+  * instead of six separate flag streams a caller must reconcile. The
   * reference's analog is its consumer → validator → dual-sink shape
   * (every message lands with a verdict); this is that shape for the
   * document corpus, with the LLM-pipeline gates as the validators.
@@ -42,14 +42,19 @@ import graft.operators.LlmQueries
   */
 object AdmissionPipeline {
 
-  /** Gate inputs: the persisted corpus band index (L18) and holdout
-    * gram index (L30). */
+  /** Gate inputs: the persisted corpus band index (L18), holdout gram
+    * index (L30), and optionally the corpus span-gram index
+    * ([[StreamingSubstring]], l33's gate form — opt-in because its
+    * index is corpus-sized and a deployment scopes it to a recency
+    * window; None runs the four-gate pipeline unchanged). */
   final case class Gates(neardup: StreamingNearDup.Index,
-      holdoutGrams: DataFrame)
+      holdoutGrams: DataFrame,
+      corpusSpans: Option[DataFrame] = None)
 
   /** The per-batch decision frame: `batch`'s columns plus `reason`.
     * Pure function of (batch, gates) — spec-tested directly and reused
     * by [[start]]'s foreachBatch. Precedence: near_duplicate >
+    * verbatim_repeat (when a corpus span index is configured) >
     * contaminated > low_quality > repetitive > admit (duplicate-family
     * first, mirroring l19/l29 so quality counts describe admissible
     * docs; the repetition screen — batch [[LlmQueries.l27]]'s published
@@ -69,11 +74,25 @@ object AdmissionPipeline {
       .select("doc_id").distinct().withColumn("_nd", lit(true))
     val contam = StreamingDecontam.screenRaw(batch, gates.holdoutGrams)
       .select("doc_id").distinct().withColumn("_ct", lit(true))
+    // the opt-in verbatim-span screen: an always-false 1-row-free frame
+    // when no corpus span index is configured, so the join shape (and
+    // the decision chain) stays identical either way
+    val verbatim = gates.corpusSpans
+      .map(ix => StreamingSubstring.screenRaw(batch, ix)
+        .select("doc_id").distinct().withColumn("_vr", lit(true)))
+      .getOrElse(near.sparkSession.emptyDataFrame
+        .select(lit(-1L).as("doc_id"), lit(true).as("_vr")).limit(0))
     LlmQueries.withStopBp(batch)
       .join(near, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .join(verbatim, Seq("doc_id"), "left")
       .withColumn("reason",
         when(col("_nd"), "near_duplicate")
+          // dedup family stays contiguous: a doc that is BOTH a whole-doc
+          // near-dup and a partial verbatim repeat reads near_duplicate
+          // (the stronger claim); a partial lift that banding cannot see
+          // reads verbatim_repeat
+          .when(col("_vr"), "verbatim_repeat")
           .when(col("_ct"), "contaminated")
           // the POSITIVE quality verdict guards both remaining arms: a
           // null text (malformed/permissive-parsed record) nulls the

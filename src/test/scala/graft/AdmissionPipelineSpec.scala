@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.streaming.{AdmissionPipeline, StreamingDecontam, StreamingNearDup}
+import graft.streaming.{AdmissionPipeline, StreamingDecontam, StreamingNearDup, StreamingSubstring}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -74,6 +74,29 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       1L -> "near_duplicate", 2L -> "near_duplicate", 3L -> "contaminated",
       4L -> "admit", 5L -> "low_quality", 6L -> "low_quality",
       7L -> "repetitive"), got.toString)
+  }
+
+  test("opt-in verbatim gate: a 15-token lift inside an otherwise-novel " +
+      "long doc flags verbatim_repeat; without the index it admits") {
+    // 16 consecutive corpus tokens embedded in 20 novel ones: enough
+    // novel content that whole-doc banding does NOT fire, but one
+    // shared 15-gram exists — exactly the partial-lift shape l33
+    // exists for. ≥200 chars + no stopwords → quality passes.
+    val lifted = (longCorpusText.split(" ").slice(4, 20) ++ Seq(
+      "zephyr", "quill", "almanac", "gondola", "parapet", "sundial",
+      "vellum", "ossuary", "tureen", "paddock", "bellows", "crampon",
+      "jetty", "kiln", "lozenge", "mortise", "naphtha", "oculus",
+      "pergola", "quoin")).mkString(" ")
+    val batch = mkBatch(Seq(8L -> lifted))
+    val withGate = AdmissionPipeline.decide(batch,
+      gates.copy(corpusSpans = Some(StreamingSubstring.buildIndex(corpus))))
+      .select("reason").collect().map(_.getString(0)).toSeq
+    assert(withGate === Seq("verbatim_repeat"), withGate.toString)
+    // the four-gate pipeline (no span index) must be unchanged: the
+    // partial lift is invisible to banding and the doc admits
+    val withoutGate = AdmissionPipeline.decide(batch, gates)
+      .select("reason").collect().map(_.getString(0)).toSeq
+    assert(withoutGate === Seq("admit"), withoutGate.toString)
   }
 
   test("decide preserves the batch's columns plus one reason column, " +
