@@ -166,4 +166,43 @@ object Ivf {
     * plan, no driver actions. */
   def train(e: DataFrame, k: Int, iters: Int): DataFrame =
     (1 to iters).foldLeft(seedCentroids(e, k))((c, _) => lloydStep(e, c))
+
+  /** [[train]] on a bounded deterministic SAMPLE — the scale path past
+    * [[cellCount]]'s 4096-cell cap. Below the cap, k ∝ n keeps per-cell
+    * work constant and full-corpus training is the right spend; at the
+    * cap k stops growing, every Lloyd iteration still re-scans the FULL
+    * corpus, and centroid quality saturates long before the data ends —
+    * the standard practice (the published IVF training regimes use a
+    * few dozen to a few hundred points per centroid) is to train on
+    * ~`perCentroid`·k vectors and pay the corpus only ONE assignment
+    * pass.
+    *
+    * The sample is a pure per-row hash predicate (same determinism
+    * model as [[seedCentroids]] and l20's stratified draw —
+    * `xxhash64(vec_id)` under a rate threshold), so it is shuffle-free,
+    * evaluated at the scan, reproducible on any cluster size, and
+    * MONOTONIC in the budget. When `perCentroid · k ≥ n` the predicate
+    * keeps everything and the result is BIT-IDENTICAL to [[train]]
+    * (IvfSpec pins it), so callers can adopt the sampled form
+    * unconditionally: it only ever diverges where full training is
+    * already unaffordable.
+    *
+    * `n` is the caller's corpus count (every consumer already has it —
+    * k sizing needs it); passing it keeps this a composed plan with no
+    * hidden action. */
+  def trainSampled(e: DataFrame, k: Int, iters: Int, n: Long,
+      perCentroid: Int = 128): DataFrame = {
+    require(n >= 0, s"trainSampled: corpus count must be >= 0, got $n")
+    val budget = k.toLong * perCentroid
+    val sample =
+      if (budget >= n) e
+      else {
+        // millionths avoid float thresholds: keep iff
+        // pmod(hash, 1e6) < rate·1e6, rounded UP so the expected sample
+        // never undershoots the budget
+        val rateMicro = ((budget * 1000000L + n - 1) / n).min(1000000L)
+        e.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(rateMicro))
+      }
+    train(sample, k, iters)
+  }
 }

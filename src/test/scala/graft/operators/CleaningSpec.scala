@@ -61,6 +61,29 @@ class CleaningSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("char_delta")).sum > 0)
   }
 
+  test("l31/l32 plan shape: row-local scans — the only exchange is the " +
+      "5-row language rollup's, and the scan prunes to the used columns") {
+    for ((name, fn) <- Seq("l31" -> CleaningQueries.l31.fn,
+        "l32" -> CleaningQueries.l32.fn)) {
+      val df = fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // row-local means NO operator that shuffles per-doc work: the
+      // only exchanges are the lang rollup's and the 5-row sort's
+      // (counting on the string is unreliable — AQE prints initial and
+      // final trees — so pin the absence of every shuffle-BEARING
+      // operator class instead)
+      for (bad <- Seq("Generate", "SortMergeJoin", "BroadcastHashJoin",
+          "ShuffledHashJoin", "Window", "CartesianProduct"))
+        assert(!plan.contains(bad), s"$name plans $bad — not row-local")
+      // column pruning: the scan must not read doc text's siblings it
+      // never uses (n_chars for l32; source for both)
+      val scanLine = plan.linesIterator.find(_.contains("documents.parquet"))
+        .getOrElse(fail(s"$name: no documents scan in plan"))
+      assert(!scanLine.contains("source"), s"$name scan reads unused columns")
+    }
+  }
+
   test("l32: the planted PII strings match their patterns exactly once each") {
     import spark.implicits._
     val probes = Seq(

@@ -200,6 +200,31 @@ class IvfSpec extends AnyFunSuite {
     assert(got === ((550L, 92L, 47L, 503L, 47L, 50L, 34990L)), s"l26 $got")
   }
 
+  test("trainSampled: within the budget it is BIT-identical to train; " +
+      "past the budget it trains on the hash draw and still covers the corpus") {
+    val e = vecs
+    val n = e.count()
+    // budget >= n (128 per centroid × 8 cells >= 100 vectors): the
+    // sample predicate keeps everything — exact equality, so adopting
+    // the sampled form is never a semantics fork at small scale
+    val full = Ivf.train(e, k = 8, iters = 2).orderBy("cid").collect()
+    val same = Ivf.trainSampled(e, k = 8, iters = 2, n).orderBy("cid").collect()
+    assert(same.toSeq === full.toSeq)
+    // budget < n: train on ~half the corpus (perCentroid chosen so
+    // budget ≈ n/2), assign EVERYTHING — the one-full-pass contract
+    val perC = ((n / 2) / 8).toInt.max(1)
+    val cent = Ivf.trainSampled(e, k = 8, iters = 2, n, perCentroid = perC)
+    val cents = cent.collect()
+    assert(cents.nonEmpty && cents.length <= 8)
+    assert(cents.forall(_.getSeq[Double](1).length === 64))
+    val assigned = Ivf.assign(e, cent)
+    assert(assigned.count() === n, "every corpus vector must still be assigned")
+    assert(assigned.select("vec_id").distinct().count() === n)
+    // determinism of the draw: same budget → same centroids
+    val again = Ivf.trainSampled(e, k = 8, iters = 2, n, perCentroid = perC)
+    assert(again.orderBy("cid").collect().toSeq === cent.orderBy("cid").collect().toSeq)
+  }
+
   test("l16 recall: the probed cells contain most of the brute-force top-10") {
     import spark.implicits._
     val top10 = LlmQueries.l3.fn(spark, sf).select("vec_id").as[Long].collect().toSet
