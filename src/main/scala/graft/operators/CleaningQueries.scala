@@ -246,5 +246,73 @@ object CleaningQueries {
                 AS n_residual
             FROM scrubbed GROUP BY 1 ORDER BY lang"""))
 
-  val all: Seq[DQ] = Seq(l31, l32)
+  /** The shared scoring expression of [[l34]] — one row-local pass:
+    * token → polynomial char hash (the l8 fold, mod 1000003) → one of
+    * 256 feature buckets → integer milli-weight
+    * `pmod(bucket · 2654435761, 1001) − 500`; the doc score is the sum
+    * over token OCCURRENCES. Every step is nonneg-integer arithmetic
+    * before the final shift, so Spark and DuckDB cannot disagree on a
+    * boundary. */
+  private val scoreSql =
+    """aggregate(
+         transform(ta, t ->
+           pmod(pmod(aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)),
+                  cast(0 as bigint), (a, x) -> (a * 31 + x) % 1000003),
+                256) * 2654435761, 1001) - 500),
+         cast(0 as bigint), (a, x) -> a + x)"""
+
+  /** L34 — hashed-feature linear quality classifier: the MODEL-BASED
+    * quality filter of the published corpus recipes (CCNet's fastText
+    * scorer; the GPT-3 LR quality classifier), as distinct from l6's
+    * hand-written heuristics. The load-bearing engineering at 100 TB is
+    * the FEATURE-HASHING shape: tokens hash into a fixed bucket space
+    * and score against a weight vector, so no vocabulary ever ships
+    * with the job and scoring is one row-local pass — no shuffle, no
+    * UDF, no model server. The weights here are a deterministic
+    * synthetic stand-in derived from the bucket id (the multimodal-stub
+    * discipline: the plumbing — tokenize → hash → bucket → dot-product
+    * → threshold — is real and oracle-checked; production swaps the
+    * weight EXPRESSION for a broadcast lookup of trained weights, a
+    * one-line change that moves no data). Keep iff the score is
+    * positive. Per language: docs, kept, mean milli-score, kept-doc
+    * checksum. */
+  val l34 = DQ(
+    "l34_quality_classifier",
+    (s, d) => {
+      docs(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+        .withColumn("score_milli", expr(scoreSql))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("score_milli") > 0, 1L).otherwise(0L)).as("n_keep"),
+          round(avg(col("score_milli"))).cast("long").as("avg_milli"),
+          coalesce(sum(when(col("score_milli") > 0, col("doc_id"))), lit(0L))
+            .as("kept_checksum"))
+        .orderBy("lang")
+    },
+    Some("""WITH scored AS (
+              SELECT lang, doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(lower(text), '\s+'), t ->
+                      ((list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(t, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                          (a, x) -> (a * 31 + x) % 1000003)
+                        % 256) * 2654435761) % 1001 - 500)),
+                  (a, x) -> a + x) AS score_milli
+              FROM documents WHERE text IS NOT NULL)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_keep,
+              CAST(ROUND(AVG(score_milli)) AS BIGINT) AS avg_milli,
+              CAST(COALESCE(SUM(CASE WHEN score_milli > 0 THEN doc_id END), 0)
+                AS BIGINT) AS kept_checksum
+            FROM scored GROUP BY 1 ORDER BY lang"""))
+
+  val all: Seq[DQ] = Seq(l31, l32, l34)
 }

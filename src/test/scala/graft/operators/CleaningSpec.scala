@@ -84,6 +84,32 @@ class CleaningSpec extends AnyFunSuite {
     }
   }
 
+  test("l34: hashed-feature scoring is deterministic, content-sensitive, " +
+      "and the keep rule is the score's sign") {
+    val a = CleaningQueries.l34.fn(spark, sf).collect()
+    val b = CleaningQueries.l34.fn(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "same corpus must score identically")
+    assert(a.nonEmpty)
+    // the classifier genuinely splits the corpus (not all-keep/all-drop)
+    val (n, k) = (a.map(_.getAs[Long]("n_docs")).sum,
+      a.map(_.getAs[Long]("n_keep")).sum)
+    assert(k > 0 && k < n, s"degenerate split: $k of $n kept")
+    // kept_checksum only sums docs the sign rule kept: re-derive one
+    // language's checksum from a driver-side rescore
+    import spark.implicits._
+    val docsEn = graft.Tables.documents(spark, sf)
+      .filter(col("lang") === "en").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def hash(t: String): Long =
+      t.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000003L)
+    def weight(t: String): Long = (hash(t) % 256L) * 2654435761L % 1001L - 500L
+    val expect = docsEn.filter { case (_, text) =>
+      text.toLowerCase.split("\\s+").map(weight).sum > 0
+    }.map(_._1).sum
+    val gotEn = a.find(_.getString(0) == "en").get.getAs[Long]("kept_checksum")
+    assert(gotEn === expect, "driver-side rescore disagrees with the plan")
+  }
+
   test("l32: the planted PII strings match their patterns exactly once each") {
     import spark.implicits._
     val probes = Seq(
