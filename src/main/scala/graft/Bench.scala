@@ -164,7 +164,10 @@ object Bench {
       val kept = bySlow.take(keep)
       val line = renderAt(kept, spreads, errC, errOmitted, errors.size, runs, sfDir,
         decimals = 1, itemizeSpread = false, tight = true,
-        omitted = timings.size - keep, totalOverride = Some(timings.map(_._2).sum))
+        omitted = timings.size - keep, totalOverride = Some(timings.map(_._2).sum),
+        // n_ok counts every SUCCESSFUL query, not just the itemized
+        // slice — kept + omitted must reconcile with it
+        nOkOverride = Some(timings.size))
       line
     }.find(_.length <= LineBudget)
   }
@@ -210,7 +213,8 @@ object Bench {
       errors: Seq[(String, String)], errOmitted: Int, nErr: Int,
       runs: Int, sfDir: String,
       decimals: Int, itemizeSpread: Boolean, tight: Boolean,
-      omitted: Int = 0, totalOverride: Option[Double] = None): String = {
+      omitted: Int = 0, totalOverride: Option[Double] = None,
+      nOkOverride: Option[Int] = None): String = {
     def trim(s: String): String =
       if (!s.contains('.')) s
       else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
@@ -233,7 +237,7 @@ object Bench {
     if (!tight || errors.nonEmpty) b ++= s""","errors":$es"""
     if (errOmitted > 0) b ++= s""","errors_omitted":$errOmitted"""
     if (omitted > 0) b ++= s""","omitted":$omitted"""
-    b ++= s""","n_ok":${timings.size},"n_err":$nErr,"sf":${jstr(sf)}}"""
+    b ++= s""","n_ok":${nOkOverride.getOrElse(timings.size)},"n_err":$nErr,"sf":${jstr(sf)}}"""
     b.result()
   }
 

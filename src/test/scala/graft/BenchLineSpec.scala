@@ -51,6 +51,9 @@ class BenchLineSpec extends AnyFunSuite {
     val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
     assert(math.abs(total - timings.map(_._2).sum) < 1.0,
       "total must cover the FULL catalog even when the fast tail is omitted")
+    // n_ok counts every successful query, NOT the itemized slice
+    assert(line.contains(s""""n_ok":${timings.size}"""),
+      s"n_ok must stay ${timings.size} with $omitted itemizations dropped")
   }
 
   test("worst-case contended line for the live catalog stays within the driver tail") {
