@@ -44,7 +44,8 @@ object NativeTextExprs {
   * that gram's CHARACTER COVERAGE `c · numChars(gram)`, where the top
   * gram is the argmax of `(count, coverage)` in strict lexicographic
   * order — the identical integer-exact selection rule the DuckDB oracle
-  * runs (`arg_max(cov, c * 2^32 + cov)`). A width with no grams (fewer
+  * runs (`arg_max` over a `c · 2^64 + cov` HUGEINT key, exact for any
+  * BIGINT coverage — no packed-integer bound). A width with no grams (fewer
   * than n tokens) reports 0s, which can never flag (`0 · 100 > pct ·
   * n_chars` is false for any non-negative char count).
   *

@@ -58,12 +58,19 @@ object LlmQueries {
     * must flag the identical documents. [[top2Bp]] is the Gopher
     * 2-gram statistic — the share (basis points) of 2-gram occurrences
     * covered by the single most frequent 2-gram, via the row-local
-    * native expression; callers guarantee `size(ta) >= 2`.
+    * native expression. NULL-SAFE by construction: a sub-2-token array
+    * has no 2-grams, so the statistic is null (nothing repeats), NOT a
+    * division by the zero denominator — under ANSI mode (Spark 4.1
+    * default, and this engine runs ansi=true) an unguarded divide
+    * would THROW [DIVIDE_BY_ZERO] rather than null out, so the guard
+    * lives here where every caller (batch [[l27]], the streaming
+    * admission `repetitive` arm) inherits it.
     * [[RepetitionFlagBp]] is the published-rule bar realized for this
     * corpus (see l27's scaladoc). */
   private[graft] def top2Bp(ta: Column): Column =
-    round(call_function("graft_topgram_stats", ta).getItem(0) * lit(10000.0) /
-      (size(ta) - 1).cast("long")).cast("long")
+    when(size(ta) >= 2,
+      round(call_function("graft_topgram_stats", ta).getItem(0) * lit(10000.0) /
+        (size(ta) - 1).cast("long")).cast("long"))
 
   private[graft] val RepetitionFlagBp = 1000L
 
@@ -1180,7 +1187,7 @@ object LlmQueries {
     * Scale shape (since round 11): every flag is computed ROW-LOCALLY —
     * duplicate-line fraction via `size(lines) - size(array_distinct(
     * lines))`, the three top-gram coverages via one native
-    * [[graft.functions.TopGramCoverage]] call (`graft_topgram_cov`) —
+    * [[graft.functions.TopGramStats]] call (`graft_topgram_stats`) —
     * so the whole ladder is a single map-side scan feeding the 5-row
     * lang rollup: NO explode, NO (doc, gram) shuffle, no window. The
     * earlier exploded form pushed ~3× the corpus' token text through a
@@ -1256,7 +1263,11 @@ object LlmQueries {
               FROM grams GROUP BY 1, 2, 3, 4, 5),
             top AS (
               SELECT lang, doc_id, n_chars_txt, n,
-                arg_max(cov, c * 4294967296 + cov) AS cov
+                -- (count, coverage) lexicographic argmax packed into a
+                -- HUGEINT key (DuckDB's arg_max takes no struct key):
+                -- cov is a BIGINT so c * 2^64 + cov is exact for ANY
+                -- document — no 2^32 coverage bound
+                arg_max(cov, CAST(c AS HUGEINT) * 18446744073709551616 + cov) AS cov
               FROM counts
               GROUP BY 1, 2, 3, 4),
             gflags AS (

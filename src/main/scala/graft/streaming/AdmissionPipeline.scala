@@ -99,8 +99,10 @@ object AdmissionPipeline {
           // predicate, skips this branch, and lands in low_quality —
           // never admit, never a spurious `repetitive`. Inside the
           // verdict, a repetition flag that is itself null (a 200-char
-          // SINGLE token has no 2-grams: top2Bp divides by zero → null)
-          // correctly admits — no grams means nothing repeats.
+          // SINGLE token has no 2-grams: top2Bp is null by its own
+          // size(ta) >= 2 guard — under ANSI an unguarded divide would
+          // throw, not null) correctly admits — no grams, nothing
+          // repeats.
           .when(LlmQueries.qualityKeep,
             when(LlmQueries.top2Bp(col("toks")) > LlmQueries.RepetitionFlagBp,
               "repetitive").otherwise("admit"))

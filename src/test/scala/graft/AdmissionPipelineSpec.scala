@@ -99,6 +99,19 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     assert(withoutGate === Seq("admit"), withoutGate.toString)
   }
 
+  test("a 200-char single-token doc (URL/base64 shape) admits instead of " +
+      "throwing: no 2-grams means the repetition statistic is null") {
+    // whitespace-free, ≥200 chars: passes qualityKeep (stop_bp = 0),
+    // reaches the repetitive arm with a 1-element token array — the
+    // empty 2-gram denominator must null out (top2Bp's size guard),
+    // not raise ANSI DIVIDE_BY_ZERO and wedge the micro-batch
+    val poison = "https://example.invalid/" + ("abcdefghij" * 20)
+    assert(poison.length >= 200 && !poison.exists(_.isWhitespace))
+    val got = AdmissionPipeline.decide(mkBatch(Seq(9L -> poison)), gates)
+      .select("reason").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("admit"), got.toString)
+  }
+
   test("decide preserves the batch's columns plus one reason column, " +
       "one row per input doc") {
     val batch = mkBatch(Seq(6L -> "any text at all here"))

@@ -303,7 +303,9 @@ class FunctionsSpec extends AnyFunSuite {
       .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
       .withColumn("cov", col("c") * length(col("gram")).cast("long"))
       .groupBy("doc_id", "n")
-      .agg(expr("max_by(cov, c * 4294967296 + cov)").as("cov"),
+      // true two-key lexicographic argmax (count, then coverage) — no
+      // packed-integer bound; struct ordering is field-by-field
+      .agg(expr("max_by(cov, struct(c, cov))").as("cov"),
         max("c").as("max_c"))
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
