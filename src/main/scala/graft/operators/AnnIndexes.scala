@@ -197,13 +197,33 @@ object AnnIndexes {
     IvfIndex(c, Ivf.assign(e, c))
   }
 
+  /** THE production build: [[Ivf.trainSampled]] under the caller's
+    * corpus count — past [[Ivf.cellCount]]'s 4096-cell cap the Lloyd
+    * iterations train on a bounded deterministic sample instead of
+    * re-scanning the full corpus per iteration, and below the budget
+    * (`128·k ≥ n`, every corpus this repo tests) the sample predicate
+    * keeps everything and the result is BIT-IDENTICAL to the
+    * count-free overload (IvfSpec pins it; AnnIndexSpec pins this
+    * overload against that one). `n` is a passed-in count so the build
+    * stays a composed plan with no hidden action — every production
+    * caller already holds it (l16's memoized [[graft.Tables.rowCount]],
+    * the versioned builds' own sizing count). The full corpus still
+    * pays exactly ONE assignment pass ([[Ivf.assign]]), as before. */
+  def buildIvf(e: DataFrame, k: Int, iters: Int, n: Long): IvfIndex = {
+    val c = Ivf.trainSampled(e, k, iters, n)
+    IvfIndex(c, Ivf.assign(e, c))
+  }
+
   /** [[buildIvf]] with k from the shared [[Ivf.cellCount]] selector.
     * The corpus count is a deliberate build-time action: k shapes the
     * training plan itself (seed limit, broadcast width), and an index
     * BUILD is a batch job that runs jobs by definition — unlike a probe,
-    * where build-time eagerness is a defect ([[probeLshJoin]]). */
-  def buildIvf(e: DataFrame, iters: Int): IvfIndex =
-    buildIvf(e, Ivf.cellCount(e.count()), iters)
+    * where build-time eagerness is a defect ([[probeLshJoin]]). The
+    * count then also bounds training via the sampled production path. */
+  def buildIvf(e: DataFrame, iters: Int): IvfIndex = {
+    val n = e.count()
+    buildIvf(e, Ivf.cellCount(n), iters, n)
+  }
 
   /** Inverted lists directory-partition by `cid`: probing nprobe of k
     * cells prunes to nprobe/k of the files by PATH, before reading a
@@ -381,7 +401,7 @@ object AnnIndexes {
     require(currentIvfVersion(base).isEmpty,
       s"initIvfVersioned: $base already has a CURRENT pointer — use retrainIvf")
     val dir = s"$base/v1"
-    writeIvfWithStats(buildIvf(e, k, iters), e, dir)
+    writeIvfWithStats(buildIvf(e, k, iters, e.count()), e, dir)
     flipPointer(base, 1)
     dir
   }
@@ -398,7 +418,7 @@ object AnnIndexes {
     val cur = currentIvfVersion(base).getOrElse(throw new IllegalStateException(
       s"retrainIvf: no CURRENT under $base — run initIvfVersioned first"))
     val dir = s"$base/v${cur + 1}"
-    writeIvfWithStats(buildIvf(e, k, iters), e, dir)
+    writeIvfWithStats(buildIvf(e, k, iters, e.count()), e, dir)
     flipPointer(base, cur + 1)
     dir
   }

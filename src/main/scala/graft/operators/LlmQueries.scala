@@ -477,9 +477,11 @@ object LlmQueries {
     centroidsMemo.computeIfAbsent(s.sparkContext.applicationId + ":" + d, _ => {
       val raw = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      Ivf.train(raw,
-        k = Ivf.cellCount(Tables.rowCount(s, d, "embeddings")),
-        iters = 2).localCheckpoint(eager = false)
+      val n = Tables.rowCount(s, d, "embeddings")
+      // trainSampled = the production path: identical below the sample
+      // budget (every tested corpus), bounded Lloyd cost past the cap
+      Ivf.trainSampled(raw, k = Ivf.cellCount(n), iters = 2, n = n)
+        .localCheckpoint(eager = false)
     })
 
   /** L9's accounting rollup over a caller-supplied candidate-pair
@@ -822,8 +824,12 @@ object LlmQueries {
       // plan-only sweeps and bench re-runs stay action-free. nprobe
       // scales as k/4 so the probed fraction (and thus the recall/speed
       // point) is corpus-invariant.
-      val k = Ivf.cellCount(graft.Tables.rowCount(s, d, "embeddings"))
-      val idx = AnnIndexes.buildIvf(e, k, iters = 2)
+      val n = graft.Tables.rowCount(s, d, "embeddings")
+      val k = Ivf.cellCount(n)
+      // production build path (trainSampled under the memoized count):
+      // bit-identical here — 128·k ≥ n below the cell cap by
+      // construction — and bounded Lloyd cost past it
+      val idx = AnnIndexes.buildIvf(e, k, iters = 2, n)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val ann = AnnIndexes.probeIvf(idx, e, e.filter(col("vec_id") === 0),
         nprobe = math.max(4, (k + 3) / 4), topK = 5, excludeId = 0L)

@@ -341,6 +341,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(viaPointer.length === 5)
   }
 
+  test("production buildIvf (trainSampled under the corpus count) is " +
+      "bit-identical to the count-free build below the sample budget") {
+    val e = vecs(sf)
+    val n = e.count()
+    assert(n <= 128L * 16, "fixture must sit inside the sample budget")
+    val a = AnnIndexes.buildIvf(e, k = 16, iters = 2)
+    val b = AnnIndexes.buildIvf(e, k = 16, iters = 2, n)
+    val ca = a.centroids.orderBy("cid").collect().map(r =>
+      r.getInt(0) -> r.getSeq[Double](1))
+    val cb = b.centroids.orderBy("cid").collect().map(r =>
+      r.getInt(0) -> r.getSeq[Double](1))
+    assert(ca.toSeq === cb.toSeq)
+    // and the assignment side covers every vector exactly once
+    assert(b.lists.count() === n)
+    assert(b.lists.select("vec_id").distinct().count() === n)
+  }
+
   test("sf0.01 golden: probe-from-parquet reproduces the pinned l12/l16 rows") {
     val sf01 = "/root/testdata/sf0.01"
     assume(new java.io.File(sf01).isDirectory)
