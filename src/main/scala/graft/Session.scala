@@ -21,6 +21,7 @@ object Session {
       // the public extensions hook.
       .withExtensions(graft.functions.NativeVectorExprs.register _)
       .withExtensions(graft.functions.NativeTextExprs.register _)
+      .withExtensions(graft.functions.BloomExprs.register _)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Cost-based optimization (SURVEY §4's ANALYZE analog): with

@@ -348,6 +348,103 @@ object AnnIndexes {
     rerankBatch(candidates, e, queries, topK)
   }
 
+  // ------------------------------------------- int8-quantized IVF
+
+  /** Int8-quantized IVF index: `centroids` as in [[IvfIndex]] (fp64 —
+    * k rows, negligible); `lists` = (vec_id, cid, qv array<tinyint>,
+    * scale double, norm double) — the inverted file holding QUANTIZED
+    * vectors, 4× smaller than the fp64 lists at 100 TB the difference
+    * between an index that fits hot storage and one that doesn't. */
+  final case class IvfInt8Index(centroids: DataFrame, lists: DataFrame)
+
+  /** l24's exact quantization rule as a frame transform — q = sign(x) ·
+    * round(|x| · 127/max|x|), stored as TINYINT — plus the fp64 norm
+    * (‖v‖ is 8 bytes/vector and re-deriving it from int8 would fold the
+    * quantization error into every cosine denominator). Row-local. */
+  def quantizeInt8(e: DataFrame): DataFrame =
+    e.withColumn("m", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale",
+        expr("CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE 127.0 / m END"))
+      .withColumn("qv", expr(
+        """transform(v, x -> CAST(CAST(sign(x) AS BIGINT)
+           * CAST(ROUND(abs(x) * scale) AS BIGINT) AS TINYINT))"""))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0d), (a, x) => a + x)))
+      .drop("m")
+
+  /** Build the quantized index: sampled-Lloyd centroids (the l16
+    * production path), one assignment pass, one row-local quantization
+    * pass joined on vec_id (assign's groupBy already partitioned by
+    * vec_id, so only the quantized side shuffles — a build-time
+    * one-shot). */
+  def buildIvfInt8(e: DataFrame, k: Int, iters: Int, n: Long): IvfInt8Index = {
+    val c = Ivf.trainSampled(e, k, iters, n)
+    val q = quantizeInt8(e).select("vec_id", "qv", "scale", "norm")
+    IvfInt8Index(c, Ivf.assign(e, c).join(q, "vec_id"))
+  }
+
+  /** Same layout discipline as [[writeIvf]]: cid directory-partitioned
+    * lists (path-level nprobe pruning), one centroid file. The parquet
+    * schema stores `qv` as `array<tinyint>` — the 4× saving is real on
+    * disk, not just in memory. */
+  def writeIvfInt8(idx: IvfInt8Index, base: String): Unit = {
+    idx.centroids.coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/ivf8_centroids")
+    idx.lists.repartition(col("cid"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$base/ivf8_lists")
+  }
+
+  def readIvfInt8(spark: SparkSession, base: String): IvfInt8Index =
+    IvfInt8Index(
+      spark.read.parquet(s"$base/ivf8_centroids"),
+      spark.read.parquet(s"$base/ivf8_lists"))
+
+  /** Probe the quantized index: cell selection exactly as [[probeIvf]]
+    * (fp64 centroids), then an INT8 shortlist pass over the probed
+    * cells — the integer dot product `Σ qa·qb` is exact int arithmetic
+    * (bounded by 127²·d, no overflow below d ≈ 5·10¹⁴), descaled to an
+    * approximate cosine by the stored scales and norms — and only the
+    * top `refine · topK` shortlist rows pay the fp64 re-rank against
+    * the RAW embedding frame `e`. At scale that means the heavy read
+    * is int8 (quarter the bytes of fp64 lists); fp64 vectors are
+    * fetched for ~refine·topK rows, not per candidate. Exactness
+    * contract (QuantizedAnnSpec): with `refine` large enough to cover
+    * every candidate in the probed cells, the result EQUALS
+    * [[probeIvf]] row-for-row — the approximation only ever narrows
+    * the shortlist, never the scoring of what survives. */
+  def probeIvfInt8(idx: IvfInt8Index, e: DataFrame, query: DataFrame,
+      nprobe: Int, topK: Int, refine: Int = 4,
+      excludeId: Long = -1L): DataFrame = {
+    val qq = quantizeInt8(query.select(col("v")))
+      .select(col("qv").as("q_qv"), col("scale").as("q_scale"),
+        col("norm").as("q_norm"))
+    val probeCells = idx.centroids
+      .crossJoin(broadcast(query.select(col("v").as("qv2"))))
+      .withColumn("d2", Ivf.dist2(col("cv"), col("qv2")))
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .select("cid")
+    val approx = idx.lists.join(broadcast(probeCells), "cid")
+      .filter(col("vec_id") =!= excludeId)
+      .crossJoin(broadcast(qq))
+      .withColumn("int_dot", expr(
+        """aggregate(zip_with(qv, q_qv,
+             (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      // approx cosine ≈ (int_dot / (scale·q_scale)) / (norm·q_norm);
+      // zero-norm vectors rank at 0 rather than NaN-poisoning the sort
+      .withColumn("approx_e4", when(
+          col("norm") * col("q_norm") === 0d, lit(0L))
+        .otherwise(round(lit(10000) * col("int_dot")
+          / (col("scale") * col("q_scale"))
+          / (col("norm") * col("q_norm"))).cast("long")))
+    val shortlist = approx
+      .orderBy(col("approx_e4").desc, col("vec_id"))
+      .limit(refine * topK)
+      .select("vec_id")
+    rerank(shortlist, e, query, topK)
+  }
+
   // ------------------------------------------- versioned retrain / swap
 
   /** Versioned IVF index lifecycle — the ACTION for [[ivfDrift]]'s

@@ -26,6 +26,37 @@ object CleaningQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  import org.apache.spark.sql.Column
+
+  /** The C4 LINE rule as a reusable column: `text` → the text of its
+    * kept lines (terminal punctuation, ≥ 5 words, no 'javascript') —
+    * the same filter [[l31]] aggregates over, factored so the
+    * streaming admission pre-clean ([[graft.streaming.AdmissionPipeline
+    * .cleanse]]) and the batch DQ can never disagree on what a kept
+    * line is. A page where every line drops yields the empty string
+    * (its length 0 then fails the quality gate downstream — the
+    * page-drop decision belongs to the quality screen, not here). */
+  def c4KeptText(text: Column): Column =
+    concat_ws("\n", expr_filter_lines(text))
+
+  private def expr_filter_lines(text: Column): Column = {
+    // single definition of the line predicate, shared with l31's plan
+    filter(split(text, "\n"), l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(l, " ")) >= 5 &&
+        !contains(lower(l), lit("javascript")))
+  }
+
+  /** The PII redaction of [[l32]] as a reusable column — email, phone,
+    * IPv4 each replaced by its typed tag, identical regexes and order
+    * to the DQ (l32's `n_residual = 0` invariant proves convergence of
+    * exactly this composition). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>")),
+      lit(IpRe), lit("<IP>"))
+
   /** The planted LINED corpus for [[l31]], as one SQL expression used
     * verbatim on both engines (column `text2`):
     *  - every doc keeps its original (unpunctuated, thus always-dropped)
@@ -68,11 +99,7 @@ object CleaningQueries {
       docs(s, d)
         .withColumn("text2", expr(linedSql))
         .withColumn("lines", split(col("text2"), "\n"))
-        .withColumn("kept", expr(
-          """filter(lines, l ->
-               substring(l, -1, 1) IN ('.', '!', '?', '"')
-               AND size(split(l, ' ')) >= 5
-               AND NOT contains(lower(l), 'javascript'))"""))
+        .withColumn("kept", expr_filter_lines(col("text2")))
         .withColumn("page_kept",
           !contains(lower(col("text2")), lit("lorem ipsum")) &&
             !contains(col("text2"), lit("{")) && size(col("kept")) >= 3)
@@ -150,6 +177,7 @@ object CleaningQueries {
 
   // spec-visible handles (CleaningSpec pins rule-level behavior)
   private[operators] def linedSqlForTest = linedSql
+  private[operators] def scoreSqlForTest = scoreSql
   private[operators] def emailReForTest  = EmailRe
   private[operators] def phoneReForTest  = PhoneRe
   private[operators] def ipReForTest     = IpRe
@@ -192,11 +220,7 @@ object CleaningQueries {
         .withColumn("n_email", regexp_count(col("text2"), lit(EmailRe)))
         .withColumn("n_phone", regexp_count(col("text2"), lit(PhoneRe)))
         .withColumn("n_ip", regexp_count(col("text2"), lit(IpRe)))
-        .withColumn("redacted",
-          regexp_replace(regexp_replace(regexp_replace(col("text2"),
-            lit(EmailRe), lit("<EMAIL>")),
-            lit(PhoneRe), lit("<PHONE>")),
-            lit(IpRe), lit("<IP>")))
+        .withColumn("redacted", piiRedact(col("text2")))
         .withColumn("n_residual",
           regexp_count(col("redacted"), lit(EmailRe)) +
             regexp_count(col("redacted"), lit(PhoneRe)) +
@@ -276,6 +300,66 @@ object CleaningQueries {
     * one-line change that moves no data). Keep iff the score is
     * positive. Per language: docs, kept, mean milli-score, kept-doc
     * checksum. */
+  /** The token → feature-bucket hash of [[scoreSql]], as a DSL column
+    * (same fold, same modulus, same 256-bucket space). */
+  private def bucketOf(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, x) => (a * lit(31L) + x) % lit(1000003L)), lit(256L))
+
+  /** The PRODUCTION weight path of [[l34]] — scoring against a TRAINED
+    * `(bucket, milli_weight)` frame instead of the synthetic weight
+    * expression. The weight table is bounded by construction (the
+    * feature space is 256 buckets — that bound is the entire point of
+    * feature hashing), so it collects once into a map LITERAL and
+    * scoring stays one row-local pass per document: the
+    * broadcast-lookup shape without even a join, nothing per-row
+    * leaves the scan. Buckets absent from the frame weigh 0
+    * (`try_element_at` — under ANSI a plain `element_at` would throw
+    * on the first unseen bucket). CleaningSpec pins this path
+    * bit-identical to [[scoreSql]] when fed the synthetic weights
+    * ([[syntheticWeights]]), so swapping in trained weights is the
+    * declared one-line change, now with code and a gate behind it. */
+  def scoreMilliWith(ta: org.apache.spark.sql.Column,
+      weights: Map[Int, Long]): org.apache.spark.sql.Column = {
+    require(weights.keys.forall(b => b >= 0 && b < 256),
+      "scoreMilliWith: bucket ids must lie in [0, 256)")
+    val wmap = map(weights.toSeq.sortBy(_._1).flatMap { case (b, w) =>
+      Seq(lit(b.toLong), lit(w)) }: _*)
+    aggregate(transform(ta, t => coalesce(
+        try_element_at(wmap, bucketOf(t)), lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** Collect a `(bucket, milli_weight)` frame into the scoring map —
+    * the ONLY driver action of the production path, bounded at 256
+    * rows by [[scoreMilliWith]]'s bucket-space check. */
+  def weightMap(weights: DataFrame): Map[Int, Long] =
+    weights.select(col("bucket").cast("int"),
+        col("milli_weight").cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** The synthetic stand-in weights as a FRAME — exactly the weight
+    * expression [[scoreSql]] inlines (`pmod(bucket · 2654435761, 1001)
+    * − 500`), materialized per bucket. Feeding this through the
+    * production path must reproduce the DQ bit-for-bit (CleaningSpec);
+    * a real deployment replaces this one frame with its trained
+    * weights. */
+  def syntheticWeights(s: SparkSession): DataFrame =
+    s.range(256).select(col("id").cast("int").as("bucket"),
+      (pmod(col("id") * lit(2654435761L), lit(1001L)) - lit(500L))
+        .as("milli_weight"))
+
+  /** Per-document scores via the production path — the frame a
+    * deployment thresholds and lands. */
+  def classifierScores(docsDf: DataFrame, weights: DataFrame): DataFrame = {
+    val w = weightMap(weights)
+    docsDf
+      .filter(col("text").isNotNull)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .select(col("lang"), col("doc_id"),
+        scoreMilliWith(col("ta"), w).as("score_milli"))
+  }
+
   val l34 = DQ(
     "l34_quality_classifier",
     (s, d) => {

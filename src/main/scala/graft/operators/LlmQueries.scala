@@ -74,6 +74,39 @@ object LlmQueries {
 
   private[graft] val RepetitionFlagBp = 1000L
 
+  /** THE full Gopher ladder (Rae et al. 2021 Table A1), in one place
+    * for the same reason as [[qualityKeep]]: batch [[l27b]] and the
+    * streaming admission `repetitive` arm must flag the identical
+    * documents. Returns the four row-local flags in ladder order —
+    * duplicate-line fraction (> 0.30) and the top 2-/3-/4-gram
+    * CHARACTER coverages (> 0.20/0.18/0.16) — each integer-exact, each
+    * computed from the doc's own text/tokens only (one native
+    * `graft_topgram_stats` call, no explode, no shuffle). A width with
+    * no grams reports 0 coverage and can never flag; a null text nulls
+    * every flag (callers' quality guard routes that case first).
+    *
+    * One realization pin beyond the published thresholds: a coverage
+    * flag additionally requires the top gram to OCCUR ≥ 2 times. A
+    * singleton gram is not repetition — it is just a long word run —
+    * and at Gopher's web-document lengths the condition is vacuous (a
+    * once-occurring 4-gram cannot cover 16% of a 2 KB page), but at
+    * this corpus' ~200-char documents a unique-token doc's longest
+    * 4-gram can clear the bar arithmetically. Same move as
+    * [[RepetitionFlagBp]]: the published rule realized so short docs
+    * don't degenerate. */
+  private[graft] def ladderFlags(text: Column, ta: Column): Seq[Column] = {
+    val lines = split(text, "\n")
+    val nChars = length(text).cast("long")
+    val tg = call_function("graft_topgram_stats", ta)
+    def covFlag(i: Int, pct: Int): Column =
+      tg.getItem(i - 1) >= lit(2L) &&
+        tg.getItem(i) * lit(100L) > lit(pct.toLong) * nChars
+    Seq(
+      (size(lines).cast("long") - size(array_distinct(lines)).cast("long"))
+        * lit(100L) > lit(30L) * size(lines).cast("long"),
+      covFlag(1, 20), covFlag(3, 18), covFlag(5, 16))
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** L1 — exact deduplication: normalize → sha256 → hash groupBy keeping
@@ -847,6 +880,49 @@ object LlmQueries {
     },
     None)
 
+  /** L36 — ANN over the INT8-QUANTIZED inverted file: l24's
+    * quantization rule fused into l16's IVF shape
+    * ([[AnnIndexes.buildIvfInt8]] / [[AnnIndexes.probeIvfInt8]]) — the
+    * memory-bound deployment, where the index holds 4×-smaller int8
+    * vectors, the shortlist pass is exact integer arithmetic, and only
+    * `refine · topK` survivors pay an fp64 re-rank against the raw
+    * embeddings. Same in-plan recall invariant as l16 (overlap with
+    * the exact top-5), plus `n_vs_fp64_overlap`: agreement with the
+    * FULL-PRECISION IVF probe at the same (nprobe, topK) — the
+    * quantization cost isolated from the cell-pruning cost. No oracle
+    * for the same reason as l12/l16; QuantizedAnnSpec pins the
+    * refine-covers-all ≡ fp64-probe identity and the storage schema. */
+  val l36 = DQ(
+    "l36_ann_ivf_int8",
+    (s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = graft.Tables.rowCount(s, d, "embeddings")
+      val k = Ivf.cellCount(n)
+      val nprobe = math.max(4, (k + 3) / 4)
+      val idx8 = AnnIndexes.buildIvfInt8(e, k, iters = 2, n)
+      val query = e.filter(col("vec_id") === 0)
+      val q = query.select(col("v").as("qv"))
+      val ann = AnnIndexes.probeIvfInt8(idx8, e, query,
+        nprobe = nprobe, topK = 5, refine = 4, excludeId = 0L)
+      val exact5 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim_e4",
+          round(lit(10000) * VectorOps.cosineNative(col("v"), col("qv"))).cast("long"))
+        .orderBy(col("sim_e4").desc, col("vec_id")).limit(5)
+        .select(col("vec_id").as("_evid"))
+      val overlap = ann.join(broadcast(exact5), col("vec_id") === col("_evid"))
+        .agg(count(lit(1)).as("n_exact_top5_overlap"))
+      val fp64 = AnnIndexes.probeIvf(
+        AnnIndexes.IvfIndex(idx8.centroids,
+          idx8.lists.select("vec_id", "cid")),
+        e, query, nprobe = nprobe, topK = 5, excludeId = 0L)
+        .select(col("vec_id").as("_fvid"))
+      val agree = ann.join(broadcast(fp64), col("vec_id") === col("_fvid"))
+        .agg(count(lit(1)).as("n_vs_fp64_overlap"))
+      ann.crossJoin(broadcast(overlap)).crossJoin(broadcast(agree))
+    },
+    None)
+
   /** L15 — n-gram Jaccard similarity as a first-class scorer: word
     * 3-gram sets of each kept document vs its first-token-dropped
     * variant, Jaccard ×10000. Pure per-row HOF set math (the pair is
@@ -1186,9 +1262,15 @@ object LlmQueries {
     * this corpus' docs are single-line, so that rule correctly flags
     * nothing here while staying live for real corpora (the oracle pins
     * the zeros). The top-gram is chosen by occurrence count with
-    * char-coverage as the deterministic tie-break, and every comparison
+    * char-coverage as the deterministic tie-break, every comparison
     * is integer-exact (`cov·100 > pct·n_chars`), so Spark and DuckDB
-    * cannot disagree on a boundary document.
+    * cannot disagree on a boundary document — and a coverage flag
+    * additionally requires the top gram to occur ≥ 2 times (see
+    * [[ladderFlags]]: a singleton gram is a long word run, not
+    * repetition; the condition is vacuous at the published rule's
+    * web-document lengths). Since round 12 the flags come from the
+    * shared [[ladderFlags]], the same columns the streaming admission
+    * gate screens with.
     *
     * Scale shape (since round 11): every flag is computed ROW-LOCALLY —
     * duplicate-line fraction via `size(lines) - size(array_distinct(
@@ -1207,22 +1289,10 @@ object LlmQueries {
       docs(s, d)
         .filter(col("text").isNotNull)
         .withColumn("ta", split(lower(col("text")), "\\s+"))
-        .withColumn("n_chars_txt", length(col("text")).cast("long"))
-        .withColumn("lines", split(col("text"), "\n"))
-        // duplicate-line fraction, integer-exact: (n_lines - n_distinct)
-        // * 100 > 30 * n_lines
-        .withColumn("f_line",
-          (size(col("lines")).cast("long")
-            - size(array_distinct(col("lines"))).cast("long")) * lit(100L) >
-            lit(30L) * size(col("lines")).cast("long"))
-        .withColumn("tg", expr("graft_topgram_stats(ta)"))
-        .select(col("lang"), col("doc_id"), col("f_line"),
-          (col("tg").getItem(1) * lit(100L) >
-            lit(20L) * col("n_chars_txt")).as("f_2g"),
-          (col("tg").getItem(3) * lit(100L) >
-            lit(18L) * col("n_chars_txt")).as("f_3g"),
-          (col("tg").getItem(5) * lit(100L) >
-            lit(16L) * col("n_chars_txt")).as("f_4g"))
+        .select(Seq(col("lang"), col("doc_id")) ++
+          ladderFlags(col("text"), col("ta"))
+            .zip(Seq("f_line", "f_2g", "f_3g", "f_4g"))
+            .map { case (c, n) => c.as(n) }: _*)
         .withColumn("f_any",
           col("f_line") || col("f_2g") || col("f_3g") || col("f_4g"))
         .groupBy("lang")
@@ -1273,14 +1343,19 @@ object LlmQueries {
                 -- HUGEINT key (DuckDB's arg_max takes no struct key):
                 -- cov is a BIGINT so c * 2^64 + cov is exact for ANY
                 -- document — no 2^32 coverage bound
-                arg_max(cov, CAST(c AS HUGEINT) * 18446744073709551616 + cov) AS cov
+                arg_max(cov, CAST(c AS HUGEINT) * 18446744073709551616 + cov) AS cov,
+                -- the (c, cov)-lexicographic argmax's count IS max(c)
+                MAX(c) AS c
               FROM counts
               GROUP BY 1, 2, 3, 4),
             gflags AS (
+              -- c >= 2: a singleton gram is not repetition (see the
+              -- ladderFlags scaladoc — vacuous at web-doc lengths,
+              -- load-bearing on ~200-char docs)
               SELECT lang, doc_id,
-                MAX(CASE WHEN n = 2 THEN cov * 100 > 20 * n_chars_txt END) AS f_2g,
-                MAX(CASE WHEN n = 3 THEN cov * 100 > 18 * n_chars_txt END) AS f_3g,
-                MAX(CASE WHEN n = 4 THEN cov * 100 > 16 * n_chars_txt END) AS f_4g
+                MAX(CASE WHEN n = 2 THEN c >= 2 AND cov * 100 > 20 * n_chars_txt END) AS f_2g,
+                MAX(CASE WHEN n = 3 THEN c >= 2 AND cov * 100 > 18 * n_chars_txt END) AS f_3g,
+                MAX(CASE WHEN n = 4 THEN c >= 2 AND cov * 100 > 16 * n_chars_txt END) AS f_4g
               FROM top GROUP BY 1, 2),
             perdoc AS (
               SELECT l.lang, l.doc_id, l.f_line,
@@ -1436,6 +1511,6 @@ object LlmQueries {
 
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l27b, l28, l29)
+      l19, l24, l26, l27, l27b, l28, l29, l36)
 }
 

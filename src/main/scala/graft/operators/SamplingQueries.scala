@@ -336,11 +336,20 @@ object SamplingQueries {
     val contaminated = grams.filter(col("split") === "train")
       .join(testGrams, Seq("gram"), "left_semi")
       .select("lang", "doc_id").distinct()
-      .groupBy("lang")
+    contamRollup(labeled, contaminated)
+  }
+
+  /** The per-language contamination accounting shared by the exact
+    * ([[decontaminate]]) and Bloom-prefiltered ([[decontaminateBloom]])
+    * screens: a distinct (lang, doc_id) contaminated frame → train
+    * counts, contamination rate (bp), flagged-id checksum. */
+  private def contamRollup(labeled: DataFrame,
+      contaminated: DataFrame): DataFrame = {
+    val agg = contaminated.groupBy("lang")
       .agg(count(lit(1)).as("n_contaminated"), sum("doc_id").as("doc_id_sum"))
     labeled.filter(col("split") === "train")
       .groupBy("lang").agg(count(lit(1)).as("n_train"))
-      .join(contaminated, Seq("lang"), "left")
+      .join(agg, Seq("lang"), "left")
       .select(col("lang"), col("n_train"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         round(coalesce(col("n_contaminated"), lit(0L)) * lit(10000.0) / col("n_train"))
@@ -349,15 +358,60 @@ object SamplingQueries {
       .orderBy("lang")
   }
 
+  /** L35 core — the 100 TB MEMORY shape of decontamination: a Bloom
+    * prefilter in front of the exact gram join. The exact screen
+    * ([[decontaminate]]) broadcasts the eval set's distinct grams as a
+    * hash relation — at a 10⁹-gram eval suite that is tens of GB per
+    * executor; the membership SKETCH of the same set at ~10 bits/item
+    * is ~1 GB, two orders denser. So: build the Bloom over the eval
+    * grams' xxhash64 (Spark's own [[
+    * org.apache.spark.sql.catalyst.expressions.aggregate
+    * .BloomFilterAggregate]], surfaced by
+    * [[graft.functions.BloomExprs]] — the identical machinery the
+    * optimizer injects as runtime filters), ship it as a SCALAR
+    * SUBQUERY (one broadcast per executor, plan stays action-free),
+    * and row-locally drop every train gram the sketch rules out —
+    * typically ~all of them. Only the surviving sliver pays the exact
+    * semi-join, which removes the sketch's false positives: Bloom has
+    * NO false negatives, so prefilter + exact verify ≡ the exact
+    * screen, row for row — that identity is the DQ's oracle (same SQL
+    * family as l25) and the spec's pin.
+    *
+    * Scale shape: the prefilter is a per-row hash probe at the scan
+    * (no shuffle, no state); the exact join's build side is unchanged
+    * but its STREAM side shrinks to the candidate sliver — the shuffle
+    * the screen pays becomes proportional to the contamination rate,
+    * not the corpus. */
+  private[graft] def decontaminateBloom(labeled: DataFrame): DataFrame = {
+    graft.functions.BloomExprs.ensureRegistered(labeled.sparkSession)
+    val grams = docGrams(labeled, Seq("lang", "doc_id", "split"), hashed = false)
+    val testGrams = grams.filter(col("split") === "test")
+      .select("gram").distinct()
+    // sized for a ~1% FP rate at 10⁶ eval grams (9.6 bits/item); FP
+    // rate only costs verify-join traffic, never correctness
+    val bloom = testGrams.agg(
+      call_function("graft_bloom_agg", xxhash64(col("gram")),
+        lit(1000000L), lit(8388608L)).as("bf"))
+    val candidates = grams.filter(col("split") === "train")
+      .filter(call_function("graft_might_contain", bloom.scalar(),
+        xxhash64(col("gram"))))
+    val contaminated = candidates
+      .join(testGrams, Seq("gram"), "left_semi")
+      .select("lang", "doc_id").distinct()
+    contamRollup(labeled, contaminated)
+  }
+
   private[graft] def splitLabeled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("split", Sampling.splitLabel(col("doc_id"), lit("split"),
         Seq("train" -> "c000", "val" -> "e000"), last = "test"))
 
-  val l25 = DQ(
-    "l25_decontaminate",
-    (s, d) => decontaminate(splitLabeled(s, d), hashedGrams = false),
-    Some("""WITH labeled AS (
+  /** One oracle for BOTH decontamination screens: l35's Bloom
+    * prefilter + exact verify is row-identical to the exact screen by
+    * the no-false-negatives argument, so the same independent DuckDB
+    * formulation gates both — the strongest possible pin that the
+    * sketch path lost nothing. */
+  private val decontamOracle = """WITH labeled AS (
               SELECT lang, doc_id, text,
                 -- NULL branch mirrors splitLabel (see l22's oracle note)
                 CASE WHEN h IS NULL THEN NULL
@@ -388,7 +442,20 @@ object SamplingQueries {
               COALESCE(n_c, 0) AS n_contaminated,
               CAST(ROUND(COALESCE(n_c, 0) * 10000.0 / n_train) AS BIGINT) AS contam_bp,
               COALESCE(s_c, 0) AS doc_id_sum
-            FROM t LEFT JOIN c ON t.lang = c.lang ORDER BY lang"""))
+            FROM t LEFT JOIN c ON t.lang = c.lang ORDER BY lang"""
+
+  val l25 = DQ(
+    "l25_decontaminate",
+    (s, d) => decontaminate(splitLabeled(s, d), hashedGrams = false),
+    Some(decontamOracle))
+
+  /** L35 — the Bloom-prefiltered decontamination screen (see
+    * [[decontaminateBloom]]); gated against the SAME oracle as l25
+    * because the two are answer-identical by construction. */
+  val l35 = DQ(
+    "l35_decontam_bloom",
+    (s, d) => decontaminateBloom(splitLabeled(s, d)),
+    Some(decontamOracle))
 
   /** The 100 TB form of l21's running offset: a two-level distributed
     * prefix sum (the same decomposition as w4's partitioned window with
@@ -479,24 +546,51 @@ object SamplingQueries {
     // second corpus-scan + posexplode execution (measured 2.30 → 1.71 s
     // at sf0.1). At 100 TB the equivalent move is persisting the
     // positional-gram frame to storage once (it IS the substring index
-    // a deployment would keep); block-manager checkpoint is its
-    // single-job stand-in here.
-    val grams = spanGrams(corpus, k, hashed).localCheckpoint(false)
+    // a deployment would keep — [[SubstringIndex]] is that split, and
+    // [[substringSpansFrom]] the shared probe half); block-manager
+    // checkpoint is the single-job stand-in here.
+    substringSpansFrom(corpus, spanGrams(corpus, k, hashed)
+      .localCheckpoint(false), k)
+  }
+
+  /** The PROBE half of l33, factored so the gram frame can come from
+    * either the in-job checkpoint ([[substringSpans]]) or the persisted
+    * parquet index ([[SubstringIndex.read]]) — identical plan from the
+    * gram frame down, so probe-from-disk cannot drift from the composed
+    * DQ. `grams` must be the positional (lang, doc_id, pos, gram) frame
+    * of exactly `corpus` (same k). */
+  private[graft] def substringSpansFrom(corpus: DataFrame, grams: DataFrame,
+      k: Int): DataFrame = {
     val repeated = grams.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
       .select("gram")
     val hits = grams.join(repeated, Seq("gram"), "left_semi")
+    spanRollup(corpus, mergeSpans(hits, k))
+  }
+
+  /** Maximal-span merge: hit positions (lang, doc_id, pos) → coalesced
+    * [s, e) spans per doc (overlapping or adjacent [pos, pos+k) member
+    * intervals merge via the running-max window). The window input is
+    * only HIT positions — repeat-density-bounded, never corpus-sized. */
+  private[graft] def mergeSpans(hits: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(k))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = hits
+    hits
       .withColumn("new_span",
         when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
       .withColumn("span_id", sum("new_span")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("lang", "doc_id", "span_id")
       .agg(min("pos").as("s"), (max("pos") + lit(k)).as("e"))
+  }
+
+  /** The per-language accounting rollup shared by every span producer:
+    * span frame → (lang, n_docs, n_docs_with_spans, n_spans,
+    * tokens_covered, max_span_tokens, span_checksum), zero-filled for
+    * languages with no spans. */
+  private[graft] def spanRollup(corpus: DataFrame, spans: DataFrame): DataFrame = {
     val perLang = spans.groupBy("lang")
       .agg(
         countDistinct("doc_id").as("n_docs_with_spans"),
@@ -583,5 +677,5 @@ object SamplingQueries {
             FROM total t LEFT JOIN perlang p ON t.lang = p.lang
             ORDER BY t.lang"""))
 
-  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33)
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35)
 }

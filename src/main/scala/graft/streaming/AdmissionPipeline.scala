@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.LlmQueries
+import graft.operators.{CleaningQueries, LlmQueries}
 
 /** Composed streaming ADMISSION pipeline — the ingest-side counterpart
   * of batch l29: every admission gate a training-data ingest runs at
@@ -69,6 +69,33 @@ object AdmissionPipeline {
     * is row-local (native `graft_topgram_stats`), so unlike the index
     * screens it costs no join and screens each doc against itself —
     * stateless and trivially streaming-safe. */
+  /** Opt-in PRE-GATE cleaning — the C4/CCNet ordering: clean text
+    * FIRST, then let every downstream screen (exact dedup, near-dup,
+    * contamination, quality, repetition) judge the text a release
+    * would actually ship. Applies batch l31's line rules then l32's
+    * redaction ([[CleaningQueries.c4KeptText]] /
+    * [[CleaningQueries.piiRedact]] — the DQs' own column functions, so
+    * ingest and batch cannot drift), re-measuring `n_chars` on the
+    * cleaned text. Row-local (HOF filter + three codegen'd regexes) —
+    * adds no join or shuffle to the per-batch cost.
+    *
+    * Two consequences the spec pins, both deliberate:
+    *  - dedup state keys on the CLEANED content hash, so two pages
+    *    identical after boilerplate-line drop suppress as exact copies
+    *    even when their dropped junk differed;
+    *  - an admitted doc lands REDACTED — PII never reaches the corpus
+    *    partition, closing the gap where `reason=admit` rows carried
+    *    raw text that l32 would later have to scrub.
+    *
+    * Opt-in because the rules assume prose-with-punctuation pages; a
+    * corpus of single-line unpunctuated records (this repo's synthetic
+    * documents) would clean to empty strings and land low_quality —
+    * correct C4 behavior, wrong default for every caller. */
+  def cleanse(df: DataFrame): DataFrame =
+    df.withColumn("text",
+        CleaningQueries.piiRedact(CleaningQueries.c4KeptText(col("text"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   def decide(batch: DataFrame, gates: Gates): DataFrame = {
     val near = StreamingNearDup.screenRaw(batch, gates.neardup, keep = Nil)
       .select("doc_id").distinct().withColumn("_nd", lit(true))
@@ -98,13 +125,20 @@ object AdmissionPipeline {
           // null text (malformed/permissive-parsed record) nulls the
           // predicate, skips this branch, and lands in low_quality —
           // never admit, never a spurious `repetitive`. Inside the
-          // verdict, a repetition flag that is itself null (a 200-char
-          // SINGLE token has no 2-grams: top2Bp is null by its own
-          // size(ta) >= 2 guard — under ANSI an unguarded divide would
-          // throw, not null) correctly admits — no grams, nothing
-          // repeats.
+          // verdict, the repetition screen is l27's occurrence rule OR
+          // the full published ladder (l27b: duplicate-line fraction +
+          // 2/3/4-gram char coverages, the shared
+          // [[LlmQueries.ladderFlags]]) — all row-local, so the widened
+          // screen still costs no join. A statistic that is itself null
+          // (a 200-char SINGLE token has no 2-grams: top2Bp is null by
+          // its own size(ta) >= 2 guard — under ANSI an unguarded
+          // divide would throw, not null; the ladder's gram-less widths
+          // report 0 and never flag) correctly admits — no grams,
+          // nothing repeats.
           .when(LlmQueries.qualityKeep,
-            when(LlmQueries.top2Bp(col("toks")) > LlmQueries.RepetitionFlagBp,
+            when(LlmQueries.ladderFlags(col("text"), col("toks"))
+                .foldLeft(LlmQueries.top2Bp(col("toks")) >
+                  LlmQueries.RepetitionFlagBp)(_ || _),
               "repetitive").otherwise("admit"))
           .otherwise("low_quality"))
       .select(batch.columns.map(col) :+ col("reason"): _*)
@@ -134,9 +168,13 @@ object AdmissionPipeline {
     * state), until the batch l9/l28 backstop sweeps the landed corpus.
     * [[startLive]] closes the cross-BATCH part of that window. */
   def start(spark: SparkSession, stream: DataFrame, gates: Gates,
-      outDir: String, tsCol: String, delay: String): StreamingQuery = {
+      outDir: String, tsCol: String, delay: String,
+      clean: Boolean = false): StreamingQuery = {
+    // cleaning runs BEFORE the stateful dedup so the content-hash state
+    // keys on cleaned text — see [[cleanse]]
+    val in = if (clean) cleanse(stream) else stream
     val deduped = StreamingDedup.withinWatermark(
-      withNChars(stream), tsCol, delay)
+      withNChars(in), tsCol, delay)
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -163,9 +201,11 @@ object AdmissionPipeline {
     * .appendIndex]] contract. */
   def startLive(spark: SparkSession, stream: DataFrame,
       neardupIndexDir: String, holdoutGrams: DataFrame,
-      outDir: String, tsCol: String, delay: String): StreamingQuery = {
+      outDir: String, tsCol: String, delay: String,
+      clean: Boolean = false): StreamingQuery = {
+    val in = if (clean) cleanse(stream) else stream
     val deduped = StreamingDedup.withinWatermark(
-      withNChars(stream), tsCol, delay)
+      withNChars(in), tsCol, delay)
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.operators.SamplingQueries
+import graft.operators.{SamplingQueries, SubstringIndex}
 
 /** Streaming verbatim-repeat screen — incoming documents checked for
   * any [[SamplingQueries.SpanK]]-token span already present VERBATIM in
@@ -40,7 +41,46 @@ object StreamingSubstring {
     SamplingQueries.docGramsK(corpus, Nil, SamplingQueries.SpanK, hashed = true)
       .select("gram").distinct()
 
-  /** Persist sorted by gram for min/max row-group skipping. */
+  /** The documented BOUNDED deployment, as a call instead of a caller's
+    * exercise: index only documents admitted within `horizon` of the
+    * corpus' newest admission (`tsCol`) — re-crawl loops and
+    * syndication repeats are temporally local, so the gate screens a
+    * recency window while batch l33 audits the full corpus. The cutoff
+    * is computed IN-PLAN (a broadcast 1-row max, no driver action), so
+    * the helper composes lazily like every other index builder; a span
+    * seen only PAST the horizon is invisible to the gate by
+    * construction (StreamingSubstringSpec pins it admits). */
+  def buildIndexSince(corpus: DataFrame, tsCol: String,
+      horizon: String): DataFrame = {
+    val cutoff = corpus.agg(max(col(tsCol)).as("_max_ts"))
+    buildIndex(corpus
+      .crossJoin(broadcast(cutoff))
+      .filter(col(tsCol) >= col("_max_ts") - expr(s"INTERVAL $horizon"))
+      .drop("_max_ts"))
+  }
+
+  /** The gate's screen set as a PROJECTION of the persisted substring
+    * index ([[SubstringIndex]] — the same artifact batch l33 probes),
+    * so the streaming gate and the batch audit share provenance: one
+    * build job signs the corpus once, both consumers read it. Same
+    * distinct gram set as [[buildIndex]] on the same corpus by
+    * construction (positional grams distinct ≡ per-doc-distinct grams
+    * distinct). */
+  def indexFrom(spanGrams: DataFrame): DataFrame =
+    spanGrams.select("gram").distinct()
+
+  /** [[indexFrom]] over [[SubstringIndex.read]]: resolve the gate's
+    * screen set from the persisted index directory by path. */
+  def fromPersisted(spark: SparkSession, base: String): DataFrame =
+    indexFrom(SubstringIndex.read(spark, base))
+
+  /** Persist sorted by gram for min/max row-group skipping.
+    *
+    * NOTE: a deployment that already maintains the full
+    * [[SubstringIndex]] (for batch probes / appends) should prefer
+    * [[fromPersisted]] over a second distinct-gram artifact — this
+    * write exists for gate-only deployments where the positional index
+    * would be dead weight. */
   def writeIndex(index: DataFrame, base: String): Unit =
     index.sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(s"$base/corpus_spans")

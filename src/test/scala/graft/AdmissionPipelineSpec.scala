@@ -99,6 +99,37 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     assert(withoutGate === Seq("admit"), withoutGate.toString)
   }
 
+  test("buildIndexSince scopes the verbatim gate to a recency window: a doc " +
+      "repeating only a past-horizon span admits, a recent span still flags") {
+    import spark.implicits._
+    val recentText = "periscope anchovy doldrum escarpment filament grotto " +
+      "hacksaw isthmus jacquard krypton limpet mangrove nocturne ocelot " +
+      "pimento quahog ratchet stirrup topaz umlaut verdigris wampum xylem " +
+      "yucca"
+    val tsCorpus = Seq(
+      (100L, longCorpusText, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (102L, recentText, java.sql.Timestamp.valueOf("2026-03-01 00:00:00")))
+      .toDF("doc_id", "text", "ts")
+    // 7-day horizon off the corpus' newest admission (03-01): doc 100's
+    // spans fall out of the index, doc 102's stay in
+    val g = gates.copy(corpusSpans =
+      Some(StreamingSubstring.buildIndexSince(tsCorpus, "ts", "7 DAYS")))
+    val novelTail = Seq("zephyr", "quill", "almanac", "gondola", "parapet",
+      "sundial", "vellum", "ossuary", "tureen", "paddock", "bellows",
+      "crampon", "jetty", "kiln", "lozenge", "mortise", "naphtha", "oculus",
+      "pergola", "quoin")
+    val liftOld = (longCorpusText.split(" ").slice(4, 20) ++ novelTail)
+      .mkString(" ")
+    val liftNew = (recentText.split(" ").slice(4, 20) ++ novelTail)
+      .mkString(" ")
+    val got = AdmissionPipeline.decide(
+      mkBatch(Seq(10L -> liftOld, 11L -> liftNew)), g)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "admit", 11L -> "verbatim_repeat"),
+      got.toString)
+  }
+
   test("a 200-char single-token doc (URL/base64 shape) admits instead of " +
       "throwing: no 2-grams means the repetition statistic is null") {
     // whitespace-free, ≥200 chars: passes qualityKeep (stop_bp = 0),
@@ -118,6 +149,96 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     val out = AdmissionPipeline.decide(batch, gates)
     assert(out.columns.toSeq === batch.columns.toSeq :+ "reason")
     assert(out.count() === 1L)
+  }
+
+  test("the repetitive arm runs the FULL Gopher ladder: a doc l27's " +
+      "2-gram occurrence rule misses (duplicate lines under 10% top-2-gram " +
+      "share) is caught at ingest") {
+    // 5 distinct 8-word lines + 5 extra copies of line 1: duplicate-line
+    // fraction 5/10 > 0.30 flags, while the top 2-gram's occurrence
+    // share is ~6/79 ≈ 7.6% — under l27's 10% bar, so the old
+    // single-rule arm admitted exactly this shape
+    // vocabulary disjoint from the corpus docs, so the near-dup bands
+    // cannot collide and precedence cannot mask the repetition verdict
+    val lines = Seq(
+      "abacus brogue chignon dirndl epaulet ferrule gusset haversack",
+      "inkwell jodhpur kersey loden mantilla nankeen oilskin placket",
+      "quimp russet serge tartan ulster voile worsted yashmak",
+      "argyle bombazine calico damask etamine flannel gingham hessian",
+      "jacquette khaki linsey moleskin organdy percale quilting ratine")
+    val doc = (lines ++ Seq.fill(5)(lines.head)).mkString("\n")
+    val batch = mkBatch(Seq(12L -> doc))
+    // it passes quality (long, stopword-free) — the ladder is what flags
+    val got = AdmissionPipeline.decide(batch, gates)
+      .select("reason").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("repetitive"), got.toString)
+    // and the same doc is what batch l27b flags: the shared rule
+    import spark.implicits._
+    val flags = Seq(("en", 12L, doc)).toDF("lang", "doc_id", "text")
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .select(graft.operators.LlmQueries.ladderFlags(col("text"), col("ta"))
+        .zip(Seq("f_line", "f_2g", "f_3g", "f_4g"))
+        .map { case (c, n) => c.as(n) }: _*)
+      .collect().head
+    assert(flags.getBoolean(0), "duplicate-line rule must fire")
+  }
+
+  test("cleanse applies the C4 line rules then PII redaction and " +
+      "re-measures n_chars — the batch DQs' own column functions") {
+    val junk = "enable javascript cookie banner"
+    val kept1 = "porcelain zeppelin hammock quasar bobbin anchovy tundra."
+    val kept2 = "contact gazebo parchment user7@example.com derrick awning plinth."
+    val batch = mkBatch(Seq(20L -> s"$junk\n$kept1\n$kept2"))
+    val got = AdmissionPipeline.cleanse(batch).collect().head
+    val text = got.getAs[String]("text")
+    assert(text === kept1 + "\n" +
+      "contact gazebo parchment <EMAIL> derrick awning plinth.", text)
+    assert(got.getAs[Long]("n_chars") === text.length.toLong)
+  }
+
+  test("clean=true end-to-end: two pages identical after junk-line drop " +
+      "dedup as exact copies, the admitted doc lands redacted, an " +
+      "all-junk page lands low_quality") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    // four punctuated ≥5-word lines (≥200 chars kept) with one email
+    val keptLines = Seq(
+      "porcelain zeppelin hammock quasar bobbin anchovy tundra seventy.",
+      "gazebo parchment kaleidoscope derrick awning lacquer plinth nine.",
+      "sextant bugle cornice dynamo easel fresco garnet marble forty.",
+      "contact hinge ingot javelin user33@example.com obelisk mandolin.")
+    val body = keptLines.mkString("\\n")
+    val in = Files.createTempDirectory("graft_admission_cin_").toString
+    Files.write(Paths.get(in, "f1.json"), String.join("\n",
+      // docs 31/32: SAME kept lines under DIFFERENT dropped junk —
+      // cleaned-content hashing must suppress one as an exact copy
+      s"""{"doc_id":31,"text":"no punctuation junk header\\n$body","ts":"2026-01-01T10:00:00Z"}""",
+      s"""{"doc_id":32,"text":"different cookie banner junk\\n$body","ts":"2026-01-01T10:00:01Z"}""",
+      // doc 33: nothing survives the line rules → empty text → quality
+      s"""{"doc_id":33,"text":"just one long unpunctuated boilerplate navigation row","ts":"2026-01-01T10:00:02Z"}""").getBytes)
+    val out = Files.createTempDirectory("graft_admission_cout_").toString
+
+    val q = AdmissionPipeline.start(spark,
+      spark.readStream.schema(schema).json(in), gates, out, "ts",
+      "10 minutes", clean = true)
+    q.processAllAvailable()
+    q.stop()
+
+    val decisions = spark.read.parquet(s"$out/decisions")
+      .select("doc_id", "reason", "text").collect()
+    val got = decisions.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupSurvivors = got.keySet.intersect(Set(31L, 32L))
+    assert(dupSurvivors.size === 1, got.toString)
+    assert(got(dupSurvivors.head) === "admit", got.toString)
+    assert(got(33L) === "low_quality", got.toString)
+    // the landed admitted text is the cleaned, REDACTED form: junk line
+    // gone, email tagged — PII never reached the corpus partition
+    val landed = decisions.find(r => r.getLong(0) == dupSurvivors.head)
+      .get.getString(2)
+    assert(!landed.contains("junk") && !landed.contains("@example.com") &&
+      landed.contains("<EMAIL>"), landed)
   }
 
   test("end-to-end: exact dup suppressed by stream state, decisions land " +

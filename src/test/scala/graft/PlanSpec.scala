@@ -33,7 +33,11 @@ class PlanSpec extends AnyFunSuite {
       "l29_curation_neardup",
       // l33: plantedFull's 1-row offset broadcast (the same
       // planted-corpus construction l9/l29 carry).
-      "l33_substring_dedup")
+      "l33_substring_dedup",
+      // l36: l16's exact shapes — the k-row centroid broadcast, the
+      // 1-row query-vector/quantized-query broadcasts, and the 1-row
+      // overlap/agreement counters crossJoined onto the top-k frame.
+      "l36_ann_ivf_int8")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

@@ -110,6 +110,45 @@ class CleaningSpec extends AnyFunSuite {
     assert(gotEn === expect, "driver-side rescore disagrees with the plan")
   }
 
+  test("l34 production weight path: scoring against the synthetic weights " +
+      "AS A FRAME is bit-identical to the inline expression, and a " +
+      "changed weight moves exactly the docs touching its bucket") {
+    val docs = graft.Tables.documents(spark, sf)
+    // inline (DQ) per-doc scores, recomputed through the DQ's own expr
+    val inline = docs.filter(col("text").isNotNull)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        expr(CleaningQueries.scoreSqlForTest).as("score_milli"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // production: same weights fed as a (bucket, milli_weight) frame
+    val prod = CleaningQueries.classifierScores(docs,
+      CleaningQueries.syntheticWeights(spark))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(prod === inline && prod.nonEmpty,
+      "weight-frame path must reproduce the inline path bit-for-bit")
+    // swap discipline: zeroing ONE bucket changes only scores of docs
+    // with ≥1 token hashing into it, by exactly that bucket's weight
+    val wm = CleaningQueries.weightMap(CleaningQueries.syntheticWeights(spark))
+    // zero the bucket of a token the corpus PROVABLY contains
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000003L)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(lower(col("text"))).head.getString(0).split("\\s+")
+    val b0 = toks.map(t => (tokHash(t) % 256L).toInt)
+      .find(b => wm(b) != 0L)
+      .getOrElse(fail("every token of the first doc weighs 0 — fixture broken"))
+    val zeroed = CleaningQueries.classifierScores(docs,
+      CleaningQueries.syntheticWeights(spark)
+        .withColumn("milli_weight",
+          when(col("bucket") === b0, 0L).otherwise(col("milli_weight"))))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val deltas = prod.keySet.map(id => zeroed(id) - prod(id))
+    val w0 = wm(b0)
+    assert(deltas.exists(_ != 0L), s"bucket $b0 hits no doc — fixture too thin")
+    assert(deltas.forall(d => d % w0 == 0L),
+      s"every delta must be a multiple of the zeroed weight $w0: $deltas")
+  }
+
   test("l32: the planted PII strings match their patterns exactly once each") {
     import spark.implicits._
     val probes = Seq(

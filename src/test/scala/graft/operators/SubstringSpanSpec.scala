@@ -70,6 +70,62 @@ class SubstringSpanSpec extends AnyFunSuite {
     assert(s.map(_(2).asInstanceOf[Long]).sum > 0)
   }
 
+  test("persisted index: write → read → spans ≡ the composed hashed plan, " +
+      "and the gate's distinct-gram projection matches buildIndex") {
+    val corpus = LlmQueries.plantedFull(Tables.documents(spark, sf))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_substr_ix_").toString
+    SubstringIndex.write(corpus, base)
+    val ix = SubstringIndex.read(spark, base)
+    val fromDisk = SubstringIndex.spans(corpus, ix).collect().map(_.toSeq).toSeq
+    val composed = SamplingQueries.substringSpans(corpus,
+      SamplingQueries.SpanK, hashed = true).collect().map(_.toSeq).toSeq
+    assert(fromDisk === composed)
+    // the streaming gate's screen set is a projection of the SAME
+    // artifact: identical distinct gram set as its composed builder
+    val gateFromDisk = graft.streaming.StreamingSubstring
+      .fromPersisted(spark, base).collect().map(_.getLong(0)).toSet
+    val gateComposed = graft.streaming.StreamingSubstring
+      .buildIndex(corpus).collect().map(_.getLong(0)).toSet
+    assert(gateFromDisk === gateComposed && gateFromDisk.nonEmpty)
+  }
+
+  test("append-then-probe ≡ full rebuild, and spansAgainst screens a new " +
+      "shard without re-tokenizing the corpus") {
+    val a = frame(Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma"),
+      (2L, "en", "tau upsilon phi chi psi omega one two three four five six " +
+        "seven eight nine ten eleven twelve")))
+    // doc 3 lifts doc 1's first 16 tokens into a different tail; doc 4
+    // is entirely novel vocabulary
+    val lifted = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val b = frame(Seq(
+      (3L, "en", s"$lifted utterly different ending words"),
+      (4L, "en", "crimson lattice orchid pylon quartz rivet sable timber " +
+        "umber vortex walnut xenon yarrow zeppelin anchor bobbin cedar")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_substr_app_").toString
+    SubstringIndex.write(a, base)
+    SubstringIndex.append(b, base)
+    val appended = SubstringIndex.read(spark, base)
+      .collect().map(_.toSeq).toSet
+    val rebase = java.nio.file.Files
+      .createTempDirectory("graft_substr_reb_").toString
+    SubstringIndex.write(a.unionByName(b), rebase)
+    val rebuilt = SubstringIndex.read(spark, rebase)
+      .collect().map(_.toSeq).toSet
+    assert(appended === rebuilt && appended.nonEmpty)
+    // incremental probe: only the lifted doc lands spans — one maximal
+    // 16-token span (k=15 → 2 member grams merging)
+    val got = SubstringIndex.spansAgainst(b, SubstringIndex.read(spark, base)
+      .filter(col("doc_id") <= 2L)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(("en", 2L, 1L, 1L, 16L, 16L, 3L)), got.toString)
+  }
+
   test("l33 DQ equals a driver-side brute-force recompute at sf0.001") {
     val corpus = LlmQueries.plantedFull(Tables.documents(spark, sf))
       .select("lang", "doc_id", "text").collect()

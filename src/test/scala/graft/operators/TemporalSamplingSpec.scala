@@ -424,6 +424,35 @@ class TemporalSamplingSpec extends AnyFunSuite {
       s"the gram semi-join must broadcast the test side:\n${plan.take(1500)}")
   }
 
+  // ------------------------------------------------------------- l35
+
+  test("l35 Bloom-prefiltered decontamination equals the exact screen " +
+      "row-for-row (no false negatives + exact verify)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")
+        if new java.io.File(dir).isDirectory) {
+      val labeled = SamplingQueries.splitLabeled(spark, dir)
+      val exact = SamplingQueries.decontaminate(labeled, hashedGrams = false)
+        .collect().map(_.toSeq).toSeq
+      val bloom = SamplingQueries.decontaminateBloom(labeled)
+        .collect().map(_.toSeq).toSeq
+      assert(bloom === exact, s"$dir: the sketch path lost or invented rows")
+      // non-vacuous: the corpus genuinely carries contamination
+      assert(exact.map(_(2).asInstanceOf[Long]).sum > 0)
+    }
+  }
+
+  test("l35's plan carries the Bloom probe as a row-local filter in " +
+      "front of the exact semi-join") {
+    val df = SamplingQueries.l35.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("might_contain"),
+      s"expected the bloom probe in the executed plan:\n${plan.take(1500)}")
+    assert(raw"BroadcastHashJoin \[gram#\d+\], \[gram#\d+\], LeftSemi".r
+      .findFirstIn(plan).isDefined,
+      s"the exact verify semi-join must survive behind the prefilter:\n${plan.take(1500)}")
+  }
+
   // ------------------------------------------------------------- l24
 
   test("l24 int8 quantization equals a local recompute and stays in int8 range") {
