@@ -377,10 +377,16 @@ object AnnIndexes {
     * pass joined on vec_id (assign's groupBy already partitioned by
     * vec_id, so only the quantized side shuffles — a build-time
     * one-shot). */
-  def buildIvfInt8(e: DataFrame, k: Int, iters: Int, n: Long): IvfInt8Index = {
-    val c = Ivf.trainSampled(e, k, iters, n)
+  def buildIvfInt8(e: DataFrame, k: Int, iters: Int, n: Long): IvfInt8Index =
+    buildIvfInt8From(Ivf.trainSampled(e, k, iters, n), e)
+
+  /** [[buildIvfInt8]] under ALREADY-TRAINED centroids — the shape for a
+    * deployment (or the composed l36 catalog query) that shares one
+    * trained centroid frame across the fp64 and int8 index builds
+    * rather than re-running Lloyd per variant. */
+  def buildIvfInt8From(centroids: DataFrame, e: DataFrame): IvfInt8Index = {
     val q = quantizeInt8(e).select("vec_id", "qv", "scale", "norm")
-    IvfInt8Index(c, Ivf.assign(e, c).join(q, "vec_id"))
+    IvfInt8Index(centroids, Ivf.assign(e, centroids).join(q, "vec_id"))
   }
 
   /** Same layout discipline as [[writeIvf]]: cid directory-partitioned

@@ -899,7 +899,10 @@ object LlmQueries {
       val n = graft.Tables.rowCount(s, d, "embeddings")
       val k = Ivf.cellCount(n)
       val nprobe = math.max(4, (k + 3) / 4)
-      val idx8 = AnnIndexes.buildIvfInt8(e, k, iters = 2, n)
+      // centroids from the shared checkpointed memo (l26's discipline):
+      // same trainSampled(k, iters=2) parameters, so the trained frame
+      // is identical — one Lloyd execution serves l26 and l36.
+      val idx8 = AnnIndexes.buildIvfInt8From(sharedIvfCentroids(s, d), e)
       val query = e.filter(col("vec_id") === 0)
       val q = query.select(col("v").as("qv"))
       val ann = AnnIndexes.probeIvfInt8(idx8, e, query,
