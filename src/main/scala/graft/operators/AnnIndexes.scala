@@ -451,6 +451,48 @@ object AnnIndexes {
     rerank(shortlist, e, query, topK)
   }
 
+  /** Batch int8 probe — [[probeIvfBatch]]'s sibling for the quantized
+    * index, completing the batch surface: per-qid cell selection
+    * (identical window tie-break), ONE equi-join of the int8 lists
+    * against the broadcast (qid, cid) probe set, per-qid int8
+    * shortlists of `refine · topK` via a rank window (partitions are
+    * per-query candidate sets, never corpus-sized), exact fp64 re-rank
+    * of the shortlist union. A batch of one equals [[probeIvfInt8]]
+    * row-for-row (QuantizedAnnSpec). `excludeSelf` as in
+    * [[probeIvfBatch]]. */
+  def probeIvfInt8Batch(idx: IvfInt8Index, e: DataFrame, queries: DataFrame,
+      nprobe: Int, topK: Int, refine: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val qq = quantizeInt8(queries.select(col("qid"), col("v")))
+      .select(col("qid"), col("qv").as("q_qv"), col("scale").as("q_scale"),
+        col("norm").as("q_norm"))
+    val qc = idx.centroids
+      .crossJoin(broadcast(queries.select(col("qid"), col("v").as("qv2"))))
+      .withColumn("d2", Ivf.dist2(col("cv"), col("qv2")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("d2"), col("cid"))
+    val probeCells = qc.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= nprobe).select("qid", "cid")
+    val approx = idx.lists.join(broadcast(probeCells), "cid")
+      .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
+      .join(broadcast(qq), "qid")
+      .withColumn("int_dot", expr(
+        """aggregate(zip_with(qv, q_qv,
+             (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .withColumn("approx_e4", when(
+          col("norm") * col("q_norm") === 0d, lit(0L))
+        .otherwise(round(lit(10000) * col("int_dot")
+          / (col("scale") * col("q_scale"))
+          / (col("norm") * col("q_norm"))).cast("long")))
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("approx_e4").desc, col("vec_id"))
+    val shortlist = approx.withColumn("_sk", row_number().over(ws))
+      .filter(col("_sk") <= refine * topK)
+      .select("qid", "vec_id").distinct()
+    rerankBatch(shortlist, e, queries, topK)
+  }
+
   // ------------------------------------------- versioned retrain / swap
 
   /** Versioned IVF index lifecycle — the ACTION for [[ivfDrift]]'s

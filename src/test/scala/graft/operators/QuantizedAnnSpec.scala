@@ -79,6 +79,29 @@ class QuantizedAnnSpec extends AnyFunSuite {
     assert(fromDisk === composed)
   }
 
+  test("a batch of one equals the single int8 probe row-for-row, and a " +
+      "3-query batch returns topK per qid") {
+    val n = e.count()
+    val k = Ivf.cellCount(n)
+    val nprobe = math.max(4, (k + 3) / 4)
+    val idx8 = AnnIndexes.buildIvfInt8(e, k, iters = 2, n)
+    val single = AnnIndexes.probeIvfInt8(idx8, e,
+      e.filter(col("vec_id") === 0), nprobe, topK = 5, refine = 4,
+      excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch1 = AnnIndexes.probeIvfInt8Batch(idx8, e,
+      e.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("v")),
+      nprobe, topK = 5, refine = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(batch1 === single)
+    val batch3 = AnnIndexes.probeIvfInt8Batch(idx8, e,
+      e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v")),
+      nprobe, topK = 5, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch3.map(_._1).distinct.sorted === Seq(0L, 1L, 2L))
+    assert(batch3.groupBy(_._1).forall(_._2.size == 5), batch3.mkString(","))
+  }
+
   test("l36 DQ: default-refine probe keeps recall — both in-plan overlap " +
       "counters are non-degenerate") {
     val rows = LlmQueries.l36.fn(spark, sf).collect()
