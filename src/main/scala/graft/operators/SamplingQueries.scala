@@ -383,16 +383,33 @@ object SamplingQueries {
     * the screen pays becomes proportional to the contamination rate,
     * not the corpus. */
   private[graft] def decontaminateBloom(labeled: DataFrame): DataFrame = {
-    graft.functions.BloomExprs.ensureRegistered(labeled.sparkSession)
     val grams = docGrams(labeled, Seq("lang", "doc_id", "split"), hashed = false)
     val testGrams = grams.filter(col("split") === "test")
       .select("gram").distinct()
-    // sized for a ~1% FP rate at 10⁶ eval grams (9.6 bits/item); FP
-    // rate only costs verify-join traffic, never correctness
-    val bloom = testGrams.agg(
+    decontaminateBloomFrom(labeled,
+      grams.filter(col("split") === "train"), testGrams, evalBloom(testGrams))
+  }
+
+  /** The eval-set membership sketch as a ONE-ROW binary frame — sized
+    * for a ~1% FP rate at 10⁶ eval grams (9.6 bits/item); FP rate only
+    * costs verify-join traffic, never correctness. */
+  private[graft] def evalBloom(testGrams: DataFrame): DataFrame = {
+    graft.functions.BloomExprs.ensureRegistered(testGrams.sparkSession)
+    testGrams.agg(
       call_function("graft_bloom_agg", xxhash64(col("gram")),
         lit(1000000L), lit(8388608L)).as("bf"))
-    val candidates = grams.filter(col("split") === "train")
+  }
+
+  /** The probe half of [[decontaminateBloom]], factored so the sketch
+    * (and the exact verify set) can come from PERSISTED artifacts
+    * ([[writeDecontamIndex]]) instead of an in-job recompute —
+    * identical plan from the inputs down, so screen-from-disk cannot
+    * drift from the composed DQ. */
+  private[graft] def decontaminateBloomFrom(labeled: DataFrame,
+      trainGrams: DataFrame, testGrams: DataFrame,
+      bloom: DataFrame): DataFrame = {
+    graft.functions.BloomExprs.ensureRegistered(labeled.sparkSession)
+    val candidates = trainGrams
       .filter(call_function("graft_might_contain", bloom.scalar(),
         xxhash64(col("gram"))))
     val contaminated = candidates
@@ -400,6 +417,26 @@ object SamplingQueries {
       .select("lang", "doc_id").distinct()
     contamRollup(labeled, contaminated)
   }
+
+  /** Persist the decontamination screen's two artifacts — built ONCE
+    * per eval-suite release, consumed by every shard screen and the
+    * streaming gate alike: the distinct eval grams (the exact-verify
+    * set, sorted for row-group locality) and the 1-row Bloom sketch.
+    * The sketch is derived state; a reader that trusts only the gram
+    * parquet can rebuild it with [[evalBloom]] at one small-frame
+    * aggregation's cost. */
+  def writeDecontamIndex(testGrams: DataFrame, base: String): Unit = {
+    testGrams.sortWithinPartitions("gram")
+      .write.mode("overwrite").parquet(s"$base/eval_grams")
+    evalBloom(testGrams).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/eval_bloom")
+  }
+
+  def readDecontamGrams(s: SparkSession, base: String): DataFrame =
+    s.read.parquet(s"$base/eval_grams")
+
+  def readDecontamBloom(s: SparkSession, base: String): DataFrame =
+    s.read.parquet(s"$base/eval_bloom")
 
   private[graft] def splitLabeled(s: SparkSession, d: String): DataFrame =
     docs(s, d)

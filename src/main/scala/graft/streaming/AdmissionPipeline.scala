@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{CleaningQueries, LlmQueries}
+import graft.operators.{CleaningQueries, LlmQueries, SubstringIndex}
 
 /** Composed streaming ADMISSION pipeline — the ingest-side counterpart
   * of batch l29: every admission gate a training-data ingest runs at
@@ -183,11 +183,13 @@ object AdmissionPipeline {
       .start()
   }
 
-  /** [[start]] with a LIVE near-dup index: each microbatch re-resolves
-    * the persisted band index by PATH, and the batch's admitted docs
-    * are appended to it ([[StreamingNearDup.appendIndex]]) after the
-    * decision lands — so a doc admitted in batch N flags its near-copy
-    * in batch N+1 without waiting for a corpus rebuild. What remains
+  /** [[start]] with LIVE indexes: each microbatch re-resolves the
+    * persisted band index (and, when `substrIndexDir` is set, the
+    * persisted substring index) by PATH, and the batch's admitted docs
+    * are appended to both ([[StreamingNearDup.appendIndex]] /
+    * [[SubstringIndex.append]]) after the decision lands — so a doc
+    * admitted in batch N flags its near-copy AND its partial span
+    * lifts in batch N+1 without waiting for a corpus rebuild. What remains
     * open, by design, is the INTRA-batch window: two novel
     * near-identical docs inside one microbatch still both admit (the
     * batch l9/l28 sweep is that backstop). The per-batch re-read costs
@@ -202,22 +204,40 @@ object AdmissionPipeline {
   def startLive(spark: SparkSession, stream: DataFrame,
       neardupIndexDir: String, holdoutGrams: DataFrame,
       outDir: String, tsCol: String, delay: String,
-      clean: Boolean = false): StreamingQuery = {
+      clean: Boolean = false,
+      substrIndexDir: Option[String] = None): StreamingQuery = {
     val in = if (clean) cleanse(stream) else stream
     val deduped = StreamingDedup.withinWatermark(
       withNChars(in), tsCol, delay)
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // both live indexes re-resolve by PATH per microbatch; the
+        // substring gate's screen set is a projection of the SAME
+        // persisted artifact batch l33 probes (SubstringIndex — the
+        // caller seeds it with the corpus, possibly recency-scoped,
+        // before start)
         val gates = Gates(
-          StreamingNearDup.readIndex(spark, neardupIndexDir), holdoutGrams)
-        // one decision pass, two consumers (sink + index append)
+          StreamingNearDup.readIndex(spark, neardupIndexDir), holdoutGrams,
+          corpusSpans = substrIndexDir.map(d =>
+            StreamingSubstring.fromPersisted(spark, d)))
+        // one decision pass, up to three consumers (sink + index appends)
         val decisions = decide(batch, gates).localCheckpoint()
         writeDecisions(decisions, outDir, batchId)
+        val admitted = decisions.filter(col("reason") === "admit")
         StreamingNearDup.appendIndex(
-          decisions.filter(col("reason") === "admit")
-            .select("doc_id", "text"),
-          neardupIndexDir)
+          admitted.select("doc_id", "text"), neardupIndexDir)
+        // a doc admitted in batch N screens batch N+1's span lifts, the
+        // same closed-window contract the near-dup append provides; the
+        // replayed-batch duplicate-rows tolerance is identical (distinct
+        // gram projection collapses them)
+        substrIndexDir.foreach { d =>
+          val withLang =
+            if (admitted.columns.contains("lang")) admitted
+            else admitted.withColumn("lang", lit("und"))
+          SubstringIndex.append(
+            withLang.select("lang", "doc_id", "text"), d)
+        }
       }
       .start()
   }

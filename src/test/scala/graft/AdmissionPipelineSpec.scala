@@ -241,6 +241,67 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       landed.contains("<EMAIL>"), landed)
   }
 
+  test("startLive end-to-end: a doc admitted in batch 1 flags its " +
+      "near-copy AND its span lift in batch 2 via the live index appends") {
+    import graft.operators.SubstringIndex
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    // seed BOTH persisted indexes with the 2-doc corpus
+    val ndDir = Files.createTempDirectory("graft_live_nd_").toString
+    StreamingNearDup.writeIndex(StreamingNearDup.buildIndex(corpus), ndDir)
+    val ssDir = Files.createTempDirectory("graft_live_ss_").toString
+    SubstringIndex.write(
+      corpus.withColumn("lang", lit("und")).select("lang", "doc_id", "text"),
+      ssDir)
+    // batch 1: docA is a novel long admit
+    val docA = "carburetor dovetail eiderdown flywheel grommet hawser " +
+      "isinglass jackstay keelson lanyard mizzen oakum pintle quoin " +
+      "ratline shackle thole unship vang windlass yawl bowsprit " +
+      "capstan deadeye spinnaker telltale gunwale halyard"
+    val in = Files.createTempDirectory("graft_live_in_").toString
+    val out = Files.createTempDirectory("graft_live_out_").toString
+    Files.write(Paths.get(in, "f1.json"), String.join("\n",
+      s"""{"doc_id":41,"text":"$docA","ts":"2026-01-01T10:00:00Z"}""").getBytes)
+    val q = AdmissionPipeline.startLive(spark,
+      spark.readStream.schema(schema).json(in), ndDir,
+      gates.holdoutGrams, out, "ts", "10 minutes",
+      substrIndexDir = Some(ssDir))
+    q.processAllAvailable()
+    // batch 2: docB = docA minus its first token (near-copy — catchable
+    // only via the LIVE band append); docC lifts docA's tokens 4..19
+    // into novel surroundings (catchable only via the LIVE span
+    // append); docD is novel and admits
+    val docB = docA.split(" ").drop(1).mkString(" ")
+    val docC = (docA.split(" ").slice(4, 20) ++ Seq(
+      "almanac", "bellows", "crampon", "doorknob", "easel", "fresco",
+      "garnet", "hammock", "ingot", "javelin", "kiln", "lozenge",
+      "mortise", "naphtha", "oculus", "pergola", "quill", "rivet",
+      "sundial", "tureen")).mkString(" ")
+    val docD = "umbrella vestibule wainscot xylophone yardarm zither " +
+      "antimony bromide cobalt dysprosium erbium fermium gallium " +
+      "hafnium iridium krypton lanthanum molybdenum niobium osmium " +
+      "palladium rhenium tantalum yttrium"
+    Files.write(Paths.get(in, "f2.json"), String.join("\n",
+      s"""{"doc_id":42,"text":"$docB","ts":"2026-01-01T10:00:05Z"}""",
+      s"""{"doc_id":43,"text":"$docC","ts":"2026-01-01T10:00:06Z"}""",
+      s"""{"doc_id":44,"text":"$docD","ts":"2026-01-01T10:00:07Z"}""").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$out/decisions")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(41L -> "admit", 42L -> "near_duplicate",
+      43L -> "verbatim_repeat", 44L -> "admit"), got.toString)
+    // and the live appends are now IN the persisted indexes: docA's and
+    // docD's grams/bands are readable by the next consumer
+    val indexedIds = SubstringIndex.read(spark, ssDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexedIds.contains(41L) && indexedIds.contains(44L),
+      indexedIds.toString)
+  }
+
   test("end-to-end: exact dup suppressed by stream state, decisions land " +
       "partitioned by reason, admitted corpus is one pruned read") {
     val schema = StructType(Seq(

@@ -441,6 +441,26 @@ class TemporalSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("the persisted decontam index (eval grams + bloom sketch) screens " +
+      "from disk identically to the composed plan") {
+    val labeled = SamplingQueries.splitLabeled(spark, sf)
+    val grams = SamplingQueries.docGrams(labeled,
+      Seq("lang", "doc_id", "split"), hashed = false)
+    val testGrams = grams.filter(col("split") === "test")
+      .select("gram").distinct()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_decontam_ix_").toString
+    SamplingQueries.writeDecontamIndex(testGrams, base)
+    val fromDisk = SamplingQueries.decontaminateBloomFrom(labeled,
+      grams.filter(col("split") === "train"),
+      SamplingQueries.readDecontamGrams(spark, base),
+      SamplingQueries.readDecontamBloom(spark, base))
+      .collect().map(_.toSeq).toSeq
+    val composed = SamplingQueries.decontaminateBloom(labeled)
+      .collect().map(_.toSeq).toSeq
+    assert(fromDisk === composed && fromDisk.nonEmpty)
+  }
+
   test("l35's plan carries the Bloom probe as a row-local filter in " +
       "front of the exact semi-join") {
     val df = SamplingQueries.l35.fn(spark, sf)
