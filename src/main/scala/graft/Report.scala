@@ -112,7 +112,16 @@ object Report {
         operators.LlmQueries.l9From(spark, sfDir, sharedPairs)),
       "dedup_clusters" -> rowsJson(operators.LlmQueries.l28From(sharedPairs)),
       "contamination" -> rowsJson(operators.SamplingQueries.l25.fn(spark, sfDir)),
-      "mix_manifest" -> rowsJson(operators.SamplingQueries.l23.fn(spark, sfDir)))
+      "mix_manifest" -> rowsJson(operators.SamplingQueries.l23.fn(spark, sfDir)),
+      // Corpus-hygiene panels (round 12): the cleaning/scrub/classifier
+      // and repetition rollups — all row-local gate queries (one
+      // map-side scan each into a 5-lang rollup), so the added report
+      // cost is four cheap scans, no new shuffle or sketch.
+      "cleaning" -> rowsJson(operators.CleaningQueries.l31.fn(spark, sfDir)),
+      "pii_scrub" -> rowsJson(operators.CleaningQueries.l32.fn(spark, sfDir)),
+      "quality_classifier" ->
+        rowsJson(operators.CleaningQueries.l34.fn(spark, sfDir)),
+      "repetition_ladder" -> rowsJson(operators.LlmQueries.l27b.fn(spark, sfDir)))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val martBacked = Seq("revenue_trend" -> trendM, "top_products" -> topM,
       "quality_rates" -> qualityM).collect { case (k, true) => s""""$k"""" }

@@ -17,8 +17,18 @@ class ReportSpec extends AnyFunSuite {
     for (k <- Seq("source", "n_purchases", "orders_per_minute", "revenue_trend",
         "top_products", "quality_rates", "order_value_percentiles", "sessions",
         "events_hourly_recent", "dedup_exact", "dedup_neardup",
-        "dedup_clusters", "contamination", "mix_manifest"))
+        "dedup_clusters", "contamination", "mix_manifest",
+        "cleaning", "pii_scrub", "quality_classifier", "repetition_ladder"))
       assert(root.has(k), s"missing panel $k")
+    // hygiene panels carry the gate queries' own invariants: the scrub
+    // panel's residual count is the l32 in-plan proof (always 0), the
+    // classifier split is non-degenerate, the cleaning panel never
+    // grows text
+    assert(root.get("pii_scrub").get(0).get("n_residual").asLong() === 0L)
+    assert(root.get("quality_classifier").get(0).has("n_keep"))
+    assert(root.get("cleaning").get(0).get("n_chars_out").asLong()
+      <= root.get("cleaning").get(0).get("n_chars_in").asLong())
+    assert(root.get("repetition_ladder").get(0).has("n_flag_any"))
     // pipeline-health panels carry the gate queries' own columns and
     // hold their gated invariants (closure converged, 5-lang screens)
     assert(root.get("dedup_exact").get(0).has("n_dupes"))
