@@ -398,5 +398,81 @@ object CleaningQueries {
                 AS BIGINT) AS kept_checksum
             FROM scored GROUP BY 1 ORDER BY lang"""))
 
-  val all: Seq[DQ] = Seq(l31, l32, l34)
+  /** L37 — score-stratified corpus mixing (the CCNet recipe, Wenzek et
+    * al. 2020 arXiv:1911.00359 §3.2: bucket documents by model score
+    * into head/middle/tail and mix with per-bucket rates — head kept
+    * whole, middle downsampled, tail heavily downsampled). Composes
+    * l34's row-local scorer with l20's deterministic hash-draw
+    * machinery ([[graft.functions.Sampling.stratifiedKeep]]): bucket
+    * thresholds are integer-exact milli-scores (engines cannot disagree
+    * on a boundary), the draw is the md5 prefix salted by the bucket
+    * itself (independent draws per stratum, monotone in each rate), so
+    * the ENTIRE mix decision is a per-row scan predicate — no shuffle
+    * before the rollup, no RNG state, same rows chosen on any cluster
+    * size, and re-mixing a bucket's rate rescales its sample
+    * monotonically. Per (lang, bucket): docs/tokens in, docs/tokens
+    * kept, kept-doc checksum. */
+  val l37 = DQ(
+    "l37_score_mixing",
+    (s, d) => {
+      docs(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+        .withColumn("score_milli", expr(scoreSql))
+        .withColumn("bucket",
+          when(col("score_milli") > 150L, "head")
+            .when(col("score_milli") >= -150L, "middle")
+            .otherwise("tail"))
+        .withColumn("kept", graft.functions.Sampling.stratifiedKeep(
+          col("doc_id"), col("bucket"),
+          Seq("head" -> "zzzz", "middle" -> "8000", "tail" -> "2000")))
+        .groupBy("lang", "bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("ta")).cast("long")).as("n_tokens"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), size(col("ta")).cast("long")).otherwise(0L))
+            .as("kept_tokens"),
+          coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L))
+            .as("kept_checksum"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH scored AS (
+              SELECT lang, doc_id,
+                string_split_regex(lower(text), '\s+') AS ta,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(lower(text), '\s+'), t ->
+                      ((list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(t, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                          (a, x) -> (a * 31 + x) % 1000003)
+                        % 256) * 2654435761) % 1001 - 500)),
+                  (a, x) -> a + x) AS score_milli
+              FROM documents WHERE text IS NOT NULL),
+            bucketed AS (
+              SELECT lang, doc_id, ta,
+                CASE WHEN score_milli > 150 THEN 'head'
+                     WHEN score_milli >= -150 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM scored),
+            drawn AS (
+              SELECT lang, doc_id, ta, bucket,
+                substring(md5(CAST(doc_id AS VARCHAR) || ':' || bucket), 1, 4)
+                  < CASE bucket WHEN 'head' THEN 'zzzz'
+                                WHEN 'middle' THEN '8000'
+                                ELSE '2000' END AS kept
+              FROM bucketed)
+            SELECT lang, bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(ta)) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN kept THEN len(ta) ELSE 0 END) AS BIGINT)
+                AS kept_tokens,
+              CAST(COALESCE(SUM(CASE WHEN kept THEN doc_id END), 0) AS BIGINT)
+                AS kept_checksum
+            FROM drawn GROUP BY 1, 2 ORDER BY lang, bucket"""))
+
+  val all: Seq[DQ] = Seq(l31, l32, l34, l37)
 }

@@ -10,7 +10,8 @@ import graft.operators.{CleaningQueries, LlmQueries, SubstringIndex}
   * of batch l29: every admission gate a training-data ingest runs at
   * the door, in one entry point, emitting a per-document DECISION
   * (`admit` / `near_duplicate` / `verbatim_repeat` (opt-in) /
-  * `contaminated` / `repetitive` / `low_quality`)
+  * `contaminated` / `repetitive` / `low_quality` / `model_filtered`
+  * (opt-in, l34's trained-weight quality arm))
   * instead of six separate flag streams a caller must reconcile. The
   * reference's analog is its consumer → validator → dual-sink shape
   * (every message lands with a verdict); this is that shape for the
@@ -49,7 +50,8 @@ object AdmissionPipeline {
     * window; None runs the four-gate pipeline unchanged). */
   final case class Gates(neardup: StreamingNearDup.Index,
       holdoutGrams: DataFrame,
-      corpusSpans: Option[DataFrame] = None)
+      corpusSpans: Option[DataFrame] = None,
+      classifier: Option[Map[Int, Long]] = None)
 
   /** The per-batch decision frame: `batch`'s columns plus `reason`.
     * Pure function of (batch, gates) — spec-tested directly and reused
@@ -139,7 +141,18 @@ object AdmissionPipeline {
             when(LlmQueries.ladderFlags(col("text"), col("toks"))
                 .foldLeft(LlmQueries.top2Bp(col("toks")) >
                   LlmQueries.RepetitionFlagBp)(_ || _),
-              "repetitive").otherwise("admit"))
+              "repetitive")
+              // the MODEL-BASED quality arm (opt-in, l34's production
+              // weight path): runs LAST so its reason isolates docs
+              // that cleared every rule-based gate and fell only to
+              // the trained filter — the count an operator watches to
+              // tune the model against the heuristics. Row-local (map
+              // literal of the ≤256-bucket weight table), no join.
+              .otherwise(gates.classifier
+                .map(w => when(
+                  CleaningQueries.scoreMilliWith(col("toks"), w) > 0L,
+                  lit("admit")).otherwise(lit("model_filtered")))
+                .getOrElse(lit("admit"))))
           .otherwise("low_quality"))
       .select(batch.columns.map(col) :+ col("reason"): _*)
   }

@@ -183,6 +183,39 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     assert(flags.getBoolean(0), "duplicate-line rule must fire")
   }
 
+  test("opt-in classifier arm: a doc that clears every rule-based gate " +
+      "but scores <= 0 under the trained weights lands model_filtered; " +
+      "without weights it admits") {
+    import graft.operators.CleaningQueries
+    // derive a provably-negative-scoring doc AT RUNTIME with the same
+    // hash/weight arithmetic the engine runs: pick the most negative
+    // synthetic-weight words from a novel candidate pool
+    val wm = CleaningQueries.weightMap(CleaningQueries.syntheticWeights(spark))
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000003L)
+    def weight(t: String): Long = wm((tokHash(t) % 256L).toInt)
+    val pool = Seq("abalone", "bergamot", "chicory", "daffodil", "endive",
+      "fennel", "guava", "hibiscus", "iceberg", "jicama", "kohlrabi",
+      "lovage", "mulberry", "nectarine", "oregano", "parsnip", "quince",
+      "radicchio", "salsify", "tamarind", "ugli", "verbena", "wasabi",
+      "yarrow", "zucchini", "amaranth", "borage", "cardamom", "dulse",
+      "elderberry", "farro", "galangal", "horseradish", "juneberry",
+      "kumquat", "lemongrass", "marjoram", "nutmeg", "oleander", "pimiento")
+    val negWords = pool.sortBy(weight).take(28)
+    val doc = negWords.mkString(" ")
+    assert(doc.length >= 200, s"fixture too short: ${doc.length}")
+    assert(negWords.map(weight).sum <= 0L,
+      s"pool not negative enough: ${negWords.map(weight).sum}")
+    val batch = mkBatch(Seq(15L -> doc))
+    val withModel = AdmissionPipeline.decide(batch,
+      gates.copy(classifier = Some(wm)))
+      .select("reason").collect().map(_.getString(0)).toSeq
+    assert(withModel === Seq("model_filtered"), withModel.toString)
+    val without = AdmissionPipeline.decide(batch, gates)
+      .select("reason").collect().map(_.getString(0)).toSeq
+    assert(without === Seq("admit"), without.toString)
+  }
+
   test("cleanse applies the C4 line rules then PII redaction and " +
       "re-measures n_chars — the batch DQs' own column functions") {
     val junk = "enable javascript cookie banner"

@@ -149,6 +149,23 @@ class CleaningSpec extends AnyFunSuite {
       s"every delta must be a multiple of the zeroed weight $w0: $deltas")
   }
 
+  test("l37 score-mixing: buckets are non-degenerate, the head bucket " +
+      "keeps everything, and every kept count is draw-bounded") {
+    val rows = CleaningQueries.l37.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val buckets = rows.map(_.getString(1)).distinct.toSet
+    assert(buckets.size >= 2, s"degenerate bucketing: $buckets")
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+      if (r.getString(1) == "head")
+        assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_docs"),
+          "head rate is 'zzzz' — must keep every doc")
+    }
+    // the mix genuinely downsamples somewhere (middle 50% / tail 12.5%)
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")))
+  }
+
   test("l32: the planted PII strings match their patterns exactly once each") {
     import spark.implicits._
     val probes = Seq(
