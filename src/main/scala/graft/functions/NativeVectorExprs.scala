@@ -91,6 +91,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd INT8 dot product over two `array<tinyint>` columns
+  * → bigint — the quantized-probe shortlist's hot loop
+  * ([[graft.operators.AnnIndexes.probeIvfInt8]]): the whole point of
+  * int8 lists is that the heavy scoring pass touches quarter-width
+  * data, and paying interpreted `zip_with` lambda dispatch per element
+  * there would throw the saving away. Exact integer arithmetic
+  * (|acc| ≤ 127²·d — no overflow below d ≈ 5·10¹⁴), identical fold
+  * order to the HOF form it replaces, same null parity as
+  * [[DotProduct]]. Registered as `graft_dot8`. */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.ByteType, _),
+            ArrayType(org.apache.spark.sql.types.ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dot8 requires two array<tinyint> arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot8"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd squared-L2 distance — same rationale and same
   * left-to-right fold order as the `zip_with` form it replaces
   * ([[Ivf.dist2]]'s hot loop in centroid assignment). */
@@ -426,6 +491,11 @@ object NativeVectorExprs {
     SquaredDistance(children.head, children(1))
   }
 
+  private val dot8Builder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_dot8(a, b) takes exactly two arrays")
+    Int8DotProduct(children.head, children(1))
+  }
+
   private val minhashBuilder: Seq[Expression] => Expression = children => {
     require(children.length == 1, "graft_minhash(shingle_hashes) takes exactly one array")
     MinHashSignature(children.head)
@@ -454,6 +524,10 @@ object NativeVectorExprs {
       FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
       sqdistBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot8"),
+      new ExpressionInfo(classOf[Int8DotProduct].getName, "graft_dot8"),
+      dot8Builder))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
@@ -486,6 +560,11 @@ object NativeVectorExprs {
         FunctionIdentifier("graft_sqdist"),
         new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
         sqdistBuilder)
+    if (!reg.functionExists(FunctionIdentifier("graft_dot8")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_dot8"),
+        new ExpressionInfo(classOf[Int8DotProduct].getName, "graft_dot8"),
+        dot8Builder)
     if (!reg.functionExists(FunctionIdentifier("graft_minhash")))
       reg.registerFunction(
         FunctionIdentifier("graft_minhash"),

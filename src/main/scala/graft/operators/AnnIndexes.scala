@@ -430,13 +430,14 @@ object AnnIndexes {
       .withColumn("d2", Ivf.dist2(col("cv"), col("qv2")))
       .orderBy(col("d2"), col("cid")).limit(nprobe)
       .select("cid")
+    graft.functions.NativeVectorExprs.ensureRegistered(e.sparkSession)
     val approx = idx.lists.join(broadcast(probeCells), "cid")
       .filter(col("vec_id") =!= excludeId)
       .crossJoin(broadcast(qq))
-      .withColumn("int_dot", expr(
-        """aggregate(zip_with(qv, q_qv,
-             (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
-           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      // native codegen'd int8 dot (graft_dot8) — the shortlist pass is
+      // the quantized probe's hot loop; an interpreted HOF here would
+      // spend the quarter-width read's saving on lambda dispatch
+      .withColumn("int_dot", call_function("graft_dot8", col("qv"), col("q_qv")))
       // approx cosine ≈ (int_dot / (scale·q_scale)) / (norm·q_norm);
       // zero-norm vectors rank at 0 rather than NaN-poisoning the sort
       .withColumn("approx_e4", when(
@@ -473,13 +474,11 @@ object AnnIndexes {
       .orderBy(col("d2"), col("cid"))
     val probeCells = qc.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= nprobe).select("qid", "cid")
+    graft.functions.NativeVectorExprs.ensureRegistered(e.sparkSession)
     val approx = idx.lists.join(broadcast(probeCells), "cid")
       .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
       .join(broadcast(qq), "qid")
-      .withColumn("int_dot", expr(
-        """aggregate(zip_with(qv, q_qv,
-             (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
-           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .withColumn("int_dot", call_function("graft_dot8", col("qv"), col("q_qv")))
       .withColumn("approx_e4", when(
           col("norm") * col("q_norm") === 0d, lit(0L))
         .otherwise(round(lit(10000) * col("int_dot")

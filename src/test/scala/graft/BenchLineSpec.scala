@@ -101,9 +101,27 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(timings, spreads, errors, runs = 3,
       sfDir = "/root/testdata/sf0.1")
     assertDriverVisible(line)
-    // every surviving query floor must still be itemized
-    ok.foreach(n => assert(line.contains("\"" + n + "\":"), s"$n floor lost"))
+    // The surviving floors must outlive the errors. With the catalog
+    // now past ~80 queries the 2 KB driver tail can no longer carry
+    // EVERY floor even error-free (the slowest-K stage is the designed
+    // degradation; bench_full.json keeps the exact record), so the pin
+    // is the real contract: the map is non-empty, the accounting
+    // reconciles (itemized + omitted = n_ok), and what is itemized is
+    // exactly the slow end — every kept timing ≥ every dropped one.
     assert(!line.contains("\"queries\":{}"), "per-query map must not be empty")
+    val itemized = ok.filter(n => line.contains("\"" + n + "\":"))
+    assert(itemized.nonEmpty)
+    val omitted = """"omitted":(\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+    assert(itemized.size + omitted === ok.size,
+      s"accounting broken: ${itemized.size} itemized + $omitted omitted != ${ok.size}")
+    if (omitted > 0) {
+      val t = timings.toMap
+      val minKept = itemized.map(t).min
+      val maxDropped = ok.filterNot(itemized.contains).map(t).max
+      assert(minKept >= maxDropped,
+        s"slowest-K violated: kept $minKept < dropped $maxDropped")
+    }
     // errors: ≤3 itemized, class-only values, the rest counted
     assert(line.contains("\"errors\":{"))
     assert(line.contains("DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES"))

@@ -41,6 +41,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diffCos === 0)
   }
 
+  test("native graft_dot8 equals the HOF int fold on quantized vectors " +
+      "and shares the family's null parity") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q8 = graft.operators.AnnIndexes.quantizeInt8(e).select("vec_id", "qv")
+    val probe = q8.filter(col("vec_id") === 0).select(col("qv").as("q_qv"))
+    val hof = expr(
+      """aggregate(zip_with(qv, q_qv,
+           (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
+         CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+    val diff = q8.crossJoin(broadcast(probe))
+      .filter(call_function("graft_dot8", col("qv"), col("q_qv")) =!= hof)
+      .count()
+    assert(diff === 0)
+    // null parity: unequal lengths and a null element both null out
+    val uneq8 = Seq((Seq(1.toByte, 2.toByte), Seq(1.toByte))).toDF("qv", "q_qv")
+    assert(uneq8.select(call_function("graft_dot8", col("qv"), col("q_qv")))
+      .collect()(0).isNullAt(0))
+    val null8 = Seq((Seq[java.lang.Byte](1.toByte, null),
+      Seq[java.lang.Byte](1.toByte, 2.toByte))).toDF("qv", "q_qv")
+    assert(null8.select(call_function("graft_dot8", col("qv"), col("q_qv")))
+      .collect()(0).isNullAt(0))
+  }
+
   test("native expressions null out exactly like the HOF forms on degenerate input") {
     import spark.implicits._
     // Unequal lengths: zip_with pads with null → HOF dot is null; the
