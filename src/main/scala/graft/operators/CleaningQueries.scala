@@ -474,5 +474,136 @@ object CleaningQueries {
                 AS kept_checksum
             FROM drawn GROUP BY 1, 2 ORDER BY lang, bucket"""))
 
-  val all: Seq[DQ] = Seq(l31, l32, l34, l37)
+  /** The planted BOILERPLATE corpus for [[l38]] (column `text3`), one
+    * SQL expression used verbatim on both engines — the synthetic docs
+    * are single unique lines, so cross-document repeated lines (the
+    * thing line-level dedup exists for) must be planted:
+    *  - every doc keeps its original word-soup line (df = 1, never
+    *    boilerplate — no two stored texts are equal, checked);
+    *  - `doc_id % 3 = 0` (~33% of docs) prepends a cookie-banner line;
+    *  - `doc_id % 5 = 0` (~20%) appends a rights-reserved footer;
+    *  - `doc_id % 50 = 0` (2%) appends a newsletter line — UNDER the
+    *    6% document-frequency bar at every sf, pinning that the
+    *    threshold spares merely-repeated lines. */
+  private val boilerSql =
+    """concat(
+         CASE WHEN doc_id % 3 = 0
+          THEN concat('please accept cookies to continue reading', chr(10))
+          ELSE '' END,
+         text,
+         CASE WHEN doc_id % 5 = 0
+          THEN concat(chr(10), 'all rights reserved by the site owner')
+          ELSE '' END,
+         CASE WHEN doc_id % 50 = 0
+          THEN concat(chr(10), 'subscribe to our weekly newsletter today')
+          ELSE '' END)"""
+
+  /** [[l38]]'s pipeline as a reusable frame so the spec can pin the
+    * hashed form against the string form. `hashed = true` is the 100 TB
+    * wire shape (same discipline as l33's gram index): the df agg and
+    * the mark join key on `xxhash64(line)` — 8 bytes on the shuffle
+    * wire instead of whole boilerplate paragraphs — while the length
+    * arithmetic still reads the row-local string. String keys are the
+    * oracle form (DuckDB has no xxhash64). */
+  private[operators] def lineDedupStats(dd0: DataFrame,
+      hashed: Boolean = false): DataFrame = {
+    val dd = dd0.filter(col("text").isNotNull)
+      .withColumn("text3", expr(boilerSql))
+    val total = dd.agg(count(lit(1)).as("n_total"))
+    val key: Column => Column =
+      if (hashed) l => xxhash64(l) else identity
+    val lines = dd.select(col("lang"), col("doc_id"),
+        explode(split(col("text3"), "\n")).as("line"))
+      .withColumn("k", key(col("line")))
+    // document frequency per line: partial-aggregable hash agg; the
+    // boilerplate set that survives the 6% bar is tiny (it IS the
+    // corpus' shared chrome), so AQE broadcasts the mark join's build
+    // side at runtime. The 1-row crossJoin is the catalog's standard
+    // scalar-count broadcast guard.
+    val boiler = lines.groupBy("k")
+      .agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") * 100 >= lit(6) * col("n_total"))
+      .select(col("k"), lit(true).as("_bp"))
+    val perDoc = lines.join(boiler, Seq("k"), "left")
+      .groupBy("lang", "doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_bp").isNull, length(col("line")).cast("long"))
+          .otherwise(0L)).as("chars_kept"),
+        max(when(col("_bp"), 1L).otherwise(0L)).as("touched"))
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("touched").as("n_docs_touched"),
+        sum("n_lines").as("n_lines"),
+        sum("n_kept").as("n_lines_kept"),
+        // chars of the doc rebuilt as concat_ws('\n', kept lines),
+        // without materializing the rebuild: kept chars + separators
+        sum(col("chars_kept") + greatest(col("n_kept") - 1L, lit(0L)))
+          .as("n_chars_out"),
+        coalesce(sum(when(col("touched") === 1L, col("doc_id"))), lit(0L))
+          .as("touched_checksum"))
+      .orderBy("lang")
+  }
+
+  /** L38 — corpus-level duplicated-line removal (the RefinedWeb
+    * "line-wise corrections" / CCNet paragraph-hash dedup stage,
+    * Penedo et al. 2023 arXiv:2306.01116 §3, Wenzek et al. 2020 §3.1):
+    * a line appearing verbatim in ≥ 6% of documents is site chrome —
+    * cookie banners, navigation, copyright footers — and is dropped
+    * from EVERY document, the cross-document granularity that row-local
+    * l31 (per-line rules) and whole-doc l1/l9 cannot see. The fraction
+    * threshold (not an absolute count) is the scale-honest form: it
+    * needs only the one corpus-count scalar, not a recalibration per
+    * corpus size. Per language: docs, docs touched, lines in/kept,
+    * chars of the rebuilt corpus, and the checksum of WHICH docs lost
+    * lines.
+    *
+    * Scale shape: one explode → df hash agg (partial-aggregable; keyed
+    * on `xxhash64(line)` in the wire form, spec-pinned ≡ string keys) →
+    * the tiny surviving boilerplate set marks lines via an AQE-
+    * broadcast equi-join → per-doc then per-lang rollups. No window, no
+    * driver action, no unbounded state. */
+  val l38 = DQ(
+    "l38_line_dedup",
+    (s, d) => lineDedupStats(docs(s, d)),
+    Some(s"""WITH planted AS (
+              SELECT lang, doc_id,
+                $boilerSql AS text3
+              FROM documents WHERE text IS NOT NULL),
+            total AS (SELECT COUNT(*) AS n_total FROM planted),
+            lines AS (
+              SELECT lang, doc_id,
+                unnest(string_split(text3, chr(10))) AS line
+              FROM planted),
+            boiler AS (
+              SELECT line FROM
+                (SELECT line, COUNT(DISTINCT doc_id) AS df
+                 FROM lines GROUP BY 1), total
+              WHERE df * 100 >= 6 * n_total),
+            marked AS (
+              SELECT l.lang, l.doc_id, l.line,
+                (b.line IS NOT NULL) AS bp
+              FROM lines l LEFT JOIN boiler b ON l.line = b.line),
+            per_doc AS (
+              SELECT lang, doc_id,
+                COUNT(*) AS n_lines,
+                SUM(CASE WHEN NOT bp THEN 1 ELSE 0 END) AS n_kept,
+                SUM(CASE WHEN NOT bp THEN len(line) ELSE 0 END) AS chars_kept,
+                MAX(CASE WHEN bp THEN 1 ELSE 0 END) AS touched
+              FROM marked GROUP BY 1, 2)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(touched) AS BIGINT) AS n_docs_touched,
+              CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+              CAST(SUM(n_kept) AS BIGINT) AS n_lines_kept,
+              CAST(SUM(chars_kept + CASE WHEN n_kept > 1 THEN n_kept - 1 ELSE 0 END)
+                AS BIGINT) AS n_chars_out,
+              CAST(COALESCE(SUM(CASE WHEN touched = 1 THEN doc_id END), 0)
+                AS BIGINT) AS touched_checksum
+            FROM per_doc GROUP BY 1 ORDER BY lang"""))
+
+  val all: Seq[DQ] = Seq(l31, l32, l34, l37, l38)
 }

@@ -166,6 +166,38 @@ class CleaningSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")))
   }
 
+  test("l38 line dedup: over-threshold chrome dies everywhere, the rare " +
+      "newsletter line and every unique word-soup line survive") {
+    val docs = graft.Tables.documents(spark, sf)
+    val rows = CleaningQueries.l38.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val touched = rows.map(_.getAs[Long]("n_docs_touched")).sum
+    val nLines = rows.map(_.getAs[Long]("n_lines")).sum
+    val kept = rows.map(_.getAs[Long]("n_lines_kept")).sum
+    // exactly the planted cookie (%3) + footer (%5) occurrences die:
+    // their df (~33% / ~20%) clears the 6% bar; the %50 newsletter
+    // line (2%) and each unique soup line (df=1) stay
+    val expectDropped = docs.filter(col("doc_id") % 3 === 0).count() +
+      docs.filter(col("doc_id") % 5 === 0).count()
+    assert(nLines - kept === expectDropped,
+      s"dropped ${nLines - kept}, planted over-threshold $expectDropped")
+    // touched = docs carrying either planted chrome line
+    val expectTouched = docs
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0).count()
+    assert(touched === expectTouched)
+    assert(touched < nDocs, "some docs must be chrome-free")
+    // every doc keeps at least its unique soup line
+    assert(kept >= nDocs)
+  }
+
+  test("l38: hashed (xxhash64 wire) form ≡ string-key form") {
+    val docs = graft.Tables.documents(spark, sf)
+    val s = CleaningQueries.lineDedupStats(docs).collect()
+    val h = CleaningQueries.lineDedupStats(docs, hashed = true).collect()
+    assert(s.map(_.toString).sorted.toSeq === h.map(_.toString).sorted.toSeq)
+  }
+
   test("l32: the planted PII strings match their patterns exactly once each") {
     import spark.implicits._
     val probes = Seq(
