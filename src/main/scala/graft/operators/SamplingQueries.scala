@@ -714,5 +714,82 @@ object SamplingQueries {
             FROM total t LEFT JOIN perlang p ON t.lang = p.lang
             ORDER BY t.lang"""))
 
-  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35)
+  /** [[l40]]'s cap as a reusable frame so the spec can run a binding
+    * cap at sf0.001 (where the DQ's production cap of 10 exceeds every
+    * source's 2–3 docs and nothing would differ). Returns per-source
+    * accounting of the capped corpus.
+    *
+    * Shape, deliberately split into totals ⋈ survivors: the kept side
+    * filters `row_number() <= cap` DIRECTLY after the window, which is
+    * the pattern Spark's optimizer rewrites into a map-side
+    * WindowGroupLimit — each input task keeps only its local best `cap`
+    * rows per source BEFORE the shuffle, so the exchange carries
+    * O(cap · sources · tasks) rows, not the corpus (the spec pins
+    * `WindowGroupLimit` in the physical plan). The totals side is a
+    * plain partial-aggregable count. A monolithic
+    * rank-then-conditional-agg form would window over every row with no
+    * group-limit rewrite. */
+  private[operators] def sourceCapped(dd0: DataFrame, cap: Int): DataFrame = {
+    val dd = dd0.filter(col("text").isNotNull)
+    val totals = dd.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars_in"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("drw"), col("doc_id"))
+    val kept = dd
+      .withColumn("drw", Sampling.draw(col("doc_id"), col("source")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").as("kept_chars"),
+        sum("doc_id").as("kept_checksum"))
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_chars_in"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+      .orderBy("source")
+  }
+
+  private[operators] val SourceCap = 10
+
+  /** L40 — per-source document caps (the over-represented-domain guard
+    * of the published recipes: RefinedWeb caps URLs per domain, Dolma
+    * caps per-source shares — without it, one crawler-friendly site
+    * dominates the mix). Each source keeps at most 10 documents, chosen
+    * by the catalog's standard deterministic md5 draw (salted by the
+    * source, tie-broken by doc_id): no RNG state, the same survivors on
+    * any cluster size, and — because the draw is a fixed per-row hash —
+    * recapping to a larger cap only ADDS documents (the rank order is
+    * stable), so a 100 TB corpus can be re-capped incrementally. Per
+    * source: docs and chars in, docs/chars kept, survivor checksum.
+    *
+    * Scale shape: the rank-filter form is rewritten by Spark into a
+    * map-side WindowGroupLimit (bounded per-task state, the exchange
+    * carries only candidate survivors); the per-source window then
+    * ranks at most tasks·cap rows per source. A skew-heavy domain
+    * therefore never ships its full row set to one task — the map-side
+    * limit already cut it to cap per input task. */
+  val l40 = DQ(
+    "l40_source_caps",
+    (s, d) => sourceCapped(docs(s, d), SourceCap),
+    Some(s"""WITH ranked AS (
+              SELECT source, doc_id, n_chars,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4),
+                           doc_id) AS rk
+              FROM documents WHERE text IS NOT NULL)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars_in,
+              CAST(SUM(CASE WHEN rk <= $SourceCap THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(COALESCE(SUM(CASE WHEN rk <= $SourceCap THEN n_chars END), 0)
+                AS BIGINT) AS kept_chars,
+              CAST(COALESCE(SUM(CASE WHEN rk <= $SourceCap THEN doc_id END), 0)
+                AS BIGINT) AS kept_checksum
+            FROM ranked GROUP BY 1 ORDER BY source"""))
+
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l40)
 }

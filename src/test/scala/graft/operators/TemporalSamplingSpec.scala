@@ -541,4 +541,52 @@ class TemporalSamplingSpec extends AnyFunSuite {
       assert(row.getAs[Long]("p90_cents") === pct(vals, 0.9), row.getString(0))
     }
   }
+
+  // ------------------------------------------------------------- l40
+
+  test("l40 source caps: a binding cap keeps exactly min(cap, n) per " +
+      "source, survivors are a subset, and recapping only adds docs") {
+    val dd = Tables.documents(spark, sf)
+    val cap2 = SamplingQueries.sourceCapped(dd, 2).collect()
+    assert(cap2.nonEmpty)
+    cap2.foreach { r =>
+      val expect = math.min(2L, r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_kept") === expect, r.getString(0))
+      assert(r.getAs[Long]("kept_chars") <= r.getAs[Long]("n_chars_in"))
+    }
+    // the cap binds somewhere at sf0.001 (sources have 2-3 docs)
+    assert(cap2.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")))
+    // monotone recap: the rank order is a fixed per-row hash, so cap 3's
+    // survivor set contains cap 2's — pinned via the identity checksum
+    // of the survivor doc_ids recomputed through the same draw
+    val survivors: Int => Map[Long, Set[Long]] = cap => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("drw"), col("doc_id"))
+      dd.withColumn("drw",
+          graft.functions.Sampling.draw(col("doc_id"), col("source")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= cap)
+        .select("source", "doc_id").collect()
+        .groupBy(_.getString(0)).map { case (_, rs) =>
+          rs.head.getString(0).hashCode.toLong -> rs.map(_.getLong(1)).toSet }
+    }
+    val s2 = survivors(2); val s3 = survivors(3)
+    s2.foreach { case (src, ids) => assert(ids.subsetOf(s3(src))) }
+  }
+
+  test("l40's kept side is rewritten into a map-side WindowGroupLimit " +
+      "(bounded per-task state before the exchange)") {
+    val plan = SamplingQueries.l40.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-filter should group-limit map-side:\n$plan")
+  }
+
+  test("l40 is partitioning-invariant: the same survivors on any layout") {
+    val dd = Tables.documents(spark, sf)
+    val a = SamplingQueries.sourceCapped(dd, 2).collect().map(_.toString).sorted
+    val b = SamplingQueries.sourceCapped(dd.repartition(7), 2)
+      .collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
 }
