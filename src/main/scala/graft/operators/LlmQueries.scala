@@ -1512,8 +1512,83 @@ object LlmQueries {
     },
     None)
 
+  /** [[l41]]'s vocabulary size. The synthetic corpus draws its word
+    * soup from a ~31-token vocabulary (checked), so a production-sized
+    * V would cover everything and pin nothing; 16 splits the corpus
+    * into covered head and OOV tail at every sf. The SHAPE is
+    * V-independent — at a real 50k-token budget only the TakeOrdered
+    * limit and the broadcast width change. */
+  private[operators] val VocabSize = 16
+
+  /** L41 — vocabulary construction + coverage accounting (the
+    * tokenizer-training prep of every pipeline: BPE/unigram trainers
+    * start from exactly this corpus-wide token-frequency table, and
+    * coverage/OOV-rate per language is the standard acceptance metric
+    * for a proposed vocabulary — e.g. SentencePiece's
+    * `character_coverage`, the per-language fertility audits of
+    * multilingual models). Tokens are l5's BPE-ish pre-tokenizer
+    * (letter runs, digit runs, single punctuation, lowercased). The
+    * global top-V by (count desc, token asc — total deterministic
+    * order) is the vocabulary; per language the DQ reports occurrence
+    * and type counts inside/outside it plus the OOV rate in basis
+    * points.
+    *
+    * Scale shape: one explode → (lang, token) hash agg — the ONLY pass
+    * over token-grain data; the global count table REUSES that partial
+    * (second-level agg over types, not tokens); top-V is a TakeOrdered
+    * (no global sort materialization); the V-row vocabulary broadcasts
+    * into the mark join; the final rollup is per-lang. At 100 TB the
+    * token-grain agg is partial-aggregable map-side and everything
+    * downstream is type-grain (≤ vocabulary size, millions not
+    * trillions). */
+  val l41 = DQ(
+    "l41_vocab_coverage",
+    (s, d) => {
+      val langTok = docs(s, d).filter(col("text").isNotNull)
+        .select(col("lang"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val vocab = langTok.groupBy("tok").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(VocabSize)
+        .select(col("tok"), lit(true).as("_v"))
+      langTok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(
+          sum("c").as("n_occ"),
+          sum(when(col("_v"), col("c")).otherwise(0L)).as("n_occ_vocab"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("_v"), 1L).otherwise(0L)).as("n_types_vocab"))
+        .withColumn("oov_bp",
+          round((col("n_occ") - col("n_occ_vocab")) * lit(10000.0) / col("n_occ"))
+            .cast("long"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH lt AS (
+              SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT lang,
+                      unnest(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
+                    FROM documents WHERE text IS NOT NULL)
+              GROUP BY 1, 2),
+            vocab AS (
+              SELECT tok FROM
+                (SELECT tok, SUM(c) AS cnt FROM lt GROUP BY 1)
+              ORDER BY cnt DESC, tok LIMIT $VocabSize),
+            m AS (
+              SELECT l.lang, l.tok, l.c, (v.tok IS NOT NULL) AS iv
+              FROM lt l LEFT JOIN vocab v ON l.tok = v.tok)
+            SELECT lang,
+              CAST(SUM(c) AS BIGINT) AS n_occ,
+              CAST(SUM(CASE WHEN iv THEN c ELSE 0 END) AS BIGINT) AS n_occ_vocab,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              CAST(SUM(CASE WHEN iv THEN 1 ELSE 0 END) AS BIGINT) AS n_types_vocab,
+              CAST(ROUND((SUM(c) - SUM(CASE WHEN iv THEN c ELSE 0 END))
+                * 10000.0 / SUM(c)) AS BIGINT) AS oov_bp
+            FROM m GROUP BY 1 ORDER BY lang"""))
+
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l27b, l28, l29, l36)
+      l19, l24, l26, l27, l27b, l28, l29, l36, l41)
 }
 
