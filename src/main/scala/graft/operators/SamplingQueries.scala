@@ -791,5 +791,91 @@ object SamplingQueries {
                 AS BIGINT) AS kept_checksum
             FROM ranked GROUP BY 1 ORDER BY source"""))
 
-  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l40)
+  /** L42 — SEMANTIC decontamination (the third decontamination modality
+    * beside l25/l35's exact n-gram screens and l30's streaming gate:
+    * published model reports — GPT-4, Llama, Phi — additionally screen
+    * training data against benchmarks by EMBEDDING similarity, which
+    * catches paraphrased or reformatted eval material that shares no
+    * 13-gram). Train vectors whose max cosine against ANY eval-suite
+    * vector clears 0.90 (e4-rounded, the catalog's shared near-dup bar)
+    * are contaminated. The eval suite is the mod-10 id slice; since the
+    * natural corpus' cross-split cosines top out at ~0.49 (measured),
+    * contamination is PLANTED by the catalog's standard rule
+    * ([[LlmQueries.plantedOffset]] discipline): each eval vector also
+    * appears perturbed (+0.3 on coordinate 1) as a train row at
+    * id + offset, so the gate pins that exactly the planted paraphrases
+    * are caught and nothing natural is. Per label: train rows, flagged
+    * rows, flagged checksum, max similarity seen.
+    *
+    * Scale shape: the eval side is the BENCHMARK SUITE — bounded by
+    * construction (10³–10⁴ rows at production), so it broadcasts and
+    * the screen is one BroadcastNestedLoopJoin pass over train with
+    * per-row O(|eval|·d) codegen'd dot products, then a per-row max —
+    * no shuffle of the train corpus at all. (The IVF-accelerated
+    * variant — probe only the eval vectors in nearby cells — composes
+    * [[AnnIndexes]]; the brute form here is the oracle-checkable
+    * baseline the published reports actually run at eval-suite sizes.) */
+  val l42 = DQ(
+    "l42_semantic_decontam",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val off = LlmQueries.plantedOffset(base, "vec_id")
+      val contaminated = base
+        .filter(LlmQueries.isPlantedSrc(col("vec_id")))
+        .crossJoin(broadcast(off))
+        .select((col("vec_id") + col("_off")).as("vec_id"), col("label"),
+          expr("concat(array(element_at(v, 1) + 0.3), slice(v, 2, size(v) - 1))")
+            .as("v"))
+      val eval = base.filter(LlmQueries.isPlantedSrc(col("vec_id")))
+        .select(col("v").as("ev"))
+      val train = base.filter(!LlmQueries.isPlantedSrc(col("vec_id")))
+        .unionByName(contaminated)
+      train.crossJoin(broadcast(eval))
+        .withColumn("cos_e4",
+          round(lit(10000) *
+            graft.functions.VectorOps.cosineNative(col("v"), col("ev")))
+            .cast("long"))
+        .groupBy("vec_id", "label")
+        .agg(max("cos_e4").as("max_e4"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_train"),
+          sum(when(col("max_e4") >= 9000L, 1L).otherwise(0L)).as("n_flagged"),
+          coalesce(sum(when(col("max_e4") >= 9000L, col("vec_id"))), lit(0L))
+            .as("flagged_checksum"),
+          max("max_e4").as("max_sim_e4"))
+        .orderBy("label")
+    },
+    Some("""WITH base AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            off AS (SELECT COALESCE(MAX(vec_id), -1) + 1 AS o FROM base),
+            contaminated AS (
+              SELECT b.vec_id + off.o AS vec_id, b.label,
+                list_concat([v[1] + 0.3], v[2:]) AS v
+              FROM base b, off WHERE b.vec_id % 10 = 0),
+            ev AS (SELECT v AS evec FROM base WHERE vec_id % 10 = 0),
+            train AS (
+              SELECT vec_id, label, v FROM base WHERE vec_id % 10 <> 0
+              UNION ALL
+              SELECT vec_id, label, v FROM contaminated),
+            sims AS (
+              SELECT t.vec_id, t.label,
+                MAX(CAST(ROUND(10000 * list_dot_product(t.v, e.evec)
+                  / (sqrt(list_dot_product(t.v, t.v))
+                     * sqrt(list_dot_product(e.evec, e.evec)))) AS BIGINT))
+                  AS max_e4
+              FROM train t, ev e GROUP BY 1, 2)
+            SELECT label,
+              CAST(COUNT(*) AS BIGINT) AS n_train,
+              CAST(SUM(CASE WHEN max_e4 >= 9000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged,
+              CAST(COALESCE(SUM(CASE WHEN max_e4 >= 9000 THEN vec_id END), 0)
+                AS BIGINT) AS flagged_checksum,
+              CAST(MAX(max_e4) AS BIGINT) AS max_sim_e4
+            FROM sims GROUP BY 1 ORDER BY label"""))
+
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l40, l42)
 }

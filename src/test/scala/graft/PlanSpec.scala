@@ -37,7 +37,15 @@ class PlanSpec extends AnyFunSuite {
       // l36: l16's exact shapes — the k-row centroid broadcast, the
       // 1-row query-vector/quantized-query broadcasts, and the 1-row
       // overlap/agreement counters crossJoined onto the top-k frame.
-      "l36_ann_ivf_int8")
+      "l36_ann_ivf_int8",
+      // l38: the 1-row corpus-count broadcast that scales the 6%
+      // document-frequency bar (a global agg crossJoined onto the df
+      // frame).
+      "l38_line_dedup",
+      // l42: the brute semantic screen against the eval SUITE — bounded
+      // by construction (a benchmark set, not a corpus), broadcast as
+      // the BNLJ build side — plus the 1-row planted-offset broadcast.
+      "l42_semantic_decontam")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

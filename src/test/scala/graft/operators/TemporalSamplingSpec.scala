@@ -542,6 +542,32 @@ class TemporalSamplingSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- l42
+
+  test("l42 semantic decontam flags exactly the planted paraphrases — " +
+      "nothing natural clears the bar, every planted copy does") {
+    val rows = SamplingQueries.l42.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val e = Tables.embeddings(spark, sf)
+    val nPlanted = e.filter(col("vec_id") % 10 === 0).count()
+    val off = e.agg(max("vec_id")).collect().head.getLong(0) + 1
+    val expectChecksum = e.filter(col("vec_id") % 10 === 0)
+      .agg(sum(col("vec_id") + off)).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum === nPlanted,
+      "flagged must be exactly the planted copies")
+    assert(rows.map(_.getAs[Long]("flagged_checksum")).sum === expectChecksum,
+      "the flagged IDS must be the planted ids")
+    // the planted perturbation is still a strong match
+    assert(rows.map(_.getAs[Long]("max_sim_e4")).max >= 9000L)
+  }
+
+  test("l42's screen broadcasts the eval suite (train never shuffles " +
+      "for the similarity pass)") {
+    val plan = SamplingQueries.l42.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"screen shape:\n$plan")
+  }
+
   // ------------------------------------------------------------- l40
 
   test("l40 source caps: a binding cap keeps exactly min(cap, n) per " +
