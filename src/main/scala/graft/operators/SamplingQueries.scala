@@ -877,5 +877,126 @@ object SamplingQueries {
               CAST(MAX(max_e4) AS BIGINT) AS max_sim_e4
             FROM sims GROUP BY 1 ORDER BY label"""))
 
-  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l40, l42)
+  // ----------------------------------------------------------- l39 DSIR
+
+  /** DSIR feature-space size (hashed-bigram buckets). The paper uses
+    * 10⁴ on web corpora; 1024 keeps every bucket populated at the test
+    * sfs while the shape is B-independent. */
+  private[operators] val DsirBuckets = 1024
+
+  /** (doc_id, lang, bucket, n) hashed-bigram feature counts — the ONE
+    * token-grain pass of the DSIR pipeline; factored out so the spec
+    * can recompute the model/weight arithmetic downstream of it
+    * independently of the plan's join path. */
+  private def dsirFeats(dd0: DataFrame): DataFrame =
+    dd0.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), "\\s+").as("ta"))
+      .withColumn("bg", zip_with(
+        expr("slice(ta, 1, greatest(size(ta) - 1, 0))"),
+        expr("slice(ta, 2, greatest(size(ta) - 1, 0))"),
+        // unit-separator keeps ("ab","c") / ("a","bc") as distinct keys
+        (a, b) => concat(a, lit("\u001f"), b)))
+      .select(col("doc_id"), col("lang"), explode(col("bg")).as("g"))
+      .withColumn("b", pmod(xxhash64(col("g")), lit(DsirBuckets)).cast("long"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+
+  private[operators] def dsirFeatsForTest(dd: DataFrame): DataFrame =
+    dsirFeats(dd)
+
+  /** Per-document DSIR importance weights + deterministic Gumbel-top-k
+    * resample ([[l39]]'s pipeline, parameterized so the spec can run a
+    * binding k at sf0.001). Returns one row per document:
+    * `(doc_id, lang, w_milli, gkey, sampled)`.
+    *
+    * The weight is INTEGER milli-nats: each bucket's log-likelihood
+    * ratio is rounded to a long once (`llr_milli`), and the per-doc
+    * weight is the exact long sum Σ n_b·llr_milli[b] — so the weight is
+    * independent of aggregation order (a double sum here would make the
+    * Gumbel ranking flicker across partitionings near ties). The Gumbel
+    * perturbation is derived from the catalog's md5 draw machinery —
+    * 15 hex digits → uniform in (0,1) → −ln(−ln(u)) — a pure per-row
+    * function of doc_id, so the SAMPLE is reproducible on any cluster
+    * layout, yet distributed exactly as Gumbel-top-k sampling without
+    * replacement from softmax(w) requires (Vieira 2014). */
+  private[operators] def dsirSample(dd0: DataFrame, targetLang: String,
+      k: Int): DataFrame = {
+    val dd = dd0.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), "\\s+").as("ta"))
+    val feats = dsirFeats(dd0)
+    // bucket-grain bag-of-ngrams models: raw = whole corpus, target =
+    // the target slice; add-1 smoothing over B buckets
+    val raw = feats.groupBy("b").agg(sum("n").as("cr"))
+    val tgt = feats.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum("n").as("ct"))
+    val totals = feats.agg(
+      sum("n").as("nr"),
+      sum(when(col("lang") === targetLang, col("n")).otherwise(0L)).as("nt"))
+    val llr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals)) // 1-row totals broadcast
+      .withColumn("llr_milli", round(lit(1000.0) *
+          (log((coalesce(col("ct"), lit(0L)) + 1d) / (col("nt") + DsirBuckets)) -
+           log((col("cr") + 1d) / (col("nr") + DsirBuckets)))).cast("long"))
+      .select("b", "llr_milli")
+    // per-doc weight: exact long dot of feature counts with the ≤B-row
+    // broadcast llr table; docs with no bigram weigh 0
+    val w = feats.join(broadcast(llr), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("n") * col("llr_milli")).as("w_milli"))
+    val scored = dd.select("doc_id", "lang")
+      .join(w, Seq("doc_id"), "left")
+      .withColumn("w_milli", coalesce(col("w_milli"), lit(0L)))
+      // deterministic Gumbel: 15 md5 hex digits → u ∈ (0,1) → −ln(−ln u)
+      .withColumn("u",
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":dsir"))), 1, 15), 16, 10).cast("double") + 0.5d) /
+          lit(math.pow(16.0, 15)))
+      .withColumn("gkey",
+        col("w_milli").cast("double") + lit(1000.0) * -log(-log(col("u"))))
+      .drop("u")
+    val chosen = scored.orderBy(col("gkey").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), lit(true).as("_s"))
+    scored.join(broadcast(chosen), Seq("doc_id"), "left")
+      .withColumn("sampled", coalesce(col("_s"), lit(false))).drop("_s")
+  }
+
+  /** L39 — data selection by importance resampling (DSIR, Xie et al.
+    * 2023 arXiv:2302.03169: choose pretraining documents whose
+    * hashed-n-gram distribution matches a TARGET corpus — the
+    * principled version of "more data like the good data" that l37's
+    * score buckets approximate). Bag-of-hashed-bigrams models with
+    * add-1 smoothing give each doc a log importance weight
+    * Σ_b n_b·(log p̂_target(b) − log p̂_raw(b)); sampling without
+    * replacement ∝ softmax(w) is realized EXACTLY by Gumbel-top-k with
+    * deterministic per-doc Gumbel noise from the md5 draw. The target
+    * here is the zh slice (languages have disjoint synthetic vocab, so
+    * enrichment is verifiable); production swaps any high-quality
+    * corpus in as `targetLang`'s slice. Per language: population,
+    * sampled docs, mean sampled weight.
+    *
+    * Scale shape: one bigram explode → (doc, bucket) agg; the bucket
+    * models and llr table are B-row (broadcast); the per-doc weight is
+    * an exact long dot against that broadcast; Gumbel-top-k is a
+    * TakeOrdered. No all-pairs, no window over the corpus, no RNG
+    * state. NO ORACLE by design: the weights are ln-valued and
+    * Math.log is not bit-portable across engines (a DuckDB recompute
+    * can differ in the last ulp and flip a rounded milli-weight), so
+    * the gate is the spec's driver-side recompute instead — same
+    * discipline as the sketch/ANN rows. */
+  val l39 = DQ(
+    "l39_dsir_sample",
+    (s, d) => {
+      dsirSample(docs(s, d), "zh", 64)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          coalesce(sum(when(col("sampled"), col("w_milli"))), lit(0L))
+            .as("sampled_w_milli"),
+          coalesce(sum(when(col("sampled"), col("doc_id"))), lit(0L))
+            .as("sampled_checksum"))
+        .orderBy("lang")
+    },
+    None)
+
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42)
 }

@@ -42,6 +42,9 @@ class PlanSpec extends AnyFunSuite {
       // document-frequency bar (a global agg crossJoined onto the df
       // frame).
       "l38_line_dedup",
+      // l39: the 1-row smoothing-totals broadcast onto the B-row llr
+      // table, and the k-row chosen-set broadcast mark join.
+      "l39_dsir_sample",
       // l42: the brute semantic screen against the eval SUITE — bounded
       // by construction (a benchmark set, not a corpus), broadcast as
       // the BNLJ build side — plus the 1-row planted-offset broadcast.

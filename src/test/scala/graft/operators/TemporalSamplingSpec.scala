@@ -542,6 +542,67 @@ class TemporalSamplingSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- l39
+
+  test("l39 DSIR: milli-weights equal a driver-side recompute of the " +
+      "smoothed log-likelihood ratios, and exactly k docs are chosen") {
+    val dd = Tables.documents(spark, sf)
+    val res = SamplingQueries.dsirSample(dd, "zh", 10)
+    val rows = res.collect()
+    assert(rows.count(_.getAs[Boolean]("sampled")) === 10)
+
+    // recompute the llr table and weights from the (doc,bucket) counts
+    // (independent of the plan's join/broadcast/rounding path)
+    val feats = SamplingQueries.dsirFeatsForTest(dd).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("b"), r.getAs[Long]("n")))
+    val B = SamplingQueries.DsirBuckets
+    val nr = feats.map(_._4).sum.toDouble + B
+    val nt = feats.filter(_._2 == "zh").map(_._4).sum.toDouble + B
+    val cr = feats.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    val ct = feats.filter(_._2 == "zh").groupBy(_._3)
+      .view.mapValues(_.map(_._4).sum).toMap
+    val llr = cr.keys.map { b =>
+      b -> math.round(1000.0 * (math.log((ct.getOrElse(b, 0L) + 1d) / nt) -
+        math.log((cr(b) + 1d) / nr)))
+    }.toMap
+    val expectW = feats.groupBy(_._1).view.mapValues(
+      _.map { case (_, _, b, n) => n * llr(b) }.sum).toMap
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("w_milli") === expectW.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
+  test("l39 DSIR: the sample is enriched toward the target slice and " +
+      "invariant to input partitioning") {
+    val dd = Tables.documents(spark, sf)
+    val a = SamplingQueries.dsirSample(dd, "zh", 32).collect()
+    val b = SamplingQueries.dsirSample(dd.repartition(7), "zh", 32).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq,
+      "sample must not depend on the cluster layout")
+    val sampled = a.filter(_.getAs[Boolean]("sampled"))
+    val zhShareSample = sampled.count(_.getAs[String]("lang") == "zh").toDouble /
+      sampled.length
+    val zhShareCorpus = a.count(_.getAs[String]("lang") == "zh").toDouble /
+      a.length
+    assert(zhShareSample >= 2 * zhShareCorpus,
+      f"enrichment too weak: $zhShareSample%.2f vs corpus $zhShareCorpus%.2f")
+  }
+
+  test("l39 DSIR: a single-token doc has no bigrams, weighs exactly 0, " +
+      "and never divides by zero under ANSI") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "en", "solo"),
+      (2L, "en", "two tokens here make bigrams"),
+      (3L, "zh", "two tokens here make bigrams")).toDF("doc_id", "lang", "text")
+    val rows = SamplingQueries.dsirSample(tiny, "zh", 2).collect()
+    assert(rows.length === 3)
+    assert(rows.find(_.getLong(0) == 1L).get.getAs[Long]("w_milli") === 0L)
+    assert(rows.count(_.getAs[Boolean]("sampled")) === 2)
+  }
+
   // ------------------------------------------------------------- l42
 
   test("l42 semantic decontam flags exactly the planted paraphrases — " +
