@@ -815,23 +815,32 @@ object SamplingQueries {
     * variant — probe only the eval vectors in nearby cells — composes
     * [[AnnIndexes]]; the brute form here is the oracle-checkable
     * baseline the published reports actually run at eval-suite sizes.) */
+  /** [[l42]]'s planted frames, shared with the IVF-variant spec:
+    * `(eval with (vec_id, v), train with (vec_id, label, v))`. */
+  private[operators] def semanticFrames(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val off = LlmQueries.plantedOffset(base, "vec_id")
+    val contaminated = base
+      .filter(LlmQueries.isPlantedSrc(col("vec_id")))
+      .crossJoin(broadcast(off))
+      .select((col("vec_id") + col("_off")).as("vec_id"), col("label"),
+        expr("concat(array(element_at(v, 1) + 0.3), slice(v, 2, size(v) - 1))")
+          .as("v"))
+    val eval = base.filter(LlmQueries.isPlantedSrc(col("vec_id")))
+      .select(col("vec_id"), col("v"))
+    val train = base.filter(!LlmQueries.isPlantedSrc(col("vec_id")))
+      .unionByName(contaminated)
+    (eval, train)
+  }
+
   val l42 = DQ(
     "l42_semantic_decontam",
     (s, d) => {
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      val off = LlmQueries.plantedOffset(base, "vec_id")
-      val contaminated = base
-        .filter(LlmQueries.isPlantedSrc(col("vec_id")))
-        .crossJoin(broadcast(off))
-        .select((col("vec_id") + col("_off")).as("vec_id"), col("label"),
-          expr("concat(array(element_at(v, 1) + 0.3), slice(v, 2, size(v) - 1))")
-            .as("v"))
-      val eval = base.filter(LlmQueries.isPlantedSrc(col("vec_id")))
-        .select(col("v").as("ev"))
-      val train = base.filter(!LlmQueries.isPlantedSrc(col("vec_id")))
-        .unionByName(contaminated)
+      val (evalVecs, train) = semanticFrames(s, d)
+      val eval = evalVecs.select(col("v").as("ev"))
       train.crossJoin(broadcast(eval))
         .withColumn("cos_e4",
           round(lit(10000) *
@@ -997,6 +1006,47 @@ object SamplingQueries {
         .orderBy("lang")
     },
     None)
+
+  /** [[l42]]'s IVF-accelerated scale path, roles deliberately FLIPPED
+    * from [[AnnIndexes.probeIvfBatch]]: there the queries broadcast and
+    * the corpus is the index; here the INDEX is built over the (small,
+    * bounded) eval suite and the 100 TB train corpus streams through as
+    * the probed side — broadcasting the k-row centroid table and the
+    * |eval|-row inverted lists, never the train side. Each train vector
+    * ranks the centroids (k-row window per vector, l16's probe shape),
+    * keeps its `nprobe` nearest eval cells, and pays exact cosines only
+    * against eval vectors IN those cells — ~nprobe/k of the brute
+    * screen's |eval| dots per row, the difference between 10⁴ and 10²
+    * dot products per train document at a real eval-suite size.
+    *
+    * Approximation contract (the spec pins it on the planted corpus): a
+    * contaminated train vector is a small perturbation of its eval
+    * source, so its nearest eval CELL is the source's own cell and
+    * recall on real contamination is total; what the probe may miss is
+    * a pair near the threshold across a cell boundary — the same
+    * residual the batch exact screen (the DQ) exists to audit. */
+  private[operators] def semanticDecontamIvfFlags(evalVecs: DataFrame,
+      train: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val idx = AnnIndexes.buildIvf(
+      evalVecs.select(col("vec_id"), col("v")), k, iters = 2)
+    val evalSide = idx.lists
+      .join(evalVecs.select(col("vec_id"), col("v").as("ev")), "vec_id")
+      .select("cid", "ev")
+    val ranked = train.crossJoin(broadcast(idx.centroids))
+      .withColumn("d2", graft.functions.Ivf.dist2(col("cv"), col("v")))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val probes = ranked.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= nprobe)
+      .select(col("vec_id"), col("label"), col("v"), col("cid"))
+    probes.join(broadcast(evalSide), "cid")
+      .withColumn("cos_e4",
+        round(lit(10000) *
+          graft.functions.VectorOps.cosineNative(col("v"), col("ev")))
+          .cast("long"))
+      .groupBy("vec_id", "label")
+      .agg(max("cos_e4").as("max_e4"))
+      .withColumn("flagged", col("max_e4") >= lit(9000L))
+  }
 
   val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42)
 }

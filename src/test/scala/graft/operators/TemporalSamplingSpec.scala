@@ -622,6 +622,30 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("max_sim_e4")).max >= 9000L)
   }
 
+  test("l42 IVF scale path: the eval-indexed probe flags the SAME set as " +
+      "the brute screen, broadcasting only eval-side frames") {
+    val (evalVecs, train) = SamplingQueries.semanticFrames(spark, sf)
+    val ivf = SamplingQueries
+      .semanticDecontamIvfFlags(evalVecs, train, k = 4, nprobe = 2)
+    val brute = train
+      .crossJoin(broadcast(evalVecs.select(col("v").as("ev"))))
+      .withColumn("cos_e4", round(lit(10000) *
+        graft.functions.VectorOps.cosineNative(col("v"), col("ev"))).cast("long"))
+      .groupBy("vec_id").agg(max("cos_e4").as("max_e4"))
+      .filter(col("max_e4") >= 9000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val probed = ivf.filter(col("flagged"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probed === brute,
+      s"IVF flags ${probed.size} vs brute ${brute.size}")
+    assert(probed.nonEmpty, "planted contamination must be present")
+    // the probe never pays the full |eval| dots: candidate pairs are
+    // bounded by the probed cells' membership
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), s"eval side must broadcast:\n$plan")
+  }
+
   test("l42's screen broadcasts the eval suite (train never shuffles " +
       "for the similarity pass)") {
     val plan = SamplingQueries.l42.fn(spark, sf)
