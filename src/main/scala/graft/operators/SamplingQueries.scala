@@ -930,9 +930,12 @@ object SamplingQueries {
     * replacement from softmax(w) requires (Vieira 2014). */
   private[operators] def dsirSample(dd0: DataFrame, targetLang: String,
       k: Int): DataFrame = {
-    val dd = dd0.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("lang"), split(lower(col("text")), "\\s+").as("ta"))
-    val feats = dsirFeats(dd0)
+    val dd = dd0.filter(col("text").isNotNull).select("doc_id", "lang")
+    // checkpointed ONCE (l33's discipline): the bigram explode + agg is
+    // the pipeline's only token-grain pass, and four consumers read it
+    // (raw model, target model, smoothing totals, per-doc weights) — an
+    // unshared frame would re-tokenize the corpus four times
+    val feats = dsirFeats(dd0).localCheckpoint(false)
     // bucket-grain bag-of-ngrams models: raw = whole corpus, target =
     // the target slice; add-1 smoothing over B buckets
     val raw = feats.groupBy("b").agg(sum("n").as("cr"))
@@ -951,7 +954,7 @@ object SamplingQueries {
     // broadcast llr table; docs with no bigram weigh 0
     val w = feats.join(broadcast(llr), Seq("b"))
       .groupBy("doc_id").agg(sum(col("n") * col("llr_milli")).as("w_milli"))
-    val scored = dd.select("doc_id", "lang")
+    val scored = dd
       .join(w, Seq("doc_id"), "left")
       .withColumn("w_milli", coalesce(col("w_milli"), lit(0L)))
       // deterministic Gumbel: 15 md5 hex digits → u ∈ (0,1) → −ln(−ln u)
