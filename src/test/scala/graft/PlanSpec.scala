@@ -45,6 +45,9 @@ class PlanSpec extends AnyFunSuite {
       // l39: the 1-row smoothing-totals broadcast onto the B-row llr
       // table, and the k-row chosen-set broadcast mark join.
       "l39_dsir_sample",
+      // l44: the 1-row planted-offset broadcast building the v1
+      // fixture's removed-doc ids.
+      "l44_snapshot_diff",
       // l42: the brute semantic screen against the eval SUITE — bounded
       // by construction (a benchmark set, not a corpus), broadcast as
       // the BNLJ build side — plus the 1-row planted-offset broadcast.

@@ -49,6 +49,38 @@ class CorpusStatsSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("n_occ_vocab")).sum)
   }
 
+  test("l44 snapshot diff classifies exactly the planted version history") {
+    val rows = CorpusOpsQueries.l44.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dd = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val added = dd.filter(col("doc_id") % 7 === 0).count()
+    val removed = dd.filter(col("doc_id") % 13 === 0).count()
+    // modified = ' edited' in v1 AND still present in v1 (%7 wins)
+    val modified = dd.filter(col("doc_id") % 11 === 0 &&
+      col("doc_id") % 7 =!= 0).count()
+    val total = dd.count()
+    assert(rows.map(_.getAs[Long]("n_added")).sum === added)
+    assert(rows.map(_.getAs[Long]("n_removed")).sum === removed)
+    assert(rows.map(_.getAs[Long]("n_modified")).sum === modified)
+    assert(rows.map(_.getAs[Long]("n_unchanged")).sum ===
+      total - added - modified)
+    // checksums pin WHICH docs, not just counts
+    val expectAdded = dd.filter(col("doc_id") % 7 === 0)
+      .agg(coalesce(sum("doc_id"), lit(0L))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("added_checksum")).sum === expectAdded)
+  }
+
+  test("l44's diff is ONE primary-key equi-join (co-partitionable at " +
+      "scale), never a nested loop over the snapshots") {
+    val plan = CorpusOpsQueries.l44.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"full-outer diff join:\n$plan")
+    // the only BNLJ is the 1-row offset broadcast; the snapshot join
+    // itself must be hash/sort-merge on doc_id
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"keyed join expected:\n$plan")
+  }
+
   test("l41 plan: the vocabulary is a TakeOrdered (no global sort) and " +
       "marks tokens through a broadcast join") {
     val plan = LlmQueries.l41.fn(spark, sf)
