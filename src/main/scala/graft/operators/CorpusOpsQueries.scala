@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{DQ, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus LIFECYCLE operators — the snapshot-management layer a
@@ -29,6 +30,34 @@ object CorpusOpsQueries {
   private val v1TextSql =
     "CASE WHEN doc_id % 11 = 0 THEN concat(text, ' edited') ELSE text END"
 
+  /** The planted v1 snapshot as a frame — (doc_id, source, text) —
+    * shared by [[l44]] (key diff) and [[l46]] (content screen) so the
+    * two operators describe the SAME version history. */
+  private def v1Snapshot(cur: DataFrame): DataFrame = {
+    val off = LlmQueries.plantedOffset(cur, "doc_id")
+    val v1Base = cur.filter(expr(v1FilterSql))
+      .select(col("doc_id"), col("source"), expr(v1TextSql).as("text"))
+    val v1Removed = cur.filter(col("doc_id") % 13 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("_off")).as("doc_id"), col("source"),
+        col("text"))
+    v1Base.unionByName(v1Removed)
+  }
+
+  /** The v1 CTE shared by both oracles — identical construction to
+    * [[v1Snapshot]], executed by DuckDB. */
+  private val v1CteSql = s"""cur AS (
+              SELECT doc_id, source, text FROM documents
+              WHERE text IS NOT NULL),
+            off AS (SELECT COALESCE(MAX(doc_id), -1) + 1 AS o FROM cur),
+            v1 AS (
+              SELECT doc_id, source,
+                $v1TextSql AS text
+              FROM cur WHERE $v1FilterSql
+              UNION ALL
+              SELECT c.doc_id + off.o AS doc_id, c.source, c.text
+              FROM cur c, off WHERE c.doc_id % 13 = 0)"""
+
   /** L44 — corpus snapshot diff: classify every document of two corpus
     * versions as added / removed / modified / unchanged by primary key
     * and content, rolled up per source with identity checksums. The
@@ -50,15 +79,7 @@ object CorpusOpsQueries {
     "l44_snapshot_diff",
     (s, d) => {
       val cur = docs(s, d).filter(col("text").isNotNull)
-      val off = LlmQueries.plantedOffset(cur, "doc_id")
-      val v1Base = cur.filter(expr(v1FilterSql))
-        .select(col("doc_id"), col("source"),
-          expr(v1TextSql).as("text"))
-      val v1Removed = cur.filter(col("doc_id") % 13 === 0)
-        .crossJoin(broadcast(off))
-        .select((col("doc_id") + col("_off")).as("doc_id"), col("source"),
-          col("text"))
-      val v1 = v1Base.unionByName(v1Removed)
+      val v1 = v1Snapshot(cur)
       val v2 = cur.select(col("doc_id"), col("source"), col("text"))
       v1.select(col("doc_id"), col("source").as("src1"), col("text").as("t1"))
         .join(v2.select(col("doc_id"), col("source").as("src2"),
@@ -81,17 +102,7 @@ object CorpusOpsQueries {
             .as("modified_checksum"))
         .orderBy("source")
     },
-    Some(s"""WITH cur AS (
-              SELECT doc_id, source, text FROM documents
-              WHERE text IS NOT NULL),
-            off AS (SELECT COALESCE(MAX(doc_id), -1) + 1 AS o FROM cur),
-            v1 AS (
-              SELECT doc_id, source,
-                $v1TextSql AS text
-              FROM cur WHERE $v1FilterSql
-              UNION ALL
-              SELECT c.doc_id + off.o AS doc_id, c.source, c.text
-              FROM cur c, off WHERE c.doc_id % 13 = 0),
+    Some(s"""WITH $v1CteSql,
             j AS (
               SELECT COALESCE(v2.doc_id, v1.doc_id) AS doc_id,
                 COALESCE(v2.source, v1.source) AS source,
@@ -115,5 +126,199 @@ object CorpusOpsQueries {
                 AS BIGINT) AS modified_checksum
             FROM j GROUP BY 1 ORDER BY source"""))
 
-  val all: Seq[DQ] = Seq(l44)
+  /** The increment screen shared by the [[l46]] DQ and its spec: label
+    * every increment doc (added / modified per l44's key rules) as
+    * content-`known` (its canonical hash exists somewhere in v1) or
+    * content-`novel`, rolled up per status with identity checksums. */
+  private[operators] def incrementScreen(cur: DataFrame): DataFrame = {
+    val normHash = sha2(lower(trim(col("text"))), 256)
+    val v1Hashes = v1Snapshot(cur)
+      .select(normHash.as("h")).distinct()
+      .withColumn("_hit", lit(1))
+    cur
+      .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+      .withColumn("status",
+        when(col("doc_id") % 7 === 0, "added").otherwise("modified"))
+      .select(col("doc_id"), col("status"), normHash.as("h"))
+      .join(v1Hashes, Seq("h"), "left")
+      .withColumn("known", col("_hit").isNotNull)
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+        sum(when(!col("known"), 1L).otherwise(0L)).as("n_novel"),
+        coalesce(sum(when(col("known"), col("doc_id"))), lit(0L))
+          .as("known_checksum"),
+        coalesce(sum(when(!col("known"), col("doc_id"))), lit(0L))
+          .as("novel_checksum"))
+      .orderBy("status")
+  }
+
+  /** L46 — incremental dedup of the version increment: the operational
+    * composition l44 exists FOR. A release pipeline takes the diff's
+    * added+modified slice (the increment — everything whose doc_id-keyed
+    * row changed) and screens its CONTENT against the previous
+    * snapshot's canonical hash set (l1's normHash — the same definition
+    * as the batch dedup and the streaming ingest gate, so the three can
+    * never disagree) before admitting it: a doc REMOVED under an old id
+    * and re-crawled under a new one is key-`added` but content-`known`,
+    * and admitting it would undo the dedup the last release performed.
+    * Here the known class is non-empty by l44's own planted history —
+    * added docs at `doc_id % 91 = 0` (added-by-key ∧ planted-removed, 7·13)
+    * re-carry a v1 removed doc's text, and modified docs at
+    * `% 143 = 0` (11·13) revert to a text v1 still holds — so the gate
+    * pins WHICH increment docs the screen must refuse, by construction.
+    *
+    * Scale shape: v1's hash set is the PERSISTED exact-dedup index a
+    * deployment already maintains (l1's hash table / l17's state) —
+    * built once per release, partial-aggregable distinct; the increment
+    * (small by definition — it is the CHANGE, not the corpus) probes it
+    * with one equi-join on 32-byte keys, co-partitioned when both sides
+    * bucket by hash, Bloom-prefiltered (l35's sketch) when the index
+    * must stay on disk. The v2 corpus never shuffles: only increment
+    * rows carry into the join. */
+  val l46 = DQ(
+    "l46_incremental_dedup",
+    (s, d) => incrementScreen(docs(s, d).filter(col("text").isNotNull)),
+    Some(s"""WITH $v1CteSql,
+            v1h AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM v1),
+            inc AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN 'added' ELSE 'modified' END AS status,
+                sha256(lower(trim(text))) AS h
+              FROM cur WHERE doc_id % 7 = 0 OR doc_id % 11 = 0),
+            lab AS (
+              SELECT inc.doc_id, inc.status, (v1h.h IS NOT NULL) AS known
+              FROM inc LEFT JOIN v1h ON inc.h = v1h.h)
+            SELECT status,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+              CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+              CAST(COALESCE(SUM(CASE WHEN known THEN doc_id END), 0) AS BIGINT)
+                AS known_checksum,
+              CAST(COALESCE(SUM(CASE WHEN known THEN 0 ELSE doc_id END), 0) AS BIGINT)
+                AS novel_checksum
+            FROM lab GROUP BY 1 ORDER BY status"""))
+
+  /** [[l48]]'s gram width (l33's [[SamplingQueries.SpanK]] criterion —
+    * "long verbatim run", the grain at which shared content means shared
+    * PROVENANCE rather than shared phrasing) and its chrome bar: a gram
+    * present in more than `DfCap` sources is site chrome / template
+    * text, not provenance signal — exactly l38's document-frequency
+    * argument one level up — and excluding it is what bounds the
+    * per-gram pair fan-out at scale (a df-capped gram emits at most
+    * DfCap·(DfCap−1)/2 source pairs; an uncapped cookie banner in every
+    * source would emit |sources|²). */
+  private[operators] val OverlapK = 15
+  private[operators] val OverlapDfCap = 8
+
+  /** L48 core — pairwise source-overlap matrix over distinct word
+    * k-grams: for every source pair sharing at least one (non-chrome)
+    * gram, the shared-gram count and Jaccard similarity. */
+  private[operators] def sourceOverlap(cur: DataFrame, k: Int,
+      dfCap: Int): DataFrame = {
+    val off = LlmQueries.plantedOffset(cur, "doc_id")
+    val mirrored = cur.filter(col("doc_id") % 10 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("_off")).as("doc_id"),
+        concat(lit("m_"), col("source")).as("source"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val corpus = cur.select("doc_id", "source", "text").unionByName(mirrored)
+    // per-source distinct grams with each gram's source-df, one gram
+    // shuffle; the frame feeds three consumers (totals + both join
+    // sides) — checkpointed once, the l29/l33 shared-subtree discipline
+    val kept = SamplingQueries.docGramsK(corpus, Seq("source"), k, hashed = false)
+      .select("source", "gram").distinct()
+      .withColumn("sdf", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("sdf") <= dfCap)
+      .select("source", "gram")
+      .localCheckpoint(false)
+    val tot = kept.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = kept.select(col("gram"), col("source").as("src_a"))
+      .join(kept.select(col("gram"), col("source").as("src_b")), Seq("gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(tot.select(col("source").as("src_a"), col("n_grams").as("grams_a")),
+        Seq("src_a"))
+      .join(tot.select(col("source").as("src_b"), col("n_grams").as("grams_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        col("n_shared"),
+        round(col("n_shared") * lit(10000.0) /
+          (col("grams_a") + col("grams_b") - col("n_shared")))
+          .cast("long").as("jaccard_bp"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** L48 — cross-source overlap audit (the provenance-level dedup
+    * matrix of the published corpus reports: Dolma and RedPajama both
+    * account cross-source duplication, and crawl pipelines audit
+    * snapshot-to-snapshot overlap to schedule recrawls — "which sources
+    * carry the same content" decides both dedup ORDER and source
+    * weights). Overlap is exact Jaccard over each source's distinct
+    * word 15-grams (l33's long-verbatim-run grain), excluding grams in
+    * more than 8 sources (chrome, l38's df argument — and the bound
+    * that keeps the pair fan-out linear in grams at scale). Mirror
+    * sources are planted by the catalog's standard rule (every
+    * `doc_id % 10 = 0` doc re-appears under `m_<source>` with its first
+    * token dropped), so every real source overlaps its mirror by
+    * construction and the gate pins the matrix cell-for-cell.
+    *
+    * Scale shape: per-source distinct grams are one partial-aggregable
+    * shuffle; the pair generation is a gram-keyed self-equi-join whose
+    * per-gram fan-out the df cap bounds; totals are source-cardinality
+    * frames (broadcast onto the pair rollup). At 10⁵+ sources the same
+    * frame feeds the sketch path instead: per-source MinHash signatures
+    * (the [[graft.functions.MinHash]] aggregator over the identical
+    * gram set) + l9's banded buckets find candidate pairs without any
+    * exact join — spec-pinned against this exact matrix on the mirror
+    * pairs. */
+  val l48 = DQ(
+    "l48_source_overlap",
+    (s, d) => sourceOverlap(
+      docs(s, d).filter(col("text").isNotNull), OverlapK, OverlapDfCap),
+    Some(s"""WITH cur AS (
+              SELECT doc_id, source, text FROM documents
+              WHERE text IS NOT NULL),
+            off AS (SELECT COALESCE(MAX(doc_id), -1) + 1 AS o FROM cur),
+            corpus AS (
+              SELECT source, text FROM cur
+              UNION ALL
+              SELECT 'm_' || source, substring(text, instr(text, ' ') + 1)
+              FROM cur, off WHERE doc_id % 10 = 0),
+            toks AS (
+              SELECT source, string_split_regex(lower(text), '\\s+') AS ta
+              FROM corpus),
+            grams AS (
+              SELECT DISTINCT source,
+                unnest(list_transform(range(len(ta) - ${OverlapK - 1}),
+                  i -> array_to_string(list_slice(ta, i + 1, i + $OverlapK), ' ')))
+                  AS gram
+              FROM toks WHERE len(ta) >= $OverlapK),
+            kept AS (
+              SELECT source, gram FROM (
+                SELECT source, gram, COUNT(*) OVER (PARTITION BY gram) AS sdf
+                FROM grams)
+              WHERE sdf <= $OverlapDfCap),
+            tot AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM kept GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM kept a JOIN kept b
+                ON a.gram = b.gram AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b,
+              ta.n_grams AS grams_a, tb.n_grams AS grams_b, n_shared,
+              CAST(ROUND(n_shared * 10000.0 /
+                (ta.n_grams + tb.n_grams - n_shared)) AS BIGINT) AS jaccard_bp
+            FROM pairs
+            JOIN tot ta ON pairs.src_a = ta.source
+            JOIN tot tb ON pairs.src_b = tb.source
+            ORDER BY src_a, src_b"""))
+
+  val all: Seq[DQ] = Seq(l44, l46, l48)
 }

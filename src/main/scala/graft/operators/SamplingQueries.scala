@@ -1051,5 +1051,266 @@ object SamplingQueries {
       .withColumn("flagged", col("max_e4") >= lit(9000L))
   }
 
-  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42)
+  // ---------------------------------------------- l47 span decontam
+
+  /** Span width for [[l47]]: 8 tokens — the window the Llama 2 report's
+    * contamination analysis uses (Touvron et al. 2023 §A.6: a token is
+    * contaminated when it appears in an ≥8-token n-gram shared with an
+    * evaluation sample). Narrower than [[SpanK]] deliberately: the
+    * decontamination question ("did eval text leak?") wants higher
+    * recall than the dedup question ("is this span boilerplate?"), and
+    * the corpus' 10-token minimum doc length means every eval doc can
+    * plant a detectable tail at k = 8 but not at k = 15. */
+  private[graft] val SpanContamK = 8
+
+  /** Coverage bar: a train doc is FLAGGED when ≥ 80% of its tokens lie
+    * inside shared spans (the "mostly contaminated" criterion; the
+    * integer cross-multiply keeps the compare exact on both engines). */
+  private[graft] val SpanContamFlagBp = 8000L
+
+  /** The planted corpus for [[l47]]: the split-labeled documents plus,
+    * for every TEST-split doc, one planted TRAIN doc at id + offset —
+    * even test ids plant their TAIL verbatim (a fully-contaminated doc,
+    * ~100% coverage), odd ids plant tail + token-REVERSED tail (a
+    * half-contaminated doc: the reversed half shares no forward k-gram,
+    * so coverage lands near 50%, under the 80% bar — pinning that the
+    * bar separates "contains eval text" from "mostly eval text").
+    * Construction is one expression battery used verbatim by both
+    * engines (the catalog's standard fixture discipline — natural
+    * cross-doc k-gram overlap does not exist in the synthetic corpus). */
+  private[operators] def spanContamCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = splitLabeled(s, d).filter(col("text").isNotNull)
+      .select("lang", "doc_id", "text", "split")
+    val off = LlmQueries.plantedOffset(base, "doc_id")
+    val tests = base.filter(col("split") === "test")
+      .crossJoin(broadcast(off))
+    val planted = tests.select(
+      col("lang"), (col("doc_id") + col("_off")).as("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        expr("substring(text, instr(text, ' ') + 1)"))
+        .otherwise(expr(
+          "concat(substring(text, instr(text, ' ') + 1), ' ', " +
+            "concat_ws(' ', reverse(split(substring(text, instr(text, ' ') + 1), ' '))))"))
+        .as("text"),
+      lit("train").as("split"))
+    base.unionByName(planted)
+  }
+
+  /** L47 core — span-coverage decontamination: per train doc, the
+    * fraction of tokens lying in maximal verbatim spans (≥ k tokens)
+    * shared with ANY eval-split doc. The third decontamination modality
+    * beside l25/l35 (≥ 1 shared 5-gram — binary, high recall) and l42
+    * (embedding similarity — catches paraphrase): published model
+    * reports grade contamination by HOW MUCH of a doc is eval text,
+    * which only span merging can measure — a doc quoting one eval
+    * sentence is reportable; a doc that IS an eval record must be
+    * dropped.
+    *
+    * Scale shape: the eval side is the benchmark suite — bounded by
+    * construction — so its distinct-gram set broadcasts into the semi
+    * join ([[spanGrams]] keeps train grams map-side); only HIT
+    * positions (shared grams, a vanishing fraction) reach
+    * [[mergeSpans]]' per-doc window; the coverage compare is an
+    * integer cross-multiply at the rollup. Same probe family as L30's
+    * streaming gate; `hashed` grams are the wire form there. */
+  private[operators] def spanDecontam(labeled: DataFrame, k: Int): DataFrame = {
+    val train = labeled.filter(col("split") === "train")
+    val evalGrams = docGramsK(labeled.filter(col("split") === "test"),
+      Seq.empty, k, hashed = false).select("gram").distinct()
+    val hits = spanGrams(train, k, hashed = false)
+      .join(evalGrams, Seq("gram"), "left_semi")
+    val perDoc = mergeSpans(hits, k)
+      .groupBy("lang", "doc_id")
+      .agg(sum(col("e") - col("s")).cast("long").as("covered"))
+    val flagBar = col("covered") * lit(10000L) >= col("n_tok") * SpanContamFlagBp
+    train
+      .select(col("lang"), col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .join(perDoc, Seq("lang", "doc_id"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("covered") > 0L, 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(flagBar, 1L).otherwise(0L)).as("n_flagged"),
+        sum("covered").as("tokens_covered"),
+        coalesce(sum(when(flagBar, col("doc_id"))), lit(0L))
+          .as("flagged_checksum"))
+      .orderBy("lang")
+  }
+
+  /** L47 — the DQ: span-coverage decontamination over the planted
+    * corpus (see [[spanContamCorpus]]), flagging train docs ≥ 80%
+    * covered by verbatim ≥ 8-token eval spans. */
+  val l47 = DQ(
+    "l47_span_decontam",
+    (s, d) => spanDecontam(spanContamCorpus(s, d), SpanContamK),
+    Some(s"""WITH base AS (
+              SELECT lang, doc_id, text,
+                CASE WHEN h IS NULL THEN NULL
+                     WHEN h < 'c000' THEN 'train'
+                     WHEN h < 'e000' THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT lang, doc_id, text,
+                      substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) AS h
+                    FROM documents WHERE text IS NOT NULL)),
+            off AS (SELECT COALESCE(MAX(doc_id), -1) + 1 AS o FROM base),
+            planted AS (
+              SELECT lang, doc_id + off.o AS doc_id,
+                CASE WHEN doc_id % 2 = 0
+                  THEN substring(text, instr(text, ' ') + 1)
+                  ELSE substring(text, instr(text, ' ') + 1) || ' ' ||
+                    array_to_string(list_reverse(string_split(
+                      substring(text, instr(text, ' ') + 1), ' ')), ' ')
+                END AS text,
+                'train' AS split
+              FROM base, off WHERE split = 'test'),
+            corpus AS (
+              SELECT lang, doc_id, text, split FROM base
+              UNION ALL
+              SELECT lang, doc_id, text, split FROM planted),
+            toks AS (
+              SELECT lang, doc_id, split,
+                string_split_regex(lower(text), '\\s+') AS ta
+              FROM corpus),
+            evalg AS (
+              SELECT DISTINCT unnest(list_transform(range(len(ta) - ${SpanContamK - 1}),
+                i -> array_to_string(list_slice(ta, i + 1, i + $SpanContamK), ' '))) AS gram
+              FROM toks WHERE split = 'test' AND len(ta) >= $SpanContamK),
+            posn AS (
+              SELECT lang, doc_id, ta, unnest(range(len(ta) - ${SpanContamK - 1})) AS pos
+              FROM toks WHERE split = 'train' AND len(ta) >= $SpanContamK),
+            grams AS (
+              SELECT lang, doc_id, pos,
+                array_to_string(list_slice(ta, pos + 1, pos + $SpanContamK), ' ') AS gram
+              FROM posn),
+            hits AS (
+              SELECT lang, doc_id, pos FROM grams
+              WHERE gram IN (SELECT gram FROM evalg)),
+            marked AS (
+              SELECT lang, doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos + $SpanContamK) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+              FROM hits),
+            spanid AS (
+              SELECT lang, doc_id, pos,
+                SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+              FROM marked),
+            spans AS (
+              SELECT lang, doc_id, span_id,
+                MIN(pos) AS s, MAX(pos) + $SpanContamK AS e
+              FROM spanid GROUP BY 1, 2, 3),
+            perdoc AS (
+              SELECT lang, doc_id, SUM(e - s) AS covered
+              FROM spans GROUP BY 1, 2),
+            lab AS (
+              SELECT n.lang, n.doc_id, CAST(len(n.ta) AS BIGINT) AS n_tok,
+                CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered
+              FROM toks n LEFT JOIN perdoc p
+                ON n.doc_id = p.doc_id AND n.lang = p.lang
+              WHERE n.split = 'train')
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_train,
+              CAST(SUM(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_overlap,
+              CAST(SUM(CASE WHEN covered * 10000 >= n_tok * 8000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+              CAST(SUM(covered) AS BIGINT) AS tokens_covered,
+              CAST(COALESCE(SUM(CASE WHEN covered * 10000 >= n_tok * 8000
+                THEN doc_id END), 0) AS BIGINT) AS flagged_checksum
+            FROM lab GROUP BY 1 ORDER BY lang"""))
+
+  /** L45 — temperature-resampled language mix (the multilingual
+    * rebalancing recipe of XLM, Lample & Conneau 2019 §3.1, and mT5,
+    * Xue et al. 2021 §3.2: sample languages with probability
+    * q_l ∝ p_l^α, α < 1, so high-resource languages shrink toward — but
+    * never to — parity). Realized at α = 0.5 with DATA-DEPENDENT keep
+    * rates, the thing [[l20]]'s fixed thresholds cannot express: each
+    * language keeps at rate r_l = √(n_min / n_l), anchored so the
+    * SMALLEST language keeps everything (downsample-only — no
+    * upsampling, so the mix is a pure filter). Kept counts then follow
+    * k_l = √(n_min · n_l) ∝ √n_l, which renormalizes to exactly the
+    * α = 0.5 temperature distribution.
+    *
+    * Cross-engine portability is why α is 0.5 and not mT5's 0.3:
+    * p^0.3 = exp(0.3·ln p) and neither exp nor ln is bit-portable,
+    * while √ is IEEE-correctly-rounded everywhere — so
+    * u_l = round(65536·√(n_min/n_l)) is the SAME integer on both
+    * engines (division and √ correctly rounded, ×65536 an exact
+    * power-of-two scale), and the rate lands as a 4-hex md5-draw
+    * threshold via %04x (u ≥ 65536 ⇒ 'zzzz', the keep-all sentinel —
+    * '10000' would compare lexicographically wrong).
+    *
+    * Scale shape: ONE partial-aggregable lang count (L rows) + a 1-row
+    * min, the L-row rate table broadcasts onto the corpus, and the
+    * keep decision is the catalog's standard per-row md5 draw at the
+    * scan (salt `tmix:<lang>` — independent of l20's and l22's draws).
+    * No corpus shuffle before the rollup, no RNG state, no driver
+    * action; re-running with a grown corpus only moves the L-row rate
+    * table. Per language: population, target rate (bp), kept count,
+    * realized rate (bp), kept-doc checksum. */
+  val l45 = DQ(
+    "l45_temperature_mix",
+    (s, d) => {
+      val dd = docs(s, d)
+      val counts = dd.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      val nMin = counts.agg(min("n_total").as("n_min"))
+      val rates = counts.crossJoin(broadcast(nMin))
+        .withColumn("u",
+          round(lit(65536.0) *
+            sqrt(col("n_min").cast("double") / col("n_total"))).cast("long"))
+        .withColumn("thr",
+          when(col("u") >= 65536L, lit("zzzz"))
+            .otherwise(format_string("%04x", col("u"))))
+        .select("lang", "n_total", "u", "thr")
+      val kept = dd
+        .join(broadcast(rates.select("lang", "thr")), Seq("lang"))
+        .withColumn("kept",
+          Sampling.draw(col("doc_id"), concat(lit("tmix:"), col("lang")))
+            < col("thr"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L))
+            .as("kept_checksum"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          round(col("u") * lit(10000.0) / lit(65536.0)).cast("long")
+            .as("target_bp"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(coalesce(col("n_kept"), lit(0L)) * lit(10000.0) / col("n_total"))
+            .cast("long").as("kept_bp"),
+          coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+                       FROM documents GROUP BY 1),
+            r AS (SELECT lang, n_total,
+                    CAST(ROUND(65536 * sqrt(
+                      CAST((SELECT MIN(n_total) FROM t) AS DOUBLE) / n_total))
+                      AS BIGINT) AS u
+                  FROM t),
+            r2 AS (SELECT lang, n_total, u,
+                     CASE WHEN u >= 65536 THEN 'zzzz'
+                          ELSE printf('%04x', u) END AS thr
+                   FROM r),
+            k AS (SELECT d.lang,
+                    CAST(SUM(CASE WHEN
+                        substring(md5(CAST(d.doc_id AS VARCHAR) || ':tmix:' || d.lang), 1, 4)
+                          < r2.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                    CAST(COALESCE(SUM(CASE WHEN
+                        substring(md5(CAST(d.doc_id AS VARCHAR) || ':tmix:' || d.lang), 1, 4)
+                          < r2.thr THEN d.doc_id END), 0) AS BIGINT) AS kept_checksum
+                  FROM documents d JOIN r2 ON d.lang = r2.lang GROUP BY 1)
+            SELECT r2.lang AS lang, n_total,
+              CAST(ROUND(u * 10000.0 / 65536.0) AS BIGINT) AS target_bp,
+              COALESCE(n_kept, 0) AS n_kept,
+              CAST(ROUND(COALESCE(n_kept, 0) * 10000.0 / n_total) AS BIGINT)
+                AS kept_bp,
+              COALESCE(kept_checksum, 0) AS kept_checksum
+            FROM r2 LEFT JOIN k ON r2.lang = k.lang ORDER BY lang"""))
+
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42, l45, l47)
 }

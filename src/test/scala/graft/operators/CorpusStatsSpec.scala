@@ -81,6 +81,122 @@ class CorpusStatsSpec extends AnyFunSuite {
       || plan.contains("BroadcastHashJoin"), s"keyed join expected:\n$plan")
   }
 
+  test("l46 refuses exactly the planted re-crawls and reverts — the " +
+      "increment's content screen pins WHICH docs, per class") {
+    val rows = CorpusOpsQueries.l46.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("added", "modified"))
+    val byStatus = rows.map(r => r.getString(0) -> r).toMap
+    val dd = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    def idsWhere(c: org.apache.spark.sql.Column): Seq[Long] =
+      dd.filter(c).select("doc_id").collect().map(_.getLong(0)).toSeq
+
+    // added-by-key ∧ planted-removed (7·13): content re-crawled from v1
+    val recrawled = idsWhere(col("doc_id") % 91 === 0)
+    val addedAll = idsWhere(col("doc_id") % 7 === 0)
+    val a = byStatus("added")
+    assert(a.getAs[Long]("n_docs") === addedAll.size.toLong)
+    assert(a.getAs[Long]("n_known") === recrawled.size.toLong)
+    assert(a.getAs[Long]("known_checksum") === recrawled.sum)
+    assert(a.getAs[Long]("n_novel") === (addedAll.size - recrawled.size).toLong)
+    assert(a.getAs[Long]("novel_checksum") === addedAll.sum - recrawled.sum)
+
+    // modified-by-key ∧ planted-removed (11·13, not 7): the v2 text
+    // reverts to a copy v1 still holds — known content under a changed key
+    val reverted = idsWhere(col("doc_id") % 143 === 0 && col("doc_id") % 7 =!= 0)
+    val modAll = idsWhere(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0)
+    val m = byStatus("modified")
+    assert(m.getAs[Long]("n_docs") === modAll.size.toLong)
+    assert(m.getAs[Long]("n_known") === reverted.size.toLong)
+    assert(m.getAs[Long]("known_checksum") === reverted.sum)
+    assert(recrawled.nonEmpty && reverted.nonEmpty,
+      "both planted known classes must be non-empty for the pin to bite")
+  }
+
+  test("l46 shares l44's version history: known-added docs are a subset " +
+      "of the docs l44 calls added") {
+    // same v1 construction ⇒ the content screen's increment IS the key
+    // diff's added+modified slice; sizes must reconcile cell-for-cell
+    val diff = CorpusOpsQueries.l44.fn(spark, sf).collect()
+    val screen = CorpusOpsQueries.l46.fn(spark, sf).collect()
+    val nAdded = diff.map(_.getAs[Long]("n_added")).sum
+    val nModified = diff.map(_.getAs[Long]("n_modified")).sum
+    val byStatus = screen.map(r => r.getString(0) -> r).toMap
+    assert(byStatus("added").getAs[Long]("n_docs") === nAdded)
+    assert(byStatus("modified").getAs[Long]("n_docs") === nModified)
+  }
+
+  test("l48 source-overlap matrix equals a driver-side recompute and every " +
+      "plantable mirror pair appears") {
+    val k = CorpusOpsQueries.OverlapK
+    val cur = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val corpus = cur.map { case (_, s, t) => (s, t) } ++
+      cur.collect { case (id, s, t) if id % 10 == 0 =>
+        ("m_" + s, t.substring(t.indexOf(' ') + 1)) }
+    val grams = corpus.flatMap { case (s, t) =>
+      val ta = t.toLowerCase.split("\\s+")
+      if (ta.length < k) Seq.empty
+      else (0 to ta.length - k).map(i => (s, ta.slice(i, i + k).mkString(" ")))
+    }.distinct
+    val byGram = grams.groupBy(_._2).filter(_._2.size <= CorpusOpsQueries.OverlapDfCap)
+    val kept = byGram.values.flatten.toSeq
+    val tot = kept.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val pairs = byGram.values.flatMap { ss =>
+      val srcs = ss.map(_._1).toSeq.sorted
+      for (a <- srcs; b <- srcs if a < b) yield (a, b)
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val expect = pairs.toSeq.sortBy(_._1).map { case ((a, b), n) =>
+      (a, b, tot(a), tot(b), n,
+        math.round(n * 10000.0 / (tot(a) + tot(b) - n)))
+    }
+    val got = CorpusOpsQueries.l48.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect, s"got ${got.take(5)}…\nexpect ${expect.take(5)}…")
+    // every source with a ≥ k+1-token %10 doc must overlap its mirror
+    val plantable = cur.collect { case (id, s, t)
+      if id % 10 == 0 && t.toLowerCase.split("\\s+").length >= k + 1 => s }.toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(plantable.nonEmpty)
+    // pairs order lexicographically and 'm' < 's', so the mirror leads
+    plantable.foreach { s =>
+      assert(gotPairs.contains(("m_" + s, s)), s"mirror pair for $s missing") }
+  }
+
+  test("l48 sketch path: per-source MinHash signatures estimate the exact " +
+      "Jaccard within 4σ on every mirror pair (the 10⁵-source form)") {
+    import graft.functions.MinHash
+    val exact = CorpusOpsQueries.l48.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(4),
+        r.getLong(2), r.getLong(3))).toMap
+    // signatures over the SAME per-source gram sets the exact matrix uses
+    val k = CorpusOpsQueries.OverlapK
+    val cur = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val off = cur.agg(max("doc_id")).collect().head.getLong(0) + 1
+    val mirrored = cur.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(off)).as("doc_id"),
+        concat(lit("m_"), col("source")).as("source"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val corpus = cur.select("doc_id", "source", "text").unionByName(mirrored)
+    val sigs = SamplingQueries.docGramsK(corpus, Seq("source"), k, hashed = true)
+      .select("source", "gram").distinct()
+      .groupBy("source")
+      .agg(MinHash.signature(col("gram")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val mirrors = exact.keys.filter(p => p._1 == "m_" + p._2)
+    assert(mirrors.nonEmpty)
+    mirrors.foreach { case p @ (a, b) =>
+      val (n, ga, gb) = exact(p)
+      // NOTE: the sketch sees the UNCAPPED gram sets; on this corpus the
+      // df cap removes nothing from mirror pairs (soup grams are rare)
+      val j = n.toDouble / (ga + gb - n)
+      val est = MinHash.estimate(sigs(a), sigs(b))
+      val tol = 4.0 * math.sqrt(j * (1 - j) / MinHash.K) + 1.0 / MinHash.K
+      assert(math.abs(est - j) <= tol, s"pair $p: est $est vs exact $j (tol $tol)")
+    }
+  }
+
   test("l41 plan: the vocabulary is a TakeOrdered (no global sort) and " +
       "marks tokens through a broadcast join") {
     val plan = LlmQueries.l41.fn(spark, sf)

@@ -162,4 +162,73 @@ class SubstringSpanSpec extends AnyFunSuite {
         r.getLong(5), r.getLong(6))).toSeq
     assert(got === expect, s"got $got\nexpect $expect")
   }
+
+  // ------------------------------------------------ l47 span decontam
+
+  test("l47 span-coverage decontam equals a driver-side recompute, flags " +
+      "every fully-planted doc, and passes every half-planted one") {
+    val k = SamplingQueries.SpanContamK
+    val labeled = SamplingQueries.spanContamCorpus(spark, sf)
+      .select("lang", "doc_id", "text", "split").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+
+    def gramsOf(text: String): Seq[(String, Int)] = {
+      val ta = text.toLowerCase.split("\\s+")
+      if (ta.length < k) Seq.empty
+      else (0 to ta.length - k).map(i => (ta.slice(i, i + k).mkString(" "), i))
+    }
+    val evalGrams = labeled.filter(_._4 == "test")
+      .flatMap(d => gramsOf(d._3).map(_._1)).toSet
+    // per train doc: merged-span coverage against the eval gram set
+    val perDoc = labeled.filter(_._4 == "train").map { case (lang, id, text, _) =>
+      val nTok = text.toLowerCase.split("\\s+").length.toLong
+      val ps = gramsOf(text).collect { case (g, p) if evalGrams(g) => p }
+      val covered = ps.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.head._2 =>
+          (acc.head._1, math.max(acc.head._2, p + k)) :: acc.tail
+        case (acc, p) => (p, p + k) :: acc
+      }.map(s => (s._2 - s._1).toLong).sum
+      (lang, id, nTok, covered)
+    }
+    def flagged(d: (String, Long, Long, Long)) = d._4 * 10000L >= d._3 * 8000L
+    val expect = perDoc.groupBy(_._1).map { case (lang, ds) =>
+      (lang, ds.length.toLong, ds.count(_._4 > 0).toLong,
+        ds.count(flagged).toLong, ds.map(_._4).sum,
+        ds.filter(flagged).map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SamplingQueries.l47.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect, s"got $got\nexpect $expect")
+
+    // the planted classes behave: every even-test-id TAIL plant (pure
+    // eval text) is flagged; every odd-id tail+reversed plant overlaps
+    // but stays under the 80% bar
+    val baseIds = labeled.filter(d => d._4 != null).map(_._2)
+    val off = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .agg(max("doc_id")).collect().head.getLong(0) + 1
+    val fullIds = labeled.filter(d => d._4 == "test" && d._2 % 2 == 0)
+      .map(_._2 + off).toSet
+    val partialIds = labeled.filter(d => d._4 == "test" && d._2 % 2 == 1)
+      .map(_._2 + off).toSet
+    val byId = perDoc.map(d => d._2 -> d).toMap
+    assert(fullIds.nonEmpty && partialIds.nonEmpty)
+    fullIds.foreach { id =>
+      assert(flagged(byId(id)), s"full plant $id must be flagged") }
+    partialIds.foreach { id =>
+      val d = byId(id)
+      assert(d._4 > 0, s"partial plant $id must overlap")
+      assert(!flagged(d), s"partial plant $id must stay under the bar")
+    }
+    assert(baseIds.nonEmpty)
+  }
+
+  test("l47 plan: the eval gram set broadcasts into the semi join — the " +
+      "train corpus' grams never shuffle for the probe") {
+    val df = SamplingQueries.l47.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval-side broadcast semi join expected:\n$plan")
+  }
 }

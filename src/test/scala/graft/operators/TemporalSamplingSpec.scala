@@ -700,4 +700,70 @@ class TemporalSamplingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(a.toSeq === b.toSeq)
   }
+
+  // ------------------------------------------------ l45 temperature mix
+
+  /** The l45 draw recomputed on the driver: first 4 hex chars of
+    * md5("<doc_id>:tmix:<lang>") — byte-for-byte the Sampling.draw
+    * definition the query evaluates at the scan. */
+  private def tmixDraw(docId: Long, lang: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$docId:tmix:$lang".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+  }
+
+  test("l45 anchors the smallest language at keep-all and targets √-temperature rates") {
+    val rows = SamplingQueries.l45.fn(spark, sf).collect()
+    val totals = rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_total")).toMap
+    val nMin = totals.values.min
+    // every language whose count IS the minimum keeps everything
+    rows.filter(_.getAs[Long]("n_total") == nMin).foreach { r =>
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_total"),
+        s"min lang ${r.getAs[String]("lang")} must keep all")
+      assert(r.getAs[Long]("target_bp") === 10000L)
+    }
+    // targets follow u = round(65536·√(n_min/n)) exactly
+    rows.foreach { r =>
+      val u = math.round(65536.0 * math.sqrt(nMin.toDouble / r.getAs[Long]("n_total")))
+      assert(r.getAs[Long]("target_bp") ===
+        math.round(u * 10000.0 / 65536.0),
+        s"lang ${r.getAs[String]("lang")}")
+    }
+    // larger languages keep a strictly smaller SHARE (temperature flattens)
+    val byN = rows.sortBy(_.getAs[Long]("n_total"))
+    assert(byN.head.getAs[Long]("target_bp") > byN.last.getAs[Long]("target_bp"))
+  }
+
+  test("l45 equals a driver-side recompute: WHICH docs are kept, not just counts") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val totals = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val nMin = totals.values.min
+    val thr = totals.map { case (l, n) =>
+      val u = math.round(65536.0 * math.sqrt(nMin.toDouble / n))
+      l -> (if (u >= 65536L) "zzzz" else f"$u%04x")
+    }
+    val expected = docs.filter { case (id, l) => tmixDraw(id, l) < thr(l) }
+      .groupBy(_._2).map { case (l, xs) =>
+        l -> (xs.length.toLong, xs.map(_._1).sum) }
+    val got = SamplingQueries.l45.fn(spark, sf).collect()
+    got.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val (nK, cks) = expected.getOrElse(l, (0L, 0L))
+      assert(r.getAs[Long]("n_kept") === nK, s"lang $l kept count")
+      assert(r.getAs[Long]("kept_checksum") === cks, s"lang $l checksum")
+    }
+    assert(got.map(_.getAs[Long]("n_kept")).sum > 0L)
+  }
+
+  test("l45 joins the rate table broadcast — the corpus never shuffles for a join") {
+    val df = SamplingQueries.l45.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join allowed:\n$plan")
+  }
 }
