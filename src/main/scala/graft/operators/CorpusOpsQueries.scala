@@ -320,5 +320,78 @@ object CorpusOpsQueries {
             JOIN tot tb ON pairs.src_b = tb.source
             ORDER BY src_a, src_b"""))
 
-  val all: Seq[DQ] = Seq(l44, l46, l48)
+  /** [[l49]]'s near-known bar: exact verified Jaccard ≥ 0.80 against
+    * some v1 document. The ' edited' suffix of l44's modified class
+    * costs one shingle out of m−1 (J = (m−2)/(m−1) ≥ 8/9 at the
+    * corpus' 10-token minimum), so every planted revision clears the
+    * bar; unrelated word-soup docs sit near 0. */
+  private[operators] val NearKnownE4 = 8000L
+
+  /** L49 core — the SKETCH form of [[incrementScreen]]: the increment
+    * probed against v1's MinHash band index instead of its hash set. */
+  private[operators] def incrementNearScreen(cur: DataFrame): DataFrame = {
+    val v1Sk = LlmQueries.docSketch(v1Snapshot(cur))
+    val v1B = LlmQueries.minhashBuckets(v1Sk.select("doc_id", "sig"))
+      .select(col("doc_id").as("v1_id"), col("band_id"), col("bkey"))
+    val inc = cur
+      .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+      .withColumn("status",
+        when(col("doc_id") % 7 === 0, "added").otherwise("modified"))
+    val incSk = LlmQueries.docSketch(inc, keep = Seq("status"))
+    val incB = LlmQueries.minhashBuckets(incSk.select("doc_id", "sig"))
+    val cands = incB.join(v1B, Seq("band_id", "bkey"))
+      .select(col("doc_id"), col("v1_id")).distinct()
+    val verified = cands
+      .join(incSk.select(col("doc_id"), col("shs").as("sha"),
+        col("n_sh").as("na")), "doc_id")
+      .join(v1Sk.select(col("doc_id").as("v1_id"), col("shs").as("shb"),
+        col("n_sh").as("nb")), "v1_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jac_e4",
+        round(col("n_inter") * lit(10000.0) /
+          (col("na") + col("nb") - col("n_inter"))).cast("long"))
+      .filter(col("jac_e4") >= NearKnownE4)
+      .select("doc_id").distinct()
+      .withColumn("_near", lit(1))
+    incSk.select("doc_id", "status")
+      .join(verified, Seq("doc_id"), "left")
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_near").isNotNull, 1L).otherwise(0L)).as("n_near_known"),
+        coalesce(sum(when(col("_near").isNotNull, col("doc_id"))), lit(0L))
+          .as("near_known_checksum"))
+      .orderBy("status")
+  }
+
+  /** L49 — incremental NEAR-dup screening of the version increment: the
+    * sketch sibling of [[l46]], catching what the hash screen cannot. A
+    * re-crawl that dropped a byte, re-encoded whitespace, or carries an
+    * editorial tweak hashes fresh — l46 calls it novel — but its MinHash
+    * signature still collides with the old copy's. Here that is exactly
+    * l44's MODIFIED class: the v1 row differs by one planted token, so
+    * the hash screen reports "novel content" while this screen reports
+    * "near-known revision" — the operational difference between the two
+    * dedup granularities, measured on the same increment. Near-known =
+    * banded-LSH candidate (l9's 16×4 bands over the shared
+    * [[LlmQueries.docSketch]] — the streaming gate L18's exact
+    * machinery, so batch recap and ingest screen can never disagree)
+    * verified at exact Jaccard ≥ 0.80.
+    *
+    * Scale shape: v1's band index is the PERSISTED LSH artifact
+    * ([[AnnIndexes]]' build/probe split — built once per release,
+    * appended via `appendLsh`); the increment sketches map-side
+    * (shuffle-free one-row-per-doc form) and probes with band
+    * equi-joins; only candidates carry shingle arrays. No oracle by
+    * driver design (signature hashing is not SQL-portable); the spec
+    * pins every modified doc caught, every exact re-crawl caught,
+    * soundness (flagged ⊆ brute ≥-bar pairs, exact by the verify
+    * step), and ≥ 80% brute recall — the l9 discipline. */
+  val l49 = DQ(
+    "l49_incremental_neardup",
+    (s, d) => incrementNearScreen(docs(s, d).filter(col("text").isNotNull)),
+    None)
+
+  val all: Seq[DQ] = Seq(l44, l46, l48, l49)
 }

@@ -55,10 +55,11 @@ class PlanSpec extends AnyFunSuite {
       // l45: the 1-row n_min broadcast crossJoined onto the L-row
       // language-count frame (the data-dependent rate table's anchor).
       "l45_temperature_mix",
-      // l46/l47/l48: the standard 1-row planted-offset broadcast
+      // l46/l47/l48/l49: the standard 1-row planted-offset broadcast
       // building each fixture's planted ids (v1 removed docs / planted
       // train docs / mirror sources).
-      "l46_incremental_dedup", "l47_span_decontam", "l48_source_overlap")
+      "l46_incremental_dedup", "l47_span_decontam", "l48_source_overlap",
+      "l49_incremental_neardup")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

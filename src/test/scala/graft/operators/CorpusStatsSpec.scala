@@ -197,6 +197,74 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("l49 near-dup increment screen: every modified revision and every " +
+      "exact re-crawl is near-known; flags are sound and ≥80% of brute recall") {
+    val rows = CorpusOpsQueries.l49.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("added", "modified"))
+    val byStatus = rows.map(r => r.getString(0) -> r).toMap
+
+    // driver-side brute: for every increment doc, max exact Jaccard of
+    // distinct 3-shingle sets against ALL v1 docs
+    val cur = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val off = cur.map(_._1).max + 1
+    def shingleSet(t: String): Set[String] = {
+      val ta = t.toLowerCase.split("\\s+")
+      if (ta.length < 3) Set.empty
+      else (0 to ta.length - 3).map(i => ta.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val v1 = cur.filter(_._1 % 7 != 0).map { case (id, t) =>
+        shingleSet(if (id % 11 == 0) t + " edited" else t) } ++
+      cur.filter(_._1 % 13 == 0).map(d => shingleSet(d._2))
+    val inc = cur.filter(d => d._1 % 7 == 0 || d._1 % 11 == 0)
+    def bruteNear(t: String): Boolean = {
+      val a = shingleSet(t)
+      a.nonEmpty && v1.exists { b =>
+        val i = (a & b).size
+        math.round(i * 10000.0 / (a.size + b.size - i)) >= 8000L
+      }
+    }
+    val bruteFlagged = inc.filter(d => bruteNear(d._2)).map(_._1).toSet
+
+    // the planted classes: modified docs are one-token revisions of
+    // their v1 row; %91 added docs are exact copies of v1 removed rows
+    val modified = inc.filter(d => d._1 % 7 != 0).map(_._1).toSet
+    val recrawls = inc.filter(_._1 % 91 == 0).map(_._1).toSet
+    assert(modified.subsetOf(bruteFlagged), "every revision must be brute-near")
+    assert(recrawls.subsetOf(bruteFlagged), "every exact copy must be brute-near")
+    val m = byStatus("modified")
+    assert(m.getAs[Long]("n_near_known") === modified.size.toLong,
+      "every modified revision must be caught")
+    assert(m.getAs[Long]("near_known_checksum") === modified.sum)
+
+    // soundness + recall vs brute (the l9 discipline): the verify step
+    // makes every flag a true ≥-bar pair; banding may only lose recall
+    val nFlagged = rows.map(_.getAs[Long]("n_near_known")).sum
+    val cks = rows.map(_.getAs[Long]("near_known_checksum")).sum
+    assert(nFlagged <= bruteFlagged.size.toLong, "soundness: no false flags")
+    assert(nFlagged * 10 >= bruteFlagged.size.toLong * 8,
+      s"recall: $nFlagged of ${bruteFlagged.size} brute pairs")
+    // the added side must at minimum carry the exact re-crawls
+    val a = byStatus("added")
+    assert(a.getAs[Long]("n_near_known") >= recrawls.size.toLong)
+    assert(cks <= bruteFlagged.sum && a.getAs[Long]("n_docs") ===
+      inc.count(_._1 % 7 == 0).toLong)
+  }
+
+  test("l49 vs l46: the sketch screen strictly dominates the hash screen " +
+      "on the modified class (revisions are near-known but hash-novel)") {
+    val near = CorpusOpsQueries.l49.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_near_known")).toMap
+    val exact = CorpusOpsQueries.l46.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_known"), r.getAs[Long]("n_docs"))).toMap
+    val (mKnown, mDocs) = exact("modified")
+    assert(near("modified") === mDocs, "sketch catches every revision")
+    assert(mKnown < mDocs, "hash screen must miss the revisions (novel by hash)")
+    assert(near("added") >= exact("added")._1,
+      "near-known ⊇ exact-known on the added class")
+  }
+
   test("l41 plan: the vocabulary is a TakeOrdered (no global sort) and " +
       "marks tokens through a broadcast join") {
     val plan = LlmQueries.l41.fn(spark, sf)
