@@ -33,7 +33,7 @@ object CorpusOpsQueries {
   /** The planted v1 snapshot as a frame — (doc_id, source, text) —
     * shared by [[l44]] (key diff) and [[l46]] (content screen) so the
     * two operators describe the SAME version history. */
-  private def v1Snapshot(cur: DataFrame): DataFrame = {
+  private[operators] def v1Snapshot(cur: DataFrame): DataFrame = {
     val off = LlmQueries.plantedOffset(cur, "doc_id")
     val v1Base = cur.filter(expr(v1FilterSql))
       .select(col("doc_id"), col("source"), expr(v1TextSql).as("text"))
@@ -130,17 +130,25 @@ object CorpusOpsQueries {
     * every increment doc (added / modified per l44's key rules) as
     * content-`known` (its canonical hash exists somewhere in v1) or
     * content-`novel`, rolled up per status with identity checksums. */
-  private[operators] def incrementScreen(cur: DataFrame): DataFrame = {
-    val normHash = sha2(lower(trim(col("text"))), 256)
-    val v1Hashes = v1Snapshot(cur)
-      .select(normHash.as("h")).distinct()
-      .withColumn("_hit", lit(1))
+  /** The l44 increment as a frame: every doc whose doc_id-keyed row
+    * changed, labeled added / modified by the diff's own rules. */
+  private[operators] def incrementOf(cur: DataFrame): DataFrame =
     cur
       .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
       .withColumn("status",
         when(col("doc_id") % 7 === 0, "added").otherwise("modified"))
-      .select(col("doc_id"), col("status"), normHash.as("h"))
-      .join(v1Hashes, Seq("h"), "left")
+
+  /** The PROBE half of [[l46]], factored so the hash set can come from
+    * either the in-query v1 fixture (the DQ) or the persisted index
+    * ([[DedupIndex.read]]) — identical plan from the hash frame down,
+    * so screen-from-disk cannot drift from the composed DQ. `hashes`
+    * must carry one column `h` (canonical content hashes, duplicates
+    * tolerated — the distinct here is index-sized, partial-aggregable). */
+  private[graft] def screenAgainst(inc: DataFrame, hashes: DataFrame): DataFrame =
+    inc
+      .select(col("doc_id"), col("status"), DedupIndex.contentHash.as("h"))
+      .join(hashes.select("h").distinct().withColumn("_hit", lit(1)),
+        Seq("h"), "left")
       .withColumn("known", col("_hit").isNotNull)
       .groupBy("status")
       .agg(
@@ -152,7 +160,10 @@ object CorpusOpsQueries {
         coalesce(sum(when(!col("known"), col("doc_id"))), lit(0L))
           .as("novel_checksum"))
       .orderBy("status")
-  }
+
+  private[operators] def incrementScreen(cur: DataFrame): DataFrame =
+    screenAgainst(incrementOf(cur),
+      v1Snapshot(cur).select(DedupIndex.contentHash.as("h")))
 
   /** L46 — incremental dedup of the version increment: the operational
     * composition l44 exists FOR. A release pipeline takes the diff's

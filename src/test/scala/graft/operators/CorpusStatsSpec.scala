@@ -265,6 +265,47 @@ class CorpusStatsSpec extends AnyFunSuite {
       "near-known ⊇ exact-known on the added class")
   }
 
+  test("DedupIndex: probe-from-parquet ≡ the composed l46, append-then-" +
+      "probe ≡ full rebuild, and novelOnly drops exactly known content") {
+    val cur = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val v1 = CorpusOpsQueries.v1Snapshot(cur)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx").toString
+
+    // build once per release, probe from disk — identical to the DQ
+    DedupIndex.write(v1, base)
+    val fromDisk = CorpusOpsQueries.screenAgainst(
+      CorpusOpsQueries.incrementOf(cur), DedupIndex.read(spark, base))
+      .collect().map(_.toString).toSeq
+    val composed = CorpusOpsQueries.l46.fn(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromDisk === composed)
+
+    // append path: half the snapshot indexed, the rest appended
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx2").toString
+    DedupIndex.write(v1.filter(col("doc_id") % 2 === 0), base2)
+    DedupIndex.append(v1.filter(col("doc_id") % 2 =!= 0), base2)
+    val appended = CorpusOpsQueries.screenAgainst(
+      CorpusOpsQueries.incrementOf(cur), DedupIndex.read(spark, base2))
+      .collect().map(_.toString).toSeq
+    assert(appended === composed, "append-then-probe must equal rebuild")
+
+    // the foreachBatch backstop: a batch replaying v1 content + novel
+    // rows keeps exactly the novel rows
+    val replayed = v1.limit(5)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("source"),
+        col("text"))
+    val novel = spark.range(3).select(
+      (col("id") + lit(2000000L)).as("doc_id"), lit("srcX").as("source"),
+      concat(lit("genuinely fresh content row "), col("id")).as("text"))
+    val got = DedupIndex.novelOnly(
+      replayed.unionByName(novel), DedupIndex.read(spark, base))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(2000000L, 2000001L, 2000002L),
+      "replayed content must be dropped, novel rows kept")
+  }
+
   test("l41 plan: the vocabulary is a TakeOrdered (no global sort) and " +
       "marks tokens through a broadcast join") {
     val plan = LlmQueries.l41.fn(spark, sf)
