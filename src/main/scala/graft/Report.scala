@@ -121,7 +121,17 @@ object Report {
       "pii_scrub" -> rowsJson(operators.CleaningQueries.l32.fn(spark, sfDir)),
       "quality_classifier" ->
         rowsJson(operators.CleaningQueries.l34.fn(spark, sfDir)),
-      "repetition_ladder" -> rowsJson(operators.LlmQueries.l27b.fn(spark, sfDir)))
+      "repetition_ladder" -> rowsJson(operators.LlmQueries.l27b.fn(spark, sfDir)),
+      // Release-lifecycle panels (round 12): the snapshot-over-snapshot
+      // numbers a corpus RELEASE reads before training sees it — what
+      // changed (l44), how much of the change is re-crawled content the
+      // last release already deduped (l46), and which sources mirror
+      // each other (l48's overlap matrix).
+      "snapshot_diff" -> rowsJson(operators.CorpusOpsQueries.l44.fn(spark, sfDir)),
+      "increment_screen" ->
+        rowsJson(operators.CorpusOpsQueries.l46.fn(spark, sfDir)),
+      "source_overlap" ->
+        rowsJson(operators.CorpusOpsQueries.l48.fn(spark, sfDir)))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val martBacked = Seq("revenue_trend" -> trendM, "top_products" -> topM,
       "quality_rates" -> qualityM).collect { case (k, true) => s""""$k"""" }

@@ -1587,8 +1587,73 @@ object LlmQueries {
                 * 10000.0 / SUM(c)) AS BIGINT) AS oov_bp
             FROM m GROUP BY 1 ORDER BY lang"""))
 
+  /** [[l50]]'s prune fraction: the closest 20% of each cell (rank·5 ≤
+    * cell size — integer-exact, no float threshold). */
+  private[operators] val PrototypePruneDen = 5L
+
+  /** L50 core over a caller-supplied (vec_id, label, v) frame +
+    * centroids, factored for the spec's partitioning-invariance and
+    * recompute pins. */
+  private[graft] def prototypePruneFrom(raw: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Ivf.assignWithDist(raw.select("vec_id", "v"), centroids)
+      .join(raw.select("vec_id", "label"), "vec_id")
+    val w = Window.partitionBy("cid")
+    val ranked = assigned
+      .withColumn("rk", row_number().over(w.orderBy(col("d2"), col("vec_id"))))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .withColumn("pruned", col("rk") * lit(PrototypePruneDen) <= col("n_cell"))
+    ranked.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        coalesce(sum(when(col("pruned"), col("vec_id"))), lit(0L))
+          .as("pruned_checksum"),
+        coalesce(sum(when(col("pruned"),
+          round(col("d2") * lit(10000.0)).cast("long"))), lit(0L))
+          .as("pruned_d2e4_sum"),
+        coalesce(sum(when(!col("pruned"),
+          round(col("d2") * lit(10000.0)).cast("long"))), lit(0L))
+          .as("kept_d2e4_sum"))
+      .orderBy("label")
+  }
+
+  /** L50 — prototypicality pruning (D4, Tirumala et al. 2023
+    * arXiv:2308.12284: after SemDeDup removes ε-near pairs, the
+    * remaining densest cluster cores — the most "prototypical" points —
+    * carry the least marginal information, and dropping them improves
+    * data efficiency; the SSL-prototypes half of the published D4 =
+    * SemDeDup + prototype-prune recipe, [[l26]] being the other half).
+    * Realized on the engine's own cells: every vector assigns to its
+    * nearest shared IVF centroid ([[sharedIvfCentroids]] — the SAME
+    * trained cells l16/l26/l36 probe, one training per snapshot), and
+    * within each cell the closest 20% by squared distance (rank·5 ≤
+    * cell size, ties broken by vec_id — total order, no float
+    * threshold) are marked prototypical and pruned. Per label: vector
+    * count, pruned count + identity checksum, and the integer-rounded
+    * d² masses of pruned vs kept — pruned mass per vector is strictly
+    * smaller by construction, making the "dropped the dense core"
+    * claim an output, not prose.
+    *
+    * Scale shape: assignment is the broadcast-centroid argmin (k-row
+    * build side, shuffle carries (vec_id, cid, d2)); the rank window
+    * partitions by cell, and k ∝ n ([[Ivf.cellCount]]) bounds every
+    * cell near the 32-vector target — the window never sees a
+    * corpus-sized partition. No oracle by driver design (k-means +
+    * float distance are not SQL-portable); the spec pins a driver-side
+    * recompute of the exact fold, the per-cell ⌊n/5⌋ quota, and
+    * partitioning invariance. */
+  val l50 = DQ(
+    "l50_prototype_prune",
+    (s, d) => prototypePruneFrom(
+      embs(s, d).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")),
+      sharedIvfCentroids(s, d)),
+    None)
+
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l27b, l28, l29, l36, l41)
+      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50)
 }
 

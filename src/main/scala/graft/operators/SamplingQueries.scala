@@ -1312,5 +1312,78 @@ object SamplingQueries {
               COALESCE(kept_checksum, 0) AS kept_checksum
             FROM r2 LEFT JOIN k ON r2.lang = k.lang ORDER BY lang"""))
 
-  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42, l45, l47)
+  /** [[l51]]'s two published constants: the budget is 3× the unique
+    * corpus (a data-constrained run by construction — repeating is
+    * unavoidable, and the cap genuinely BINDS: 2-3 of the corpus'
+    * languages sit under 15% of total tokens, where 4×avail < 3×Σ/5) and no language repeats past 4 epochs (Muennighoff et
+    * al.'s diminishing-returns knee). */
+  private[operators] val BudgetPerUnique = 3L
+  private[operators] val MaxEpochs = 4L
+
+  /** L51 — epoch-repeat planning under a token budget (the
+    * data-constrained scaling recipe, Muennighoff et al. 2023
+    * arXiv:2305.16264: repeating data is nearly free up to ~4 epochs
+    * and sharply diminishing after, so a budgeted multilingual run
+    * allocates each language min(its target share, 4 × its unique
+    * tokens) and reports the shortfall rather than over-repeating).
+    * The planning arithmetic every training run does by hand, as an
+    * operator: per language — unique available tokens (the l5/l21
+    * tokenizer), the uniform target share of the 3×-corpus budget,
+    * the realized allocation under the 4-epoch cap, the deficit a
+    * planner must reallocate or accept, and the realization split into
+    * full epochs + partial-epoch tokens. ALL integer arithmetic (div /
+    * min / mod over token counts — engines cannot disagree), div
+    * guarded for the degenerate zero-token language under ANSI.
+    *
+    * Scale shape: ONE partial-aggregable (lang, Σtok) agg + a 1-row
+    * (total, n_langs) broadcast; everything after is per-row integer
+    * math on an L-row frame. */
+  val l51 = DQ(
+    "l51_epoch_plan",
+    (s, d) => {
+      val avail = docs(s, d).filter(col("text").isNotNull)
+        .groupBy("lang").agg(sum(nTok(col("text"))).as("avail_tokens"))
+      val totals = avail.agg(
+        sum("avail_tokens").as("corpus_tokens"),
+        count(lit(1)).as("n_langs"))
+      avail.crossJoin(broadcast(totals))
+        .withColumn("target_tokens",
+          expr(s"(corpus_tokens * ${BudgetPerUnique}L) div n_langs"))
+        .withColumn("realized_tokens",
+          least(col("target_tokens"), col("avail_tokens") * lit(MaxEpochs)))
+        .withColumn("deficit_tokens",
+          col("target_tokens") - col("realized_tokens"))
+        .withColumn("n_epochs_full",
+          when(col("avail_tokens") > 0L,
+            expr("realized_tokens div avail_tokens")).otherwise(0L))
+        .withColumn("partial_tokens",
+          when(col("avail_tokens") > 0L,
+            expr("realized_tokens % avail_tokens")).otherwise(0L))
+        .select("lang", "avail_tokens", "target_tokens", "realized_tokens",
+          "deficit_tokens", "n_epochs_full", "partial_tokens")
+        .orderBy("lang")
+    },
+    Some("""WITH a AS (
+              SELECT lang,
+                CAST(SUM(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS avail_tokens
+              FROM documents WHERE text IS NOT NULL GROUP BY 1),
+            t AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS corpus_tokens,
+                         CAST(COUNT(*) AS BIGINT) AS n_langs FROM a),
+            p AS (
+              SELECT lang, avail_tokens,
+                (corpus_tokens * 3) // n_langs AS target_tokens,
+                LEAST((corpus_tokens * 3) // n_langs, avail_tokens * 4)
+                  AS realized_tokens
+              FROM a, t)
+            SELECT lang, avail_tokens, target_tokens, realized_tokens,
+              target_tokens - realized_tokens AS deficit_tokens,
+              CASE WHEN avail_tokens > 0 THEN realized_tokens // avail_tokens
+                   ELSE 0 END AS n_epochs_full,
+              CASE WHEN avail_tokens > 0 THEN realized_tokens % avail_tokens
+                   ELSE 0 END AS partial_tokens
+            FROM p ORDER BY lang"""))
+
+  val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42,
+    l45, l47, l51)
 }

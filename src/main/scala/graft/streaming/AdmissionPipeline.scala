@@ -51,7 +51,15 @@ object AdmissionPipeline {
   final case class Gates(neardup: StreamingNearDup.Index,
       holdoutGrams: DataFrame,
       corpusSpans: Option[DataFrame] = None,
-      classifier: Option[Map[Int, Long]] = None)
+      classifier: Option[Map[Int, Long]] = None,
+      /** Opt-in exact-hash backstop against the LANDED corpus (the
+        * persisted [[graft.operators.DedupIndex]] artifact, column
+        * `h`): L17's stream state only covers the watermark horizon,
+        * and the L18 sketch cannot see sub-3-token docs or trim-only
+        * copies (l29's belt-and-braces argument, at ingest). One
+        * hash-keyed semi join per batch; None runs the pipeline
+        * unchanged. */
+      exactHashes: Option[DataFrame] = None)
 
   /** The per-batch decision frame: `batch`'s columns plus `reason`.
     * Pure function of (batch, gates) — spec-tested directly and reused
@@ -111,12 +119,27 @@ object AdmissionPipeline {
         .select("doc_id").distinct().withColumn("_vr", lit(true)))
       .getOrElse(near.sparkSession.emptyDataFrame
         .select(lit(-1L).as("doc_id"), lit(true).as("_vr")).limit(0))
+    // the opt-in exact-hash corpus backstop (same always-false default
+    // shape as the verbatim screen): content hash keys on the batch's
+    // text AS DECIDED — under `clean=true` that is the cleaned text,
+    // matching an index built from cleaned releases
+    val exact = gates.exactHashes
+      .map(ix => batch
+        .withColumn("_h", graft.operators.DedupIndex.contentHash)
+        .join(ix.select(col("h").as("_h")).distinct(), Seq("_h"), "left_semi")
+        .select("doc_id").distinct().withColumn("_xd", lit(true)))
+      .getOrElse(near.sparkSession.emptyDataFrame
+        .select(lit(-1L).as("doc_id"), lit(true).as("_xd")).limit(0))
     LlmQueries.withStopBp(batch)
       .join(near, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .join(verbatim, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
       .withColumn("reason",
-        when(col("_nd"), "near_duplicate")
+        // byte-exact copy of the LANDED corpus is the strongest
+        // duplicate claim — ahead of the sketch's near_duplicate
+        when(col("_xd"), "corpus_duplicate")
+          .when(col("_nd"), "near_duplicate")
           // dedup family stays contiguous: a doc that is BOTH a whole-doc
           // near-dup and a partial verbatim repeat reads near_duplicate
           // (the stronger claim); a partial lift that banding cannot see

@@ -76,6 +76,43 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       7L -> "repetitive"), got.toString)
   }
 
+  test("opt-in exact-hash backstop: a byte-copy of the LANDED corpus is " +
+      "corpus_duplicate even when stream state never saw it, including the " +
+      "sub-3-token shape the sketch is blind to") {
+    import spark.implicits._
+    // the landed corpus carries a sub-3-token doc the near-dup sketch
+    // cannot index (docSketch drops < 3 tokens)
+    val landed = corpus.unionByName(
+      Seq((102L, "qq zz")).toDF("doc_id", "text"))
+    val idx = graft.operators.DedupIndex.build(landed).select("h")
+    val g = gates.copy(exactHashes = Some(idx))
+    val batch = mkBatch(Seq(
+      // byte-exact replay of landed doc 100 (case/trim-normalized hash):
+      // the strongest duplicate claim, ahead of the sketch's verdict
+      11L -> longCorpusText.toUpperCase,
+      // byte-exact replay of the sketch-blind 2-token doc
+      12L -> "qq zz",
+      // novel long doc admits — the backstop adds no false flags
+      13L -> ("periscope ostrich quilt lagoon velvet hammock sequoia " +
+        "tundra biscuit chandelier mongoose parchment zephyr iceberg " +
+        "raccoon dolomite pretzel observatory kelp wombat clarinet " +
+        "geyser tambourine walrus porcelain aqueduct sycamore gondola " +
+        "marmalade vestibule catamaran")))
+    val got = AdmissionPipeline.decide(batch, g)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(11L -> "corpus_duplicate", 12L -> "corpus_duplicate",
+      13L -> "admit"), got.toString)
+    // gate off → the same batch never sees the new reason; the exact
+    // replay of 100 still reads near_duplicate (the sketch catches the
+    // J=1 case), but the sketch-blind doc slips to low_quality
+    val off = AdmissionPipeline.decide(batch, gates)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off(11L) === "near_duplicate" && off(12L) === "low_quality",
+      off.toString)
+  }
+
   test("opt-in verbatim gate: a 15-token lift inside an otherwise-novel " +
       "long doc flags verbatim_repeat; without the index it admits") {
     // 16 consecutive corpus tokens embedded in 20 novel ones: enough

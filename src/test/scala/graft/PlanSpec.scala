@@ -59,7 +59,12 @@ class PlanSpec extends AnyFunSuite {
       // building each fixture's planted ids (v1 removed docs / planted
       // train docs / mirror sources).
       "l46_incremental_dedup", "l47_span_decontam", "l48_source_overlap",
-      "l49_incremental_neardup")
+      "l49_incremental_neardup",
+      // l50: l16's k-row centroid broadcast — the IVF assignment step.
+      "l50_prototype_prune",
+      // l51: the 1-row (corpus_tokens, n_langs) totals broadcast onto
+      // the L-row per-language plan frame.
+      "l51_epoch_plan")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

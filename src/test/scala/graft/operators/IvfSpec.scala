@@ -239,4 +239,74 @@ class IvfSpec extends AnyFunSuite {
     val recall = top10.count(inProbe) / 10.0
     assert(recall >= 0.5, s"IVF nprobe=4/16 recall@10 too low: $recall")
   }
+
+  // ------------------------------------------------ l50 prototype prune
+
+  test("l50 prototype pruning equals a driver-side recompute (assignment, " +
+      "per-cell ⌊n/5⌋ quota, checksums) and prunes the dense core") {
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val centroids = LlmQueries.sharedIvfCentroids(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val rows = raw.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+
+    // the exact left-to-right fold graft_sqdist performs
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val assigned = rows.map { case (id, label, v) =>
+      val (cid, dd) = centroids.map { case (c, cv) => (c, d2(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }
+      (id, label, cid, dd)
+    }
+    val prunedIds = assigned.groupBy(_._3).values.flatMap { cell =>
+      val sorted = cell.sortBy(c => (c._4, c._1))
+      sorted.take(cell.length / 5).map(_._1)
+    }.toSet
+    // per-cell quota is exactly floor(n/5)
+    assigned.groupBy(_._3).foreach { case (cid, cell) =>
+      assert(cell.count(c => prunedIds(c._1)) === cell.length / 5, s"cell $cid") }
+
+    val got = LlmQueries.l50.fn(spark, sf).collect()
+    val expect = assigned.groupBy(_._2).map { case (label, vs) =>
+      val p = vs.filter(v => prunedIds(v._1))
+      val k = vs.filterNot(v => prunedIds(v._1))
+      (label, vs.length.toLong, p.length.toLong, p.map(_._1).sum,
+        p.map(v => math.round(v._4 * 10000.0)).sum,
+        k.map(v => math.round(v._4 * 10000.0)).sum)
+    }.toSeq.sortBy(_._1)
+    val gotT = got.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(gotT === expect, s"got $gotT\nexpect $expect")
+
+    // pruned per-vector d2 mass strictly below kept (the dense core)
+    val nP = got.map(_.getLong(2)).sum
+    val nK = got.map(_.getLong(1)).sum - nP
+    assert(nP > 0 && nK > 0)
+    val massP = got.map(_.getLong(4)).sum.toDouble / nP
+    val massK = got.map(_.getLong(5)).sum.toDouble / nK
+    assert(massP < massK,
+      s"pruned mean d2e4 $massP must be below kept $massK")
+  }
+
+  test("l50 is partitioning-invariant and its rank window partitions by cell") {
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cent = LlmQueries.sharedIvfCentroids(spark, sf)
+    val a = LlmQueries.prototypePruneFrom(raw, cent)
+      .collect().map(_.toString).toSeq
+    val b = LlmQueries.prototypePruneFrom(raw.repartition(7), cent)
+      .collect().map(_.toString).toSeq
+    assert(a === b)
+    val df = LlmQueries.l50.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(raw"windowspecdefinition\(cid#\d+".r.findFirstIn(plan).isDefined,
+      s"rank window must partition by cell:\n$plan")
+  }
 }

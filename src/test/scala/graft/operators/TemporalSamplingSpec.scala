@@ -757,6 +757,40 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_kept")).sum > 0L)
   }
 
+  test("l51 epoch plan equals a driver-side recompute, the 4-epoch cap " +
+      "genuinely binds, and the allocation identity holds per language") {
+    val rows = SamplingQueries.l51.fn(spark, sf).collect()
+    // driver-side recompute from the same tokenizer
+    val toks = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("lang"), col("text")).collect()
+      .map(r => r.getString(0) ->
+        "[a-z]+|[0-9]+|[^a-z0-9\\s]".r.findAllIn(r.getString(1).toLowerCase).size.toLong)
+    val avail = toks.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    val total = avail.values.sum
+    val target = total * 3 / avail.size
+    rows.foreach { r =>
+      val l = r.getString(0)
+      val a = avail(l)
+      assert(r.getAs[Long]("avail_tokens") === a, s"$l avail")
+      assert(r.getAs[Long]("target_tokens") === target, s"$l target")
+      val realized = math.min(target, a * 4)
+      assert(r.getAs[Long]("realized_tokens") === realized, s"$l realized")
+      assert(r.getAs[Long]("deficit_tokens") === target - realized, s"$l deficit")
+      assert(r.getAs[Long]("n_epochs_full") === realized / a, s"$l epochs")
+      assert(r.getAs[Long]("partial_tokens") === realized % a, s"$l partial")
+      // the identity: full epochs + partial reconstruct the allocation
+      assert(r.getAs[Long]("n_epochs_full") * a + r.getAs[Long]("partial_tokens")
+        === realized, s"$l identity")
+      assert(r.getAs[Long]("n_epochs_full") <= 4L, s"$l cap")
+    }
+    // the published cap must BIND somewhere and be slack somewhere —
+    // otherwise the operator degenerates to a proportion
+    assert(rows.exists(_.getAs[Long]("deficit_tokens") > 0L),
+      "at least one language must hit the 4-epoch cap")
+    assert(rows.exists(_.getAs[Long]("deficit_tokens") === 0L),
+      "at least one language must be fully served")
+  }
+
   test("l45 joins the rate table broadcast — the corpus never shuffles for a join") {
     val df = SamplingQueries.l45.fn(spark, sf)
     df.collect()
