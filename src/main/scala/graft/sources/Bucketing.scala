@@ -32,12 +32,16 @@ object Bucketing {
       .saveAsTable(table)
 
   /** Join two bucketed tables on their bucket key — co-located, so the
-    * physical plan contains no shuffle Exchange for either side. */
+    * physical plan contains no shuffle Exchange for either side.
+    * `joinType` covers the diff shapes too: a FULL OUTER over two
+    * identically-bucketed corpus snapshots (l44's layout claim) diffs
+    * partition-by-partition with zero exchange. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-      leftKey: String, rightKey: String): DataFrame = {
+      leftKey: String, rightKey: String,
+      joinType: String = "inner"): DataFrame = {
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
-    l.join(r, l(leftKey) === r(rightKey))
+    l.join(r, l(leftKey) === r(rightKey), joinType)
   }
 }
 

@@ -44,6 +44,40 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() === direct)
   }
 
+  test("bucketed snapshot DIFF (l44's layout claim): the full-outer key " +
+      "join over two identically-bucketed snapshots plans NO shuffle " +
+      "exchange and classifies identically to the plain-parquet diff") {
+    resetTable("snap_v1")
+    resetTable("snap_v2")
+    val cur = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("doc_id", "source", "text")
+    // a simple planted history: v1 misses every %7 doc, v2 is current
+    val v1 = cur.filter(col("doc_id") % 7 =!= 0)
+    Bucketing.writeBucketed(
+      v1.select(col("doc_id"), col("text").as("t1")), "snap_v1", "doc_id", 8)
+    Bucketing.writeBucketed(
+      cur.select(col("doc_id"), col("text").as("t2")), "snap_v2", "doc_id", 8)
+    val diff = Bucketing.bucketedJoin(spark, "snap_v1", "snap_v2",
+        "doc_id", "doc_id", joinType = "full_outer")
+      .withColumn("status",
+        when(col("t1").isNull, "added")
+          .when(col("t2").isNull, "removed")
+          .when(col("t1") =!= col("t2"), "modified")
+          .otherwise("unchanged"))
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"full-outer diff expected:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed snapshot diff still shuffles:\n$plan")
+    // identical classification to the plain-parquet form
+    val counts = diff.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val added = cur.filter(col("doc_id") % 7 === 0).count()
+    val total = cur.count()
+    assert(counts.getOrElse("added", 0L) === added)
+    assert(counts.getOrElse("unchanged", 0L) === total - added)
+    assert(counts.getOrElse("removed", 0L) === 0L)
+  }
+
   test("a PartitionedUpsert-produced table joins on its pk with NO shuffle exchange") {
     import graft.sources.Generator
     import graft.streaming.PartitionedUpsert
