@@ -1652,8 +1652,55 @@ object LlmQueries {
       sharedIvfCentroids(s, d)),
     None)
 
+  /** L52 — heavy-hitter token scan via the Misra–Gries summary
+    * ([[graft.functions.FreqItems]]): the 100 TB MEMORY shape of l41's
+    * vocabulary question. The exact top-V needs a corpus-wide
+    * (token) shuffle; the MG summary never shuffles tokens at all —
+    * 32-counter buffers combine map-side and only ≤32-entry summaries
+    * cross the wire — at the price of an underestimate bounded by
+    * n/(K+1), with NO false negatives above that bar and NO
+    * overcounts.
+    *
+    * The DQ makes the guarantee an OUTPUT (the in-plan-invariant
+    * discipline of the sketch family): the exact count side — the
+    * audit a deployment runs on a sample, not the corpus — joins the
+    * sketch and the result row carries `n_heavy_missed` (heavy items
+    * absent from the summary; the MG theorem says 0) and
+    * `n_bound_violations` (estimates outside [exact − bound, exact];
+    * theorem says 0). The candidate-set size is partitioning-dependent
+    * by MG's nature (merge order moves which SUB-bar items survive);
+    * every guarantee column is order-independent. */
+  val l52 = DQ(
+    "l52_heavy_hitters",
+    (s, d) => {
+      val toks = docs(s, d).filter(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      val est = toks.agg(graft.functions.FreqItems.summary(col("tok")).as("mg"))
+        .select(explode(col("mg")).as(Seq("tok", "est")))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      val totals = toks.agg(count(lit(1)).as("n_tokens"))
+        .withColumn("bound", expr(
+          s"n_tokens div ${graft.functions.FreqItems.K + 1}L"))
+      exact
+        .join(est, Seq("tok"), "full_outer")
+        .crossJoin(broadcast(totals))
+        .agg(
+          max("n_tokens").as("n_tokens"),
+          max("bound").as("bound"),
+          sum(when(col("exact") > col("bound"), 1L).otherwise(0L))
+            .as("n_heavy"),
+          sum(when(col("exact") > col("bound") && col("est").isNull, 1L)
+            .otherwise(0L)).as("n_heavy_missed"),
+          sum(when(col("est").isNotNull &&
+              (col("est") > coalesce(col("exact"), lit(0L)) ||
+                col("est") < coalesce(col("exact"), lit(0L)) - col("bound")),
+            1L).otherwise(0L)).as("n_bound_violations"),
+          sum(when(col("est").isNotNull, 1L).otherwise(0L)).as("n_candidates"))
+    },
+    None)
+
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50)
+      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52)
 }
 

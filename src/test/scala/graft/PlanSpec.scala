@@ -64,7 +64,10 @@ class PlanSpec extends AnyFunSuite {
       "l50_prototype_prune",
       // l51: the 1-row (corpus_tokens, n_langs) totals broadcast onto
       // the L-row per-language plan frame.
-      "l51_epoch_plan")
+      "l51_epoch_plan",
+      // l52: the 1-row (n_tokens, bound) totals broadcast onto the
+      // sketch-audit join.
+      "l52_heavy_hitters")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {
