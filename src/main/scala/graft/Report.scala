@@ -131,7 +131,12 @@ object Report {
       "increment_screen" ->
         rowsJson(operators.CorpusOpsQueries.l46.fn(spark, sfDir)),
       "source_overlap" ->
-        rowsJson(operators.CorpusOpsQueries.l48.fn(spark, sfDir)))
+        rowsJson(operators.CorpusOpsQueries.l48.fn(spark, sfDir)),
+      // Sketch-health panels (round 12): the heavy-hitter token summary
+      // (MG guarantee columns must read zeros) and the media-dedup
+      // recall row.
+      "heavy_hitters" -> rowsJson(operators.LlmQueries.l52.fn(spark, sfDir)),
+      "media_dedup" -> rowsJson(operators.LlmQueries.l53.fn(spark, sfDir)))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val martBacked = Seq("revenue_trend" -> trendM, "top_products" -> topM,
       "quality_rates" -> qualityM).collect { case (k, true) => s""""$k"""" }

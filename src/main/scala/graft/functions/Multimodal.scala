@@ -83,4 +83,32 @@ object Multimodal {
         MediaFeatures(r.doc_id, counts.map(_ / n).toIndexedSeq)
       }
     }(Encoders.product[MediaFeatures])
+
+  /** 64-bit perceptual signature per payload. */
+  final case class MediaSig(doc_id: Long, sig: Long)
+
+  /** Perceptual hash over the feature vector — bit i set when feature i
+    * exceeds the vector's own mean, the exact thresholding rule of the
+    * published pHash family (DCT coefficients vs their median/mean; here
+    * the STUBBED feature stage is the byte histogram, so the signature
+    * is real math over stand-in features — swap [[extractFeatures]] for
+    * a DCT/embedding pass and this stage is unchanged). Row-local,
+    * partition-local, no shuffle; a one-byte payload perturbation moves
+    * ≤ 2 histogram bins and so flips only the few bits whose bins cross
+    * the mean — which is what makes Hamming distance a near-dup metric
+    * here, exactly as in the image case. */
+  def perceptualHash(ds: Dataset[MediaFeatures]): Dataset[MediaSig] =
+    ds.mapPartitions { it =>
+      it.map { f =>
+        val m = f.histogram.sum / math.max(1, f.histogram.size)
+        var sig = 0L
+        var i = 0
+        val lim = math.min(64, f.histogram.size)
+        while (i < lim) {
+          if (f.histogram(i) > m) sig |= (1L << i)
+          i += 1
+        }
+        MediaSig(f.doc_id, sig)
+      }
+    }(Encoders.product[MediaSig])
 }

@@ -751,6 +751,95 @@ object LlmQueries {
                          CAST(concat('0x', substr(h, 9, 2)) AS INTEGER) % 15 + 1 AS nf
                   FROM (SELECT sha256('media:' || doc_id) AS h FROM documents))"""))
 
+  /** [[l53]]'s verify bar: candidate pairs match at Hamming ≤ 3 of 64
+    * signature bits (the published pHash practice band). The planted
+    * one-byte perturbation can flip at most 2 bits — a byte moves
+    * between two histogram bins and the normalized histogram's mean is
+    * CONSTANT (1/64), so only those two bins can cross the threshold —
+    * and ≤ 3 differing bits cannot dodge all four 16-bit bands
+    * (pigeonhole), so planted recall is exactly 100% by construction,
+    * not probabilistically. */
+  private[operators] val PhashHammingMax = 3
+
+  /** L53 — multimodal perceptual-hash near-dup (the image-dedup pass of
+    * published multimodal corpus pipelines — LAION's pHash-based URL
+    * dedup, DataComp's image dedup baselines: near-identical media that
+    * BYTE-level hashing cannot see, because a re-encode/resize changes
+    * every byte). Stub discipline per the brief: the codec/DCT stage is
+    * the deterministic byte-histogram features ([[Multimodal
+    * .extractFeatures]] — this container has no image libs), while
+    * everything around it is the real pipeline — typed per-partition
+    * feature extraction, the sign-threshold 64-bit signature
+    * ([[Multimodal.perceptualHash]], the pHash thresholding rule), 4×16
+    * banded LSH candidate generation, and exact-Hamming verification —
+    * l10's simhash shape on the MEDIA column. Planted near-dups: every
+    * %10 doc's payload re-appears at id+offset with ONE byte overwritten
+    * (the minimal "re-encoded copy"), and the result row carries the
+    * planted recall and natural-match counters as in-plan invariants
+    * (no oracle — binary + typed maps are not SQL-portable; the spec
+    * additionally recomputes signatures driver-side).
+    *
+    * Scale shape: features and signatures are partition-local typed
+    * maps (no shuffle); the only exchanges are the 16-bit band keys and
+    * the candidate id pairs; verification joins signatures (8 bytes)
+    * not payloads. No all-pairs anywhere. */
+  val l53 = DQ(
+    "l53_media_phash_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.Encoders
+      val dd = docs(s, d)
+      val off = plantedOffset(dd, "doc_id")
+      val basePayload = dd.select(col("doc_id"),
+        unhex(sha2(concat(lit("media:"), col("doc_id")), 256)).as("payload"))
+      val perturbed = basePayload.filter(isPlantedSrc(col("doc_id")))
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("_off")).as("doc_id"),
+          concat(lit(Array[Byte](0x7F.toByte)),
+            expr("substring(payload, 2, 31)")).as("payload"))
+      val media = basePayload.unionByName(perturbed)
+      val raw = media.as[graft.functions.Multimodal.MediaRaw](
+        Encoders.product[graft.functions.Multimodal.MediaRaw])
+      val sigs = graft.functions.Multimodal.perceptualHash(
+        graft.functions.Multimodal.extractFeatures(raw, bins = 64)).toDF()
+      val bands = sigs.select(col("doc_id"), expr(
+        "explode(transform(sequence(0, 3), b -> " +
+          "struct(b as band_id, shiftright(sig, b * 16) & 65535 as bkey)))")
+        .as("b"))
+        .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+        .distinct()
+      val matched = cand
+        .join(sigs.select(col("doc_id").as("ida"), col("sig").as("siga")), "ida")
+        .join(sigs.select(col("doc_id").as("idb"), col("sig").as("sigb")), "idb")
+        .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+        .filter(col("hamming") <= lit(PhashHammingMax))
+        .select("ida", "idb")
+      val plantedPairs = dd.filter(isPlantedSrc(col("doc_id")))
+        .crossJoin(broadcast(off))
+        .select(col("doc_id").as("ida"),
+          (col("doc_id") + col("_off")).as("idb"))
+      val foundPlanted = matched.join(plantedPairs, Seq("ida", "idb"),
+        "left_semi")
+      val stats = Seq(
+        media.agg(count(lit(1)).as("n_media")),
+        cand.agg(count(lit(1)).as("n_candidate_pairs")),
+        matched.agg(count(lit(1)).as("n_matched_pairs")),
+        plantedPairs.agg(count(lit(1)).as("n_planted")),
+        foundPlanted.agg(count(lit(1)).as("n_planted_found")))
+      val one = stats.reduce((a, b) => a.crossJoin(broadcast(b)))
+      one
+        .withColumn("recall_bp",
+          round(col("n_planted_found") * lit(10000.0) / col("n_planted"))
+            .cast("long"))
+        .withColumn("n_natural_matched",
+          col("n_matched_pairs") - col("n_planted_found"))
+    },
+    None)
+
   /** Embeddings plus planted near-duplicate vectors (every vec_id % 10
     * == 0 re-added at id+offset with its first component shifted) so
     * cosine near-dup recall is verifiable by construction. */
@@ -1701,6 +1790,6 @@ object LlmQueries {
 
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52)
+      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52, l53)
 }
 

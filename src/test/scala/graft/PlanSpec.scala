@@ -67,7 +67,10 @@ class PlanSpec extends AnyFunSuite {
       "l51_epoch_plan",
       // l52: the 1-row (n_tokens, bound) totals broadcast onto the
       // sketch-audit join.
-      "l52_heavy_hitters")
+      "l52_heavy_hitters",
+      // l53: the 1-row planted-offset broadcast plus the 1-row invariant
+      // counters crossJoined onto the single result row (l14's shape).
+      "l53_media_phash_dedup")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {
