@@ -126,10 +126,6 @@ object CorpusOpsQueries {
                 AS BIGINT) AS modified_checksum
             FROM j GROUP BY 1 ORDER BY source"""))
 
-  /** The increment screen shared by the [[l46]] DQ and its spec: label
-    * every increment doc (added / modified per l44's key rules) as
-    * content-`known` (its canonical hash exists somewhere in v1) or
-    * content-`novel`, rolled up per status with identity checksums. */
   /** The l44 increment as a frame: every doc whose doc_id-keyed row
     * changed, labeled added / modified by the diff's own rules. */
   private[operators] def incrementOf(cur: DataFrame): DataFrame =
@@ -161,6 +157,10 @@ object CorpusOpsQueries {
           .as("novel_checksum"))
       .orderBy("status")
 
+  /** The increment screen shared by the [[l46]] DQ and its spec: label
+    * every increment doc (added / modified per l44's key rules) as
+    * content-`known` (its canonical hash exists somewhere in v1) or
+    * content-`novel`, rolled up per status with identity checksums. */
   private[operators] def incrementScreen(cur: DataFrame): DataFrame =
     screenAgainst(incrementOf(cur),
       v1Snapshot(cur).select(DedupIndex.contentHash.as("h")))
@@ -228,13 +228,12 @@ object CorpusOpsQueries {
     * gram, the shared-gram count and Jaccard similarity. */
   private[operators] def sourceOverlap(cur: DataFrame, k: Int,
       dfCap: Int): DataFrame = {
-    val off = LlmQueries.plantedOffset(cur, "doc_id")
+    // the overlap question is SOURCE-grained — doc identity never
+    // reaches the output, so the mirror needs no planted-offset ids
     val mirrored = cur.filter(col("doc_id") % 10 === 0)
-      .crossJoin(broadcast(off))
-      .select((col("doc_id") + col("_off")).as("doc_id"),
-        concat(lit("m_"), col("source")).as("source"),
+      .select(concat(lit("m_"), col("source")).as("source"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    val corpus = cur.select("doc_id", "source", "text").unionByName(mirrored)
+    val corpus = cur.select("source", "text").unionByName(mirrored)
     // per-source distinct grams with each gram's source-df, one gram
     // shuffle; the frame feeds three consumers (totals + both join
     // sides) — checkpointed once, the l29/l33 shared-subtree discipline
@@ -344,10 +343,7 @@ object CorpusOpsQueries {
     val v1Sk = LlmQueries.docSketch(v1Snapshot(cur))
     val v1B = LlmQueries.minhashBuckets(v1Sk.select("doc_id", "sig"))
       .select(col("doc_id").as("v1_id"), col("band_id"), col("bkey"))
-    val inc = cur
-      .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
-      .withColumn("status",
-        when(col("doc_id") % 7 === 0, "added").otherwise("modified"))
+    val inc = incrementOf(cur)
     val incSk = LlmQueries.docSketch(inc, keep = Seq("status"))
     val incB = LlmQueries.minhashBuckets(incSk.select("doc_id", "sig"))
     val cands = incB.join(v1B, Seq("band_id", "bkey"))
@@ -365,7 +361,11 @@ object CorpusOpsQueries {
       .filter(col("jac_e4") >= NearKnownE4)
       .select("doc_id").distinct()
       .withColumn("_near", lit(1))
-    incSk.select("doc_id", "status")
+    // rollup base = the FULL increment (l46's base frame, so the two
+    // screens' n_docs can never disagree), not the sketch frame —
+    // docSketch drops sub-3-token docs, which must still be COUNTED
+    // (they cannot near-match anything: no 3-shingle, no signature)
+    inc.select("doc_id", "status")
       .join(verified, Seq("doc_id"), "left")
       .groupBy("status")
       .agg(

@@ -799,39 +799,42 @@ object LlmQueries {
       val media = basePayload.unionByName(perturbed)
       val raw = media.as[graft.functions.Multimodal.MediaRaw](
         Encoders.product[graft.functions.Multimodal.MediaRaw])
+      // the signature frame feeds the band join (twice) and the verify
+      // joins — checkpointed lazily once (l33/l48's shared-subtree
+      // discipline) so the typed feature+signature maps run one time
       val sigs = graft.functions.Multimodal.perceptualHash(
         graft.functions.Multimodal.extractFeatures(raw, bins = 64)).toDF()
+        .localCheckpoint(false)
       val bands = sigs.select(col("doc_id"), expr(
         "explode(transform(sequence(0, 3), b -> " +
           "struct(b as band_id, shiftright(sig, b * 16) & 65535 as bkey)))")
         .as("b"))
         .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
-      val cand = bands.as("x").join(bands.as("y"),
+      val plantedPairs = dd.filter(isPlantedSrc(col("doc_id")))
+        .crossJoin(broadcast(off))
+        .select(col("doc_id").as("ida"),
+          (col("doc_id") + col("_off")).as("idb"))
+      // ONE labeled pair frame carries every counter the result needs
+      // (candidate, matched, planted-found) — no per-counter re-execution
+      val pairs = bands.as("x").join(bands.as("y"),
           col("x.band_id") === col("y.band_id") &&
             col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
         .distinct()
-      val matched = cand
         .join(sigs.select(col("doc_id").as("ida"), col("sig").as("siga")), "ida")
         .join(sigs.select(col("doc_id").as("idb"), col("sig").as("sigb")), "idb")
-        .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
-        .filter(col("hamming") <= lit(PhashHammingMax))
-        .select("ida", "idb")
-      val plantedPairs = dd.filter(isPlantedSrc(col("doc_id")))
-        .crossJoin(broadcast(off))
-        .select(col("doc_id").as("ida"),
-          (col("doc_id") + col("_off")).as("idb"))
-      val foundPlanted = matched.join(plantedPairs, Seq("ida", "idb"),
-        "left_semi")
-      val stats = Seq(
-        media.agg(count(lit(1)).as("n_media")),
-        cand.agg(count(lit(1)).as("n_candidate_pairs")),
-        matched.agg(count(lit(1)).as("n_matched_pairs")),
-        plantedPairs.agg(count(lit(1)).as("n_planted")),
-        foundPlanted.agg(count(lit(1)).as("n_planted_found")))
-      val one = stats.reduce((a, b) => a.crossJoin(broadcast(b)))
-      one
+        .withColumn("matched",
+          bit_count(col("siga").bitwiseXOR(col("sigb"))) <= lit(PhashHammingMax))
+        .join(plantedPairs.withColumn("_pl", lit(true)), Seq("ida", "idb"), "left")
+      val pairStats = pairs.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched_pairs"),
+        sum(when(col("matched") && col("_pl"), 1L).otherwise(0L))
+          .as("n_planted_found"))
+      sigs.agg(count(lit(1)).as("n_media"))
+        .crossJoin(broadcast(plantedPairs.agg(count(lit(1)).as("n_planted"))))
+        .crossJoin(broadcast(pairStats))
         .withColumn("recall_bp",
           round(col("n_planted_found") * lit(10000.0) / col("n_planted"))
             .cast("long"))
@@ -1767,7 +1770,9 @@ object LlmQueries {
       val est = toks.agg(graft.functions.FreqItems.summary(col("tok")).as("mg"))
         .select(explode(col("mg")).as(Seq("tok", "est")))
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
-      val totals = toks.agg(count(lit(1)).as("n_tokens"))
+      // n = Σ exact — the totals derive from the audit side's own
+      // partial (ReusedExchange), not a third corpus pass
+      val totals = exact.agg(sum("exact").as("n_tokens"))
         .withColumn("bound", expr(
           s"n_tokens div ${graft.functions.FreqItems.K + 1}L"))
       exact

@@ -60,7 +60,14 @@ object ReleaseFlow {
     * artifacts, append the admitted slice to each, return the labeled
     * decision frame. EAGER — the decision frame is checkpointed before
     * the appends so the screens provably see pre-append state. */
-  def release(spark: SparkSession, shard: DataFrame, base: String): DataFrame = {
+  def release(spark: SparkSession, shard0: DataFrame, base: String): DataFrame = {
+    // a null-text row can neither be screened (null hash, no sketch)
+    // nor indexed (every artifact's build drops it) — admitting it
+    // would break the idempotence contract, since a re-release could
+    // not recognize it. Malformed rows are the ingest validators' job
+    // (V-rows / the admission pipeline's low_quality arm); the release
+    // screen drops them up front.
+    val shard = shard0.filter(col("text").isNotNull)
     val exactIdx = DedupIndex.read(spark, dedupDir(base))
     val ndIdx = StreamingNearDup.readIndex(spark, neardupDir(base))
     val exactHit = shard

@@ -55,10 +55,10 @@ class PlanSpec extends AnyFunSuite {
       // l45: the 1-row n_min broadcast crossJoined onto the L-row
       // language-count frame (the data-dependent rate table's anchor).
       "l45_temperature_mix",
-      // l46/l47/l48/l49: the standard 1-row planted-offset broadcast
+      // l46/l47/l49: the standard 1-row planted-offset broadcast
       // building each fixture's planted ids (v1 removed docs / planted
-      // train docs / mirror sources).
-      "l46_incremental_dedup", "l47_span_decontam", "l48_source_overlap",
+      // train docs; l48's mirror is source-grained and needs no ids).
+      "l46_incremental_dedup", "l47_span_decontam",
       "l49_incremental_neardup",
       // l50: l16's k-row centroid broadcast — the IVF assignment step.
       "l50_prototype_prune",

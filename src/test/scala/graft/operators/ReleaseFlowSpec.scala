@@ -36,7 +36,14 @@ class ReleaseFlowSpec extends AnyFunSuite {
     val near = nearSrc.select(col("lang"),
       (col("doc_id") + lit(off) + lit(1L)).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    // a malformed null-text row: the release screen must DROP it (it
+    // can neither be screened nor indexed — admitting would break
+    // idempotence), not label it
+    val nullRow = replaySrc.select(col("lang"),
+      (col("doc_id") + lit(off) + lit(2L)).as("doc_id"),
+      lit(null).cast("string").as("text"))
     val shard = novel.unionByName(replay).unionByName(near)
+      .unionByName(nullRow)
     (corpus, shard,
       replay.select("doc_id").collect().map(_.getLong(0)).toSet,
       near.select("doc_id").collect().map(_.getLong(0)).toSet,
@@ -52,6 +59,8 @@ class ReleaseFlowSpec extends AnyFunSuite {
     val decided = ReleaseFlow.release(spark, shard, base)
       .select("doc_id", "decision").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decided.size.toLong === shard.count() - 1,
+      "the null-text row must be dropped, every other row labeled")
     replayIds.foreach(id => assert(decided(id) === "corpus_duplicate", s"$id"))
     nearIds.foreach(id => assert(decided(id) === "near_duplicate", s"$id"))
     // the novel slice: no hash can match (ids and texts disjoint from
