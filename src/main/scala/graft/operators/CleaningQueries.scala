@@ -28,24 +28,32 @@ object CleaningQueries {
 
   import org.apache.spark.sql.Column
 
-  /** The C4 LINE rule as a reusable column: `text` → the text of its
-    * kept lines (terminal punctuation, ≥ 5 words, no 'javascript') —
-    * the same filter [[l31]] aggregates over, factored so the
-    * streaming admission pre-clean ([[graft.streaming.AdmissionPipeline
-    * .cleanse]]) and the batch DQ can never disagree on what a kept
-    * line is. A page where every line drops yields the empty string
-    * (its length 0 then fails the quality gate downstream — the
-    * page-drop decision belongs to the quality screen, not here). */
-  def c4KeptText(text: Column): Column =
-    concat_ws("\n", expr_filter_lines(text))
-
-  private def expr_filter_lines(text: Column): Column = {
-    // single definition of the line predicate, shared with l31's plan
-    filter(split(text, "\n"), l =>
+  /** The C4 LINE rule over a pre-split line array: kept lines end in
+    * terminal punctuation, have ≥ 5 words, and do not mention
+    * 'javascript' — ONE definition shared by [[l31]]'s plan (which
+    * already holds the split array) and [[c4KeptText]] (which wraps its
+    * own split for string-column callers), so batch and streaming can
+    * never disagree on what a kept line is. */
+  def c4KeptLines(lines: Column): Column =
+    filter(lines, l =>
       substring(l, -1, 1).isin(".", "!", "?", "\"") &&
         size(split(l, " ")) >= 5 &&
         !contains(lower(l), lit("javascript")))
-  }
+
+  /** The C4 PAGE rule: keep a page iff it carries no 'lorem ipsum', no
+    * '{', and retains ≥ 3 lines after the line filter — the other half
+    * of Raffel et al. §2.2, shared by [[l31]] and the streaming
+    * pre-clean so ingest and batch agree on page MEMBERSHIP, not just
+    * line content. */
+  def c4PageKeep(text: Column, keptLines: Column): Column =
+    !contains(lower(text), lit("lorem ipsum")) &&
+      !contains(text, lit("{")) && size(keptLines) >= 3
+
+  /** The C4 LINE rule as a reusable column: `text` → the text of its
+    * kept lines. Line-level only — page membership is [[c4PageKeep]]'s
+    * call (the streaming pre-clean composes both). */
+  def c4KeptText(text: Column): Column =
+    concat_ws("\n", c4KeptLines(split(text, "\n")))
 
   /** The PII redaction of [[l32]] as a reusable column — email, phone,
     * IPv4 each replaced by its typed tag, identical regexes and order
@@ -99,10 +107,8 @@ object CleaningQueries {
       docs(s, d)
         .withColumn("text2", expr(linedSql))
         .withColumn("lines", split(col("text2"), "\n"))
-        .withColumn("kept", expr_filter_lines(col("text2")))
-        .withColumn("page_kept",
-          !contains(lower(col("text2")), lit("lorem ipsum")) &&
-            !contains(col("text2"), lit("{")) && size(col("kept")) >= 3)
+        .withColumn("kept", c4KeptLines(col("lines")))
+        .withColumn("page_kept", c4PageKeep(col("text2"), col("kept")))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_pages"),

@@ -49,16 +49,19 @@ object DedupIndex {
     corpus.filter(col("text").isNotNull)
       .select(contentHash.as("h"), col("doc_id"))
 
-  /** Build and persist, clustered by hash. */
+  /** Build and persist, clustered by hash. RANGE partitioning (same
+    * argument as [[SubstringIndex.write]]): each file covers a narrow
+    * hash range so footer min/max stats let hash-keyed probes skip
+    * whole files, not just row groups. */
   def write(corpus: DataFrame, base: String): Unit =
-    build(corpus).repartition(col("h"))
+    build(corpus).repartitionByRange(col("h"))
       .sortWithinPartitions("h")
       .write.mode("overwrite").parquet(s"$base/content_hashes")
 
   /** Incremental build: hash rows for `newDocs` land beside the
     * existing files, clustered the same way. */
   def append(newDocs: DataFrame, base: String): Unit =
-    build(newDocs).repartition(col("h"))
+    build(newDocs).repartitionByRange(col("h"))
       .sortWithinPartitions("h")
       .write.mode("append").parquet(s"$base/content_hashes")
 

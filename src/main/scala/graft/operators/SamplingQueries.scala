@@ -391,13 +391,15 @@ object SamplingQueries {
   }
 
   /** The eval-set membership sketch as a ONE-ROW binary frame — sized
-    * for a ~1% FP rate at 10⁶ eval grams (9.6 bits/item); FP rate only
+    * for a ~1% FP rate at 10⁶ eval grams (9.6 bits/item, so 9 600 000
+    * bits — the previous 2²³ constant worked out to 8.4 bits/item,
+    * ~2.2% FP, double the budgeted verify-join traffic); FP rate only
     * costs verify-join traffic, never correctness. */
   private[graft] def evalBloom(testGrams: DataFrame): DataFrame = {
     graft.functions.BloomExprs.ensureRegistered(testGrams.sparkSession)
     testGrams.agg(
       call_function("graft_bloom_agg", xxhash64(col("gram")),
-        lit(1000000L), lit(8388608L)).as("bf"))
+        lit(1000000L), lit(9600000L)).as("bf"))
   }
 
   /** The probe half of [[decontaminateBloom]], factored so the sketch
@@ -983,7 +985,9 @@ object SamplingQueries {
     * here is the zh slice (languages have disjoint synthetic vocab, so
     * enrichment is verifiable); production swaps any high-quality
     * corpus in as `targetLang`'s slice. Per language: population,
-    * sampled docs, mean sampled weight.
+    * sampled docs, SUMMED sampled milli-weight (a total, not a mean —
+    * it scales with the language's sampled count by design; divide by
+    * n_sampled for a mean).
     *
     * Scale shape: one bigram explode → (doc, bucket) agg; the bucket
     * models and llr table are B-row (broadcast); the per-doc weight is

@@ -40,16 +40,20 @@ object SubstringIndex {
   def build(corpus: DataFrame): DataFrame =
     SamplingQueries.spanGrams(corpus, SamplingQueries.SpanK, hashed = true)
 
-  /** Build and persist, clustered by gram hash. */
+  /** Build and persist, clustered by gram hash. RANGE partitioning, not
+    * hash: each parquet file must cover a NARROW gram-hash range for
+    * its footer min/max to carry selectivity (a hash-partitioned file's
+    * min/max spans ~the whole int64 domain, so a gram-keyed probe could
+    * never skip a file — only row groups within the sorted files). */
   def write(corpus: DataFrame, base: String): Unit =
-    build(corpus).repartition(col("gram"))
+    build(corpus).repartitionByRange(col("gram"))
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(s"$base/span_grams")
 
   /** Incremental build: gram rows for `newDocs` land beside the
     * existing files, clustered the same way. */
   def append(newDocs: DataFrame, base: String): Unit =
-    build(newDocs).repartition(col("gram"))
+    build(newDocs).repartitionByRange(col("gram"))
       .sortWithinPartitions("gram")
       .write.mode("append").parquet(s"$base/span_grams")
 

@@ -102,8 +102,18 @@ object AdmissionPipeline {
     * documents) would clean to empty strings and land low_quality —
     * correct C4 behavior, wrong default for every caller. */
   def cleanse(df: DataFrame): DataFrame =
-    df.withColumn("text",
-        CleaningQueries.piiRedact(CleaningQueries.c4KeptText(col("text"))))
+    df.withColumn("text", {
+        // the FULL C4 battery, page rules included: a page failing the
+        // page bar (carries 'lorem ipsum' or '{', or keeps < 3 lines)
+        // cleans to NULL — not "" — so it lands low_quality WITH a
+        // decision row and never shares a dedup-state key with other
+        // dropped pages (batch l31 page-drops the identical documents;
+        // before this, ingest shipped pages the batch pipeline drops)
+        val lines = split(col("text"), "\n")
+        val kept = CleaningQueries.c4KeptLines(lines)
+        when(CleaningQueries.c4PageKeep(col("text"), kept),
+          CleaningQueries.piiRedact(concat_ws("\n", kept)))
+      })
       .withColumn("n_chars", length(col("text")).cast("long"))
 
   def decide(batch: DataFrame, gates: Gates): DataFrame = {
@@ -241,7 +251,8 @@ object AdmissionPipeline {
       neardupIndexDir: String, holdoutGrams: DataFrame,
       outDir: String, tsCol: String, delay: String,
       clean: Boolean = false,
-      substrIndexDir: Option[String] = None): StreamingQuery = {
+      substrIndexDir: Option[String] = None,
+      classifier: Option[Map[Int, Long]] = None): StreamingQuery = {
     val in = if (clean) cleanse(stream) else stream
     val deduped = StreamingDedup.withinWatermark(
       withNChars(in), tsCol, delay)
@@ -256,7 +267,8 @@ object AdmissionPipeline {
         val gates = Gates(
           StreamingNearDup.readIndex(spark, neardupIndexDir), holdoutGrams,
           corpusSpans = substrIndexDir.map(d =>
-            StreamingSubstring.fromPersisted(spark, d)))
+            StreamingSubstring.fromPersisted(spark, d)),
+          classifier = classifier)
         // one decision pass, up to three consumers (sink + index appends)
         val decisions = decide(batch, gates).localCheckpoint()
         writeDecisions(decisions, outDir, batchId)

@@ -40,7 +40,15 @@ object StreamingDedup {
   private val H = "_graft_content_hash"
 
   private def hashed(docs: DataFrame): DataFrame =
-    docs.withColumn(H, graft.operators.LlmQueries.normHash)
+    // a NULL text has no content to compare — it must pass through
+    // un-deduped (dropDuplicates treats null keys as EQUAL, so a bare
+    // null hash would silently swallow every malformed/page-dropped doc
+    // after the first, each losing its decision row downstream). The
+    // fallback key is per-doc unique and can never collide with a real
+    // hash (sha2 emits hex only).
+    docs.withColumn(H,
+      coalesce(graft.operators.LlmQueries.normHash,
+        concat(lit("_null_text:"), col("doc_id").cast("string"))))
 
   /** Watermark-bounded exact dedup on text content. `docs` must be
     * a streaming frame with event-time column `tsCol`; emits the first

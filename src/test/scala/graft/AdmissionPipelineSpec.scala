@@ -253,17 +253,56 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     assert(without === Seq("admit"), without.toString)
   }
 
-  test("cleanse applies the C4 line rules then PII redaction and " +
-      "re-measures n_chars — the batch DQs' own column functions") {
+  test("cleanse applies the FULL C4 battery (line rules, page rules, PII " +
+      "redaction) and re-measures n_chars — the batch DQs' own columns") {
     val junk = "enable javascript cookie banner"
     val kept1 = "porcelain zeppelin hammock quasar bobbin anchovy tundra."
     val kept2 = "contact gazebo parchment user7@example.com derrick awning plinth."
-    val batch = mkBatch(Seq(20L -> s"$junk\n$kept1\n$kept2"))
-    val got = AdmissionPipeline.cleanse(batch).collect().head
-    val text = got.getAs[String]("text")
+    val kept3 = "sextant bugle cornice dynamo easel fresco garnet marble."
+    val goodPage = s"$junk\n$kept1\n$kept2\n$kept3"
+    val batch = mkBatch(Seq(
+      20L -> goodPage,
+      // the three PAGE rules (batch l31's page_kept): each cleans to
+      // NULL — a page the batch pipeline drops must not admit at ingest
+      21L -> s"$goodPage lorem ipsum",
+      22L -> s"$goodPage {",
+      23L -> s"$junk\n$kept1\n$kept2")) // only 2 kept lines
+    val got = AdmissionPipeline.cleanse(batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.get(r.fieldIndex("n_chars")))).toMap
+    val text = got(20L)._1
     assert(text === kept1 + "\n" +
-      "contact gazebo parchment <EMAIL> derrick awning plinth.", text)
-    assert(got.getAs[Long]("n_chars") === text.length.toLong)
+      "contact gazebo parchment <EMAIL> derrick awning plinth." +
+      "\n" + kept3, text)
+    assert(got(20L)._2 === text.length.toLong)
+    Seq(21L, 22L, 23L).foreach { id =>
+      assert(got(id)._1 == null, s"page $id must clean to NULL (page rule)")
+      assert(got(id)._2 == null, s"page $id n_chars must be null")
+    }
+  }
+
+  test("two distinct page-dropped docs in one watermark window BOTH land " +
+      "low_quality decision rows (null-text docs never share a dedup key)") {
+    import java.nio.file.{Files, Paths}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val in = Files.createTempDirectory("graft_admission_nin_").toString
+    Files.write(Paths.get(in, "f1.json"), String.join("\n",
+      s"""{"doc_id":41,"text":"just one long unpunctuated nav row","ts":"2026-01-01T10:00:00Z"}""",
+      s"""{"doc_id":42,"text":"completely different cookie banner junk","ts":"2026-01-01T10:00:01Z"}""").getBytes)
+    val out = Files.createTempDirectory("graft_admission_nout_").toString
+    val q = AdmissionPipeline.start(spark,
+      spark.readStream.schema(schema).json(in), gates, out, "ts",
+      "10 minutes", clean = true)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$out/decisions")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(41L -> "low_quality", 42L -> "low_quality"),
+      s"both must land with a verdict, not vanish in dedup state: $got")
   }
 
   test("clean=true end-to-end: two pages identical after junk-line drop " +
