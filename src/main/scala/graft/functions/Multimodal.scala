@@ -74,13 +74,20 @@ object Multimodal {
     * byte-value histogram per payload — real math standing where an
     * embedding model's forward pass would run, with the same
     * partition-local batch shape (no shuffle, bounded memory). */
+  /** The feature math of [[extractFeatures]] as a plain function —
+    * normalized `bins`-bucket byte histogram. One definition shared by
+    * the typed batch path and [[signatureOf]] so they cannot drift. */
+  private[graft] def histogramOf(payload: Array[Byte], bins: Int): Array[Double] = {
+    val counts = new Array[Double](bins)
+    payload.foreach { b => counts(((b & 0xFF) * bins) / 256) += 1.0 }
+    val n = math.max(1, payload.length)
+    counts.map(_ / n)
+  }
+
   def extractFeatures(ds: Dataset[MediaRaw], bins: Int): Dataset[MediaFeatures] =
     ds.mapPartitions { it =>
       it.map { r =>
-        val counts = new Array[Double](bins)
-        r.payload.foreach { b => counts(((b & 0xFF) * bins) / 256) += 1.0 }
-        val n = math.max(1, r.payload.length)
-        MediaFeatures(r.doc_id, counts.map(_ / n).toIndexedSeq)
+        MediaFeatures(r.doc_id, histogramOf(r.payload, bins).toIndexedSeq)
       }
     }(Encoders.product[MediaFeatures])
 
@@ -97,18 +104,50 @@ object Multimodal {
     * ≤ 2 histogram bins and so flips only the few bits whose bins cross
     * the mean — which is what makes Hamming distance a near-dup metric
     * here, exactly as in the image case. */
+  /** The thresholding rule of [[perceptualHash]] as a plain function —
+    * bit i set when feature i exceeds the vector's own mean. */
+  private[graft] def sigOfHist(hist: Seq[Double]): Long = {
+    val m = hist.sum / math.max(1, hist.size)
+    var sig = 0L
+    var i = 0
+    val lim = math.min(64, hist.size)
+    while (i < lim) {
+      if (hist(i) > m) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
   def perceptualHash(ds: Dataset[MediaFeatures]): Dataset[MediaSig] =
     ds.mapPartitions { it =>
-      it.map { f =>
-        val m = f.histogram.sum / math.max(1, f.histogram.size)
-        var sig = 0L
-        var i = 0
-        val lim = math.min(64, f.histogram.size)
-        while (i < lim) {
-          if (f.histogram(i) > m) sig |= (1L << i)
-          i += 1
-        }
-        MediaSig(f.doc_id, sig)
-      }
+      it.map(f => MediaSig(f.doc_id, sigOfHist(f.histogram)))
     }(Encoders.product[MediaSig])
+
+  /** payload → 64-bit perceptual signature, the full
+    * [[histogramOf]]→[[sigOfHist]] composition in one call — by
+    * construction identical to the typed
+    * [[extractFeatures]]→[[perceptualHash]] pipeline at bins = 64. */
+  def signatureOf(payload: Array[Byte]): Long =
+    sigOfHist(histogramOf(payload, 64).toIndexedSeq)
+
+  /** [[signatureOf]] as a column, for callers that must keep sibling
+    * columns alive (the streaming gate rides event time through): the
+    * same per-row JVM function as the typed map, packaged as a UDF —
+    * cost-equivalent (neither codegens), and sharing [[sigOfHist]]/
+    * [[histogramOf]] means batch l53, the spec recompute, and the
+    * streaming gate can never disagree on a signature. */
+  def sigCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((p: Array[Byte]) => signatureOf(p)).apply(payload)
+
+  /** The 4×16-bit band explosion of a (doc_id, sig, …) frame — the
+    * candidate-generation keys of batch [[graft.operators.LlmQueries]]
+    * l53 AND the streaming media gate (pigeonhole-complete for
+    * Hamming ≤ 3 of 64 bits). `keep` columns ride through. */
+  def sigBandFrame(sigs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    sigs.select(Seq(col("doc_id"), expr(
+      "explode(transform(sequence(0, 3), b -> " +
+        "struct(b AS band_id, shiftright(sig, b * 16) & 65535 AS bkey)))")
+      .as("b")) ++ keep.map(col): _*)
+      .select(Seq(col("doc_id"), col("b.band_id"), col("b.bkey")) ++
+        keep.map(col): _*)
 }

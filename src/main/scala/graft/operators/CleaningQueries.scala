@@ -611,5 +611,84 @@ object CleaningQueries {
                 AS BIGINT) AS touched_checksum
             FROM per_doc GROUP BY 1 ORDER BY lang"""))
 
-  val all: Seq[DQ] = Seq(l31, l32, l34, l37, l38)
+  /** [[l54]]'s blocklist. Two planted policy terms plus the corpus's
+    * one natural rare token ('dup', ~5% of docs) so the filter
+    * exercises BOTH paths: terms the fixture injects and a term the
+    * generator already emits. At deployment this is the published
+    * "Dirty, Naughty, Obscene…" list C4 uses (~2k terms) — still a
+    * literal IN (codegen'd hash-set probe); past ~100k terms the probe
+    * becomes a broadcast bloom filter, same row-local shape. */
+  private[operators] val Blocklist = Seq("casino", "gambling", "dup")
+
+  /** The planted POLICY corpus for [[l54]] (column `text2`): docs with
+    * `doc_id % 5 = 0` gain a ' casino bonus' suffix, docs with
+    * `doc_id % 9 = 0` a ' gambling' suffix — overlapping moduli so some
+    * pages carry several hits; natural 'dup' occurrences stay as-is. */
+  private val policySql =
+    """concat(
+         text,
+         CASE WHEN doc_id % 5 = 0 THEN ' casino bonus' ELSE '' END,
+         CASE WHEN doc_id % 9 = 0 THEN ' gambling' ELSE '' END)"""
+
+  /** L54 — blocklist page filter (the "bad words" step of C4, Raffel
+    * et al. 2020 §2.2: drop any page containing a word on the
+    * blocklist — token-level match, not substring, so 'dupont' does
+    * not hit 'dup'). Per source: pages in/flagged/kept, total hit
+    * occurrences, chars surviving, and the dropped-page checksum
+    * pinning WHICH pages died — the per-source view is the operational
+    * one (policy risk concentrates by provenance).
+    *
+    * Scale shape: tokenization + hit count are one row-local HOF pass
+    * (`filter` over the token array against a literal set — codegen'd,
+    * no explode, no join, no shuffle before the 20-row rollup). The
+    * blocklist never touches the data path as a frame: ≤ a few k terms
+    * ride as a literal set; beyond that, a broadcast bloom filter —
+    * either way zero shuffle. */
+  val l54 = DQ(
+    "l54_blocklist_filter",
+    (s, d) => {
+      docs(s, d)
+        .withColumn("text2", expr(policySql))
+        .withColumn("hits",
+          size(filter(
+            regexp_extract_all(lower(col("text2")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)),
+            t => t.isin(Blocklist: _*))))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_pages"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("hits") === 0, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("hits").cast("long")).as("n_hits"),
+          sum(when(col("hits") === 0, length(col("text2")).cast("long"))
+            .otherwise(0L)).as("n_chars_kept"),
+          coalesce(sum(when(col("hits") > 0, col("doc_id"))), lit(0L))
+            .as("dropped_checksum"))
+        .orderBy("source")
+    },
+    Some(s"""WITH planted AS (
+              SELECT source, doc_id,
+                $policySql AS text2
+              FROM documents),
+            hits AS (
+              SELECT source, doc_id, text2,
+                len(list_filter(
+                  regexp_extract_all(lower(text2),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                  t -> t IN ('casino', 'gambling', 'dup'))) AS hits
+              FROM planted)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_pages,
+              CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged,
+              CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(SUM(hits) AS BIGINT) AS n_hits,
+              CAST(SUM(CASE WHEN hits = 0 THEN len(text2) ELSE 0 END)
+                AS BIGINT) AS n_chars_kept,
+              CAST(COALESCE(SUM(CASE WHEN hits > 0 THEN doc_id END), 0)
+                AS BIGINT) AS dropped_checksum
+            FROM hits GROUP BY 1 ORDER BY source"""))
+
+  val all: Seq[DQ] = Seq(l31, l32, l34, l37, l38, l54)
 }

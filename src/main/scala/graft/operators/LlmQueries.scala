@@ -759,7 +759,7 @@ object LlmQueries {
     * and ≤ 3 differing bits cannot dodge all four 16-bit bands
     * (pigeonhole), so planted recall is exactly 100% by construction,
     * not probabilistically. */
-  private[operators] val PhashHammingMax = 3
+  private[graft] val PhashHammingMax = 3
 
   /** L53 — multimodal perceptual-hash near-dup (the image-dedup pass of
     * published multimodal corpus pipelines — LAION's pHash-based URL
@@ -805,11 +805,7 @@ object LlmQueries {
       val sigs = graft.functions.Multimodal.perceptualHash(
         graft.functions.Multimodal.extractFeatures(raw, bins = 64)).toDF()
         .localCheckpoint(false)
-      val bands = sigs.select(col("doc_id"), expr(
-        "explode(transform(sequence(0, 3), b -> " +
-          "struct(b as band_id, shiftright(sig, b * 16) & 65535 as bkey)))")
-        .as("b"))
-        .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+      val bands = graft.functions.Multimodal.sigBandFrame(sigs)
       val plantedPairs = dd.filter(isPlantedSrc(col("doc_id")))
         .crossJoin(broadcast(off))
         .select(col("doc_id").as("ida"),
@@ -1793,8 +1789,93 @@ object LlmQueries {
     },
     None)
 
+  /** L57 — vocabulary-id tokenization (the tokenize step between
+    * cleaning and packing: text → id sequence against a FIXED
+    * vocabulary; [[l41]] trains/audits the vocabulary, [[SamplingQueries
+    * .l21]] packs token counts — this is the id mapping in between,
+    * which is what training shards actually store). The vocabulary is
+    * l41's: global top-V tokens by (count desc, token asc), id = rank−1;
+    * out-of-vocabulary tokens map to −1 (a real tokenizer's byte-
+    * fallback/UNK arm). Per language: docs, token and OOV counts, the
+    * OOV rate in basis points, and `seq_fp` = Σ position·(id+2) — an
+    * ORDER-sensitive fingerprint (any swap, insertion, or id change
+    * moves it), so the gate pins that tokenization preserves sequence
+    * order, which no bag-of-tokens rollup can see.
+    *
+    * Scale shape: the tokenizer ships as a BROADCAST artifact, exactly
+    * like production (the vocab is bounded by design — 16 here, ~50k
+    * real — so collecting it to build a literal map column is a
+    * bounded driver action, the catalog's band-key discipline); the
+    * mapping pass is then ROW-LOCAL — `transform` + `element_at` on
+    * the map literal, the per-doc fold by `aggregate` — no explode, no
+    * join, no shuffle of token-grain data before the 5-row rollup.
+    * Only the vocab BUILD aggregates tokens (one partial-aggregable
+    * pass, once per vocabulary release, amortized over every corpus it
+    * tokenizes). */
+  val l57 = DQ(
+    "l57_tokenize_ids",
+    (s, d) => {
+      val tokRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+      val dd = docs(s, d).filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit(tokRe), lit(0)).as("ta"))
+      val vocabRows = dd
+        .select(explode(col("ta")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(VocabSize)
+        .collect() // bounded by the vocabulary size — the broadcast artifact
+      val vmap = map(vocabRows.zipWithIndex.flatMap { case (r, i) =>
+        Seq(lit(r.getString(0)), lit(i.toLong)) }.toSeq: _*)
+      dd
+        .withColumn("ids",
+          transform(col("ta"), t => coalesce(element_at(vmap, t), lit(-1L))))
+        .withColumn("n_oov",
+          size(filter(col("ids"), id => id === -1L)).cast("long"))
+        .withColumn("fp", aggregate(
+          zip_with(col("ids"), sequence(lit(1), size(col("ids"))),
+            (id, pos) => pos.cast("long") * (id + lit(2L))),
+          lit(0L), (acc, x) => acc + x))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("ta")).cast("long")).as("n_tokens"),
+          sum("n_oov").as("n_oov"),
+          sum("fp").as("seq_fp"))
+        .withColumn("oov_bp",
+          round(col("n_oov") * lit(10000.0) / col("n_tokens")).cast("long"))
+        .select("lang", "n_docs", "n_tokens", "n_oov", "oov_bp", "seq_fp")
+        .orderBy("lang")
+    },
+    Some(s"""WITH toks AS (
+              SELECT lang, doc_id,
+                regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ta
+              FROM documents WHERE text IS NOT NULL),
+            flat AS (
+              SELECT lang, doc_id, t.tok, t.pos
+              FROM toks, LATERAL (SELECT unnest(ta) AS tok,
+                generate_subscripts(ta, 1) AS pos) t),
+            vocab AS (
+              SELECT tok,
+                CAST(row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS BIGINT)
+                  AS id
+              FROM (SELECT tok, COUNT(*) AS cnt FROM flat GROUP BY 1)
+              ORDER BY cnt DESC, tok LIMIT $VocabSize),
+            mapped AS (
+              SELECT f.lang, f.doc_id, f.pos, COALESCE(v.id, -1) AS id
+              FROM flat f LEFT JOIN vocab v ON f.tok = v.tok)
+            SELECT lang,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_oov,
+              CAST(ROUND(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END)
+                * 10000.0 / COUNT(*)) AS BIGINT) AS oov_bp,
+              CAST(SUM(pos * (id + 2)) AS BIGINT) AS seq_fp
+            FROM mapped GROUP BY 1 ORDER BY lang"""))
+
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52, l53)
+      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52, l53, l57)
 }
 

@@ -1388,6 +1388,79 @@ object SamplingQueries {
                    ELSE 0 END AS partial_tokens
             FROM p ORDER BY lang"""))
 
+  /** [[l55]]'s shard count as a hex-prefix width: 1 hex digit = 16
+    * shards. At 100 TB the width grows so each shard hits the target
+    * file size (the k ∝ n discipline of [[graft.functions.Ivf
+    * .cellCount]]): 4 digits = 65 536 shards ≈ 1.5 GB each — the
+    * width is the ONLY thing that changes, never the plan shape. */
+  private[operators] val EpochShardHexDigits = 1
+
+  /** L55 — deterministic epoch shuffle (the training-order step every
+    * pretraining run needs: a reproducible global permutation of the
+    * corpus per epoch, sharded for parallel writers, reproducible on
+    * any cluster size and under replay — T5/GPT-NeoX-style seeded
+    * data ordering). The order key is the catalog's standard md5 draw
+    * salted by the epoch (':epoch0', ':epoch1' — independent
+    * permutations per epoch by construction); the SHARD is the key's
+    * leading hex digit, so shards are contiguous RANGES of the global
+    * order — reading shard files in shard order replays the exact
+    * permutation — and balanced in expectation. Per (epoch, shard):
+    * doc/char counts, the membership checksum, and `order_fp` =
+    * Σ position·doc_id — a fingerprint that pins the exact SEQUENCE,
+    * not just membership (any swap of two docs changes it).
+    *
+    * Scale shape: the order key and shard are row-local (evaluated at
+    * the scan); the only exchange is the per-(epoch, shard) window's,
+    * and the shard width keeps each window partition at the shard
+    * file-size target by construction — the window never sees more
+    * than one shard. A deployment materializing the order writes
+    * `repartitionByRange(ord).sortWithinPartitions(ord)` with the SAME
+    * key and no window at all; the DQ form folds the permutation into
+    * checkable 32-row arithmetic instead of dumping 100 TB. */
+  val l55 = DQ(
+    "l55_epoch_shuffle",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("ord"), col("doc_id"))
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          explode(array(lit(0), lit(1))).as("epoch"))
+        .withColumn("ord",
+          substring(md5(concat(col("doc_id").cast("string"),
+            lit(":epoch"), col("epoch").cast("string"))), 1, 8))
+        .withColumn("shard",
+          conv(substring(col("ord"), 1, EpochShardHexDigits), 16, 10)
+            .cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy("epoch", "shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum("doc_id").as("id_checksum"),
+          sum(col("pos") * col("doc_id")).as("order_fp"))
+        .orderBy("epoch", "shard")
+    },
+    Some(s"""WITH d AS (
+              SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL),
+            e AS (
+              SELECT doc_id, n_chars, epoch,
+                substring(md5(CAST(doc_id AS VARCHAR) || ':epoch'
+                  || CAST(epoch AS VARCHAR)), 1, 8) AS ord
+              FROM d, (SELECT unnest([0, 1]) AS epoch)),
+            sharded AS (
+              SELECT epoch, doc_id, n_chars, ord,
+                CAST(('0x' || substring(ord, 1, $EpochShardHexDigits)) AS BIGINT) AS shard,
+                row_number() OVER (PARTITION BY epoch, substring(ord, 1, $EpochShardHexDigits)
+                                   ORDER BY ord, doc_id) AS pos
+              FROM e)
+            SELECT epoch, shard,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+              CAST(SUM(pos * doc_id) AS BIGINT) AS order_fp
+            FROM sharded GROUP BY 1, 2 ORDER BY epoch, shard"""))
+
   val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42,
-    l45, l47, l51)
+    l45, l47, l51, l55)
 }

@@ -44,9 +44,16 @@ class BenchLineSpec extends AnyFunSuite {
     // full-catalog sum.
     val omitted = """"omitted":(\d+)""".r.findFirstMatchIn(line)
       .map(_.group(1).toInt).getOrElse(0)
-    // proportional, not absolute: the omitted tail must stay the fast
-    // quarter of the catalog, however many queries the catalog holds
-    assert(omitted <= names.size / 4, s"omitted tail too large: $omitted")
+    // proportional, not absolute — and sized by the LINE-BUDGET
+    // arithmetic, not wishful thinking: ~1500 B of query-map room at
+    // ~24 B/entry itemizes ~65-70 entries, so past ~90 queries the
+    // fast-quarter bound of the 88-query round is unreachable at any
+    // precision. The contract that survives growth: the slow TWO
+    // THIRDS (every floor-relevant magnitude) is itemized, the
+    // omission is exactly the fastest tail (checked below), and the
+    // total covers the full catalog. Per-query floors come from the
+    // full bench_full_*.json records, never from the tail line.
+    assert(omitted <= names.size / 3, s"omitted tail too large: $omitted")
     timings.sortBy(-_._2).dropRight(omitted)
       .foreach { case (n, _) =>
         assert(line.contains("\"" + n + "\":"), s"slow query $n missing") }

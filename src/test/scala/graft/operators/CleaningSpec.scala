@@ -224,4 +224,51 @@ class CleaningSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("l54: blocklist matching is token-level, not substring — " +
+      "'dupont'/'duplicate' never hit 'dup', the bare token does") {
+    import spark.implicits._
+    val hits = Seq(
+      "dupont industries quarterly report" -> 0,
+      "a duplicate row in the scan" -> 0,
+      "a dup row in the scan" -> 1,
+      "casino casino night" -> 2,
+      "Gambling ads and a CASINO" -> 2, // case-folded before matching
+      "clean page about sort merge join" -> 0)
+      .toDF("text2", "want")
+      .select(col("want"),
+        size(filter(
+          regexp_extract_all(lower(col("text2")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)),
+          t => t.isin(CleaningQueries.Blocklist: _*))).as("got"))
+      .collect()
+    hits.foreach(r => assert(r.getAs[Int]("got") === r.getAs[Int]("want")))
+  }
+
+  test("l54: the planted policy classes reconcile — every %5/%9 doc is " +
+      "flagged, flagged+kept is total, checksums partition the corpus") {
+    val rows = CleaningQueries.l54.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).distinct.length === rows.length)
+    val (pages, flagged, kept) = (
+      rows.map(_.getAs[Long]("n_pages")).sum,
+      rows.map(_.getAs[Long]("n_flagged")).sum,
+      rows.map(_.getAs[Long]("n_kept")).sum)
+    assert(flagged + kept === pages)
+    // every %5 and %9 doc carries a planted term, so flagged covers at
+    // least those; natural 'dup' docs can only ADD to flagged
+    val dd = graft.Tables.documents(spark, sf)
+    val planted = dd.filter(col("doc_id") % 5 === 0 || col("doc_id") % 9 === 0)
+      .count()
+    assert(flagged >= planted)
+    assert(kept > 0, "the filter must not be vacuous-total")
+    // the dropped checksum is exactly the flagged docs' id sum: recompute
+    val wantSum = dd
+      .withColumn("hit",
+        col("doc_id") % 5 === 0 || col("doc_id") % 9 === 0 ||
+          array_contains(
+            regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)), "dup"))
+      .filter(col("hit")).agg(sum("doc_id")).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("dropped_checksum")).sum === wantSum)
+  }
 }

@@ -314,4 +314,53 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), s"mark join must broadcast:\n$plan")
   }
+
+  test("l57 tokenize-ids equals a brute driver-side recompute — vocab " +
+      "ranking, OOV arm, and the order-sensitive fingerprint all agree") {
+    val got = LlmQueries.l57.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("seq_fp"))).toMap
+
+    val docRows = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokOf = (t: String) =>
+      TokRe.r.findAllIn(t.toLowerCase).toVector
+    val counts = docRows.flatMap { case (_, t) => tokOf(t) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(16)
+      .zipWithIndex.map { case ((t, _), i) => t -> i.toLong }.toMap
+    val want = docRows.groupBy(_._1).map { case (lang, ds) =>
+      val perDoc = ds.map { case (_, text) =>
+        val ids = tokOf(text).map(t => vocab.getOrElse(t, -1L))
+        (ids.length.toLong, ids.count(_ == -1L).toLong,
+          ids.zipWithIndex.map { case (id, i) => (i + 1L) * (id + 2L) }.sum)
+      }
+      lang -> (perDoc.map(_._1).sum, perDoc.map(_._2).sum, perDoc.map(_._3).sum)
+    }
+    assert(got === want)
+  }
+
+  test("l57 is consistent with l41: the OOV occurrence counts are the " +
+      "SAME numbers both operators report (one vocabulary, two views)") {
+    val t = LlmQueries.l57.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))).toMap
+    val v = LlmQueries.l41.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_occ"),
+          r.getAs[Long]("n_occ") - r.getAs[Long]("n_occ_vocab"))).toMap
+    assert(t === v)
+  }
+
+  test("l57's mapping pass is row-local: no join and no exchange before " +
+      "the language rollup except the vocab build's own") {
+    val plan = LlmQueries.l57.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the mapping side must NOT join tokens back (the vocab rides as a
+    // literal map); the only join-like node allowed is none at all
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"token mapping must be a literal-map lookup, not a join:\n$plan")
+  }
 }

@@ -800,4 +800,41 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-sized shuffle join allowed:\n$plan")
   }
+
+  test("l55 epoch shuffle: the per-shard order fingerprints equal a " +
+      "driver-side recompute of the exact permutation") {
+    val got = SamplingQueries.l55.fn(spark, sf).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("order_fp"))).toMap
+
+    val docsRows = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("doc_id").collect()
+      .map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ordOf(id: Long, epoch: Int): String =
+      md.digest(s"$id:epoch$epoch".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+    val want = (for (epoch <- 0 to 1) yield {
+      docsRows.map(id => (id, ordOf(id, epoch)))
+        .groupBy { case (_, o) => java.lang.Long.parseLong(o.take(1), 16) }
+        .map { case (shard, members) =>
+          val orderedIds = members.sortBy { case (id, o) => (o, id) }.map(_._1)
+          val fp = orderedIds.zipWithIndex
+            .map { case (id, i) => (i + 1L) * id }.sum
+          (epoch, shard) -> (orderedIds.length.toLong, fp)
+        }
+    }).flatten.toMap
+    assert(got === want)
+  }
+
+  test("l55: epochs are DIFFERENT permutations of the SAME corpus — " +
+      "global membership is epoch-invariant, the order is not") {
+    val rows = SamplingQueries.l55.fn(spark, sf).collect()
+    def byEpoch(e: Int, c: String) =
+      rows.filter(_.getAs[Int]("epoch") == e).map(_.getAs[Long](c)).sum
+    assert(byEpoch(0, "n_docs") === byEpoch(1, "n_docs"))
+    assert(byEpoch(0, "id_checksum") === byEpoch(1, "id_checksum"))
+    assert(byEpoch(0, "order_fp") !== byEpoch(1, "order_fp"),
+      "independent epoch salts must yield distinct permutations")
+  }
 }
