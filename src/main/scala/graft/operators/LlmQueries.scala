@@ -751,6 +751,82 @@ object LlmQueries {
                          CAST(concat('0x', substr(h, 9, 2)) AS INTEGER) % 15 + 1 AS nf
                   FROM (SELECT sha256('media:' || doc_id) AS h FROM documents))"""))
 
+  /** [[l58]]'s rule constants: minimum dimension (both axes) and the
+    * aspect-ratio bound max(w,h) ≤ 4·min(w,h) — the published
+    * image-pool screens (DataComp drops extreme aspect ratios, LAION
+    * floors resolution). Against the synthesize header's uniform
+    * 16-bit dimensions these split the corpus ~⅛ small, ~¼ extreme —
+    * differential by construction at every sf. */
+  private[operators] val MediaMinDim = 4096
+  private[operators] val MediaAspectMax = 4L
+
+  /** L58 — media quality filtering (the resolution/aspect screens every
+    * published image pipeline runs before training — LAION's minimum
+    * size, DataComp's aspect-ratio bound: decoded METADATA rules, no
+    * pixel math, so they run at manifest speed): decode each payload's
+    * header via the typed per-partition stub (the SAME
+    * [[graft.functions.Multimodal.decodeStub]] as l13 — swap it for a
+    * real codec and this DQ is unchanged), apply keep = width ≥ 4096 ∧
+    * height ≥ 4096 ∧ max/min ≤ 4, and roll up per source: media seen,
+    * per-rule violation counts, kept count/checksum, and the kept
+    * pixel mass (the number a downstream compute-budget planner
+    * actually wants).
+    *
+    * Scale shape: decode is partition-local typed map (no shuffle);
+    * the metadata joins `documents` on doc_id for provenance — a
+    * co-partitionable primary-key equi-join (both sides doc_id-keyed;
+    * bucketed snapshots diff partition-by-partition) — then the 20-row
+    * rollup. The oracle replays the header arithmetic in hex,
+    * independently re-deriving the decode. */
+  val l58 = DQ(
+    "l58_media_quality",
+    (s, d) => {
+      val meta = Multimodal.decodeStub(Multimodal.synthesize(docs(s, d))).toDF()
+        .withColumn("small",
+          col("width") < MediaMinDim || col("height") < MediaMinDim)
+        .withColumn("extreme",
+          greatest(col("width"), col("height")).cast("long") >
+            lit(MediaAspectMax) * least(col("width"), col("height")).cast("long"))
+      meta.join(docs(s, d).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(when(col("small"), 1L).otherwise(0L)).as("n_small"),
+          sum(when(col("extreme"), 1L).otherwise(0L)).as("n_extreme_aspect"),
+          sum(when(!col("small") && !col("extreme"), 1L).otherwise(0L))
+            .as("n_kept"),
+          coalesce(sum(when(!col("small") && !col("extreme"), col("doc_id"))),
+            lit(0L)).as("kept_checksum"),
+          coalesce(sum(when(!col("small") && !col("extreme"),
+            col("width").cast("long") * col("height").cast("long"))),
+            lit(0L)).as("kept_pixels"))
+        .orderBy("source")
+    },
+    Some(s"""WITH hdr AS (
+              SELECT doc_id, source,
+                CAST(concat('0x', substr(h, 1, 4)) AS INTEGER) AS w,
+                CAST(concat('0x', substr(h, 5, 4)) AS INTEGER) AS ht
+              FROM (SELECT doc_id, source,
+                      sha256('media:' || doc_id) AS h FROM documents)),
+            flags AS (
+              SELECT doc_id, source, w, ht,
+                (w < $MediaMinDim OR ht < $MediaMinDim) AS small,
+                (GREATEST(w, ht) > $MediaAspectMax * LEAST(w, ht)) AS extreme
+              FROM hdr)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_media,
+              CAST(SUM(CASE WHEN small THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_small,
+              CAST(SUM(CASE WHEN extreme THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_extreme_aspect,
+              CAST(SUM(CASE WHEN NOT small AND NOT extreme THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+              CAST(COALESCE(SUM(CASE WHEN NOT small AND NOT extreme
+                THEN doc_id END), 0) AS BIGINT) AS kept_checksum,
+              CAST(COALESCE(SUM(CASE WHEN NOT small AND NOT extreme
+                THEN CAST(w AS BIGINT) * ht END), 0) AS BIGINT) AS kept_pixels
+            FROM flags GROUP BY 1 ORDER BY source"""))
+
   /** [[l53]]'s verify bar: candidate pairs match at Hamming ≤ 3 of 64
     * signature bits (the published pHash practice band). The planted
     * one-byte perturbation can flip at most 2 bits — a byte moves
@@ -1815,30 +1891,16 @@ object LlmQueries {
   val l57 = DQ(
     "l57_tokenize_ids",
     (s, d) => {
-      val tokRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
       val dd = docs(s, d).filter(col("text").isNotNull)
-        .select(col("lang"), col("doc_id"),
-          regexp_extract_all(lower(col("text")), lit(tokRe), lit(0)).as("ta"))
-      val vocabRows = dd
-        .select(explode(col("ta")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok")).limit(VocabSize)
-        .collect() // bounded by the vocabulary size — the broadcast artifact
-      val vmap = map(vocabRows.zipWithIndex.flatMap { case (r, i) =>
-        Seq(lit(r.getString(0)), lit(i.toLong)) }.toSeq: _*)
-      dd
-        .withColumn("ids",
-          transform(col("ta"), t => coalesce(element_at(vmap, t), lit(-1L))))
-        .withColumn("n_oov",
-          size(filter(col("ids"), id => id === -1L)).cast("long"))
-        .withColumn("fp", aggregate(
-          zip_with(col("ids"), sequence(lit(1), size(col("ids"))),
-            (id, pos) => pos.cast("long") * (id + lit(2L))),
-          lit(0L), (acc, x) => acc + x))
+      // in-query release: train the vocab artifact and apply it in one
+      // plan; the deployment splits these at the VocabIndex parquet
+      // boundary (spec pins probe-from-parquet ≡ this composed form)
+      val vmap = VocabIndex.idMap(VocabIndex.build(dd, VocabSize))
+      VocabIndex.tokenize(dd.select("lang", "doc_id", "text"), vmap)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(size(col("ta")).cast("long")).as("n_tokens"),
+          sum(size(col("ids")).cast("long")).as("n_tokens"),
           sum("n_oov").as("n_oov"),
           sum("fp").as("seq_fp"))
         .withColumn("oov_bp",
@@ -1876,6 +1938,6 @@ object LlmQueries {
 
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52, l53, l57)
+      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52, l53, l57, l58)
 }
 

@@ -354,6 +354,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(t === v)
   }
 
+  test("VocabIndex: a persisted release tokenizes identically to the " +
+      "composed in-query plan, and ids are the dense frequency ranks") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vocab_idx_").toString
+    val dd = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    VocabIndex.write(VocabIndex.build(dd, 16), base)
+    val release = VocabIndex.read(spark, base)
+
+    // ids are exactly the dense (cnt desc, tok asc) ranks 0..V-1
+    val rel = release.orderBy("id").collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("id"),
+        r.getAs[Long]("cnt")))
+    assert(rel.map(_._2).toSeq === (0L until rel.length.toLong))
+    assert(rel.sortBy { case (t, _, c) => (-c, t) }.map(_._2).toSeq ===
+      rel.map(_._2).toSeq, "rank order must be (cnt desc, tok asc)")
+
+    // probe-from-parquet ≡ the composed form, doc by doc
+    def fps(vmap: org.apache.spark.sql.Column) =
+      VocabIndex.tokenize(dd.select("doc_id", "text"), vmap)
+        .select("doc_id", "n_oov", "fp").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(VocabIndex.idMap(release)) ===
+      fps(VocabIndex.idMap(VocabIndex.build(dd, 16))))
+  }
+
   test("l57's mapping pass is row-local: no join and no exchange before " +
       "the language rollup except the vocab build's own") {
     val plan = LlmQueries.l57.fn(spark, sf)

@@ -79,4 +79,34 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_candidate_pairs") < n * (n - 1) / 4,
       "banding must prune the pair space")
   }
+
+  test("l58 media quality: keep/violation sets equal a driver-side " +
+      "header recompute, and both rules genuinely bind") {
+    val rows = LlmQueries.l58.fn(spark, sf).collect()
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val hdr = ids.map { id =>
+      val b = payloadOf(id)
+      val w = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+      val h = ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+      (id, w, h)
+    }
+    val small = hdr.filter { case (_, w, h) => w < 4096 || h < 4096 }
+    val extreme = hdr.filter { case (_, w, h) =>
+      math.max(w, h).toLong > 4L * math.min(w, h) }
+    val kept = hdr.filterNot { case t =>
+      small.contains(t) || extreme.contains(t) }
+    assert(rows.map(_.getAs[Long]("n_media")).sum === ids.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_small")).sum === small.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_extreme_aspect")).sum ===
+      extreme.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum === kept.length.toLong)
+    assert(rows.map(_.getAs[Long]("kept_checksum")).sum ===
+      kept.map(_._1).sum)
+    assert(rows.map(_.getAs[Long]("kept_pixels")).sum ===
+      kept.map { case (_, w, h) => w.toLong * h.toLong }.sum)
+    // differential at every sf: uniform 16-bit dims put ~1/8 under the
+    // size floor and ~1/4 past the aspect bound — neither arm vacuous
+    assert(small.nonEmpty && extreme.nonEmpty && kept.nonEmpty)
+  }
 }
