@@ -25,17 +25,33 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int, n_frames: Int,
       sampled_frames: Seq[Int])
 
+  /** The deterministic stand-in payload of a document id — sha2 bytes
+    * of the tagged id. ONE expression for [[synthesize]] and every DQ/
+    * spec that plants payloads, so fixtures can't drift. */
+  def payloadCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(sha2(concat(lit("media:"), docId), 256))
+
   /** Synthesize a deterministic binary payload per document (sha2 bytes of
     * a tagged id) — stands in for real image/audio bytes so the decode
     * path has stable, verifiable input in every environment. */
   def synthesize(docs: DataFrame): Dataset[MediaRaw] =
     docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        unhex(sha2(concat(lit("media:"), col("doc_id")), 256)).as("payload"))
+        payloadCol(col("doc_id")).as("payload"))
       .as[MediaRaw](Encoders.product[MediaRaw])
 
   /** Per-payload feature vector: id + normalized byte histogram. */
   final case class MediaFeatures(doc_id: Long, histogram: Seq[Double])
+
+  /** The stub header arithmetic — (width, height, n_frames) from the
+    * first payload bytes as if they were a container header. ONE
+    * definition for [[decodeStub]] and [[decodeStubTagged]]. */
+  private def headerOf(b: Array[Byte]): (Int, Int, Int) = {
+    val width  = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+    val height = ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+    val nf     = (b(4) & 0xFF) % 15 + 1
+    (width, height, nf)
+  }
 
   /** STUB decode: reads width/height/frame-count from the first payload
     * bytes as if they were a container header, then samples frames at a
@@ -44,14 +60,31 @@ object Multimodal {
   def decodeStub(ds: Dataset[MediaRaw]): Dataset[MediaMeta] =
     ds.mapPartitions { it =>
       it.map { r =>
-        val b      = r.payload
-        val width  = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
-        val height = ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
-        val nf     = (b(4) & 0xFF) % 15 + 1
+        val (width, height, nf) = headerOf(r.payload)
         val stride = math.max(1, nf / 4)
         MediaMeta(r.doc_id, width, height, nf, 0 until nf by stride)
       }
     }(Encoders.product[MediaMeta])
+
+  /** Media record with a provenance tag riding through the decode. */
+  final case class MediaRawTagged(doc_id: Long, tag: String,
+      payload: Array[Byte])
+
+  /** Decoded metadata with the tag preserved. */
+  final case class MediaMetaTagged(doc_id: Long, tag: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** [[decodeStub]] with a tag column riding through — for consumers
+    * that roll up per source/provenance WITHOUT re-joining the corpus
+    * for it (one scan instead of scan + equi-join; same header
+    * arithmetic by construction). */
+  def decodeStubTagged(ds: Dataset[MediaRawTagged]): Dataset[MediaMetaTagged] =
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (width, height, nf) = headerOf(r.payload)
+        MediaMetaTagged(r.doc_id, r.tag, width, height, nf)
+      }
+    }(Encoders.product[MediaMetaTagged])
 
   /** Resize metadata to fit a bounding box, preserving aspect ratio —
     * the dimension arithmetic every thumbnailing pass needs; the pixel
@@ -70,10 +103,6 @@ object Multimodal {
       }
     }(Encoders.product[MediaMeta])
 
-  /** Feature extraction over the raw bytes: a normalized `bins`-bucket
-    * byte-value histogram per payload — real math standing where an
-    * embedding model's forward pass would run, with the same
-    * partition-local batch shape (no shuffle, bounded memory). */
   /** The feature math of [[extractFeatures]] as a plain function —
     * normalized `bins`-bucket byte histogram. One definition shared by
     * the typed batch path and [[signatureOf]] so they cannot drift. */
@@ -84,6 +113,10 @@ object Multimodal {
     counts.map(_ / n)
   }
 
+  /** Feature extraction over the raw bytes: a normalized `bins`-bucket
+    * byte-value histogram per payload — real math standing where an
+    * embedding model's forward pass would run, with the same
+    * partition-local batch shape (no shuffle, bounded memory). */
   def extractFeatures(ds: Dataset[MediaRaw], bins: Int): Dataset[MediaFeatures] =
     ds.mapPartitions { it =>
       it.map { r =>
@@ -94,16 +127,6 @@ object Multimodal {
   /** 64-bit perceptual signature per payload. */
   final case class MediaSig(doc_id: Long, sig: Long)
 
-  /** Perceptual hash over the feature vector — bit i set when feature i
-    * exceeds the vector's own mean, the exact thresholding rule of the
-    * published pHash family (DCT coefficients vs their median/mean; here
-    * the STUBBED feature stage is the byte histogram, so the signature
-    * is real math over stand-in features — swap [[extractFeatures]] for
-    * a DCT/embedding pass and this stage is unchanged). Row-local,
-    * partition-local, no shuffle; a one-byte payload perturbation moves
-    * ≤ 2 histogram bins and so flips only the few bits whose bins cross
-    * the mean — which is what makes Hamming distance a near-dup metric
-    * here, exactly as in the image case. */
   /** The thresholding rule of [[perceptualHash]] as a plain function —
     * bit i set when feature i exceeds the vector's own mean. */
   private[graft] def sigOfHist(hist: Seq[Double]): Long = {
@@ -118,6 +141,16 @@ object Multimodal {
     sig
   }
 
+  /** Perceptual hash over the feature vector — bit i set when feature i
+    * exceeds the vector's own mean, the exact thresholding rule of the
+    * published pHash family (DCT coefficients vs their median/mean; here
+    * the STUBBED feature stage is the byte histogram, so the signature
+    * is real math over stand-in features — swap [[extractFeatures]] for
+    * a DCT/embedding pass and this stage is unchanged). Row-local,
+    * partition-local, no shuffle; a one-byte payload perturbation moves
+    * ≤ 2 histogram bins and so flips only the few bits whose bins cross
+    * the mean — which is what makes Hamming distance a near-dup metric
+    * here, exactly as in the image case. */
   def perceptualHash(ds: Dataset[MediaFeatures]): Dataset[MediaSig] =
     ds.mapPartitions { it =>
       it.map(f => MediaSig(f.doc_id, sigOfHist(f.histogram)))
@@ -135,9 +168,16 @@ object Multimodal {
     * same per-row JVM function as the typed map, packaged as a UDF —
     * cost-equivalent (neither codegens), and sharing [[sigOfHist]]/
     * [[histogramOf]] means batch l53, the spec recompute, and the
-    * streaming gate can never disagree on a signature. */
+    * streaming gate can never disagree on a signature.
+    *
+    * NULL-safe: a null payload (a missing blob from an external
+    * source) signs NULL rather than NPE-ing the task — the streaming
+    * gate's band/verify equi-joins then drop the row, mirroring how
+    * the text gate's `docSketch` sheds null-text rows instead of
+    * crashing the microbatch. */
   def sigCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    udf((p: Array[Byte]) => signatureOf(p)).apply(payload)
+    udf((p: Array[Byte]) =>
+      if (p == null) None else Some(signatureOf(p))).apply(payload)
 
   /** The 4×16-bit band explosion of a (doc_id, sig, …) frame — the
     * candidate-generation keys of batch [[graft.operators.LlmQueries]]

@@ -647,12 +647,14 @@ object CleaningQueries {
   val l54 = DQ(
     "l54_blocklist_filter",
     (s, d) => {
-      docs(s, d)
+      // text IS NOT NULL on BOTH engines: Spark's concat propagates a
+      // null text to a null page while DuckDB's skips null inputs, so
+      // an unfiltered null-text doc would be classified by the oracle
+      // and dropped from both arms by the plan
+      docs(s, d).filter(col("text").isNotNull)
         .withColumn("text2", expr(policySql))
         .withColumn("hits",
-          size(filter(
-            regexp_extract_all(lower(col("text2")),
-              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)),
+          size(filter(VocabIndex.tokens(col("text2")),
             t => t.isin(Blocklist: _*))))
         .groupBy("source")
         .agg(
@@ -669,7 +671,7 @@ object CleaningQueries {
     Some(s"""WITH planted AS (
               SELECT source, doc_id,
                 $policySql AS text2
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
             hits AS (
               SELECT source, doc_id, text2,
                 len(list_filter(

@@ -210,8 +210,7 @@ object LlmQueries {
     (s, d) =>
       docs(s, d)
         .select(col("source"),
-          size(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_tok"))
+          size(VocabIndex.tokens(col("text"))).as("n_tok"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tok").as("n_tokens"),
@@ -757,8 +756,8 @@ object LlmQueries {
     * floors resolution). Against the synthesize header's uniform
     * 16-bit dimensions these split the corpus ~⅛ small, ~¼ extreme —
     * differential by construction at every sf. */
-  private[operators] val MediaMinDim = 4096
-  private[operators] val MediaAspectMax = 4L
+  private[graft] val MediaMinDim = 4096
+  private[graft] val MediaAspectMax = 4L
 
   /** L58 — media quality filtering (the resolution/aspect screens every
     * published image pipeline runs before training — LAION's minimum
@@ -772,22 +771,30 @@ object LlmQueries {
     * pixel mass (the number a downstream compute-budget planner
     * actually wants).
     *
-    * Scale shape: decode is partition-local typed map (no shuffle);
-    * the metadata joins `documents` on doc_id for provenance — a
-    * co-partitionable primary-key equi-join (both sides doc_id-keyed;
-    * bucketed snapshots diff partition-by-partition) — then the 20-row
-    * rollup. The oracle replays the header arithmetic in hex,
+    * Scale shape: ONE corpus scan — provenance rides THROUGH the
+    * typed decode ([[graft.functions.Multimodal.decodeStubTagged]],
+    * same header arithmetic as l13's stub by construction) instead of
+    * being re-joined afterwards, so there is no second documents scan
+    * and no equi-join at all; decode is partition-local, then the
+    * 20-row rollup. The oracle replays the header arithmetic in hex,
     * independently re-deriving the decode. */
   val l58 = DQ(
     "l58_media_quality",
     (s, d) => {
-      val meta = Multimodal.decodeStub(Multimodal.synthesize(docs(s, d))).toDF()
+      import org.apache.spark.sql.Encoders
+      val tagged = docs(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("source").as("tag"),
+          Multimodal.payloadCol(col("doc_id")).as("payload"))
+        .as[graft.functions.Multimodal.MediaRawTagged](
+          Encoders.product[graft.functions.Multimodal.MediaRawTagged])
+      Multimodal.decodeStubTagged(tagged).toDF()
+        .withColumnRenamed("tag", "source")
         .withColumn("small",
           col("width") < MediaMinDim || col("height") < MediaMinDim)
         .withColumn("extreme",
           greatest(col("width"), col("height")).cast("long") >
             lit(MediaAspectMax) * least(col("width"), col("height")).cast("long"))
-      meta.join(docs(s, d).select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_media"),
@@ -866,7 +873,7 @@ object LlmQueries {
       val dd = docs(s, d)
       val off = plantedOffset(dd, "doc_id")
       val basePayload = dd.select(col("doc_id"),
-        unhex(sha2(concat(lit("media:"), col("doc_id")), 256)).as("payload"))
+        Multimodal.payloadCol(col("doc_id")).as("payload"))
       val perturbed = basePayload.filter(isPlantedSrc(col("doc_id")))
         .crossJoin(broadcast(off))
         .select((col("doc_id") + col("_off")).as("doc_id"),
@@ -1710,8 +1717,7 @@ object LlmQueries {
     (s, d) => {
       val langTok = docs(s, d).filter(col("text").isNotNull)
         .select(col("lang"),
-          explode(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+          explode(VocabIndex.tokens(col("text"))).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
       val vocab = langTok.groupBy("tok").agg(sum("c").as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(VocabSize)
@@ -1925,16 +1931,27 @@ object LlmQueries {
               ORDER BY cnt DESC, tok LIMIT $VocabSize),
             mapped AS (
               SELECT f.lang, f.doc_id, f.pos, COALESCE(v.id, -1) AS id
-              FROM flat f LEFT JOIN vocab v ON f.tok = v.tok)
+              FROM flat f LEFT JOIN vocab v ON f.tok = v.tok),
+            -- per-doc base from toks, NOT mapped: a zero-token doc
+            -- (whitespace-only text) still counts in n_docs with an
+            -- empty id sequence, matching the Spark per-doc rollup
+            per_doc AS (
+              SELECT t.lang, t.doc_id, len(t.ta) AS n_tok,
+                COALESCE(m.n_oov, 0) AS n_oov,
+                COALESCE(m.fp, 0) AS fp
+              FROM toks t LEFT JOIN (
+                SELECT doc_id,
+                  SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS n_oov,
+                  SUM(pos * (id + 2)) AS fp
+                FROM mapped GROUP BY 1) m ON t.doc_id = m.doc_id)
             SELECT lang,
-              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-              CAST(COUNT(*) AS BIGINT) AS n_tokens,
-              CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_oov,
-              CAST(ROUND(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END)
-                * 10000.0 / COUNT(*)) AS BIGINT) AS oov_bp,
-              CAST(SUM(pos * (id + 2)) AS BIGINT) AS seq_fp
-            FROM mapped GROUP BY 1 ORDER BY lang"""))
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+              CAST(ROUND(SUM(n_oov) * 10000.0 / SUM(n_tok)) AS BIGINT)
+                AS oov_bp,
+              CAST(SUM(fp) AS BIGINT) AS seq_fp
+            FROM per_doc GROUP BY 1 ORDER BY lang"""))
 
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,

@@ -72,7 +72,12 @@ object VocabIndex {
   /** Row-local id tokenization of `text` against a vocabulary map
     * column: appends `ids` (OOV → −1), `n_oov`, and the
     * order-sensitive `fp` = Σ (pos+1)·(id+2) — l57's arithmetic, one
-    * definition for the in-query and probe-from-parquet forms. */
+    * definition for the in-query and probe-from-parquet forms.
+    *
+    * The zero-token guard matters: `sequence(1, 0)` is a DESCENDING
+    * [1, 0], so the unguarded zip_with would null-pad an empty `ids`
+    * and the fold would sum nulls — a whitespace-only doc must carry
+    * the empty sequence's fp = 0, not NULL. */
   def tokenize(df: DataFrame, vmap: Column): DataFrame =
     df
       .withColumn("ids",
@@ -80,8 +85,9 @@ object VocabIndex {
           coalesce(element_at(vmap, t), lit(-1L))))
       .withColumn("n_oov",
         size(filter(col("ids"), id => id === -1L)).cast("long"))
-      .withColumn("fp", aggregate(
-        zip_with(col("ids"), sequence(lit(1), size(col("ids"))),
-          (id, pos) => pos.cast("long") * (id + lit(2L))),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("fp", when(size(col("ids")) === 0, 0L).otherwise(
+        aggregate(
+          zip_with(col("ids"), sequence(lit(1), size(col("ids"))),
+            (id, pos) => pos.cast("long") * (id + lit(2L))),
+          lit(0L), (acc, x) => acc + x)))
 }

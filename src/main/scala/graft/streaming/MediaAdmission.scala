@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.Multimodal
+import graft.operators.LlmQueries
+
+/** Composed streaming MEDIA admission — [[AdmissionPipeline]]'s shape
+  * for the media column: every gate a multimodal ingest runs at the
+  * door, one entry point, one per-item DECISION row (`admit` /
+  * `corrupt` / `media_duplicate` / `too_small` / `extreme_aspect`)
+  * landed to a reason-partitioned sink, instead of separate flag
+  * streams a caller must reconcile.
+  *
+  * The gates are the batch operators' own building blocks, so ingest
+  * and batch cannot drift:
+  *
+  *  - `corrupt`: payload null or shorter than the 5-byte header — the
+  *    rows the decode cannot even parse (a real codec's failed-decode
+  *    arm). Screened FIRST; corrupt rows get a decision row, never an
+  *    exception ([[Multimodal.decodeStubTagged]] itself assumes a
+  *    parseable header, exactly like a codec).
+  *  - `media_duplicate`: the [[StreamingMediaDedup]] screen (batch
+  *    l53's signature math, persisted-index band joins) — a
+  *    re-encoded copy of landed media is the strongest rejection
+  *    after corruption, mirroring the text pipeline's dedup-first
+  *    precedence.
+  *  - `too_small` / `extreme_aspect`: batch l58's metadata rules (the
+  *    SAME [[LlmQueries.MediaMinDim]]/[[LlmQueries.MediaAspectMax]]
+  *    constants) over the decoded header.
+  *
+  * Cross-batch state: exact BYTE-copy suppression within the
+  * replay/retry horizon via `dropDuplicatesWithinWatermark` on the
+  * payload hash — the media analog of L17's content-hash state; the
+  * perceptual screen inside the batch then only pays for genuinely
+  * novel bytes. Null payloads key on their doc_id instead of a shared
+  * null hash, so every corrupt row lands its own decision instead of
+  * the horizon's first swallowing the rest.
+  *
+  * Scale shape: decode and signature are partition-local maps; the
+  * only joins are the bounded per-batch metadata/flag joins keyed on
+  * doc_id and the index band probe — per-batch cost is
+  * O(batch × index-hit-rate), independent of corpus size.
+  */
+object MediaAdmission {
+
+  /** Gate inputs: the persisted corpus perceptual-hash index. */
+  final case class Gates(phash: StreamingMediaDedup.Index)
+
+  private def decodable =
+    col("payload").isNotNull && length(col("payload")) >= 5
+
+  /** The per-batch decision frame: `batch`'s columns plus `reason`.
+    * Pure function of (batch, gates) — spec-tested directly and reused
+    * by [[start]]'s foreachBatch. Precedence: corrupt >
+    * media_duplicate > too_small > extreme_aspect > admit. */
+  def decide(batch: DataFrame, gates: Gates): DataFrame = {
+    val ok = batch.filter(decodable)
+    val meta = Multimodal.decodeStubTagged(
+      ok.select(col("doc_id").cast("long").as("doc_id"),
+        lit("").as("tag"), col("payload"))
+        .as[Multimodal.MediaRawTagged](
+          Encoders.product[Multimodal.MediaRawTagged]))
+      .toDF().select("doc_id", "width", "height")
+    val dup = StreamingMediaDedup.screenRaw(ok, gates.phash, keep = Nil)
+      .select("doc_id").distinct().withColumn("_md", lit(true))
+    batch
+      .join(meta, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("payload").isNull || length(col("payload")) < 5, "corrupt")
+          .when(col("_md"), "media_duplicate")
+          .when(col("width") < LlmQueries.MediaMinDim ||
+            col("height") < LlmQueries.MediaMinDim, "too_small")
+          .when(greatest(col("width"), col("height")).cast("long") >
+            lit(LlmQueries.MediaAspectMax) *
+              least(col("width"), col("height")).cast("long"),
+            "extreme_aspect")
+          .otherwise("admit"))
+      .select(batch.columns.map(col) :+ col("reason"): _*)
+  }
+
+  /** Wire the pipeline over a streaming media frame (doc_id, payload,
+    * `tsCol`): watermark-bounded exact byte dedup, per-batch decision,
+    * one parquet sink partitioned by (batch, reason) with the same
+    * replay-idempotence contract as [[AdmissionPipeline.start]] (a
+    * replayed microbatch overwrites its whole `_batch_id=N` dir). */
+  def start(spark: SparkSession, stream: DataFrame, gates: Gates,
+      outDir: String, tsCol: String, delay: String): StreamingQuery = {
+    val deduped = stream
+      .withColumn("_mh",
+        coalesce(sha2(col("payload"), 256),
+          concat(lit("corrupt:"), col("doc_id").cast("string"))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_mh")
+      .drop("_mh")
+    deduped.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decide(batch, gates).write.mode("overwrite")
+          .partitionBy("reason")
+          .parquet(s"$outDir/decisions/_batch_id=$batchId")
+      }
+      .start()
+  }
+}

@@ -131,4 +131,41 @@ class StreamingGateThroughputSpec extends AnyFunSuite {
     assert(rate > 500.0,
       f"L30 screen rate $rate%.0f docs/s below 5x the reference's 100 msg/s")
   }
+
+  test("L56 media near-dup screen sustains > 500 items/s against a " +
+      "persisted bench-scale perceptual-hash index") {
+    assume(new java.io.File(sf1).isDirectory)
+    quietBox()
+    import graft.streaming.StreamingMediaDedup
+    // Steady-state shape: the corpus signature index is materialized
+    // once; the timed section prices in-place signing + band probe +
+    // Hamming verify. Every incoming item is its own corpus copy
+    // (Hamming 0), so self-flagging is the correctness anchor.
+    val media = Tables.documents(spark, sf1).select(col("doc_id"),
+      graft.functions.Multimodal.payloadCol(col("doc_id")).as("payload"))
+    val idxBase = Files.createTempDirectory("graft_gate_media_idx_").toString
+    StreamingMediaDedup.writeIndex(
+      StreamingMediaDedup.buildIndex(media), idxBase)
+    val idx = StreamingMediaDedup.readIndex(spark, idxBase)
+    val in = Files.createTempDirectory("graft_gate_media_in_").toString
+    val withTs = media.withColumn("ts",
+      lit("2026-01-01T10:00:00Z").cast("timestamp"))
+    withTs.coalesce(1).write.mode("overwrite").parquet(in)
+    val n = withTs.count()
+    val stream = spark.readStream
+      .schema("doc_id LONG, payload BINARY, ts TIMESTAMP").parquet(in)
+    val t0 = System.nanoTime()
+    val q = StreamingMediaDedup.screen(stream, idx, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("gate_tput_media")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val flagged = spark.table("gate_tput_media")
+      .filter(col("doc_id") === col("corpus_id")).count()
+    assert(flagged === n, s"self-pairs flagged: $flagged of $n")
+    val rate = n / sec
+    info(f"L56 media screen: $n items in $sec%.2f s = $rate%.0f items/s")
+    assert(rate > 500.0,
+      f"L56 screen rate $rate%.0f items/s below 5x the reference's 100 msg/s")
+  }
 }

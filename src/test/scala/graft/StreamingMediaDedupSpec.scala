@@ -89,6 +89,19 @@ class StreamingMediaDedupSpec extends AnyFunSuite {
       "both halves of the index must be probable — 115 lives in the appended half")
   }
 
+  test("a null payload signs NULL and is shed by the screen instead of " +
+      "crashing the task (the text gate's null-text discipline)") {
+    val idx = StreamingMediaDedup.buildIndex(corpusMedia)
+    val probe = perturbedOf(corpusMedia, 107L, 60L)
+      .unionByName(spark.range(1).select(lit(61L).as("doc_id"),
+        lit(null).cast("binary").as("payload")))
+    val got = StreamingMediaDedup.screenRaw(probe, idx, keep = Nil)
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_id")))
+    assert(got.toSet === Set((60L, 107L)),
+      "the null-payload row must vanish, the real near-dup must still flag")
+  }
+
   test("the column signature (stream path) equals the typed pipeline " +
       "(batch l53 path) on the same payloads — shared math, no drift") {
     import org.apache.spark.sql.Encoders

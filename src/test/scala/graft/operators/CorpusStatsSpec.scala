@@ -379,6 +379,21 @@ class CorpusStatsSpec extends AnyFunSuite {
       fps(VocabIndex.idMap(VocabIndex.build(dd, 16))))
   }
 
+  test("VocabIndex.tokenize on a zero-token doc: empty ids, n_oov 0, " +
+      "fp 0 — never NULL (the sequence(1,0) descending-range trap)") {
+    import spark.implicits._
+    val vmap = VocabIndex.idMap(
+      VocabIndex.build(Seq("real tokens here").toDF("text"), 4))
+    val rows = VocabIndex.tokenize(
+      Seq("   ", "", "real tokens").toDF("text"), vmap)
+      .select("n_oov", "fp").collect()
+    // whitespace-only and empty docs: fp must be the empty fold's 0
+    assert(rows(0).getLong(0) === 0L && !rows(0).isNullAt(1) &&
+      rows(0).getLong(1) === 0L)
+    assert(rows(1).getLong(0) === 0L && rows(1).getLong(1) === 0L)
+    assert(rows(2).getLong(1) !== 0L, "a real doc must fingerprint nonzero")
+  }
+
   test("l57's mapping pass is row-local: no join and no exchange before " +
       "the language rollup except the vocab build's own") {
     val plan = LlmQueries.l57.fn(spark, sf)
