@@ -291,6 +291,26 @@ object CleaningQueries {
                 256) * 2654435761, 1001) - 500),
          cast(0 as bigint), (a, x) -> a + x)"""
 
+  /** [[scoreSql]]'s Spark fold over a pre-split `ta` column, for
+    * sibling operators (l37, l60) composing the scorer. */
+  private[operators] def scoreMilliSql: String = scoreSql
+
+  /** [[scoreSql]] transliterated to DuckDB list builtins — ONE
+    * definition for every oracle that scores (l34, l60): the fold is
+    * over `text` directly (split inline, `\s+`), positive hash values
+    * make `%` ≡ Spark's `pmod`. */
+  private[operators] val duckScoreSql =
+    """list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(lower(text), '\s+'), t ->
+             ((list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(t, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 1000003)
+               % 256) * 2654435761) % 1001 - 500)),
+         (a, x) -> a + x)"""
+
   /** L34 — hashed-feature linear quality classifier: the MODEL-BASED
     * quality filter of the published corpus recipes (CCNet's fastText
     * scorer; the GPT-3 LR quality classifier), as distinct from l6's
@@ -382,18 +402,9 @@ object CleaningQueries {
             .as("kept_checksum"))
         .orderBy("lang")
     },
-    Some("""WITH scored AS (
+    Some(s"""WITH scored AS (
               SELECT lang, doc_id,
-                list_reduce(
-                  list_prepend(CAST(0 AS BIGINT),
-                    list_transform(string_split_regex(lower(text), '\s+'), t ->
-                      ((list_reduce(
-                          list_prepend(CAST(0 AS BIGINT),
-                            list_transform(string_split(t, ''),
-                              c -> CAST(ascii(c) AS BIGINT))),
-                          (a, x) -> (a * 31 + x) % 1000003)
-                        % 256) * 2654435761) % 1001 - 500)),
-                  (a, x) -> a + x) AS score_milli
+                $duckScoreSql AS score_milli
               FROM documents WHERE text IS NOT NULL)
             SELECT lang,
               CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -443,19 +454,10 @@ object CleaningQueries {
             .as("kept_checksum"))
         .orderBy("lang", "bucket")
     },
-    Some("""WITH scored AS (
+    Some(s"""WITH scored AS (
               SELECT lang, doc_id,
-                string_split_regex(lower(text), '\s+') AS ta,
-                list_reduce(
-                  list_prepend(CAST(0 AS BIGINT),
-                    list_transform(string_split_regex(lower(text), '\s+'), t ->
-                      ((list_reduce(
-                          list_prepend(CAST(0 AS BIGINT),
-                            list_transform(string_split(t, ''),
-                              c -> CAST(ascii(c) AS BIGINT))),
-                          (a, x) -> (a * 31 + x) % 1000003)
-                        % 256) * 2654435761) % 1001 - 500)),
-                  (a, x) -> a + x) AS score_milli
+                string_split_regex(lower(text), '\\s+') AS ta,
+                $duckScoreSql AS score_milli
               FROM documents WHERE text IS NOT NULL),
             bucketed AS (
               SELECT lang, doc_id, ta,

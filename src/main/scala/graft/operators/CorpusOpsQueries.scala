@@ -404,5 +404,101 @@ object CorpusOpsQueries {
     (s, d) => incrementNearScreen(docs(s, d).filter(col("text").isNotNull)),
     None)
 
-  val all: Seq[DQ] = Seq(l44, l46, l48, l49)
+  /** [[l59]]'s drift-flag bar: a share moving ≥ 100 bp (one
+    * percentage point) between releases flags the dimension value.
+    * Deployments tune this; the constant keeps the DQ deterministic. */
+  private[operators] val DriftFlagBp = 100L
+
+  /** The dimension unpivot shared by both [[l59]] snapshots: every doc
+    * contributes one (dim, val) row per audited dimension — provenance
+    * (`source`) and the length profile (`len` buckets at < 200 /
+    * < 400 / ≥ 400 chars, a quality proxy that needs only text). */
+  private def driftDims(df: DataFrame): DataFrame =
+    df.select(explode(map(
+      lit("source"), col("source"),
+      lit("len"), when(length(col("text")) < 200, "short")
+        .when(length(col("text")) < 400, "mid")
+        .otherwise("long"))).as(Seq("dim", "val")))
+
+  /** L59 — release-over-release DISTRIBUTION drift (the data-health
+    * audit gating every retraining decision: a corpus can pass every
+    * per-document gate and still have silently shifted its source mix
+    * or length profile — the population-drift checks production
+    * pipelines run between releases, here with integer basis-point
+    * deltas instead of PSI/KL so the numbers are engine-portable and
+    * the flag bar is exact). Same planted version history as l44/l46
+    * ([[v1Snapshot]] — one story, three audits): per (dim, val) the
+    * doc counts and shares of both snapshots, the share delta in bp,
+    * and the ≥ 100 bp drift flag.
+    *
+    * Scale shape: each snapshot contributes ONE scan → row-local
+    * unpivot (2 rows/doc) → a partial-aggregable (dim, val) count; the
+    * join and share arithmetic run on the tiny post-agg frame (values
+    * × dims rows). The per-dim totals come from a second-level agg of
+    * the SAME counts, never a re-scan. */
+  val l59 = DQ(
+    "l59_dist_drift",
+    (s, d) => {
+      val cur = docs(s, d).filter(col("text").isNotNull)
+      val c1 = driftDims(v1Snapshot(cur))
+        .groupBy("dim", "val").agg(count(lit(1)).as("n_v1"))
+      val c2 = driftDims(cur.select(col("doc_id"), col("source"), col("text")))
+        .groupBy("dim", "val").agg(count(lit(1)).as("n_v2"))
+      val joined = c1.join(c2, Seq("dim", "val"), "full_outer")
+        .select(col("dim"), col("val"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+      val totals = joined.groupBy("dim")
+        .agg(sum("n_v1").as("t1"), sum("n_v2").as("t2"))
+      joined.join(broadcast(totals), "dim")
+        .withColumn("share_v1_bp",
+          round(col("n_v1") * lit(10000.0) / col("t1")).cast("long"))
+        .withColumn("share_v2_bp",
+          round(col("n_v2") * lit(10000.0) / col("t2")).cast("long"))
+        .withColumn("delta_bp", col("share_v2_bp") - col("share_v1_bp"))
+        .withColumn("drifted", abs(col("delta_bp")) >= DriftFlagBp)
+        .select("dim", "val", "n_v1", "n_v2",
+          "share_v1_bp", "share_v2_bp", "delta_bp", "drifted")
+        .orderBy("dim", "val")
+    },
+    Some(s"""WITH $v1CteSql,
+            d1 AS (
+              SELECT dim, val, CAST(COUNT(*) AS BIGINT) AS n_v1 FROM (
+                SELECT 'source' AS dim, source AS val FROM v1
+                UNION ALL
+                SELECT 'len' AS dim,
+                  CASE WHEN len(text) < 200 THEN 'short'
+                       WHEN len(text) < 400 THEN 'mid'
+                       ELSE 'long' END AS val FROM v1)
+              GROUP BY 1, 2),
+            d2 AS (
+              SELECT dim, val, CAST(COUNT(*) AS BIGINT) AS n_v2 FROM (
+                SELECT 'source' AS dim, source AS val FROM cur
+                UNION ALL
+                SELECT 'len' AS dim,
+                  CASE WHEN len(text) < 200 THEN 'short'
+                       WHEN len(text) < 400 THEN 'mid'
+                       ELSE 'long' END AS val FROM cur)
+              GROUP BY 1, 2),
+            j AS (
+              SELECT COALESCE(d1.dim, d2.dim) AS dim,
+                COALESCE(d1.val, d2.val) AS val,
+                COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2
+              FROM d1 FULL OUTER JOIN d2
+                ON d1.dim = d2.dim AND d1.val = d2.val),
+            t AS (
+              SELECT dim, SUM(n_v1) AS t1, SUM(n_v2) AS t2
+              FROM j GROUP BY 1)
+            SELECT j.dim, j.val, n_v1, n_v2,
+              CAST(ROUND(n_v1 * 10000.0 / t1) AS BIGINT) AS share_v1_bp,
+              CAST(ROUND(n_v2 * 10000.0 / t2) AS BIGINT) AS share_v2_bp,
+              CAST(ROUND(n_v2 * 10000.0 / t2) AS BIGINT)
+                - CAST(ROUND(n_v1 * 10000.0 / t1) AS BIGINT) AS delta_bp,
+              (ABS(CAST(ROUND(n_v2 * 10000.0 / t2) AS BIGINT)
+                - CAST(ROUND(n_v1 * 10000.0 / t1) AS BIGINT))
+                >= $DriftFlagBp) AS drifted
+            FROM j JOIN t ON j.dim = t.dim
+            ORDER BY j.dim, val"""))
+
+  val all: Seq[DQ] = Seq(l44, l46, l48, l49, l59)
 }

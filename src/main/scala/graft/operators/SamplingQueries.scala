@@ -1461,6 +1461,80 @@ object SamplingQueries {
               CAST(SUM(pos * doc_id) AS BIGINT) AS order_fp
             FROM sharded GROUP BY 1, 2 ORDER BY epoch, shard"""))
 
+  /** L60 — quality-curriculum ordering (the annealing-phase data
+    * order of published training runs — MiniCPM's decay-phase
+    * high-quality mix, OLMo's mid-training anneal, classic curriculum
+    * learning: the BEST data is scheduled LAST, where the learning-rate
+    * decay spends it): [[l55]]'s deterministic epoch-shuffle machinery
+    * composed with l34's hashed-feature scorer (the SAME
+    * [[CleaningQueries.scoreMilliSql]] fold, integer milli-scores so
+    * engines cannot disagree on a phase boundary). Phase 0 = score ≤ 0
+    * (bulk data first), phase 1 = score > 0 (quality anneal last);
+    * within a phase the order/shard/position machinery is exactly
+    * l55's (md5 order key salted ':curriculum', leading-hex shards =
+    * contiguous ranges). Per (phase, shard): doc/char counts, the
+    * membership checksum, `order_fp` = Σ pos·doc_id pinning the exact
+    * sequence, and the phase's score mass (strictly ≤ 0 for phase 0,
+    * > 0 for phase 1 — the partition claim as an output).
+    *
+    * Scale shape: scoring and the order key are row-local (one fold
+    * per doc, evaluated at the scan); the only exchange is the
+    * per-(phase, shard) window's, shard-width-bounded exactly as l55.
+    * A deployment materializes `repartitionByRange(phase, ord)` +
+    * `sortWithinPartitions` with no window at all. */
+  val l60 = DQ(
+    "l60_curriculum_order",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("phase"), col("shard"))
+        .orderBy(col("ord"), col("doc_id"))
+      docs(s, d).filter(col("text").isNotNull)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+        .withColumn("score_milli", expr(CleaningQueries.scoreMilliSql))
+        .withColumn("phase",
+          when(col("score_milli") > 0L, 1).otherwise(0))
+        .withColumn("ord",
+          substring(md5(concat(col("doc_id").cast("string"),
+            lit(":curriculum"))), 1, 8))
+        .withColumn("shard",
+          conv(substring(col("ord"), 1, EpochShardHexDigits), 16, 10)
+            .cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy("phase", "shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum("doc_id").as("id_checksum"),
+          sum(col("pos") * col("doc_id")).as("order_fp"),
+          sum("score_milli").as("score_mass"))
+        .orderBy("phase", "shard")
+    },
+    Some(s"""WITH scored AS (
+              SELECT doc_id, n_chars,
+                ${CleaningQueries.duckScoreSql} AS score_milli
+              FROM documents WHERE text IS NOT NULL),
+            keyed AS (
+              SELECT doc_id, n_chars, score_milli,
+                CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS phase,
+                substring(md5(CAST(doc_id AS VARCHAR) || ':curriculum'),
+                  1, 8) AS ord
+              FROM scored),
+            sharded AS (
+              SELECT phase, doc_id, n_chars, score_milli, ord,
+                CAST(('0x' || substring(ord, 1, $EpochShardHexDigits))
+                  AS BIGINT) AS shard,
+                row_number() OVER (
+                  PARTITION BY phase, substring(ord, 1, $EpochShardHexDigits)
+                  ORDER BY ord, doc_id) AS pos
+              FROM keyed)
+            SELECT phase, shard,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+              CAST(SUM(pos * doc_id) AS BIGINT) AS order_fp,
+              CAST(SUM(score_milli) AS BIGINT) AS score_mass
+            FROM sharded GROUP BY 1, 2 ORDER BY phase, shard"""))
+
   val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42,
-    l45, l47, l51, l55)
+    l45, l47, l51, l55, l60)
 }

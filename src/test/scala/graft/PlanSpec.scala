@@ -70,7 +70,11 @@ class PlanSpec extends AnyFunSuite {
       "l52_heavy_hitters",
       // l53: the 1-row planted-offset broadcast plus the 1-row invariant
       // counters crossJoined onto the single result row (l14's shape).
-      "l53_media_phash_dedup")
+      "l53_media_phash_dedup",
+      // l59: the same 1-row planted-offset broadcast as l44/l46 — the
+      // shared v1Snapshot fixture construction (everything downstream
+      // is equi-joins on the tiny post-agg (dim, val) frame).
+      "l59_dist_drift")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {
@@ -193,6 +197,18 @@ class PlanSpec extends AnyFunSuite {
         s"with column stats the 1%-selectivity filter must broadcast:\n$plan")
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("the round-12 row-local operators plan NO join at all — " +
+      "blocklist, epoch order, media rules, curriculum ride the scan") {
+    // each claims "row-local until the rollup" in its scaladoc; a join
+    // appearing here means provenance or rules started shuffling data
+    for (name <- Seq("l54_blocklist_filter", "l55_epoch_shuffle",
+        "l58_media_quality", "l60_curriculum_order")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name plans a join:\n$plan")
+    }
   }
 
   test("hot relational queries run inside WholeStageCodegen") {

@@ -394,6 +394,48 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows(2).getLong(1) !== 0L, "a real doc must fingerprint nonzero")
   }
 
+  test("l59 distribution drift equals a driver-side recompute over the " +
+      "planted version history, and the flag separates the dims") {
+    val rows = CorpusOpsQueries.l59.fn(spark, sf).collect()
+
+    // driver-side recompute from the SAME planted-history rules
+    val cur = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val off = cur.map(_._1).max + 1
+    val v1 = cur.filter(_._1 % 7 != 0).map { case (id, s, t) =>
+      (id, s, if (id % 11 == 0) t + " edited" else t) } ++
+      cur.filter(_._1 % 13 == 0).map { case (id, s, t) => (id + off, s, t) }
+    def dims(snap: Array[(Long, String, String)]) =
+      snap.flatMap { case (_, s, t) =>
+        val b = if (t.length < 200) "short" else if (t.length < 400) "mid"
+          else "long"
+        Seq(("source", s), ("len", b))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (c1, c2) = (dims(v1), dims(cur))
+    for (r <- rows) {
+      val k = (r.getAs[String]("dim"), r.getAs[String]("val"))
+      assert(r.getAs[Long]("n_v1") === c1.getOrElse(k, 0L), s"$k n_v1")
+      assert(r.getAs[Long]("n_v2") === c2.getOrElse(k, 0L), s"$k n_v2")
+      val t1 = c1.filter(_._1._1 == k._1).values.sum
+      val t2 = c2.filter(_._1._1 == k._1).values.sum
+      val s1 = math.round(c1.getOrElse(k, 0L) * 10000.0 / t1)
+      val s2 = math.round(c2.getOrElse(k, 0L) * 10000.0 / t2)
+      assert(r.getAs[Long]("delta_bp") === s2 - s1, s"$k delta")
+      assert(r.getAs[Boolean]("drifted") === (math.abs(s2 - s1) >= 100L))
+    }
+    // per-dim shares reconcile to ~10000 (rounding residue only)
+    for (dim <- Seq("source", "len"); colName <- Seq("share_v1_bp", "share_v2_bp")) {
+      val tot = rows.filter(_.getAs[String]("dim") == dim)
+        .map(_.getAs[Long](colName)).sum
+      assert(math.abs(tot - 10000L) <= rows.length, s"$dim $colName sums $tot")
+    }
+    // the planted history moves the LENGTH profile, not the source mix —
+    // the flag must separate the two dimensions
+    assert(rows.filter(_.getAs[String]("dim") == "len")
+      .exists(_.getAs[Boolean]("drifted")), "len drift must flag")
+  }
+
   test("l57's mapping pass is row-local: no join and no exchange before " +
       "the language rollup except the vocab build's own") {
     val plan = LlmQueries.l57.fn(spark, sf)

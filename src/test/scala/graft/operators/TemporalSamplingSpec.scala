@@ -827,6 +827,43 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("l60 curriculum order: phases partition by l34's keep rule, the " +
+      "score-mass signs prove it in-plan, and the order fingerprints " +
+      "equal a driver-side sort") {
+    val rows = SamplingQueries.l60.fn(spark, sf).collect()
+    // phase 1 is EXACTLY l34's kept population (one scorer, two views)
+    val keep = CleaningQueries.l34.fn(spark, sf).collect()
+      .map(_.getAs[Long]("n_keep")).sum
+    assert(rows.filter(_.getAs[Int]("phase") == 1)
+      .map(_.getAs[Long]("n_docs")).sum === keep)
+    val total = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    // the partition claim as an output: non-positive mass below, positive above
+    rows.foreach { r =>
+      val m = r.getAs[Long]("score_mass")
+      if (r.getAs[Int]("phase") == 1) assert(m > 0L, s"phase1 shard mass $m")
+      else assert(m <= 0L, s"phase0 shard mass $m")
+    }
+    // order fingerprints equal a driver-side sort of the keyed rows
+    val keyed = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .withColumn("sm", expr(CleaningQueries.scoreMilliSql))
+      .withColumn("ord", substring(md5(concat(col("doc_id").cast("string"),
+        lit(":curriculum"))), 1, 8))
+      .select(col("doc_id"), (col("sm") > 0).cast("int").as("phase"),
+        col("ord"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val want = keyed
+      .groupBy { case (_, ph, ord) =>
+        (ph, java.lang.Long.parseLong(ord.take(1), 16)) }
+      .map { case (k, members) =>
+        k -> members.sortBy { case (id, _, ord) => (ord, id) }.map(_._1)
+          .zipWithIndex.map { case (id, i) => (i + 1L) * id }.sum }
+    assert(rows.map(r => (r.getAs[Int]("phase"), r.getAs[Long]("shard")) ->
+      r.getAs[Long]("order_fp")).toMap === want)
+  }
+
   test("l55: epochs are DIFFERENT permutations of the SAME corpus — " +
       "global membership is epoch-invariant, the order is not") {
     val rows = SamplingQueries.l55.fn(spark, sf).collect()
