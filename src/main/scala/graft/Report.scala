@@ -136,7 +136,13 @@ object Report {
       // (MG guarantee columns must read zeros) and the media-dedup
       // recall row.
       "heavy_hitters" -> rowsJson(operators.LlmQueries.l52.fn(spark, sfDir)),
-      "media_dedup" -> rowsJson(operators.LlmQueries.l53.fn(spark, sfDir)))
+      "media_dedup" -> rowsJson(operators.LlmQueries.l53.fn(spark, sfDir)),
+      // Round-12 closers: the population-drift audit (the retraining
+      // trigger — flagged rows are the alarm) and the per-source media
+      // quality screen. Bounded: (dims × values) and 20-source rollups.
+      "distribution_drift" ->
+        rowsJson(operators.CorpusOpsQueries.l59.fn(spark, sfDir)),
+      "media_quality" -> rowsJson(operators.LlmQueries.l58.fn(spark, sfDir)))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val martBacked = Seq("revenue_trend" -> trendM, "top_products" -> topM,
       "quality_rates" -> qualityM).collect { case (k, true) => s""""$k"""" }

@@ -99,10 +99,50 @@ object MediaAdmission {
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        decide(batch, gates).write.mode("overwrite")
-          .partitionBy("reason")
-          .parquet(s"$outDir/decisions/_batch_id=$batchId")
+        writeDecisions(decide(batch, gates), outDir, batchId)
       }
       .start()
   }
+
+  /** [[start]] with a LIVE index — the [[AdmissionPipeline.startLive]]
+    * contract on the media column: each microbatch re-resolves the
+    * persisted perceptual-hash index by PATH, and the batch's admitted
+    * media are appended to it after the decision lands — so an item
+    * admitted in batch N flags its re-encode in batch N+1 without
+    * waiting for a corpus rebuild. The INTRA-batch window stays open
+    * by design (two novel near-identical items in one microbatch both
+    * admit; batch l53 is that backstop), and a replayed append lands
+    * duplicate index rows that screens tolerate — the
+    * [[StreamingMediaDedup.appendIndex]] contract. */
+  def startLive(spark: SparkSession, stream: DataFrame,
+      phashIndexDir: String, outDir: String, tsCol: String,
+      delay: String): StreamingQuery = {
+    val deduped = stream
+      .withColumn("_mh",
+        coalesce(sha2(col("payload"), 256),
+          concat(lit("corrupt:"), col("doc_id").cast("string"))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_mh")
+      .drop("_mh")
+    deduped.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val gates = Gates(StreamingMediaDedup.readIndex(spark, phashIndexDir))
+        val decisions = decide(batch, gates).localCheckpoint()
+        writeDecisions(decisions, outDir, batchId)
+        StreamingMediaDedup.appendIndex(
+          decisions.filter(col("reason") === "admit")
+            .select("doc_id", "payload"), phashIndexDir)
+      }
+      .start()
+  }
+
+  /** One batch's decisions land under their own `_batch_id=N` dir,
+    * fully overwritten on replay — [[AdmissionPipeline]]'s idempotence
+    * contract. */
+  private def writeDecisions(decisions: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    decisions.write.mode("overwrite")
+      .partitionBy("reason")
+      .parquet(s"$outDir/decisions/_batch_id=$batchId")
 }

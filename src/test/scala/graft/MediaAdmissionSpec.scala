@@ -68,6 +68,46 @@ class MediaAdmissionSpec extends AnyFunSuite {
       4L -> "admit", 5L -> "corrupt", 6L -> "corrupt"))
   }
 
+  test("startLive: media admitted in batch 1 flags its re-encode in " +
+      "batch 2 via the live index append") {
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("graft_madm_live_idx_").toString
+    StreamingMediaDedup.writeIndex(
+      StreamingMediaDedup.buildIndex(corpusMedia), idxDir)
+    val idGood = idOfClass(500L, (w, h) => !small(w, h) && !extreme(w, h))
+    val in = Files.createTempDirectory("graft_madm_live_in_").toString
+    val out = Files.createTempDirectory("graft_madm_live_out_").toString
+    // batch 1: a novel clean item — admits, then appends to the index
+    Seq((20L, payloadOf(idGood), "2026-01-01T10:00:00Z"))
+      .toDF("doc_id", "payload", "ts_s")
+      .select(col("doc_id"), col("payload"),
+        col("ts_s").cast("timestamp").as("ts"))
+      .write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema("doc_id LONG, payload BINARY, ts TIMESTAMP").parquet(in)
+    val q = MediaAdmission.startLive(spark, stream, idxDir, out,
+      "ts", "10 minutes")
+    q.processAllAvailable()
+    // batch 2: a one-byte re-encode of batch 1's item — catchable ONLY
+    // via the live append (the seeded index never saw idGood)
+    val reenc = (0x7F.toByte) +: payloadOf(idGood).drop(1)
+    Seq((21L, reenc, "2026-01-01T10:00:05Z"))
+      .toDF("doc_id", "payload", "ts_s")
+      .select(col("doc_id"), col("payload"),
+        col("ts_s").cast("timestamp").as("ts"))
+      .write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$out/decisions")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(20L -> "admit", 21L -> "media_duplicate"), got.toString)
+    // and the admitted item's signature is now IN the persisted index
+    val ids = StreamingMediaDedup.readIndex(spark, idxDir).sigs
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(20L), "live append must land the admitted item")
+  }
+
   test("streaming: byte copies suppress within the watermark, distinct " +
       "corrupt rows each land, decisions partition by reason") {
     import spark.implicits._

@@ -18,8 +18,19 @@ class ReportSpec extends AnyFunSuite {
         "top_products", "quality_rates", "order_value_percentiles", "sessions",
         "events_hourly_recent", "dedup_exact", "dedup_neardup",
         "dedup_clusters", "contamination", "mix_manifest",
-        "cleaning", "pii_scrub", "quality_classifier", "repetition_ladder"))
+        "cleaning", "pii_scrub", "quality_classifier", "repetition_ladder",
+        "snapshot_diff", "increment_screen", "source_overlap",
+        "heavy_hitters", "media_dedup", "distribution_drift",
+        "media_quality"))
       assert(root.has(k), s"missing panel $k")
+    // the drift panel is the retraining alarm: it must carry the flag
+    // column and at least one flagged row on the planted history
+    assert(root.get("distribution_drift").get(0).has("drifted"))
+    var anyDrift = false
+    root.get("distribution_drift").forEach(n =>
+      anyDrift = anyDrift || n.get("drifted").asBoolean())
+    assert(anyDrift, "planted history must flag at least one dimension value")
+    assert(root.get("media_quality").get(0).has("kept_pixels"))
     // hygiene panels carry the gate queries' own invariants: the scrub
     // panel's residual count is the l32 in-plan proof (always 0), the
     // classifier split is non-degenerate, the cleaning panel never
