@@ -183,7 +183,6 @@ object CleaningQueries {
 
   // spec-visible handles (CleaningSpec pins rule-level behavior)
   private[operators] def linedSqlForTest = linedSql
-  private[operators] def scoreSqlForTest = scoreSql
   private[operators] def emailReForTest  = EmailRe
   private[operators] def phoneReForTest  = PhoneRe
   private[operators] def ipReForTest     = IpRe
@@ -283,7 +282,7 @@ object CleaningQueries {
     * over token OCCURRENCES. Every step is nonneg-integer arithmetic
     * before the final shift, so Spark and DuckDB cannot disagree on a
     * boundary. */
-  private val scoreSql =
+  private[operators] val scoreMilliSql =
     """aggregate(
          transform(ta, t ->
            pmod(pmod(aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)),
@@ -291,11 +290,8 @@ object CleaningQueries {
                 256) * 2654435761, 1001) - 500),
          cast(0 as bigint), (a, x) -> a + x)"""
 
-  /** [[scoreSql]]'s Spark fold over a pre-split `ta` column, for
-    * sibling operators (l37, l60) composing the scorer. */
-  private[operators] def scoreMilliSql: String = scoreSql
 
-  /** [[scoreSql]] transliterated to DuckDB list builtins — ONE
+  /** [[scoreMilliSql]] transliterated to DuckDB list builtins — ONE
     * definition for every oracle that scores (l34, l60): the fold is
     * over `text` directly (split inline, `\s+`), positive hash values
     * make `%` ≡ Spark's `pmod`. */
@@ -326,7 +322,7 @@ object CleaningQueries {
     * one-line change that moves no data). Keep iff the score is
     * positive. Per language: docs, kept, mean milli-score, kept-doc
     * checksum. */
-  /** The token → feature-bucket hash of [[scoreSql]], as a DSL column
+  /** The token → feature-bucket hash of [[scoreMilliSql]], as a DSL column
     * (same fold, same modulus, same 256-bucket space). */
   private def bucketOf(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
@@ -342,7 +338,7 @@ object CleaningQueries {
     * leaves the scan. Buckets absent from the frame weigh 0
     * (`try_element_at` — under ANSI a plain `element_at` would throw
     * on the first unseen bucket). CleaningSpec pins this path
-    * bit-identical to [[scoreSql]] when fed the synthetic weights
+    * bit-identical to [[scoreMilliSql]] when fed the synthetic weights
     * ([[syntheticWeights]]), so swapping in trained weights is the
     * declared one-line change, now with code and a gate behind it. */
   def scoreMilliWith(ta: org.apache.spark.sql.Column,
@@ -365,7 +361,7 @@ object CleaningQueries {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   /** The synthetic stand-in weights as a FRAME — exactly the weight
-    * expression [[scoreSql]] inlines (`pmod(bucket · 2654435761, 1001)
+    * expression [[scoreMilliSql]] inlines (`pmod(bucket · 2654435761, 1001)
     * − 500`), materialized per bucket. Feeding this through the
     * production path must reproduce the DQ bit-for-bit (CleaningSpec);
     * a real deployment replaces this one frame with its trained
@@ -392,7 +388,7 @@ object CleaningQueries {
       docs(s, d)
         .filter(col("text").isNotNull)
         .withColumn("ta", split(lower(col("text")), "\\s+"))
-        .withColumn("score_milli", expr(scoreSql))
+        .withColumn("score_milli", expr(scoreMilliSql))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -435,7 +431,7 @@ object CleaningQueries {
       docs(s, d)
         .filter(col("text").isNotNull)
         .withColumn("ta", split(lower(col("text")), "\\s+"))
-        .withColumn("score_milli", expr(scoreSql))
+        .withColumn("score_milli", expr(scoreMilliSql))
         .withColumn("bucket",
           when(col("score_milli") > 150L, "head")
             .when(col("score_milli") >= -150L, "middle")

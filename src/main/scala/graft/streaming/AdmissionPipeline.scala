@@ -117,7 +117,12 @@ object AdmissionPipeline {
       .withColumn("n_chars", length(col("text")).cast("long"))
 
   def decide(batch: DataFrame, gates: Gates): DataFrame = {
+    // self-id guard: a crash REPLAY under [[startLive]] screens against
+    // an index already holding the batch's own append — without the
+    // exclusion every previously-admitted doc would flip to
+    // near_duplicate against itself and vanish from the admitted corpus
     val near = StreamingNearDup.screenRaw(batch, gates.neardup, keep = Nil)
+      .filter(col("corpus_id") =!= col("doc_id"))
       .select("doc_id").distinct().withColumn("_nd", lit(true))
     val contam = StreamingDecontam.screenRaw(batch, gates.holdoutGrams)
       .select("doc_id").distinct().withColumn("_ct", lit(true))
@@ -246,7 +251,19 @@ object AdmissionPipeline {
     * a replayed append lands duplicate index rows, which screens
     * tolerate (pair-level distinct) at the cost of index bytes until
     * the next rebuild compacts them — the [[StreamingNearDup
-    * .appendIndex]] contract. */
+    * .appendIndex]] contract. The near-dup arm is additionally
+    * replay-DECISION-idempotent ([[decide]]'s self-id guard: the
+    * replayed batch's own banded append cannot flip its admit).
+    *
+    * KNOWN BOUND — verbatim arm under replay: the span-gate index
+    * drops doc ids by design (a distinct-gram semi-join probe), so a
+    * replayed batch whose substring append survived the crash CAN
+    * re-screen its own spans and flip admit → verbatim_repeat; the
+    * exposure is exactly the crashed attempt's admitted docs. A
+    * deployment that needs replay-exact span decisions keeps doc ids
+    * in the gate projection (the persisted [[SubstringIndex]] already
+    * stores them) and self-excludes as the near-dup arm does — a gate
+    * index format change deliberately not rushed here. */
   def startLive(spark: SparkSession, stream: DataFrame,
       neardupIndexDir: String, holdoutGrams: DataFrame,
       outDir: String, tsCol: String, delay: String,

@@ -35,8 +35,9 @@ import graft.operators.LlmQueries
   * replay/retry horizon via `dropDuplicatesWithinWatermark` on the
   * payload hash — the media analog of L17's content-hash state; the
   * perceptual screen inside the batch then only pays for genuinely
-  * novel bytes. Null payloads key on their doc_id instead of a shared
-  * null hash, so every corrupt row lands its own decision instead of
+  * novel bytes. UNDECODABLE payloads (null or sub-header — note an
+  * empty blob hashes to a shared constant) key on their doc_id
+  * instead, so every corrupt row lands its own decision instead of
   * the horizon's first swallowing the rest.
   *
   * Scale shape: decode and signature are partition-local maps; the
@@ -52,23 +53,47 @@ object MediaAdmission {
   private def decodable =
     col("payload").isNotNull && length(col("payload")) >= 5
 
+  /** The per-item join/state key: the payload hash where one exists,
+    * the doc_id where the payload is undecodable. ONE definition for
+    * the stream-state dedup and [[decide]]'s internal joins, so the
+    * two can never key differently. Undecodable payloads (null OR
+    * sub-header — an empty blob hashes to a shared constant!) key by
+    * doc_id, so every corrupt row keeps its own identity instead of
+    * the horizon's first swallowing the rest. */
+  private def itemKey: org.apache.spark.sql.Column =
+    when(decodable, sha2(col("payload"), 256))
+      .otherwise(concat(lit("corrupt:"), col("doc_id").cast("string")))
+
   /** The per-batch decision frame: `batch`'s columns plus `reason`.
     * Pure function of (batch, gates) — spec-tested directly and reused
     * by [[start]]'s foreachBatch. Precedence: corrupt >
-    * media_duplicate > too_small > extreme_aspect > admit. */
+    * media_duplicate > too_small > extreme_aspect > admit.
+    *
+    * Internal joins key on [[itemKey]], NOT doc_id: two same-id rows
+    * with different bytes (a corrected re-upload inside the horizon)
+    * each get their own metadata and verdict instead of cross-pairing.
+    * The duplicate screen excludes SELF-id matches
+    * (`corpus_id =!= doc_id`), which is what makes a crash REPLAY of
+    * [[startLive]] idempotent: the replayed batch sees its own prior
+    * append in the index, and without the guard every previously
+    * admitted item would flip to `media_duplicate` against itself. */
   def decide(batch: DataFrame, gates: Gates): DataFrame = {
-    val ok = batch.filter(decodable)
+    val keyed = batch.withColumn("_k", itemKey)
+    val ok = keyed.filter(decodable)
     val meta = Multimodal.decodeStubTagged(
       ok.select(col("doc_id").cast("long").as("doc_id"),
-        lit("").as("tag"), col("payload"))
+        col("_k").as("tag"), col("payload"))
         .as[Multimodal.MediaRawTagged](
           Encoders.product[Multimodal.MediaRawTagged]))
-      .toDF().select("doc_id", "width", "height")
-    val dup = StreamingMediaDedup.screenRaw(ok, gates.phash, keep = Nil)
-      .select("doc_id").distinct().withColumn("_md", lit(true))
-    batch
-      .join(meta, Seq("doc_id"), "left")
-      .join(dup, Seq("doc_id"), "left")
+      .toDF().select(col("tag").as("_k"), col("width"), col("height"))
+      .distinct() // same-bytes rows decode identically — one metadata row per key
+    val dup = StreamingMediaDedup.screenRaw(ok, gates.phash,
+      keep = Seq("_k"))
+      .filter(col("corpus_id") =!= col("doc_id")) // replay self-match guard
+      .select("_k").distinct().withColumn("_md", lit(true))
+    keyed
+      .join(meta, Seq("_k"), "left")
+      .join(dup, Seq("_k"), "left")
       .withColumn("reason",
         when(col("payload").isNull || length(col("payload")) < 5, "corrupt")
           .when(col("_md"), "media_duplicate")
@@ -87,16 +112,20 @@ object MediaAdmission {
     * one parquet sink partitioned by (batch, reason) with the same
     * replay-idempotence contract as [[AdmissionPipeline.start]] (a
     * replayed microbatch overwrites its whole `_batch_id=N` dir). */
-  def start(spark: SparkSession, stream: DataFrame, gates: Gates,
-      outDir: String, tsCol: String, delay: String): StreamingQuery = {
-    val deduped = stream
-      .withColumn("_mh",
-        coalesce(sha2(col("payload"), 256),
-          concat(lit("corrupt:"), col("doc_id").cast("string"))))
+  /** The shared stream prelude: watermark-bounded exact byte dedup on
+    * [[itemKey]] — one definition for [[start]] and [[startLive]] so
+    * the entry points cannot key differently. */
+  private def dedupedStream(stream: DataFrame, tsCol: String,
+      delay: String): DataFrame =
+    stream
+      .withColumn("_mh", itemKey)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_mh")
       .drop("_mh")
-    deduped.writeStream
+
+  def start(spark: SparkSession, stream: DataFrame, gates: Gates,
+      outDir: String, tsCol: String, delay: String): StreamingQuery = {
+    dedupedStream(stream, tsCol, delay).writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeDecisions(decide(batch, gates), outDir, batchId)
@@ -111,20 +140,16 @@ object MediaAdmission {
     * admitted in batch N flags its re-encode in batch N+1 without
     * waiting for a corpus rebuild. The INTRA-batch window stays open
     * by design (two novel near-identical items in one microbatch both
-    * admit; batch l53 is that backstop), and a replayed append lands
-    * duplicate index rows that screens tolerate — the
+    * admit; batch l53 is that backstop), and a crash REPLAY is
+    * decision-idempotent: the replayed batch sees its own prior append
+    * in the index, but [[decide]]'s self-id guard keeps the admit from
+    * flipping to `media_duplicate` against itself, and the duplicate
+    * index rows the re-append lands are screen-tolerated — the
     * [[StreamingMediaDedup.appendIndex]] contract. */
   def startLive(spark: SparkSession, stream: DataFrame,
       phashIndexDir: String, outDir: String, tsCol: String,
       delay: String): StreamingQuery = {
-    val deduped = stream
-      .withColumn("_mh",
-        coalesce(sha2(col("payload"), 256),
-          concat(lit("corrupt:"), col("doc_id").cast("string"))))
-      .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("_mh")
-      .drop("_mh")
-    deduped.writeStream
+    dedupedStream(stream, tsCol, delay).writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val gates = Gates(StreamingMediaDedup.readIndex(spark, phashIndexDir))

@@ -76,6 +76,28 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       7L -> "repetitive"), got.toString)
   }
 
+  test("decide is replay-idempotent on the near-dup arm: a doc screened " +
+      "against an index holding its OWN append stays admit; a " +
+      "different-id near-copy still flags") {
+    import spark.implicits._
+    val admitText = "submarine accordion whistle prairie cobalt thimble " +
+      "orchard granite sparrow lighthouse mahogany crescent bamboo furnace " +
+      "opal ladder trumpet satchel willow compass anvil ribbon meadow " +
+      "falcon zirconium mandolin"
+    // the crash-replay state: the index already carries doc 50's own
+    // bands (appendIndex landed before the streaming commit)
+    val idx = StreamingNearDup.buildIndex(corpus.unionByName(
+      Seq((50L, admitText)).toDF("doc_id", "text")))
+    val g = AdmissionPipeline.Gates(idx, gates.holdoutGrams)
+    val batch = mkBatch(Seq(
+      50L -> admitText,                                    // replayed self
+      51L -> admitText.split(" ").drop(1).mkString(" ")))  // true near-copy
+    val got = AdmissionPipeline.decide(batch, g).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got === Map(50L -> "admit", 51L -> "near_duplicate"),
+      s"replay must not flip its own admit: $got")
+  }
+
   test("opt-in exact-hash backstop: a byte-copy of the LANDED corpus is " +
       "corpus_duplicate even when stream state never saw it, including the " +
       "sub-3-token shape the sketch is blind to") {

@@ -68,6 +68,64 @@ class MediaAdmissionSpec extends AnyFunSuite {
       4L -> "admit", 5L -> "corrupt", 6L -> "corrupt"))
   }
 
+  test("decide is replay-idempotent: an item ALREADY in the index under " +
+      "its own id stays admit, while a different-id re-encode still flags") {
+    import spark.implicits._
+    val idGood = idOfClass(500L, (w, h) => !small(w, h) && !extreme(w, h))
+    // the index already contains the batch's own item (the crash-replay
+    // state: appendIndex landed before the streaming commit)
+    val indexed = corpusMedia.unionByName(
+      Seq((30L, payloadOf(idGood))).toDF("doc_id", "payload"))
+    val gates = MediaAdmission.Gates(StreamingMediaDedup.buildIndex(indexed))
+    val batch = Seq(
+      (30L, payloadOf(idGood)),                       // replayed self
+      (31L, (0x7F.toByte) +: payloadOf(idGood).drop(1)) // true re-encode
+    ).toDF("doc_id", "payload")
+    val got = MediaAdmission.decide(batch, gates).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got === Map(30L -> "admit", 31L -> "media_duplicate"),
+      s"replay must not flip its own admit: $got")
+  }
+
+  test("two same-id rows with different bytes each get their own " +
+      "verdict (joins key on the payload hash, not doc_id)") {
+    import spark.implicits._
+    val gates = MediaAdmission.Gates(StreamingMediaDedup.buildIndex(corpusMedia))
+    val idSmall = idOfClass(500L, (w, h) => small(w, h) && !extreme(w, h))
+    val idGood = idOfClass(500L, (w, h) => !small(w, h) && !extreme(w, h))
+    val batch = Seq(
+      (42L, payloadOf(idSmall)),  // corrected upload #1: under the floor
+      (42L, payloadOf(idGood))    // corrected upload #2: clean
+    ).toDF("doc_id", "payload")
+    val got = MediaAdmission.decide(batch, gates).collect()
+      .map(_.getAs[String]("reason")).sorted.toSeq
+    assert(got === Seq("admit", "too_small"),
+      s"exactly one row per input with its OWN metadata verdict: $got")
+  }
+
+  test("streaming: byte-identical EMPTY payloads for different ids each " +
+      "land their own corrupt decision (undecodables key by doc_id)") {
+    import spark.implicits._
+    val gates = MediaAdmission.Gates(StreamingMediaDedup.buildIndex(corpusMedia))
+    val in = Files.createTempDirectory("graft_madm_empty_in_").toString
+    val out = Files.createTempDirectory("graft_madm_empty_out_").toString
+    Seq((70L, Array.empty[Byte], "2026-01-01T10:00:00Z"),
+        (71L, Array.empty[Byte], "2026-01-01T10:00:01Z"))
+      .toDF("doc_id", "payload", "ts_s")
+      .select(col("doc_id"), col("payload"),
+        col("ts_s").cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema("doc_id LONG, payload BINARY, ts TIMESTAMP").parquet(in)
+    val q = MediaAdmission.start(spark, stream, gates, out, "ts", "10 minutes")
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$out/decisions")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got === Map(70L -> "corrupt", 71L -> "corrupt"),
+      s"both empty blobs must land (they share a byte hash): $got")
+  }
+
   test("startLive: media admitted in batch 1 flags its re-encode in " +
       "batch 2 via the live index append") {
     import spark.implicits._

@@ -22,7 +22,7 @@ class StreamingMediaDedupSpec extends AnyFunSuite {
     val ids = (100L to 119L).toSeq
     import spark.implicits._
     ids.toDF("doc_id").select(col("doc_id"),
-      unhex(sha2(concat(lit("media:"), col("doc_id")), 256)).as("payload"))
+      Multimodal.payloadCol(col("doc_id")).as("payload"))
   }
 
   private def perturbedOf(base: org.apache.spark.sql.DataFrame, srcId: Long,
@@ -41,7 +41,7 @@ class StreamingMediaDedupSpec extends AnyFunSuite {
       .unionByName(
         // novel: a payload from OUTSIDE the indexed id range
         spark.range(1).select(lit(2L).as("doc_id"),
-          unhex(sha2(lit("media:99999"), 256)).as("payload")))
+          Multimodal.payloadCol(lit(99999)).as("payload")))
       .withColumn("ts", lit("2026-01-01T10:00:00Z").cast("timestamp"))
     incoming.write.mode("overwrite").parquet(in)
 

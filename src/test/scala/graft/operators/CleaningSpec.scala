@@ -118,7 +118,7 @@ class CleaningSpec extends AnyFunSuite {
     val inline = docs.filter(col("text").isNotNull)
       .withColumn("ta", split(lower(col("text")), "\\s+"))
       .select(col("doc_id"),
-        expr(CleaningQueries.scoreSqlForTest).as("score_milli"))
+        expr(CleaningQueries.scoreMilliSql).as("score_milli"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // production: same weights fed as a (bucket, milli_weight) frame
     val prod = CleaningQueries.classifierScores(docs,

@@ -37,7 +37,7 @@ class MediaDedupSpec extends AnyFunSuite {
     import org.apache.spark.sql.Encoders
     val dd = Tables.documents(spark, sf).limit(20)
     val raw = dd.select(col("doc_id"),
-      unhex(sha2(concat(lit("media:"), col("doc_id")), 256)).as("payload"))
+      Multimodal.payloadCol(col("doc_id")).as("payload"))
       .as[Multimodal.MediaRaw](Encoders.product[Multimodal.MediaRaw])
     val got = Multimodal.perceptualHash(Multimodal.extractFeatures(raw, 64))
       .collect().map(s => s.doc_id -> s.sig).toMap
