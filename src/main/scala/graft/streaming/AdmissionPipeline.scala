@@ -251,19 +251,13 @@ object AdmissionPipeline {
     * a replayed append lands duplicate index rows, which screens
     * tolerate (pair-level distinct) at the cost of index bytes until
     * the next rebuild compacts them — the [[StreamingNearDup
-    * .appendIndex]] contract. The near-dup arm is additionally
-    * replay-DECISION-idempotent ([[decide]]'s self-id guard: the
-    * replayed batch's own banded append cannot flip its admit).
-    *
-    * KNOWN BOUND — verbatim arm under replay: the span-gate index
-    * drops doc ids by design (a distinct-gram semi-join probe), so a
-    * replayed batch whose substring append survived the crash CAN
-    * re-screen its own spans and flip admit → verbatim_repeat; the
-    * exposure is exactly the crashed attempt's admitted docs. A
-    * deployment that needs replay-exact span decisions keeps doc ids
-    * in the gate projection (the persisted [[SubstringIndex]] already
-    * stores them) and self-excludes as the near-dup arm does — a gate
-    * index format change deliberately not rushed here. */
+    * .appendIndex]] contract. Both index-backed dedup arms are
+    * additionally replay-DECISION-idempotent: the near-dup screen via
+    * [[decide]]'s self-id guard, the verbatim screen via the span-gate
+    * index carrying owner ids ([[StreamingSubstring.screenRaw]]'s
+    * `corpus_id =!= doc_id` exclusion) — a replayed batch whose
+    * appends survived the crash re-admits its own docs instead of
+    * flagging them as duplicates of themselves. */
   def startLive(spark: SparkSession, stream: DataFrame,
       neardupIndexDir: String, holdoutGrams: DataFrame,
       outDir: String, tsCol: String, delay: String,

@@ -17,13 +17,15 @@ import graft.operators.{SamplingQueries, SubstringIndex}
   * screens are deliberately the same machinery at different widths and
   * index provenance:
   *
-  *  - the INDEX is the distinct hashed 15-grams of the admitted corpus
-  *    ([[SamplingQueries.docGramsK]] — identical tokenization to l33's
-  *    positional grams by construction), 8-byte xxhash64 keys;
+  *  - the INDEX is the distinct hashed (15-gram, owning doc) rows of
+  *    the admitted corpus ([[SamplingQueries.docGramsK]] — identical
+  *    tokenization to l33's positional grams by construction), 8-byte
+  *    xxhash64 keys plus the owner id;
   *  - the STREAM side explodes each incoming doc to its distinct
-  *    hashed 15-grams map-side and LEFT SEMI joins the index; one
-  *    overlap row per shared gram, deduped by the caller or
-  *    [[screen]]'s watermark-bounded state.
+  *    hashed 15-grams map-side and equi-joins the index, excluding
+  *    SELF-owned grams (the replay-idempotence guard); one overlap row
+  *    per shared (gram, owner), deduped by the caller or [[screen]]'s
+  *    watermark-bounded state.
   *
   * SCALE CAVEAT, by design: unlike L30's eval-set-sized index, this
   * index is CORPUS-sized (≈ one 8-byte row per corpus token). At 100 TB
@@ -36,10 +38,19 @@ import graft.operators.{SamplingQueries, SubstringIndex}
   */
 object StreamingSubstring {
 
-  /** Distinct hashed SpanK-grams of the admitted corpus (`text`). */
+  /** Distinct hashed (SpanK-gram, owning corpus doc) rows of the
+    * admitted corpus (`doc_id`, `text`). The index carries the OWNER id
+    * so [[screenRaw]] can exclude self-matches — what makes a crash
+    * replay of the live admission pipeline decision-idempotent (a
+    * replayed batch whose append survived must not flag its own
+    * spans). Cost vs the old gram-only set: 8 bytes/row and a per-gram
+    * fan-out equal to the gram's document frequency — ~1 for 15-grams
+    * outside boilerplate, and boilerplate is what the screen EXISTS to
+    * flag. */
   def buildIndex(corpus: DataFrame): DataFrame =
-    SamplingQueries.docGramsK(corpus, Nil, SamplingQueries.SpanK, hashed = true)
-      .select("gram").distinct()
+    SamplingQueries.docGramsK(corpus, Seq("doc_id"), SamplingQueries.SpanK,
+        hashed = true)
+      .select(col("gram"), col("doc_id").as("corpus_id")).distinct()
 
   /** The documented BOUNDED deployment, as a call instead of a caller's
     * exercise: index only documents admitted within `horizon` of the
@@ -63,11 +74,11 @@ object StreamingSubstring {
     * index ([[SubstringIndex]] — the same artifact batch l33 probes),
     * so the streaming gate and the batch audit share provenance: one
     * build job signs the corpus once, both consumers read it. Same
-    * distinct gram set as [[buildIndex]] on the same corpus by
-    * construction (positional grams distinct ≡ per-doc-distinct grams
-    * distinct). */
+    * distinct (gram, owner) set as [[buildIndex]] on the same corpus
+    * by construction (positional grams distinct per doc ≡
+    * per-doc-distinct grams). */
   def indexFrom(spanGrams: DataFrame): DataFrame =
-    spanGrams.select("gram").distinct()
+    spanGrams.select(col("gram"), col("doc_id").as("corpus_id")).distinct()
 
   /** [[indexFrom]] over [[SubstringIndex.read]]: resolve the gate's
     * screen set from the persisted index directory by path. */
@@ -96,13 +107,19 @@ object StreamingSubstring {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("doc_id")
 
-  /** The stateless half (gram explode + semi-join) — batch-callable;
-    * the composed admission decision uses it inside `foreachBatch`.
-    * A doc sharing several spans emits several rows. */
+  /** The stateless half (gram explode + equi-join + self-exclusion) —
+    * batch-callable; the composed admission decision uses it inside
+    * `foreachBatch`. A doc sharing several spans (or one span owned by
+    * several corpus docs) emits several rows; callers dedup. The
+    * `corpus_id =!= doc_id` filter is the replay-idempotence guard:
+    * a doc screened against an index already holding its OWN grams
+    * (the crash-replay state under a live append) emits nothing for
+    * them. */
   def screenRaw(df: DataFrame, index: DataFrame,
       keep: Seq[String] = Nil): DataFrame =
     SamplingQueries.docGramsK(df, Seq("doc_id") ++ keep,
         SamplingQueries.SpanK, hashed = true)
-      .join(index, Seq("gram"), "left_semi")
+      .join(index, Seq("gram"))
+      .filter(col("corpus_id") =!= col("doc_id"))
       .select("doc_id", keep: _*)
 }

@@ -98,6 +98,31 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       s"replay must not flip its own admit: $got")
   }
 
+  test("the verbatim arm is replay-idempotent too: a doc whose own span " +
+      "grams are already indexed stays admit; a different-id lift still " +
+      "flags") {
+    import spark.implicits._
+    val admitText = "submarine accordion whistle prairie cobalt thimble " +
+      "orchard granite sparrow lighthouse mahogany crescent bamboo furnace " +
+      "opal ladder trumpet satchel willow compass anvil ribbon meadow " +
+      "falcon zirconium mandolin"
+    // the crash-replay state: the span index already carries doc 60's
+    // own grams (the live append landed before the streaming commit)
+    val spanIx = StreamingSubstring.buildIndex(corpus.unionByName(
+      Seq((60L, admitText)).toDF("doc_id", "text")))
+    val g = gates.copy(corpusSpans = Some(spanIx))
+    val batch = mkBatch(Seq(
+      60L -> admitText, // replayed self — every gram self-owned
+      // a 16-token lift of doc 60 inside otherwise-novel long prose
+      61L -> (admitText.split(" ").take(16).mkString(" ") +
+        " entirely novel continuation mentioning zeppelins doorknobs " +
+        "easels frescoes garnets hammocks ingots javelins kilns lozenges")))
+    val got = AdmissionPipeline.decide(batch, g).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got === Map(60L -> "admit", 61L -> "verbatim_repeat"),
+      s"replay must not flip its own admit on the span arm: $got")
+  }
+
   test("opt-in exact-hash backstop: a byte-copy of the LANDED corpus is " +
       "corpus_duplicate even when stream state never saw it, including the " +
       "sub-3-token shape the sketch is blind to") {

@@ -82,11 +82,14 @@ class SubstringSpanSpec extends AnyFunSuite {
       SamplingQueries.SpanK, hashed = true).collect().map(_.toSeq).toSeq
     assert(fromDisk === composed)
     // the streaming gate's screen set is a projection of the SAME
-    // artifact: identical distinct gram set as its composed builder
+    // artifact: identical distinct (gram, owner) set as its composed
+    // builder
     val gateFromDisk = graft.streaming.StreamingSubstring
-      .fromPersisted(spark, base).collect().map(_.getLong(0)).toSet
+      .fromPersisted(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val gateComposed = graft.streaming.StreamingSubstring
-      .buildIndex(corpus).collect().map(_.getLong(0)).toSet
+      .buildIndex(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gateFromDisk === gateComposed && gateFromDisk.nonEmpty)
   }
 
