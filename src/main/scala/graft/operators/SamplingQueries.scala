@@ -1535,6 +1535,97 @@ object SamplingQueries {
               CAST(SUM(score_milli) AS BIGINT) AS score_mass
             FROM sharded GROUP BY 1, 2 ORDER BY phase, shard"""))
 
+  /** [[l61]]'s budget: 9/10 of the corpus' total tokens — chosen so
+    * the fixture splits (this corpus: the four smaller languages fit
+    * under the water line whole, English caps) and both allocator arms
+    * are exercised at every sf. */
+  private val WaterfillBudgetNum = 9L
+  private val WaterfillBudgetDen = 10L
+
+  /** L61 — budget-constrained waterfill allocation (the proportional-
+    * fair token-budget solve behind every "train on T tokens from
+    * these sources" decision — the max-min-fair allocation classic:
+    * every language below its fair share keeps EVERYTHING, the rest
+    * cap at the common water level, the unique level L with
+    * Σ min(avail, L) ≤ B maximal; [[l45]] draws a temperature-shaped
+    * sample, [[l51]] prices epochs for a fixed mix — this SOLVES the
+    * mix when the budget binds). All-integer arithmetic: the
+    * breakpoint search is the sorted-prefix formula
+    * level_i = (B − Σ_{j<i} avail_j) ÷ (n − i + 1), the level is the
+    * first rank where avail exceeds it, allocations are
+    * min(avail, level) — engines cannot disagree on a boundary. Per
+    * language: availability, allocation, the capped flag, the shared
+    * budget, and the realized water level (−1 when the budget never
+    * binds).
+    *
+    * Scale shape: availability is one partial-aggregable token agg;
+    * everything after runs on the L-row language frame (a window over
+    * L rows, a 1-row level broadcast) — corpus-size-independent. */
+  val l61 = DQ(
+    "l61_budget_waterfill",
+    (s, d) => {
+      val inf = Long.MaxValue
+      val avail = docs(s, d).filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(VocabIndex.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang").agg(sum("n_tok").as("avail"))
+      val budget = avail.agg(
+        (sum("avail") * lit(WaterfillBudgetNum) / lit(WaterfillBudgetDen))
+          .cast("long").as("b"),
+        count(lit(1)).as("n"))
+      val w = Window.orderBy(col("avail"), col("lang"))
+      val lv = avail
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cb", coalesce(sum("avail").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(budget))
+        .withColumn("level_here",
+          floor((col("b") - col("cb")) / (col("n") - col("rk") + 1))
+            .cast("long"))
+      val level = lv.filter(col("avail") > col("level_here"))
+        .orderBy("rk").limit(1)
+        .select(col("level_here").as("level"))
+        .agg(coalesce(min("level"), lit(inf)).as("level"))
+      lv.crossJoin(broadcast(level))
+        .select(col("lang"), col("avail"),
+          least(col("avail"), col("level")).as("allocated"),
+          (col("avail") > col("level")).as("capped"),
+          col("b").as("budget"),
+          when(col("level") === inf, -1L).otherwise(col("level"))
+            .as("water_level"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH avail AS (
+              SELECT lang,
+                CAST(SUM(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS avail
+              FROM documents WHERE text IS NOT NULL GROUP BY 1),
+            budget AS (
+              SELECT (SUM(avail) * $WaterfillBudgetNum) // $WaterfillBudgetDen AS b,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM avail),
+            ranked AS (
+              SELECT lang, avail,
+                CAST(row_number() OVER (ORDER BY avail, lang) AS BIGINT) AS rk,
+                COALESCE(SUM(avail) OVER (ORDER BY avail, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM avail),
+            lv AS (
+              SELECT r.*, b.b, (b.b - r.cb) // (b.n - r.rk + 1) AS level_here
+              FROM ranked r, budget b),
+            wl AS (
+              SELECT COALESCE(
+                (SELECT level_here FROM lv WHERE avail > level_here
+                 ORDER BY rk LIMIT 1),
+                9223372036854775807) AS level)
+            SELECT l.lang, l.avail,
+              LEAST(l.avail, w.level) AS allocated,
+              (l.avail > w.level) AS capped,
+              l.b AS budget,
+              CASE WHEN w.level = 9223372036854775807 THEN CAST(-1 AS BIGINT)
+                   ELSE w.level END AS water_level
+            FROM lv l, wl w ORDER BY lang"""))
+
   val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42,
-    l45, l47, l51, l55, l60)
+    l45, l47, l51, l55, l60, l61)
 }

@@ -74,7 +74,10 @@ class PlanSpec extends AnyFunSuite {
       // l59: the same 1-row planted-offset broadcast as l44/l46 — the
       // shared v1Snapshot fixture construction (everything downstream
       // is equi-joins on the tiny post-agg (dim, val) frame).
-      "l59_dist_drift")
+      "l59_dist_drift",
+      // l61: the 1-row (budget, n) and 1-row water-level broadcasts
+      // crossJoined onto the L-row language frame (l45/l51's shape).
+      "l61_budget_waterfill")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

@@ -864,6 +864,48 @@ class TemporalSamplingSpec extends AnyFunSuite {
       r.getAs[Long]("order_fp")).toMap === want)
   }
 
+  test("l61 waterfill equals a driver-side solve, is feasible, and the " +
+      "level is MAXIMAL (one more token per capped lang overshoots)") {
+    val rows = SamplingQueries.l61.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val avails = rows.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("avail")).toMap
+    // driver-side waterfill: the same sorted-prefix breakpoint search
+    val sorted = avails.toSeq.sortBy { case (l, a) => (a, l) }
+    val n = sorted.length
+    var cb = 0L; var level = Long.MaxValue
+    var i = 0
+    var break = false
+    while (i < n && !break) {
+      val lh = (budget - cb) / (n - i)
+      if (sorted(i)._2 > lh) { level = lh; break = true }
+      else { cb += sorted(i)._2; i += 1 }
+    }
+    val want = avails.map { case (l, a) =>
+      l -> (math.min(a, level), a > level) }
+    val got = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("allocated"), r.getAs[Boolean]("capped"))).toMap
+    assert(got === want)
+    // feasible and maximal: within budget, and raising the level by 1
+    // for the capped langs would overshoot
+    val alloc = rows.map(_.getAs[Long]("allocated")).sum
+    assert(alloc <= budget)
+    val nCapped = rows.count(_.getAs[Boolean]("capped"))
+    if (nCapped > 0) {
+      assert(alloc + nCapped > budget,
+        "level is not maximal: every capped lang could take one more token")
+      assert(rows.filter(_.getAs[Boolean]("capped"))
+        .forall(_.getAs[Long]("water_level") === level))
+    }
+    // the fixture budget splits the corpus: both arms exercised
+    assert(nCapped > 0 && nCapped < rows.length,
+      s"degenerate fixture: $nCapped of ${rows.length} capped")
+    // uncapped langs keep everything
+    rows.filterNot(_.getAs[Boolean]("capped")).foreach(r =>
+      assert(r.getAs[Long]("allocated") === r.getAs[Long]("avail")))
+  }
+
   test("l55: epochs are DIFFERENT permutations of the SAME corpus — " +
       "global membership is epoch-invariant, the order is not") {
     val rows = SamplingQueries.l55.fn(spark, sf).collect()
