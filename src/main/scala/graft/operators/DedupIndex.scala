@@ -39,10 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  /** THE canonical content hash — sha256 of lowercased trimmed text,
-    * identical to [[LlmQueries]]' l1 normHash and the streaming dedup
-    * state key. */
-  private[graft] def contentHash: Column = sha2(lower(trim(col("text"))), 256)
+  /** THE canonical content hash — delegates to [[LlmQueries.normHash]]
+    * (l1's definition, also the streaming dedup state key), so the three
+    * consumers share ONE textual definition that cannot drift. */
+  private[graft] def contentHash: Column = LlmQueries.normHash
 
   /** The index frame of a corpus carrying `text`: (h, doc_id). */
   def build(corpus: DataFrame): DataFrame =

@@ -1570,8 +1570,8 @@ object SamplingQueries {
           size(VocabIndex.tokens(col("text"))).cast("long").as("n_tok"))
         .groupBy("lang").agg(sum("n_tok").as("avail"))
       val budget = avail.agg(
-        (sum("avail") * lit(WaterfillBudgetNum) / lit(WaterfillBudgetDen))
-          .cast("long").as("b"),
+        expr(s"(sum(avail) * $WaterfillBudgetNum) div $WaterfillBudgetDen")
+          .as("b"),
         count(lit(1)).as("n"))
       val w = Window.orderBy(col("avail"), col("lang"))
       val lv = avail
@@ -1580,8 +1580,7 @@ object SamplingQueries {
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .crossJoin(broadcast(budget))
         .withColumn("level_here",
-          floor((col("b") - col("cb")) / (col("n") - col("rk") + 1))
-            .cast("long"))
+          expr("(b - cb) div (n - rk + 1)"))
       val level = lv.filter(col("avail") > col("level_here"))
         .orderBy("rk").limit(1)
         .select(col("level_here").as("level"))
@@ -1601,25 +1600,28 @@ object SamplingQueries {
                   '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS avail
               FROM documents WHERE text IS NOT NULL GROUP BY 1),
             budget AS (
-              SELECT (SUM(avail) * $WaterfillBudgetNum) // $WaterfillBudgetDen AS b,
+              SELECT CAST((SUM(avail) * $WaterfillBudgetNum) // $WaterfillBudgetDen
+                       AS BIGINT) AS b,
                 CAST(COUNT(*) AS BIGINT) AS n
               FROM avail),
             ranked AS (
               SELECT lang, avail,
                 CAST(row_number() OVER (ORDER BY avail, lang) AS BIGINT) AS rk,
-                COALESCE(SUM(avail) OVER (ORDER BY avail, lang
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                CAST(COALESCE(SUM(avail) OVER (ORDER BY avail, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
               FROM avail),
             lv AS (
-              SELECT r.*, b.b, (b.b - r.cb) // (b.n - r.rk + 1) AS level_here
+              SELECT r.*, b.b,
+                CAST((b.b - r.cb) // (b.n - r.rk + 1) AS BIGINT) AS level_here
               FROM ranked r, budget b),
             wl AS (
-              SELECT COALESCE(
+              SELECT CAST(COALESCE(
                 (SELECT level_here FROM lv WHERE avail > level_here
                  ORDER BY rk LIMIT 1),
-                9223372036854775807) AS level)
+                9223372036854775807) AS BIGINT) AS level)
             SELECT l.lang, l.avail,
-              LEAST(l.avail, w.level) AS allocated,
+              CAST(LEAST(l.avail, w.level) AS BIGINT) AS allocated,
               (l.avail > w.level) AS capped,
               l.b AS budget,
               CASE WHEN w.level = 9223372036854775807 THEN CAST(-1 AS BIGINT)

@@ -64,7 +64,10 @@ object VocabIndex {
     * vocabulary size by construction, never the corpus. */
   def idMap(vocab: DataFrame): Column = {
     val rows = vocab.select("tok", "id").collect()
-    if (rows.isEmpty) map()
+    // The empty branch must still be map<string,bigint>: a bare map()
+    // defaults to map<string,string>, which would coerce tokenize's ids
+    // to strings and fail the long-typed fp aggregate at analysis.
+    if (rows.isEmpty) map().cast("map<string,bigint>")
     else map(rows.flatMap(r =>
       Seq(lit(r.getString(0)), lit(r.getLong(1)))).toSeq: _*)
   }

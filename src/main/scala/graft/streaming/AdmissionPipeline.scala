@@ -117,12 +117,22 @@ object AdmissionPipeline {
       .withColumn("n_chars", length(col("text")).cast("long"))
 
   def decide(batch: DataFrame, gates: Gates): DataFrame = {
-    // self-id guard: a crash REPLAY under [[startLive]] screens against
-    // an index already holding the batch's own append — without the
-    // exclusion every previously-admitted doc would flip to
-    // near_duplicate against itself and vanish from the admitted corpus
+    // batch-ownership guard: a crash REPLAY under [[startLive]] screens
+    // against an index already holding the batch's OWN append — so
+    // duplicate-screen hits whose corpus-side OWNER is any doc of THIS
+    // batch are excluded, not just exact self-id matches. The self-only
+    // guard left a hole: a replayed batch that had admitted two
+    // mutually-near-duplicate docs A and B would see A match corpus
+    // entry B (different id) and vice versa, flipping BOTH to
+    // near_duplicate while their index rows persisted. Anti-joining the
+    // owner ids against the batch's id set restores the pre-crash
+    // decisions exactly; it also preserves the open-intra-batch-window
+    // semantics (novel same-batch near-pairs still both admit — batch
+    // l9/l28 is that backstop). One anti-join per screen, keyed on a
+    // batch-sized distinct set — per-batch bounded.
+    val batchOwned = batch.select(col("doc_id").as("corpus_id")).distinct()
     val near = StreamingNearDup.screenRaw(batch, gates.neardup, keep = Nil)
-      .filter(col("corpus_id") =!= col("doc_id"))
+      .join(batchOwned, Seq("corpus_id"), "left_anti")
       .select("doc_id").distinct().withColumn("_nd", lit(true))
     val contam = StreamingDecontam.screenRaw(batch, gates.holdoutGrams)
       .select("doc_id").distinct().withColumn("_ct", lit(true))
@@ -130,7 +140,8 @@ object AdmissionPipeline {
     // when no corpus span index is configured, so the join shape (and
     // the decision chain) stays identical either way
     val verbatim = gates.corpusSpans
-      .map(ix => StreamingSubstring.screenRaw(batch, ix)
+      .map(ix => StreamingSubstring.screenRaw(batch, ix,
+          excludeOwners = Some(batchOwned))
         .select("doc_id").distinct().withColumn("_vr", lit(true)))
       .getOrElse(near.sparkSession.emptyDataFrame
         .select(lit(-1L).as("doc_id"), lit(true).as("_vr")).limit(0))
@@ -252,12 +263,13 @@ object AdmissionPipeline {
     * tolerate (pair-level distinct) at the cost of index bytes until
     * the next rebuild compacts them — the [[StreamingNearDup
     * .appendIndex]] contract. Both index-backed dedup arms are
-    * additionally replay-DECISION-idempotent: the near-dup screen via
-    * [[decide]]'s self-id guard, the verbatim screen via the span-gate
-    * index carrying owner ids ([[StreamingSubstring.screenRaw]]'s
-    * `corpus_id =!= doc_id` exclusion) — a replayed batch whose
-    * appends survived the crash re-admits its own docs instead of
-    * flagging them as duplicates of themselves. */
+    * additionally replay-DECISION-idempotent: [[decide]] anti-joins
+    * each screen's corpus-side owner ids against the batch's own id
+    * set, so a replayed batch whose appends survived the crash
+    * re-admits its docs — including mutually-near-duplicate pairs
+    * admitted together, which a self-id-only guard would flip to
+    * duplicates of EACH OTHER — instead of flagging them against
+    * their own surviving index rows. */
   def startLive(spark: SparkSession, stream: DataFrame,
       neardupIndexDir: String, holdoutGrams: DataFrame,
       outDir: String, tsCol: String, delay: String,

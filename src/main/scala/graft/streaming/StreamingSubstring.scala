@@ -107,19 +107,28 @@ object StreamingSubstring {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("doc_id")
 
-  /** The stateless half (gram explode + equi-join + self-exclusion) —
+  /** The stateless half (gram explode + equi-join + owner exclusion) —
     * batch-callable; the composed admission decision uses it inside
     * `foreachBatch`. A doc sharing several spans (or one span owned by
-    * several corpus docs) emits several rows; callers dedup. The
-    * `corpus_id =!= doc_id` filter is the replay-idempotence guard:
-    * a doc screened against an index already holding its OWN grams
-    * (the crash-replay state under a live append) emits nothing for
-    * them. */
+    * several corpus docs) emits several rows; callers dedup. The owner
+    * exclusion is the replay-idempotence guard: a doc screened against
+    * an index already holding its OWN grams (the crash-replay state
+    * under a live append) emits nothing for them. `excludeOwners`
+    * widens the guard from self-id to a caller-supplied owner-id set
+    * (column `corpus_id`) — the admission pipeline passes the BATCH's
+    * id set, so a replayed batch whose append held two docs sharing a
+    * span re-admits both instead of each flagging against the other's
+    * surviving index rows. */
   def screenRaw(df: DataFrame, index: DataFrame,
-      keep: Seq[String] = Nil): DataFrame =
-    SamplingQueries.docGramsK(df, Seq("doc_id") ++ keep,
+      keep: Seq[String] = Nil,
+      excludeOwners: Option[DataFrame] = None): DataFrame = {
+    val hits = SamplingQueries.docGramsK(df, Seq("doc_id") ++ keep,
         SamplingQueries.SpanK, hashed = true)
       .join(index, Seq("gram"))
-      .filter(col("corpus_id") =!= col("doc_id"))
+    excludeOwners
+      .map(own => hits.join(own.select("corpus_id").distinct(),
+        Seq("corpus_id"), "left_anti"))
+      .getOrElse(hits.filter(col("corpus_id") =!= col("doc_id")))
       .select("doc_id", keep: _*)
+  }
 }

@@ -90,12 +90,65 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       Seq((50L, admitText)).toDF("doc_id", "text")))
     val g = AdmissionPipeline.Gates(idx, gates.holdoutGrams)
     val batch = mkBatch(Seq(
-      50L -> admitText,                                    // replayed self
-      51L -> admitText.split(" ").drop(1).mkString(" ")))  // true near-copy
+      50L -> admitText,
+      // near-copy of corpus doc 100 — an owner OUTSIDE the batch, so
+      // the replay guard must not blind the screen to it
+      51L -> longCorpusText.split(" ").drop(1).mkString(" ")))
     val got = AdmissionPipeline.decide(batch, g).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
     assert(got === Map(50L -> "admit", 51L -> "near_duplicate"),
       s"replay must not flip its own admit: $got")
+  }
+
+  test("replay idempotence covers batch-MATE matches, not just self: two " +
+      "mutually-near-duplicate docs admitted together re-admit together " +
+      "on replay; an outsider near-copy still flags") {
+    import spark.implicits._
+    val baseText = "submarine accordion whistle prairie cobalt thimble " +
+      "orchard granite sparrow lighthouse mahogany crescent bamboo furnace " +
+      "opal ladder trumpet satchel willow compass anvil ribbon meadow " +
+      "falcon zirconium mandolin"
+    // docs 70/71 are near-copies of EACH OTHER (first token swapped, so
+    // 71 stays over the 200-char quality bar); the intra-batch window
+    // admitted both, the crash left both appended to the index
+    val mateText = ("periwinkle" +: baseText.split(" ").drop(1)).mkString(" ")
+    val idx = StreamingNearDup.buildIndex(corpus.unionByName(
+      Seq((70L, baseText), (71L, mateText)).toDF("doc_id", "text")))
+    val g = AdmissionPipeline.Gates(idx, gates.holdoutGrams)
+    val batch = mkBatch(Seq(
+      70L -> baseText,  // replayed — must see neither self nor 71
+      71L -> mateText,  // replayed — must see neither self nor 70
+      // near-copy of corpus doc 100 (an owner OUTSIDE the batch): the
+      // guard must not blind the screen to genuinely-landed corpus docs
+      72L -> longCorpusText.split(" ").drop(1).mkString(" ")))
+    val got = AdmissionPipeline.decide(batch, g).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got === Map(70L -> "admit", 71L -> "admit",
+      72L -> "near_duplicate"),
+      s"batch-mate index rows must not flip replayed admits: $got")
+  }
+
+  test("the verbatim arm's replay guard covers batch-mates too: two docs " +
+      "sharing a span, admitted together, re-admit together on replay") {
+    import spark.implicits._
+    val baseText = "submarine accordion whistle prairie cobalt thimble " +
+      "orchard granite sparrow lighthouse mahogany crescent bamboo furnace " +
+      "opal ladder trumpet satchel willow compass anvil ribbon meadow " +
+      "falcon zirconium mandolin"
+    // doc 81 lifts doc 80's tokens 0..15 into novel long prose — they
+    // share a 15-gram; the intra-batch window admitted both and
+    // the crash left both docs' span grams in the index
+    val mateText = baseText.split(" ").take(16).mkString(" ") +
+      " entirely novel continuation mentioning zeppelins doorknobs " +
+      "easels frescoes garnets hammocks ingots javelins kilns lozenges"
+    val spanIx = StreamingSubstring.buildIndex(corpus.unionByName(
+      Seq((80L, baseText), (81L, mateText)).toDF("doc_id", "text")))
+    val g = gates.copy(corpusSpans = Some(spanIx))
+    val batch = mkBatch(Seq(80L -> baseText, 81L -> mateText))
+    val got = AdmissionPipeline.decide(batch, g).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got === Map(80L -> "admit", 81L -> "admit"),
+      s"batch-mate span grams must not flip replayed admits: $got")
   }
 
   test("the verbatim arm is replay-idempotent too: a doc whose own span " +
@@ -113,8 +166,9 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     val g = gates.copy(corpusSpans = Some(spanIx))
     val batch = mkBatch(Seq(
       60L -> admitText, // replayed self — every gram self-owned
-      // a 16-token lift of doc 60 inside otherwise-novel long prose
-      61L -> (admitText.split(" ").take(16).mkString(" ") +
+      // a 16-token lift of CORPUS doc 100 (an owner outside the batch)
+      // inside otherwise-novel long prose
+      61L -> (longCorpusText.split(" ").slice(4, 20).mkString(" ") +
         " entirely novel continuation mentioning zeppelins doorknobs " +
         "easels frescoes garnets hammocks ingots javelins kilns lozenges")))
     val got = AdmissionPipeline.decide(batch, g).collect()

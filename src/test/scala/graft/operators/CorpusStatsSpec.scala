@@ -394,6 +394,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows(2).getLong(1) !== 0L, "a real doc must fingerprint nonzero")
   }
 
+  test("VocabIndex.idMap of an EMPTY vocabulary stays map<string,bigint>: " +
+      "tokenize analyzes and every token reads OOV") {
+    import spark.implicits._
+    val emptyVocab = VocabIndex.build(
+      Seq.empty[String].toDF("text"), 4)
+    val rows = VocabIndex.tokenize(
+      Seq("alpha beta").toDF("text"), VocabIndex.idMap(emptyVocab))
+      .select("ids", "n_oov", "fp").collect()
+    // an untyped empty map() would be map<string,string>, coercing ids
+    // to strings and failing the long fp aggregate at analysis
+    assert(rows(0).getSeq[Long](0) === Seq(-1L, -1L))
+    assert(rows(0).getLong(1) === 2L)
+  }
+
   test("l59 distribution drift equals a driver-side recompute over the " +
       "planted version history, and the flag separates the dims") {
     val rows = CorpusOpsQueries.l59.fn(spark, sf).collect()
