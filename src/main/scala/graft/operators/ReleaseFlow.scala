@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StreamingNearDup
+import graft.streaming.{AdmissionPipeline, StreamingNearDup, StreamingSubstring}
 
 /** One corpus RELEASE, end-to-end, over the persisted index artifacts —
   * the composition the whole index family exists for, as a callable
@@ -17,18 +17,25 @@ import graft.streaming.StreamingNearDup
   *  - the substring span-gram index ([[SubstringIndex]] — l33's probe
   *    side and the streaming verbatim gate's source).
   *
-  * [[release]] screens an incoming shard against all three owners'
-  * dedup layers in the canonical order (exact content hash first — the
-  * strongest claim — then the sketch), labels every row
-  * (`corpus_duplicate` / `near_duplicate` / `admit` — the same reason
-  * vocabulary as the streaming [[graft.streaming.AdmissionPipeline]],
-  * so ingest-time and release-time decisions read identically), appends
-  * ONLY the admitted slice to every artifact, and returns the labeled
-  * frame for the release audit. Releasing the same shard twice admits
-  * nothing the second time: the first release's admissions are in the
-  * hash index, so every formerly-admitted row re-labels
-  * `corpus_duplicate` — idempotence by the artifacts' own semantics,
-  * not by bookkeeping.
+  * [[release]] labels every shard row by CALLING the streaming
+  * pipeline's own decision function ([[AdmissionPipeline.decide]]) over
+  * the persisted artifacts — not a parallel re-implementation — so
+  * "ingest-time and release-time decisions read identically" is true by
+  * construction: one decision function, two callers. Every arm of the
+  * admission vocabulary runs at release: `corpus_duplicate` (the hash
+  * index, the strongest claim), `near_duplicate` (the band sketch),
+  * `verbatim_repeat` (the span-gram index the release also appends to),
+  * `contaminated` (opt-in, the caller's holdout gram index),
+  * `low_quality` / `repetitive` (the shared row-local qualityKeep +
+  * Gopher-ladder rules), `model_filtered` (opt-in trained weights) —
+  * in the canonical precedence. The admitted slice appends to every
+  * artifact; the labeled frame returns for the release audit.
+  * Releasing the same shard twice admits nothing the second time: the
+  * first release's admissions are in the hash index, so every
+  * formerly-admitted row re-labels `corpus_duplicate` — idempotence by
+  * the artifacts' own semantics, not by bookkeeping (the exact-hash
+  * arm deliberately carries no batch-ownership guard, unlike the
+  * sketch arms — see [[AdmissionPipeline.decide]]).
   *
   * Scale shape: every screen is the component's own probe half (hash
   * semi-join / band equi-join) — only the SHARD tokenizes, sketches,
@@ -56,11 +63,23 @@ object ReleaseFlow {
     SubstringIndex.write(corpus, substrDir(base))
   }
 
+  /** Opt-in screens beyond the three standing artifacts — the two
+    * decision arms that need caller-supplied state: `contaminated`
+    * (the L30 holdout gram index, [[graft.streaming.StreamingDecontam
+    * .buildIndex]]'s frame) and `model_filtered` (l34's trained
+    * `(bucket, milli_weight)` table). None leaves the arm off; the
+    * rule-based arms (quality, repetition) are always on, exactly as at
+    * ingest. */
+  final case class Screens(holdoutGrams: Option[DataFrame] = None,
+      classifier: Option[Map[Int, Long]] = None)
+
   /** Screen `shard` (lang, doc_id, text) against the persisted
     * artifacts, append the admitted slice to each, return the labeled
-    * decision frame. EAGER — the decision frame is checkpointed before
-    * the appends so the screens provably see pre-append state. */
-  def release(spark: SparkSession, shard0: DataFrame, base: String): DataFrame = {
+    * decision frame (`decision` column — the admission pipeline's
+    * reason vocabulary). EAGER — the decision frame is checkpointed
+    * before the appends so the screens provably see pre-append state. */
+  def release(spark: SparkSession, shard0: DataFrame, base: String,
+      screens: Screens = Screens()): DataFrame = {
     // a null-text row can neither be screened (null hash, no sketch)
     // nor indexed (every artifact's build drops it) — admitting it
     // would break the idempotence contract, since a re-release could
@@ -68,22 +87,22 @@ object ReleaseFlow {
     // (V-rows / the admission pipeline's low_quality arm); the release
     // screen drops them up front.
     val shard = shard0.filter(col("text").isNotNull)
-    val exactIdx = DedupIndex.read(spark, dedupDir(base))
-    val ndIdx = StreamingNearDup.readIndex(spark, neardupDir(base))
-    val exactHit = shard
-      .withColumn("_h", DedupIndex.contentHash)
-      .join(exactIdx.select(col("h").as("_h")).distinct()
-        .withColumn("_xd", lit(true)), Seq("_h"), "left")
-      .drop("_h")
-    val ndFlagged = StreamingNearDup.screenRaw(shard, ndIdx, keep = Nil)
-      .select("doc_id").distinct().withColumn("_nd", lit(true))
-    val decided = exactHit
-      .join(ndFlagged, Seq("doc_id"), "left")
-      .withColumn("decision",
-        when(col("_xd"), "corpus_duplicate")
-          .when(col("_nd"), "near_duplicate")
-          .otherwise("admit"))
-      .drop("_xd", "_nd")
+    val addChars = !shard.columns.contains("n_chars")
+    val withChars =
+      if (addChars) shard.withColumn("n_chars", length(col("text")).cast("long"))
+      else shard
+    val gates = AdmissionPipeline.Gates(
+      StreamingNearDup.readIndex(spark, neardupDir(base)),
+      // an empty LONG gram frame leaves the contaminated arm inert
+      // while keeping the decision chain's shape identical
+      screens.holdoutGrams.getOrElse(spark.emptyDataFrame
+        .select(lit(0L).as("gram")).limit(0)),
+      corpusSpans = Some(StreamingSubstring.fromPersisted(spark, substrDir(base))),
+      classifier = screens.classifier,
+      exactHashes = Some(DedupIndex.read(spark, dedupDir(base)).select("h")))
+    val decided = AdmissionPipeline.decide(withChars, gates)
+      .withColumnRenamed("reason", "decision")
+      .drop((if (addChars) Seq("n_chars") else Seq.empty[String]): _*)
       .localCheckpoint() // pin decisions BEFORE the appends mutate state
     val admitted = decided.filter(col("decision") === "admit").drop("decision")
     DedupIndex.append(admitted, dedupDir(base))

@@ -10,7 +10,8 @@ import graft.operators.LlmQueries
 /** Composed streaming MEDIA admission — [[AdmissionPipeline]]'s shape
   * for the media column: every gate a multimodal ingest runs at the
   * door, one entry point, one per-item DECISION row (`admit` /
-  * `corrupt` / `media_duplicate` / `too_small` / `extreme_aspect`)
+  * `corrupt` / `corpus_duplicate` (opt-in byte-exact) /
+  * `media_duplicate` / `too_small` / `extreme_aspect`)
   * landed to a reason-partitioned sink, instead of separate flag
   * streams a caller must reconcile.
   *
@@ -47,8 +48,17 @@ import graft.operators.LlmQueries
   */
 object MediaAdmission {
 
-  /** Gate inputs: the persisted corpus perceptual-hash index. */
-  final case class Gates(phash: StreamingMediaDedup.Index)
+  /** Gate inputs: the persisted corpus perceptual-hash index, plus an
+    * opt-in byte-exact backstop (column `h` = sha256 of the payload —
+    * the [[graft.operators.MediaReleaseFlow]] artifact): the media
+    * analog of the text pipeline's [[Gates]]-level `exactHashes`. The
+    * byte arm deliberately carries NO batch-ownership guard — a
+    * re-released/replayed shard must re-label `corpus_duplicate`
+    * against its own landed bytes, which is exactly what makes batch
+    * re-release admit nothing while the GUARDED perceptual arm keeps
+    * crash replays from flipping near-pairs (see [[decide]]). */
+  final case class Gates(phash: StreamingMediaDedup.Index,
+      exactHashes: Option[DataFrame] = None)
 
   private def decodable =
     col("payload").isNotNull && length(col("payload")) >= 5
@@ -67,16 +77,20 @@ object MediaAdmission {
   /** The per-batch decision frame: `batch`'s columns plus `reason`.
     * Pure function of (batch, gates) — spec-tested directly and reused
     * by [[start]]'s foreachBatch. Precedence: corrupt >
-    * media_duplicate > too_small > extreme_aspect > admit.
+    * corpus_duplicate (opt-in) > media_duplicate > too_small >
+    * extreme_aspect > admit.
     *
     * Internal joins key on [[itemKey]], NOT doc_id: two same-id rows
     * with different bytes (a corrected re-upload inside the horizon)
     * each get their own metadata and verdict instead of cross-pairing.
-    * The duplicate screen excludes SELF-id matches
-    * (`corpus_id =!= doc_id`), which is what makes a crash REPLAY of
-    * [[startLive]] idempotent: the replayed batch sees its own prior
-    * append in the index, and without the guard every previously
-    * admitted item would flip to `media_duplicate` against itself. */
+    * The duplicate screen excludes index rows OWNED by any doc of this
+    * batch (an anti-join on `corpus_id` against the batch's id set),
+    * which is what makes a crash REPLAY of [[startLive]] idempotent:
+    * the replayed batch sees its own prior append in the index — both
+    * its own rows AND those of its batch-mates (two mutually-near
+    * items admitted together must not flip to `media_duplicate`
+    * against each other on replay) — and re-derives the pre-crash
+    * decisions exactly. */
   def decide(batch: DataFrame, gates: Gates): DataFrame = {
     val keyed = batch.withColumn("_k", itemKey)
     val ok = keyed.filter(decodable)
@@ -89,13 +103,27 @@ object MediaAdmission {
       .distinct() // same-bytes rows decode identically — one metadata row per key
     val dup = StreamingMediaDedup.screenRaw(ok, gates.phash,
       keep = Seq("_k"))
-      .filter(col("corpus_id") =!= col("doc_id")) // replay self-match guard
+      // replay batch-ownership guard — see the scaladoc above
+      .join(ok.select(col("doc_id").as("corpus_id")).distinct(),
+        Seq("corpus_id"), "left_anti")
       .select("_k").distinct().withColumn("_md", lit(true))
+    // the opt-in byte-exact backstop: a payload whose sha256 the landed
+    // corpus already holds is the strongest duplicate claim — and it is
+    // UNguarded, so a re-released shard flags against its own landed
+    // bytes (batch idempotence) where the perceptual arm would not
+    val exact = gates.exactHashes
+      .map(ix => ok.select(col("_k")).distinct()
+        .join(ix.select(col("h").as("_k")).distinct(), Seq("_k"), "left_semi")
+        .withColumn("_xd", lit(true)))
+      .getOrElse(keyed.sparkSession.emptyDataFrame
+        .select(lit("").as("_k"), lit(true).as("_xd")).limit(0))
     keyed
       .join(meta, Seq("_k"), "left")
       .join(dup, Seq("_k"), "left")
+      .join(exact, Seq("_k"), "left")
       .withColumn("reason",
         when(col("payload").isNull || length(col("payload")) < 5, "corrupt")
+          .when(col("_xd"), "corpus_duplicate")
           .when(col("_md"), "media_duplicate")
           .when(col("width") < LlmQueries.MediaMinDim ||
             col("height") < LlmQueries.MediaMinDim, "too_small")
@@ -142,8 +170,9 @@ object MediaAdmission {
     * by design (two novel near-identical items in one microbatch both
     * admit; batch l53 is that backstop), and a crash REPLAY is
     * decision-idempotent: the replayed batch sees its own prior append
-    * in the index, but [[decide]]'s self-id guard keeps the admit from
-    * flipping to `media_duplicate` against itself, and the duplicate
+    * in the index, but [[decide]]'s batch-ownership guard keeps the
+    * admits from flipping to `media_duplicate` against their own or
+    * their batch-mates' index rows, and the duplicate
     * index rows the re-append lands are screen-tolerated — the
     * [[StreamingMediaDedup.appendIndex]] contract. */
   def startLive(spark: SparkSession, stream: DataFrame,

@@ -78,13 +78,40 @@ class MediaAdmissionSpec extends AnyFunSuite {
       Seq((30L, payloadOf(idGood))).toDF("doc_id", "payload"))
     val gates = MediaAdmission.Gates(StreamingMediaDedup.buildIndex(indexed))
     val batch = Seq(
-      (30L, payloadOf(idGood)),                       // replayed self
-      (31L, (0x7F.toByte) +: payloadOf(idGood).drop(1)) // true re-encode
+      (30L, payloadOf(idGood)),                         // replayed self
+      // re-encode of corpus item 107 — an owner OUTSIDE the batch, so
+      // the replay guard must not blind the screen to it
+      (31L, (0x7F.toByte) +: payloadOf(107L).drop(1))
     ).toDF("doc_id", "payload")
     val got = MediaAdmission.decide(batch, gates).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
     assert(got === Map(30L -> "admit", 31L -> "media_duplicate"),
       s"replay must not flip its own admit: $got")
+  }
+
+  test("replay idempotence covers batch-MATE matches: two mutually-near " +
+      "re-encodes admitted together re-admit together on replay; a " +
+      "re-encode of an OUTSIDE corpus item still flags") {
+    import spark.implicits._
+    val idGood = idOfClass(500L, (w, h) => !small(w, h) && !extreme(w, h))
+    val pA = payloadOf(idGood)
+    val pB = (0x7F.toByte) +: pA.drop(1) // near re-encode of pA
+    // the crash-replay state: BOTH mutually-near items were admitted in
+    // the crashed attempt and their index rows survived
+    val indexed = corpusMedia.unionByName(
+      Seq((90L, pA), (91L, pB)).toDF("doc_id", "payload"))
+    val gates = MediaAdmission.Gates(StreamingMediaDedup.buildIndex(indexed))
+    val batch = Seq(
+      (90L, pA),  // replayed — must see neither self nor 91
+      (91L, pB),  // replayed — must see neither self nor 90
+      // re-encode of corpus item 107 (owner OUTSIDE the batch)
+      (92L, (0x7F.toByte) +: payloadOf(107L).drop(1))
+    ).toDF("doc_id", "payload")
+    val got = MediaAdmission.decide(batch, gates).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got === Map(90L -> "admit", 91L -> "admit",
+      92L -> "media_duplicate"),
+      s"batch-mate index rows must not flip replayed admits: $got")
   }
 
   test("two same-id rows with different bytes each get their own " +

@@ -65,12 +65,24 @@ class ReleaseFlowSpec extends AnyFunSuite {
     nearIds.foreach(id => assert(decided(id) === "near_duplicate", s"$id"))
     // the novel slice: no hash can match (ids and texts disjoint from
     // the corpus), so nothing reads corpus_duplicate; the corpus'
-    // NATURAL near-dup families straddle the %3 split, so a minority
-    // legitimately reads near_duplicate — most admits
+    // NATURAL near-dup families straddle the %3 split and the quality/
+    // repetition arms (now on at release, as at ingest) take their
+    // share — but a healthy majority still admits
     novelIds.foreach(id => assert(decided(id) !== "corpus_duplicate", s"$id"))
     val admitCount = novelIds.count(id => decided(id) == "admit")
-    assert(admitCount * 10 >= novelIds.size * 8,
-      s"most novel docs must admit: $admitCount of ${novelIds.size}")
+    assert(admitCount * 2 >= novelIds.size &&
+      admitCount < novelIds.size,
+      s"a majority (not all) of novel docs must admit: " +
+        s"$admitCount of ${novelIds.size}")
+    // the quality arm fires at release exactly as at ingest: every
+    // sub-200-char novel doc that no dup arm claimed reads low_quality
+    val shortNovel = docsAll.filter(col("doc_id") % 3 === 0)
+      .filter(length(col("text")) < 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shortNovel.nonEmpty, "fixture must contain short docs")
+    shortNovel.foreach(id => assert(
+      Set("low_quality", "near_duplicate", "verbatim_repeat")(decided(id)),
+      s"$id: ${decided(id)}"))
 
     // idempotence by artifact semantics: the same shard re-released
     // admits nothing — every formerly-admitted row is now byte-known
@@ -91,9 +103,10 @@ class ReleaseFlowSpec extends AnyFunSuite {
     ReleaseFlow.init(corpus, base)
     val decided = ReleaseFlow.release(spark, shard, base)
     val admitted = decided.filter(col("decision") === "admit").drop("decision")
-    // most (not all) of the novel slice admits — natural near-dup
-    // families straddle the corpus/shard split
-    assert(admitted.count() >= novelIds.size.toLong * 8 / 10 &&
+    // a majority (not all) of the novel slice admits — natural near-dup
+    // families straddle the corpus/shard split and the quality arms
+    // take their share
+    assert(admitted.count() * 2 >= novelIds.size.toLong &&
       admitted.count() > 0L)
     val union = corpus.unionByName(admitted)
 
@@ -109,6 +122,84 @@ class ReleaseFlowSpec extends AnyFunSuite {
     assert(rows(persisted.bands) === rows(rebuilt.bands), "band index")
     assert(rows(persisted.sketch.select("doc_id")) ===
       rows(rebuilt.sketch.select("doc_id")), "sketch ids")
+  }
+
+  test("reason-vocabulary parity: every arm of the admission pipeline " +
+      "fires at release with the same label, in the same precedence") {
+    import spark.implicits._
+    val base = tmp("graft_release_arms")
+    val longA = "glacier harmonium bicycle observatory penumbra " +
+      "cartography velvet isotope meridian chrysanthemum quarry " +
+      "lighthouse obsidian fjord tapestry nebula saffron pendulum " +
+      "archipelago marzipan telescope bassoon citadel juniper"
+    val corpus = Seq(("en", 1L, longA)).toDF("lang", "doc_id", "text")
+    ReleaseFlow.init(corpus, base)
+    val holdout = Seq((900L, "the benchmark answer to question seven is " +
+      "forty two according to the official eval rubric")).toDF("doc_id", "text")
+    val shard = Seq(
+      // byte-copy (trim/case-normalized) of the landed corpus
+      ("en", 10L, longA.toUpperCase),
+      // near-copy: first token dropped
+      ("en", 11L, longA.split(" ").drop(1).mkString(" ")),
+      // a 16-token lift inside novel long prose: banding misses it,
+      // the span index does not
+      ("en", 12L, longA.split(" ").slice(4, 20).mkString(" ") +
+        " entirely novel continuation mentioning zeppelins doorknobs " +
+        "easels frescoes garnets hammocks ingots javelins kilns lozenges"),
+      // quotes 5+ consecutive holdout tokens
+      ("en", 13L, "leaked the benchmark answer to question seven is " +
+        "forty two"),
+      // short and novel
+      ("en", 14L, "tiny novel fragment here"),
+      // long, stopword-free, but one 2-gram dominates
+      ("en", 15L, Seq.fill(18)("badger ferret").mkString(" ")),
+      // long, distinctive, novel
+      ("en", 16L, "submarine accordion whistle prairie cobalt thimble " +
+        "orchard granite sparrow limestone mahogany crescent bamboo " +
+        "furnace opal ladder trumpet satchel willow compass anvil ribbon " +
+        "meadow falcon zirconium mandolin"))
+      .toDF("lang", "doc_id", "text")
+    val got = ReleaseFlow.release(spark, shard, base,
+      ReleaseFlow.Screens(holdoutGrams = Some(
+        graft.streaming.StreamingDecontam.buildIndex(holdout))))
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      10L -> "corpus_duplicate", 11L -> "near_duplicate",
+      12L -> "verbatim_repeat", 13L -> "contaminated",
+      14L -> "low_quality", 15L -> "repetitive", 16L -> "admit"),
+      got.toString)
+    // and the returned frame keeps the shard's own columns + decision
+    assert(ReleaseFlow.release(spark, shard.limit(0), base).columns.toSeq ===
+      Seq("lang", "doc_id", "text", "decision"))
+  }
+
+  test("release decisions ARE the streaming pipeline's decisions: " +
+      "AdmissionPipeline.decide over the same persisted gates labels " +
+      "every shard row identically (one decision function, two callers)") {
+    import graft.streaming.{AdmissionPipeline, StreamingNearDup, StreamingSubstring}
+    val base = tmp("graft_release_parity")
+    val (corpus, shard, _, _, _) = fixture()
+    ReleaseFlow.init(corpus, base)
+    // the streaming-side decision, built from the SAME artifacts the
+    // release reads — computed BEFORE release mutates them
+    val gates = AdmissionPipeline.Gates(
+      StreamingNearDup.readIndex(spark, ReleaseFlow.neardupDir(base)),
+      spark.emptyDataFrame.select(lit(0L).as("gram")).limit(0),
+      corpusSpans = Some(StreamingSubstring.fromPersisted(
+        spark, ReleaseFlow.substrDir(base))),
+      exactHashes = Some(DedupIndex.read(
+        spark, ReleaseFlow.dedupDir(base)).select("h")))
+    val streamSide = AdmissionPipeline.decide(
+      shard.filter(col("text").isNotNull)
+        .withColumn("n_chars", length(col("text")).cast("long")), gates)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val releaseSide = ReleaseFlow.release(spark, shard, base)
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(releaseSide === streamSide,
+      "ingest-time and release-time decisions must read identically")
   }
 
   test("audit rolls decisions up per (lang, decision) with checksums " +
