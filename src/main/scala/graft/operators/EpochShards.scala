@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MATERIALIZED training order — l55's deterministic epoch shuffle and
+  * l60's curriculum order as written artifacts instead of prose: the
+  * DQs fold the permutation into checkable per-shard arithmetic
+  * (`order_fp` = Σ position·doc_id); this writes the actual shard
+  * files a training run consumes, such that reading shard files in
+  * shard order REPLAYS the exact windowed permutation the DQs
+  * fingerprint (EpochShardsSpec pins order_fp equality end-to-end).
+  *
+  * Physical contract, chosen for replayability at 100 TB:
+  *
+  *  - the order key and shard are the DQs' own row-local columns
+  *    (md5 draw salted by epoch / ':curriculum'; shard = the key's
+  *    leading hex digits) — shared private constants, so the artifact
+  *    and the DQ can never disagree on the permutation;
+  *  - rows hash-route BY SHARD to writer tasks ([[DataFrame
+  *    .repartition]] on the shard column), each task sorts its shards'
+  *    rows by (shard, ord, doc_id), and the write partitions by the
+  *    shard column — so every `shard=N` directory holds EXACTLY ONE
+  *    file whose internal row order IS the shard's slice of the global
+  *    permutation (shards are contiguous ranges of the order key by
+  *    construction, so shard-major file order = the global order);
+  *  - a consumer replays the epoch by reading shard directories in
+  *    shard order, each file front to back (parquet preserves row
+  *    order within a file; a 100 TB deployment sizes
+  *    [[SamplingQueries.EpochShardHexDigits]] so each file hits the
+  *    shard file-size target, and readers scale with shard count).
+  *
+  * The `ord` column rides along in the files so an auditor can verify
+  * sortedness without recomputing the md5 chain.
+  */
+object EpochShards {
+
+  private def ordEpoch(epoch: Int): Column =
+    substring(md5(concat(col("doc_id").cast("string"),
+      lit(":epoch"), lit(epoch).cast("string"))), 1, 8)
+
+  private def ordCurriculum: Column =
+    substring(md5(concat(col("doc_id").cast("string"),
+      lit(":curriculum"))), 1, 8)
+
+  private def shardOf: Column =
+    conv(substring(col("ord"), 1, SamplingQueries.EpochShardHexDigits), 16, 10)
+      .cast("long")
+
+  private def writeSorted(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit =
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions(
+        (partCols ++ Seq("ord", "doc_id")).map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(path)
+
+  /** Materialize one epoch's shuffled order of `corpus` (doc_id, text,
+    * …) under `base`: one directory per shard, one order-sorted file
+    * per directory. */
+  def writeShards(corpus: DataFrame, epoch: Int, base: String): Unit =
+    writeSorted(
+      corpus.filter(col("text").isNotNull)
+        .withColumn("ord", ordEpoch(epoch))
+        .withColumn("shard", shardOf),
+      s"$base/epoch=$epoch", Seq("shard"))
+
+  /** Materialize l60's two-phase curriculum order: phase 0 (score ≤ 0,
+    * bulk first) then phase 1 (score > 0, quality anneal last), each
+    * sharded exactly as [[writeShards]]. Reading phase directories in
+    * phase order, shards within them in shard order, replays the full
+    * curriculum. */
+  def writeCurriculumShards(corpus: DataFrame, base: String): Unit =
+    writeSorted(
+      corpus.filter(col("text").isNotNull)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+        .withColumn("score_milli", expr(CleaningQueries.scoreMilliSql))
+        .withColumn("phase", when(col("score_milli") > 0L, 1).otherwise(0))
+        .drop("ta")
+        .withColumn("ord", ordCurriculum)
+        .withColumn("shard", shardOf),
+      s"$base/curriculum", Seq("phase", "shard"))
+
+  /** One shard's rows IN REPLAY ORDER — the single file's own row
+    * order (no sort: physical order is the contract being consumed). */
+  def readShard(spark: SparkSession, base: String, epoch: Int,
+      shard: Long): DataFrame =
+    spark.read.parquet(s"$base/epoch=$epoch/shard=$shard")
+
+  def readCurriculumShard(spark: SparkSession, base: String, phase: Int,
+      shard: Long): DataFrame =
+    spark.read.parquet(s"$base/curriculum/phase=$phase/shard=$shard")
+}

@@ -817,6 +817,13 @@ object SamplingQueries {
     * variant — probe only the eval vectors in nearby cells — composes
     * [[AnnIndexes]]; the brute form here is the oracle-checkable
     * baseline the published reports actually run at eval-suite sizes.) */
+  /** [[l42]]'s contamination bar (e4-rounded max cosine ≥ 0.90 — the
+    * catalog's shared near-dup cosine bar), ONE definition for the
+    * batch DQ, its IVF scale path, and the streaming ingest gate
+    * ([[graft.streaming.StreamingSemanticDecontam]]) so the three
+    * screens cannot drift. */
+  private[graft] val SemanticContamE4 = 9000L
+
   /** [[l42]]'s planted frames, shared with the IVF-variant spec:
     * `(eval with (vec_id, v), train with (vec_id, label, v))`. */
   private[operators] def semanticFrames(s: SparkSession,
@@ -853,8 +860,8 @@ object SamplingQueries {
         .groupBy("label")
         .agg(
           count(lit(1)).as("n_train"),
-          sum(when(col("max_e4") >= 9000L, 1L).otherwise(0L)).as("n_flagged"),
-          coalesce(sum(when(col("max_e4") >= 9000L, col("vec_id"))), lit(0L))
+          sum(when(col("max_e4") >= SemanticContamE4, 1L).otherwise(0L)).as("n_flagged"),
+          coalesce(sum(when(col("max_e4") >= SemanticContamE4, col("vec_id"))), lit(0L))
             .as("flagged_checksum"),
           max("max_e4").as("max_sim_e4"))
         .orderBy("label")
@@ -899,7 +906,7 @@ object SamplingQueries {
     * token-grain pass of the DSIR pipeline; factored out so the spec
     * can recompute the model/weight arithmetic downstream of it
     * independently of the plan's join path. */
-  private def dsirFeats(dd0: DataFrame): DataFrame =
+  private[operators] def dsirFeats(dd0: DataFrame): DataFrame =
     dd0.filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         split(lower(col("text")), "\\s+").as("ta"))
@@ -912,8 +919,36 @@ object SamplingQueries {
       .withColumn("b", pmod(xxhash64(col("g")), lit(DsirBuckets)).cast("long"))
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
 
-  private[operators] def dsirFeatsForTest(dd: DataFrame): DataFrame =
-    dsirFeats(dd)
+  /** The trained DSIR model from a feature frame: the ≤B-row
+    * (b, llr_milli) log-likelihood-ratio table — the ONLY trained
+    * state of the pipeline, factored out so [[DsirIndex]] can persist
+    * it (train once per target, score many corpus snapshots). */
+  private[operators] def dsirModelFrom(feats: DataFrame,
+      targetLang: String): DataFrame = {
+    // bucket-grain bag-of-ngrams models: raw = whole corpus, target =
+    // the target slice; add-1 smoothing over B buckets
+    val raw = feats.groupBy("b").agg(sum("n").as("cr"))
+    val tgt = feats.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum("n").as("ct"))
+    val totals = feats.agg(
+      sum("n").as("nr"),
+      sum(when(col("lang") === targetLang, col("n")).otherwise(0L)).as("nt"))
+    raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals)) // 1-row totals broadcast
+      .withColumn("llr_milli", round(lit(1000.0) *
+          (log((coalesce(col("ct"), lit(0L)) + 1d) / (col("nt") + DsirBuckets)) -
+           log((col("cr") + 1d) / (col("nr") + DsirBuckets)))).cast("long"))
+      .select("b", "llr_milli")
+  }
+
+  /** Per-document integer milli-nat weights of `feats` under a trained
+    * model frame: the exact long dot Σ n_b·llr_milli[b] against the
+    * broadcast ≤B-row table — aggregation-order-independent, so
+    * in-query and probe-from-parquet weights agree bit-for-bit. */
+  private[operators] def dsirWeightsFrom(feats: DataFrame,
+      model: DataFrame): DataFrame =
+    feats.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("n") * col("llr_milli")).as("w_milli"))
 
   /** Per-document DSIR importance weights + deterministic Gumbel-top-k
     * resample ([[l39]]'s pipeline, parameterized so the spec can run a
@@ -938,24 +973,10 @@ object SamplingQueries {
     // (raw model, target model, smoothing totals, per-doc weights) — an
     // unshared frame would re-tokenize the corpus four times
     val feats = dsirFeats(dd0).localCheckpoint(false)
-    // bucket-grain bag-of-ngrams models: raw = whole corpus, target =
-    // the target slice; add-1 smoothing over B buckets
-    val raw = feats.groupBy("b").agg(sum("n").as("cr"))
-    val tgt = feats.filter(col("lang") === targetLang)
-      .groupBy("b").agg(sum("n").as("ct"))
-    val totals = feats.agg(
-      sum("n").as("nr"),
-      sum(when(col("lang") === targetLang, col("n")).otherwise(0L)).as("nt"))
-    val llr = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(totals)) // 1-row totals broadcast
-      .withColumn("llr_milli", round(lit(1000.0) *
-          (log((coalesce(col("ct"), lit(0L)) + 1d) / (col("nt") + DsirBuckets)) -
-           log((col("cr") + 1d) / (col("nr") + DsirBuckets)))).cast("long"))
-      .select("b", "llr_milli")
+    val llr = dsirModelFrom(feats, targetLang)
     // per-doc weight: exact long dot of feature counts with the ≤B-row
     // broadcast llr table; docs with no bigram weigh 0
-    val w = feats.join(broadcast(llr), Seq("b"))
-      .groupBy("doc_id").agg(sum(col("n") * col("llr_milli")).as("w_milli"))
+    val w = dsirWeightsFrom(feats, llr)
     val scored = dd
       .join(w, Seq("doc_id"), "left")
       .withColumn("w_milli", coalesce(col("w_milli"), lit(0L)))
@@ -1052,7 +1073,7 @@ object SamplingQueries {
           .cast("long"))
       .groupBy("vec_id", "label")
       .agg(max("cos_e4").as("max_e4"))
-      .withColumn("flagged", col("max_e4") >= lit(9000L))
+      .withColumn("flagged", col("max_e4") >= lit(SemanticContamE4))
   }
 
   // ---------------------------------------------- l47 span decontam
@@ -1628,6 +1649,138 @@ object SamplingQueries {
                    ELSE w.level END AS water_level
             FROM lv l, wl w ORDER BY lang"""))
 
+  /** L62 — the composed MIX-PLANNING report: the three allocators the
+    * catalog proves separately ([[l45]] temperature rates, [[l51]]
+    * epoch-repeat caps, [[l61]] budget waterfill) all reduce to the
+    * same per-language availability frame, and the report a
+    * data-mixture decision actually reads carries all three side by
+    * side — ONE corpus scan, one L-row frame, every column the same
+    * arithmetic as its standalone operator (MixPlanSpec pins
+    * column-for-column equality against the three green pipelines).
+    * Per language: doc/token availability, the temperature-mix target
+    * share (α=0.5, basis points), the 3×-budget epoch plan
+    * (target/realized/deficit, full epochs + partial tokens, 4-epoch
+    * cap), and the 9/10-budget waterfill solve (allocation, capped
+    * flag, shared budget, water level).
+    *
+    * Scale shape: one partial-aggregable (lang, count, Σtok) agg; the
+    * totals are a 1-row broadcast; everything after is per-row integer
+    * math and one window on the L-row language frame —
+    * corpus-size-independent, exactly the standalone allocators'
+    * shapes. */
+  val l62 = DQ(
+    "l62_mix_plan",
+    (s, d) => {
+      val inf = Long.MaxValue
+      val base = docs(s, d).filter(col("text").isNotNull)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok(col("text"))).as("avail_tokens"))
+      val totals = base.agg(
+        min("n_docs").as("n_min"),
+        sum("avail_tokens").as("corpus_tokens"),
+        count(lit(1)).as("n_langs"),
+        expr(s"(sum(avail_tokens) * $WaterfillBudgetNum)" +
+          s" div $WaterfillBudgetDen").as("b"))
+      val withT = base.crossJoin(broadcast(totals))
+        .withColumn("u",
+          round(lit(65536.0) *
+            sqrt(col("n_min").cast("double") / col("n_docs"))).cast("long"))
+        .withColumn("temp_bp",
+          round(col("u") * lit(10000.0) / lit(65536.0)).cast("long"))
+        .withColumn("target_tokens",
+          expr(s"(corpus_tokens * ${BudgetPerUnique}L) div n_langs"))
+        .withColumn("realized_tokens",
+          least(col("target_tokens"), col("avail_tokens") * lit(MaxEpochs)))
+        .withColumn("deficit_tokens",
+          col("target_tokens") - col("realized_tokens"))
+        .withColumn("n_epochs_full",
+          when(col("avail_tokens") > 0L,
+            expr("realized_tokens div avail_tokens")).otherwise(0L))
+        .withColumn("partial_tokens",
+          when(col("avail_tokens") > 0L,
+            expr("realized_tokens % avail_tokens")).otherwise(0L))
+      val w = Window.orderBy(col("avail_tokens"), col("lang"))
+      val lv = withT
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cb", coalesce(sum("avail_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("level_here",
+          expr("(b - cb) div (n_langs - rk + 1)"))
+      val level = lv.filter(col("avail_tokens") > col("level_here"))
+        .orderBy("rk").limit(1)
+        .select(col("level_here").as("level"))
+        .agg(coalesce(min("level"), lit(inf)).as("level"))
+      lv.crossJoin(broadcast(level))
+        .select(col("lang"), col("n_docs"), col("avail_tokens"),
+          col("temp_bp"), col("target_tokens"), col("realized_tokens"),
+          col("deficit_tokens"), col("n_epochs_full"), col("partial_tokens"),
+          least(col("avail_tokens"), col("level")).as("allocated"),
+          (col("avail_tokens") > col("level")).as("capped"),
+          col("b").as("budget"),
+          when(col("level") === inf, -1L).otherwise(col("level"))
+            .as("water_level"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH base AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS avail_tokens
+              FROM documents WHERE text IS NOT NULL GROUP BY 1),
+            t AS (SELECT CAST(MIN(n_docs) AS BIGINT) AS n_min,
+                    CAST(SUM(avail_tokens) AS BIGINT) AS corpus_tokens,
+                    CAST(COUNT(*) AS BIGINT) AS n_langs,
+                    CAST((SUM(avail_tokens) * $WaterfillBudgetNum)
+                      // $WaterfillBudgetDen AS BIGINT) AS b
+                  FROM base),
+            p AS (
+              SELECT base.*, t.*,
+                CAST(ROUND(65536 * sqrt(CAST(n_min AS DOUBLE) / n_docs))
+                  AS BIGINT) AS u,
+                CAST((corpus_tokens * $BudgetPerUnique) // n_langs
+                  AS BIGINT) AS target_tokens
+              FROM base, t),
+            p2 AS (
+              SELECT *,
+                CAST(ROUND(u * 10000.0 / 65536.0) AS BIGINT) AS temp_bp,
+                CAST(LEAST(target_tokens, avail_tokens * $MaxEpochs)
+                  AS BIGINT) AS realized_tokens
+              FROM p),
+            ranked AS (
+              SELECT *,
+                CAST(row_number() OVER (ORDER BY avail_tokens, lang)
+                  AS BIGINT) AS rk,
+                CAST(COALESCE(SUM(avail_tokens) OVER (
+                  ORDER BY avail_tokens, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM p2),
+            lv AS (
+              SELECT *,
+                CAST((b - cb) // (n_langs - rk + 1) AS BIGINT) AS level_here
+              FROM ranked),
+            wl AS (
+              SELECT CAST(COALESCE(
+                (SELECT level_here FROM lv WHERE avail_tokens > level_here
+                 ORDER BY rk LIMIT 1),
+                9223372036854775807) AS BIGINT) AS level)
+            SELECT l.lang, l.n_docs, l.avail_tokens, l.temp_bp,
+              l.target_tokens, l.realized_tokens,
+              CAST(l.target_tokens - l.realized_tokens AS BIGINT)
+                AS deficit_tokens,
+              CAST(CASE WHEN l.avail_tokens > 0
+                   THEN l.realized_tokens // l.avail_tokens ELSE 0 END
+                AS BIGINT) AS n_epochs_full,
+              CAST(CASE WHEN l.avail_tokens > 0
+                   THEN l.realized_tokens % l.avail_tokens ELSE 0 END
+                AS BIGINT) AS partial_tokens,
+              CAST(LEAST(l.avail_tokens, w.level) AS BIGINT) AS allocated,
+              (l.avail_tokens > w.level) AS capped,
+              l.b AS budget,
+              CASE WHEN w.level = 9223372036854775807 THEN CAST(-1 AS BIGINT)
+                   ELSE w.level END AS water_level
+            FROM lv l, wl w ORDER BY lang"""))
+
   val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42,
-    l45, l47, l51, l55, l60, l61)
+    l45, l47, l51, l55, l60, l61, l62)
 }

@@ -59,7 +59,17 @@ object AdmissionPipeline {
         * copies (l29's belt-and-braces argument, at ingest). One
         * hash-keyed semi join per batch; None runs the pipeline
         * unchanged. */
-      exactHashes: Option[DataFrame] = None)
+      exactHashes: Option[DataFrame] = None,
+      /** Opt-in SEMANTIC decontamination for batches carrying an
+        * embedding column `v` (the persisted
+        * [[StreamingSemanticDecontam]] eval-vector index): l42's
+        * paraphrase screen at the door — the one decontam modality the
+        * gram index cannot see. Rows without an embedding (or a batch
+        * with no `v` column at all) pass this arm untouched; flagged
+        * rows read `contaminated`, same label as the gram arm — both
+        * are the same claim about eval leakage, detected differently.
+        * None runs the pipeline unchanged. */
+      evalVecs: Option[DataFrame] = None)
 
   /** The per-batch decision frame: `batch`'s columns plus `reason`.
     * Pure function of (batch, gates) — spec-tested directly and reused
@@ -136,6 +146,15 @@ object AdmissionPipeline {
       .select("doc_id").distinct().withColumn("_nd", lit(true))
     val contam = StreamingDecontam.screenRaw(batch, gates.holdoutGrams)
       .select("doc_id").distinct().withColumn("_ct", lit(true))
+    // the opt-in semantic-decontam arm: active only when the gate is
+    // configured AND the batch carries embeddings; same always-false
+    // default shape as the other opt-in screens
+    val semantic = gates.evalVecs
+      .filter(_ => batch.columns.contains("v"))
+      .map(ix => StreamingSemanticDecontam.screenRaw(batch, ix)
+        .select("doc_id").distinct().withColumn("_cs", lit(true)))
+      .getOrElse(near.sparkSession.emptyDataFrame
+        .select(lit(-1L).as("doc_id"), lit(true).as("_cs")).limit(0))
     // the opt-in verbatim-span screen: an always-false 1-row-free frame
     // when no corpus span index is configured, so the join shape (and
     // the decision chain) stays identical either way
@@ -159,6 +178,7 @@ object AdmissionPipeline {
     LlmQueries.withStopBp(batch)
       .join(near, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .join(semantic, Seq("doc_id"), "left")
       .join(verbatim, Seq("doc_id"), "left")
       .join(exact, Seq("doc_id"), "left")
       .withColumn("reason",
@@ -171,7 +191,10 @@ object AdmissionPipeline {
           // (the stronger claim); a partial lift that banding cannot see
           // reads verbatim_repeat
           .when(col("_vr"), "verbatim_repeat")
-          .when(col("_ct"), "contaminated")
+          // gram-detected OR embedding-detected eval leakage: one
+          // claim, one label (null || true = true under Kleene logic,
+          // so either arm alone suffices)
+          .when(col("_ct") || col("_cs"), "contaminated")
           // the POSITIVE quality verdict guards both remaining arms: a
           // null text (malformed/permissive-parsed record) nulls the
           // predicate, skips this branch, and lands in low_quality —

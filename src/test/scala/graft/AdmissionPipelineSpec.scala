@@ -281,6 +281,46 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     assert(got === Seq("admit"), got.toString)
   }
 
+  test("opt-in semantic-decontam arm: a planted PARAPHRASE (no shared " +
+      "5-gram, near-identical embedding) rejects contaminated at ingest " +
+      "via the persisted eval index; without the gate, or without an " +
+      "embedding column, it admits") {
+    import graft.streaming.StreamingSemanticDecontam
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdecon_").toString
+    StreamingSemanticDecontam.writeIndex(
+      StreamingSemanticDecontam.buildIndex(
+        Seq((1L, Array(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "v")), dir)
+    val ix = StreamingSemanticDecontam.readIndex(spark, dir)
+    // a long admit-worthy text sharing NO 5-gram with the holdout —
+    // the gram arm is blind to it; only the embedding betrays the leak
+    val paraText = "paraphrased rubric item seven states that the " +
+      "accepted solution equals forty two per the official grading " +
+      "notes rewritten entirely in different words with ample length " +
+      "padding karst molybdenum zeppelin ocarina tamarind vermilion"
+    val cleanText = "submarine accordion whistle prairie cobalt thimble " +
+      "orchard granite sparrow limestone mahogany crescent bamboo " +
+      "furnace opal ladder trumpet satchel willow compass anvil ribbon " +
+      "meadow falcon zirconium mandolin"
+    val batch = Seq(
+      (30L, paraText, Array(0.99, 0.1, 0.0, 0.0)),  // cos ≈ 0.995
+      (31L, cleanText, Array(0.0, 1.0, 0.0, 0.0)))  // orthogonal
+      .toDF("doc_id", "text", "v")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def reasons(b: org.apache.spark.sql.DataFrame,
+        g: AdmissionPipeline.Gates) =
+      AdmissionPipeline.decide(b, g).select("doc_id", "reason").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons(batch, gates.copy(evalVecs = Some(ix))) ===
+      Map(30L -> "contaminated", 31L -> "admit"))
+    // gate off → the paraphrase admits (exactly the gap this arm closes)
+    assert(reasons(batch, gates) === Map(30L -> "admit", 31L -> "admit"))
+    // no embedding column → the arm is inert even with the gate on
+    assert(reasons(batch.drop("v"), gates.copy(evalVecs = Some(ix))) ===
+      Map(30L -> "admit", 31L -> "admit"))
+  }
+
   test("decide preserves the batch's columns plus one reason column, " +
       "one row per input doc") {
     val batch = mkBatch(Seq(6L -> "any text at all here"))

@@ -77,7 +77,11 @@ class PlanSpec extends AnyFunSuite {
       "l59_dist_drift",
       // l61: the 1-row (budget, n) and 1-row water-level broadcasts
       // crossJoined onto the L-row language frame (l45/l51's shape).
-      "l61_budget_waterfill")
+      "l61_budget_waterfill",
+      // l62: the same two 1-row broadcasts (totals, water level)
+      // crossJoined onto the L-row frame — the composed l45/l51/l61
+      // report inherits their shapes.
+      "l62_mix_plan")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

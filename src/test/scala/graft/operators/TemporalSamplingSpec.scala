@@ -553,7 +553,7 @@ class TemporalSamplingSpec extends AnyFunSuite {
 
     // recompute the llr table and weights from the (doc,bucket) counts
     // (independent of the plan's join/broadcast/rounding path)
-    val feats = SamplingQueries.dsirFeatsForTest(dd).collect()
+    val feats = SamplingQueries.dsirFeats(dd).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
         r.getAs[Long]("b"), r.getAs[Long]("n")))
     val B = SamplingQueries.DsirBuckets
@@ -601,6 +601,30 @@ class TemporalSamplingSpec extends AnyFunSuite {
     assert(rows.length === 3)
     assert(rows.find(_.getLong(0) == 1L).get.getAs[Long]("w_milli") === 0L)
     assert(rows.count(_.getAs[Boolean]("sampled")) === 2)
+  }
+
+  test("DsirIndex: probe-from-parquet weights equal in-query weights " +
+      "bit-for-bit, and the persisted model is the sampler's own table") {
+    val dd = Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dsir_idx_").toString
+    DsirIndex.write(DsirIndex.build(dd, "zh"), base)
+    val release = DsirIndex.read(spark, base)
+    // the persisted table IS the in-query model, row for row
+    assert(release.collect().map(_.toString).toSet ===
+      DsirIndex.build(dd, "zh").collect().map(_.toString).toSet)
+    // probe-from-parquet ≡ in-query, doc by doc, bit for bit: the
+    // weights are exact long dots against a long-typed table, so no
+    // double can drift between the two forms
+    def wm(model: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      DsirIndex.weigh(dd, model).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w_milli")).toMap
+    val probed = wm(release)
+    assert(probed === wm(DsirIndex.build(dd, "zh")))
+    // and they are the sampler's own weights (shared dsirWeightsFrom)
+    val inQuery = SamplingQueries.dsirSample(dd, "zh", 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w_milli")).toMap
+    assert(probed === inQuery)
   }
 
   // ------------------------------------------------------------- l42
@@ -904,6 +928,39 @@ class TemporalSamplingSpec extends AnyFunSuite {
     // uncapped langs keep everything
     rows.filterNot(_.getAs[Boolean]("capped")).foreach(r =>
       assert(r.getAs[Long]("allocated") === r.getAs[Long]("avail")))
+  }
+
+  test("l62 mix plan IS the three allocators side by side: every column " +
+      "equals its standalone pipeline's output, language by language") {
+    val plan = SamplingQueries.l62.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(plan.nonEmpty)
+    // temperature arm ≡ l45's target_bp (the α=0.5 rate table)
+    SamplingQueries.l45.fn(spark, sf).collect().foreach { r =>
+      assert(plan(r.getAs[String]("lang")).getAs[Long]("temp_bp") ===
+        r.getAs[Long]("target_bp"), s"temp ${r.getAs[String]("lang")}")
+    }
+    // epoch arm ≡ l51, column for column
+    SamplingQueries.l51.fn(spark, sf).collect().foreach { r =>
+      val p = plan(r.getAs[String]("lang"))
+      Seq("avail_tokens" -> "avail_tokens", "target_tokens" -> "target_tokens",
+        "realized_tokens" -> "realized_tokens",
+        "deficit_tokens" -> "deficit_tokens",
+        "n_epochs_full" -> "n_epochs_full",
+        "partial_tokens" -> "partial_tokens").foreach { case (a, b) =>
+        assert(p.getAs[Long](a) === r.getAs[Long](b),
+          s"epoch $a ${r.getAs[String]("lang")}")
+      }
+    }
+    // waterfill arm ≡ l61, column for column
+    SamplingQueries.l61.fn(spark, sf).collect().foreach { r =>
+      val p = plan(r.getAs[String]("lang"))
+      assert(p.getAs[Long]("allocated") === r.getAs[Long]("allocated"))
+      assert(p.getAs[Boolean]("capped") === r.getAs[Boolean]("capped"))
+      assert(p.getAs[Long]("budget") === r.getAs[Long]("budget"))
+      assert(p.getAs[Long]("water_level") === r.getAs[Long]("water_level"))
+      assert(p.getAs[Long]("avail_tokens") === r.getAs[Long]("avail"))
+    }
   }
 
   test("l55: epochs are DIFFERENT permutations of the SAME corpus — " +
