@@ -142,7 +142,14 @@ object Report {
       // quality screen. Bounded: (dims × values) and 20-source rollups.
       "distribution_drift" ->
         rowsJson(operators.CorpusOpsQueries.l59.fn(spark, sfDir)),
-      "media_quality" -> rowsJson(operators.LlmQueries.l58.fn(spark, sfDir)))
+      "media_quality" -> rowsJson(operators.LlmQueries.l58.fn(spark, sfDir)),
+      // Round-13 closers: the composed mix plan (l45+l51+l61 in one
+      // L-row frame — the allocation decision panel) and the tokenizer
+      // fertility audit (row-local scan → L-row rollup). Both bounded
+      // by language cardinality.
+      "mix_plan" -> rowsJson(operators.SamplingQueries.l62.fn(spark, sfDir)),
+      "tokenizer_fertility" ->
+        rowsJson(operators.LlmQueries.l63.fn(spark, sfDir)))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val martBacked = Seq("revenue_trend" -> trendM, "top_products" -> topM,
       "quality_rates" -> qualityM).collect { case (k, true) => s""""$k"""" }

@@ -1953,8 +1953,62 @@ object LlmQueries {
               CAST(SUM(fp) AS BIGINT) AS seq_fp
             FROM per_doc GROUP BY 1 ORDER BY lang"""))
 
+  /** L63 — tokenizer-efficiency audit (the FERTILITY/compression report
+    * every multilingual tokenizer evaluation runs — Ács 2019's fertility
+    * metric, the per-language subwords-per-word audits in the XLM-R and
+    * NLLB discussions: a tokenizer that spends 2× the tokens per word on
+    * one language halves that language's effective context and doubles
+    * its training cost, so the mix planner reads this BESIDE l41's
+    * OOV coverage before freezing a vocabulary). Per language: docs,
+    * chars, whitespace words, pre-tokenizer tokens (l5's shared
+    * [[VocabIndex.tokens]] rule), fertility = tokens per word and
+    * compression = chars per token, both in integer milli units
+    * (round-once discipline — engines cannot disagree).
+    *
+    * Scale shape: entirely ROW-LOCAL until the per-language rollup —
+    * two size() counts per doc, no explode, no join; ONE
+    * partial-aggregable agg over L languages. The cheapest possible
+    * shape for a corpus-wide report. */
+  val l63 = DQ(
+    "l63_tokenizer_fertility",
+    (s, d) => {
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("lang"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+          size(VocabIndex.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum("n_words").as("n_words"),
+          sum("n_toks").as("n_tokens"))
+        .withColumn("fertility_milli",
+          round(col("n_tokens") * lit(1000.0) / col("n_words")).cast("long"))
+        .withColumn("chars_per_tok_milli",
+          round(col("n_chars") * lit(1000.0) / col("n_tokens")).cast("long"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (
+              SELECT lang, n_chars,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  AS n_words,
+                CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_toks
+              FROM documents WHERE text IS NOT NULL)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              CAST(SUM(n_words) AS BIGINT) AS n_words,
+              CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+              CAST(ROUND(SUM(n_toks) * 1000.0 / SUM(n_words)) AS BIGINT)
+                AS fertility_milli,
+              CAST(ROUND(SUM(n_chars) * 1000.0 / SUM(n_toks)) AS BIGINT)
+                AS chars_per_tok_milli
+            FROM t GROUP BY 1 ORDER BY lang"""))
+
   val all: Seq[DQ] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52, l53, l57, l58)
+      l19, l24, l26, l27, l27b, l28, l29, l36, l41, l50, l52, l53, l57, l58,
+      l63)
 }
 

@@ -167,12 +167,26 @@ object AdmissionPipeline {
     // the opt-in exact-hash corpus backstop (same always-false default
     // shape as the verbatim screen): content hash keys on the batch's
     // text AS DECIDED — under `clean=true` that is the cleaned text,
-    // matching an index built from cleaned releases
+    // matching an index built from cleaned releases. Replay semantics
+    // are CALLER-CHOSEN through the index projection: an index frame
+    // CARRYING `doc_id` (the persisted DedupIndex's own shape) gets
+    // the batch-ownership guard — a replayed [[startLive]] batch whose
+    // hash append survived re-admits its own docs; an h-only frame is
+    // UNguarded — [[graft.operators.ReleaseFlow]] passes that shape so
+    // re-releasing a shard re-labels its own landed bytes
+    // corpus_duplicate (idempotence by the artifact's own semantics).
     val exact = gates.exactHashes
-      .map(ix => batch
-        .withColumn("_h", graft.operators.DedupIndex.contentHash)
-        .join(ix.select(col("h").as("_h")).distinct(), Seq("_h"), "left_semi")
-        .select("doc_id").distinct().withColumn("_xd", lit(true)))
+      .map { ix0 =>
+        val ix =
+          if (ix0.columns.contains("doc_id"))
+            ix0.join(batch.select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
+          else ix0
+        batch
+          .withColumn("_h", graft.operators.DedupIndex.contentHash)
+          .join(ix.select(col("h").as("_h")).distinct(), Seq("_h"), "left_semi")
+          .select("doc_id").distinct().withColumn("_xd", lit(true))
+      }
       .getOrElse(near.sparkSession.emptyDataFrame
         .select(lit(-1L).as("doc_id"), lit(true).as("_xd")).limit(0))
     LlmQueries.withStopBp(batch)
@@ -298,14 +312,28 @@ object AdmissionPipeline {
       outDir: String, tsCol: String, delay: String,
       clean: Boolean = false,
       substrIndexDir: Option[String] = None,
-      classifier: Option[Map[Int, Long]] = None): StreamingQuery = {
+      classifier: Option[Map[Int, Long]] = None,
+      /** Opt-in LIVE exact-hash corpus backstop: the persisted
+        * [[graft.operators.DedupIndex]] directory, probed per batch
+        * (full (h, doc_id) shape — the batch-ownership replay guard
+        * applies, see [[decide]]) and APPENDED with each batch's
+        * admitted docs — so a byte-copy arriving after L17's watermark
+        * evicted the original is caught in batch N+1 without waiting
+        * for a corpus re-index. */
+      exactHashDir: Option[String] = None,
+      /** Opt-in semantic-decontam gate: the persisted
+        * [[StreamingSemanticDecontam]] eval-vector directory, resolved
+        * per batch (the suite is a release artifact — re-resolving by
+        * path picks up a new eval release without a restart). No
+        * append: the eval suite is not grown by admissions. */
+      evalVecsDir: Option[String] = None): StreamingQuery = {
     val in = if (clean) cleanse(stream) else stream
     val deduped = StreamingDedup.withinWatermark(
       withNChars(in), tsCol, delay)
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // both live indexes re-resolve by PATH per microbatch; the
+        // all live indexes re-resolve by PATH per microbatch; the
         // substring gate's screen set is a projection of the SAME
         // persisted artifact batch l33 probes (SubstringIndex — the
         // caller seeds it with the corpus, possibly recency-scoped,
@@ -314,8 +342,12 @@ object AdmissionPipeline {
           StreamingNearDup.readIndex(spark, neardupIndexDir), holdoutGrams,
           corpusSpans = substrIndexDir.map(d =>
             StreamingSubstring.fromPersisted(spark, d)),
-          classifier = classifier)
-        // one decision pass, up to three consumers (sink + index appends)
+          classifier = classifier,
+          exactHashes = exactHashDir.map(d =>
+            graft.operators.DedupIndex.read(spark, d)),
+          evalVecs = evalVecsDir.map(d =>
+            StreamingSemanticDecontam.readIndex(spark, d)))
+        // one decision pass, up to four consumers (sink + index appends)
         val decisions = decide(batch, gates).localCheckpoint()
         writeDecisions(decisions, outDir, batchId)
         val admitted = decisions.filter(col("reason") === "admit")
@@ -331,6 +363,14 @@ object AdmissionPipeline {
             else admitted.withColumn("lang", lit("und"))
           SubstringIndex.append(
             withLang.select("lang", "doc_id", "text"), d)
+        }
+        // the live exact backstop closes ITS cross-batch window the
+        // same way: batch N's admitted hashes screen batch N+1's
+        // byte-copies; replayed appends land duplicate hash rows,
+        // which the semi-join probe tolerates
+        exactHashDir.foreach { d =>
+          graft.operators.DedupIndex.append(
+            admitted.select("doc_id", "text"), d)
         }
       }
       .start()

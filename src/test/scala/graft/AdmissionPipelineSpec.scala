@@ -281,6 +281,101 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     assert(got === Seq("admit"), got.toString)
   }
 
+  test("the exact-hash arm's replay semantics follow the index shape: " +
+      "an (h, doc_id) index gets the batch-ownership guard, an h-only " +
+      "index stays unguarded (release idempotence)") {
+    import spark.implicits._
+    val ownText = "submarine accordion whistle prairie cobalt thimble " +
+      "orchard granite sparrow lighthouse mahogany crescent bamboo furnace " +
+      "opal ladder trumpet satchel willow compass anvil ribbon meadow " +
+      "falcon zirconium mandolin"
+    // the index holds doc 55's OWN hash (the crash-replay state under a
+    // live exact append) plus corpus doc 100's hash
+    val landed = corpus.unionByName(Seq((55L, ownText)).toDF("doc_id", "text"))
+    val withOwners = graft.operators.DedupIndex.build(landed)
+    val batch = mkBatch(Seq(
+      55L -> ownText,                       // replayed self
+      56L -> longCorpusText.toUpperCase))   // byte-copy of an OUTSIDE doc
+    // (h, doc_id) shape → guarded: 55 re-admits, 56 still flags
+    val guarded = AdmissionPipeline.decide(batch,
+      gates.copy(exactHashes = Some(withOwners))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(guarded === Map(55L -> "admit", 56L -> "corpus_duplicate"),
+      guarded.toString)
+    // h-only shape → unguarded: the replayed doc re-labels
+    // corpus_duplicate (ReleaseFlow's re-release-admits-nothing contract)
+    val unguarded = AdmissionPipeline.decide(batch,
+      gates.copy(exactHashes = Some(withOwners.select("h")))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(unguarded === Map(55L -> "corpus_duplicate",
+      56L -> "corpus_duplicate"), unguarded.toString)
+  }
+
+  test("startLive with a LIVE exact-hash backstop and semantic gate: a " +
+      "byte-copy arriving after watermark eviction is caught by the " +
+      "appended hash index, and a paraphrase-embedding doc rejects") {
+    import graft.operators.DedupIndex
+    import graft.streaming.{StreamingSemanticDecontam, StreamingNearDup}
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("ts", TimestampType)))
+    val ndDir = Files.createTempDirectory("graft_livex_nd_").toString
+    StreamingNearDup.writeIndex(StreamingNearDup.buildIndex(corpus), ndDir)
+    val xDir = Files.createTempDirectory("graft_livex_dd_").toString
+    DedupIndex.write(corpus, xDir)
+    val evDir = Files.createTempDirectory("graft_livex_ev_").toString
+    StreamingSemanticDecontam.writeIndex(
+      StreamingSemanticDecontam.buildIndex(
+        Seq((1L, Array(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "v")), evDir)
+    val docA = "carburetor dovetail eiderdown flywheel grommet hawser " +
+      "isinglass jackstay keelson lanyard mizzen oakum pintle quoin " +
+      "ratline shackle thole unship vang windlass yawl bowsprit " +
+      "capstan deadeye spinnaker telltale gunwale halyard"
+    val docBridge = "umbrella vestibule wainscot xylophone yardarm zither " +
+      "antimony bromide cobalt dysprosium erbium fermium gallium " +
+      "hafnium iridium krypton lanthanum molybdenum niobium osmium " +
+      "palladium rhenium tantalum yttrium"
+    val docPara = "paraphrased rubric item seven states that the accepted " +
+      "solution equals forty two per the official grading notes rewritten " +
+      "entirely in different words with ample length padding karst " +
+      "molybdenum zeppelin ocarina tamarind vermilion"
+    val in = Files.createTempDirectory("graft_livex_in_").toString
+    val out = Files.createTempDirectory("graft_livex_out_").toString
+    // batch 1: docA admits (and its hash is LIVE-appended)
+    Files.write(Paths.get(in, "f1.json"), String.join("\n",
+      s"""{"doc_id":45,"text":"$docA","ts":"2026-01-01T10:00:00Z"}""").getBytes)
+    val q = AdmissionPipeline.startLive(spark,
+      spark.readStream.schema(schema).json(in), ndDir,
+      gates.holdoutGrams, out, "ts", "10 minutes",
+      exactHashDir = Some(xDir), evalVecsDir = Some(evDir))
+    q.processAllAvailable()
+    // batch 2: a novel far-future doc advances the watermark a day past
+    // batch 1, evicting docA's L17 state
+    Files.write(Paths.get(in, "f2.json"), String.join("\n",
+      s"""{"doc_id":46,"text":"$docBridge","ts":"2026-01-02T10:00:00Z"}""").getBytes)
+    q.processAllAvailable()
+    // batch 3: a byte-copy of docA under a new id — stream state is
+    // gone, ONLY the live hash append can catch it; plus a paraphrase
+    // carrying a near-eval embedding
+    Files.write(Paths.get(in, "f3.json"), String.join("\n",
+      s"""{"doc_id":47,"text":"$docA","ts":"2026-01-02T10:00:05Z"}""",
+      s"""{"doc_id":48,"text":"$docPara","v":[0.99,0.1,0.0,0.0],"ts":"2026-01-02T10:00:06Z"}""").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$out/decisions")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(45L -> "admit", 46L -> "admit",
+      47L -> "corpus_duplicate", 48L -> "contaminated"), got.toString)
+    // and the live append is IN the persisted hash index
+    val hashes = DedupIndex.read(spark, xDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hashes.contains(45L) && hashes.contains(46L), hashes.toString)
+  }
+
   test("opt-in semantic-decontam arm: a planted PARAPHRASE (no shared " +
       "5-gram, near-identical embedding) rejects contaminated at ingest " +
       "via the persisted eval index; without the gate, or without an " +

@@ -21,8 +21,14 @@ class ReportSpec extends AnyFunSuite {
         "cleaning", "pii_scrub", "quality_classifier", "repetition_ladder",
         "snapshot_diff", "increment_screen", "source_overlap",
         "heavy_hitters", "media_dedup", "distribution_drift",
-        "media_quality"))
+        "media_quality", "mix_plan", "tokenizer_fertility"))
       assert(root.has(k), s"missing panel $k")
+    // round-13 panels: the allocation decision frame carries all three
+    // allocators' columns; the fertility audit its milli ratios
+    for (c <- Seq("temp_bp", "realized_tokens", "allocated", "water_level"))
+      assert(root.get("mix_plan").get(0).has(c), s"mix_plan missing $c")
+    assert(root.get("tokenizer_fertility").get(0).get("fertility_milli")
+      .asLong() >= 1000L)
     // the drift panel is the retraining alarm: it must carry the flag
     // column and at least one flagged row on the planted history
     assert(root.get("distribution_drift").get(0).has("drifted"))

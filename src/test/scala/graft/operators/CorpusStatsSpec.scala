@@ -408,6 +408,38 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows(0).getLong(1) === 2L)
   }
 
+  test("l63 tokenizer fertility equals a brute driver-side recompute, " +
+      "and the milli ratios reconcile with their own integer sums") {
+    val rows = LlmQueries.l63.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val want = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select("lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (lang, docs) =>
+        val words = docs.map(_._2.trim.split("\\s+").length.toLong).sum
+        val toks = docs.map(d =>
+          TokRe.r.findAllIn(d._2.toLowerCase).length.toLong).sum
+        val chars = docs.map(_._3).sum
+        lang -> (docs.length.toLong, chars, words, toks)
+      }
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (nd, ch, wo, to) = want(lang)
+      assert(r.getAs[Long]("n_docs") === nd, s"$lang docs")
+      assert(r.getAs[Long]("n_chars") === ch, s"$lang chars")
+      assert(r.getAs[Long]("n_words") === wo, s"$lang words")
+      assert(r.getAs[Long]("n_tokens") === to, s"$lang tokens")
+      assert(r.getAs[Long]("fertility_milli") ===
+        math.round(to * 1000.0 / wo), s"$lang fertility")
+      assert(r.getAs[Long]("chars_per_tok_milli") ===
+        math.round(ch * 1000.0 / to), s"$lang compression")
+      // fertility ≥ 1000 by construction: the pre-tokenizer only ever
+      // SPLITS whitespace words, never merges them
+      assert(r.getAs[Long]("fertility_milli") >= 1000L, s"$lang sub-1")
+    }
+  }
+
   test("l59 distribution drift equals a driver-side recompute over the " +
       "planted version history, and the flag separates the dims") {
     val rows = CorpusOpsQueries.l59.fn(spark, sf).collect()
