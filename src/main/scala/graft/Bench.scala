@@ -160,7 +160,7 @@ object Bench {
       errors: Seq[(String, String)], runs: Int, sfDir: String): Option[String] = {
     val (errC, errOmitted) = compactErrors(errors)
     val bySlow = timings.sortBy(-_._2)
-    Iterator.iterate(bySlow.size - 8)(_ - 8).takeWhile(_ >= 8).map { keep =>
+    Iterator.iterate(bySlow.size - 4)(_ - 4).takeWhile(_ >= 8).map { keep =>
       val kept = bySlow.take(keep)
       val line = renderAt(kept, spreads, errC, errOmitted, errors.size, runs, sfDir,
         decimals = 1, itemizeSpread = false, tight = true,

@@ -1,0 +1,517 @@
+package graft.operators
+
+import graft.{DQ, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-audit operators — the REPORTS a large-scale training-data
+  * curation run reads before acting (no reference analog; north-star
+  * extension like the rest of the L-series):
+  *
+  *  - [[l66]] gram-duplication profile: the memorization-risk histogram
+  *    of Carlini et al. 2022 / Kandpal et al. 2022 — how much of the
+  *    corpus sits at which duplication count.
+  *  - [[l67]] per-source report card: the Dolma-style per-source audit
+  *    table (Soldaini et al. 2024) — size, dup involvement, quality,
+  *    repetition, one row per provenance.
+  *  - [[l68]] per-suite contamination report: the per-benchmark
+  *    contamination appendix of published model reports (PaLM §8,
+  *    Llama 2 A.6, GPT-4 TR) — which eval suite leaked, how much.
+  *  - [[l69]] Gopher document-quality ladder: the NON-repetition half
+  *    of Rae et al. 2021 Table A1 (word count, mean word length,
+  *    symbol ratio, bullet/ellipsis lines, alpha-word share,
+  *    stopwords); [[LlmQueries.ladderFlags]]/l27b is the repetition
+  *    half.
+  *
+  * Scale design (100 TB): every operator here is one partial-aggregable
+  * hash-agg family over row-local columns. l66 shares l33's gram
+  * shuffle (`hashed = true` is the production key form); l67 is one
+  * corpus scan plus the l1 hash agg joined back on its own key; l68 is
+  * the l25/l47 gram-screen family — the eval side is a bounded
+  * benchmark suite, so its distinct-gram set broadcasts and the train
+  * corpus never reshuffles beyond the gram agg; l69 is entirely
+  * row-local until the L-row language rollup.
+  */
+object AuditQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // ------------------------------------------- l66 duplication profile
+
+  /** The duplication-count histogram over a corpus' k-gram population:
+    * per (lang, bucket of occurrence-count c ∈ {1, 2, 3–10, 11+}) the
+    * number of distinct grams, total occurrence sites, the maximum
+    * count, and a content checksum over the grams themselves (8 md5
+    * hex digits each, summed — pins WHICH grams sit in each bucket).
+    * Published grounding: memorization grows log-linearly with
+    * duplication count (Carlini et al. 2022 arXiv:2202.07646) and
+    * regurgitation is superlinear in it (Kandpal et al. 2022
+    * arXiv:2202.06539) — this histogram is the risk axis of both,
+    * and the before/after evidence for a dedup pass (Lee et al. 2022).
+    *
+    * Scale shape: [[SamplingQueries.spanGrams]]' one shuffle (string
+    * grams here for oracle parity; 8-byte `hashed = true` keys are the
+    * 100 TB form), a per-(lang, gram) count, then a bucket rollup on
+    * the tiny (lang × 4) frame. Fully partial-aggregable. */
+  private[graft] def dupProfile(corpus: DataFrame, k: Int): DataFrame =
+    SamplingQueries.spanGrams(corpus, k, hashed = false)
+      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("dup_bucket",
+        when(col("c") === 1, "1")
+          .when(col("c") === 2, "2")
+          .when(col("c") <= 10, "3-10")
+          .otherwise("11+"))
+      .groupBy("lang", "dup_bucket")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum("c").as("n_sites"),
+        max("c").as("max_count"),
+        sum(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+          .as("gram_checksum"))
+      .orderBy("lang", "dup_bucket")
+
+  /** L66 — the DQ: duplication profile of the planted corpus at
+    * k = [[SamplingQueries.SpanK]] (the stock corpus shares no 15-gram
+    * across documents; the planted near-dup copies populate the ≥2
+    * buckets verifiably, exactly as in the l33/l64 family). */
+  val l66 = DQ(
+    "l66_dup_profile",
+    (s, d) => dupProfile(
+      LlmQueries.plantedFull(docs(s, d)), SamplingQueries.SpanK),
+    Some(s"""WITH corpus AS (
+              SELECT lang, doc_id, text FROM documents
+              UNION ALL
+              SELECT d.lang,
+                d.doc_id + (SELECT COALESCE(MAX(doc_id), -1) + 1 FROM documents),
+                substring(d.text, instr(d.text, ' ') + 1)
+              FROM documents d WHERE d.doc_id % 10 = 0),
+            toks AS (
+              SELECT lang, string_split_regex(lower(text), '\\s+') AS ta
+              FROM corpus WHERE text IS NOT NULL),
+            posn AS (
+              SELECT lang, ta,
+                unnest(range(len(ta) - ${SamplingQueries.SpanK - 1})) AS pos
+              FROM toks WHERE len(ta) >= ${SamplingQueries.SpanK}),
+            grams AS (
+              SELECT lang, array_to_string(
+                list_slice(ta, pos + 1, pos + ${SamplingQueries.SpanK}), ' ') AS gram
+              FROM posn),
+            counts AS (
+              SELECT lang, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+            b AS (
+              SELECT lang, gram, c,
+                CASE WHEN c = 1 THEN '1' WHEN c = 2 THEN '2'
+                     WHEN c <= 10 THEN '3-10' ELSE '11+' END AS dup_bucket
+              FROM counts)
+            SELECT lang, dup_bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_grams,
+              CAST(SUM(c) AS BIGINT) AS n_sites,
+              CAST(MAX(c) AS BIGINT) AS max_count,
+              CAST(SUM(CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT))
+                AS BIGINT) AS gram_checksum
+            FROM b GROUP BY 1, 2 ORDER BY lang, dup_bucket"""))
+
+  // --------------------------------------------- l67 source report card
+
+  /** The per-source report card: one row per provenance with the
+    * numbers every published corpus datasheet tabulates per source
+    * (Dolma, Soldaini et al. 2024; RedPajama; the Pile datasheet) —
+    * volume (docs, tokens, mean length), language spread, duplicate
+    * involvement (docs whose content hash occurs ≥ 2× ANYWHERE in the
+    * corpus — cross-source duplication is the point of the report),
+    * low-quality share under the catalog's [[LlmQueries.qualityKeep]]
+    * rule, and repetition share under l27's top-2-gram rule. The three
+    * per-document signals reuse the shared single-definition rules so
+    * this report cannot drift from the gates that act on them.
+    *
+    * Scale shape: one corpus scan computing row-local columns, the l1
+    * content-hash agg, and an equi-join back on the hash key (both
+    * sides partition on the hash — co-located); the rollup is one
+    * hash agg on the tiny source dimension. */
+  private[graft] def sourceReport(dd: DataFrame): DataFrame = {
+    val base = LlmQueries.withStopBp(dd.filter(col("text").isNotNull))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("h", LlmQueries.normHash)
+      .withColumn("top2_bp", LlmQueries.top2Bp(col("toks")))
+    val hashCounts = base.groupBy("h").agg(count(lit(1)).as("hc"))
+    base.join(hashCounts, Seq("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        expr("sum(n_tok) div count(1)").as("mean_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("hc") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(!LlmQueries.qualityKeep, 1L).otherwise(0L)).as("n_lowq"),
+        sum(when(col("top2_bp") > LlmQueries.RepetitionFlagBp, 1L)
+          .otherwise(0L)).as("n_rep"))
+      .withColumn("dup_bp",
+        round(col("n_dup_docs") * lit(10000.0) / col("n_docs")).cast("long"))
+      .withColumn("lowq_bp",
+        round(col("n_lowq") * lit(10000.0) / col("n_docs")).cast("long"))
+      .orderBy("source")
+  }
+
+  /** L67 — the DQ over the raw documents table. */
+  val l67 = DQ(
+    "l67_source_report",
+    (s, d) => sourceReport(docs(s, d)),
+    Some("""WITH base AS (
+              SELECT source, lang, doc_id, n_chars,
+                string_split_regex(lower(text), '\s+') AS ta,
+                sha256(lower(trim(text))) AS h
+              FROM documents WHERE text IS NOT NULL),
+            sb AS (
+              SELECT source, lang, doc_id, n_chars, h, ta,
+                CAST(len(ta) AS BIGINT) AS ntok,
+                CAST(ROUND(len(list_filter(ta,
+                    t -> list_contains(['the', 'a', 'value', 'table'], t)))
+                  * 10000.0 / len(ta)) AS BIGINT) AS stop_bp
+              FROM base),
+            hc AS (SELECT h, COUNT(*) AS hc FROM base GROUP BY 1),
+            g AS (
+              SELECT doc_id, len(ta) - 1 AS ng,
+                unnest(list_transform(range(len(ta) - 1),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 2), ' '))) AS gram
+              FROM base WHERE len(ta) >= 2),
+            tp AS (
+              SELECT doc_id, CAST(ROUND(MAX(c) * 10000.0 / ng) AS BIGINT) AS top2_bp
+              FROM (SELECT doc_id, ng, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3)
+              GROUP BY doc_id, ng),
+            per AS (
+              SELECT s.source, s.lang, s.ntok, c.hc,
+                (s.n_chars >= 200 AND s.stop_bp < 2500) AS keep,
+                COALESCE(t.top2_bp, 0) AS top2_bp
+              FROM sb s JOIN hc c ON s.h = c.h
+              LEFT JOIN tp t ON s.doc_id = t.doc_id)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+              CAST(SUM(ntok) // COUNT(*) AS BIGINT) AS mean_tokens,
+              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(SUM(CASE WHEN hc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+              CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
+              CAST(SUM(CASE WHEN top2_bp > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+              CAST(ROUND(SUM(CASE WHEN hc >= 2 THEN 1 ELSE 0 END) * 10000.0
+                / COUNT(*)) AS BIGINT) AS dup_bp,
+              CAST(ROUND(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) * 10000.0
+                / COUNT(*)) AS BIGINT) AS lowq_bp
+            FROM per GROUP BY 1 ORDER BY source"""))
+
+  // -------------------------------------- l68 per-suite contamination
+
+  /** The per-SUITE contamination report over a split-labeled corpus:
+    * eval docs partition into benchmark suites (here a deterministic
+    * md5 draw on doc_id — in deployment the suite is a column of the
+    * benchmark manifest), and per suite the report gives the eval-side
+    * footprint (docs, distinct k-grams) and both directions of leakage
+    * — train docs sharing ≥ 1 k-gram with the suite, and eval docs
+    * whose text appears in train ("which benchmark is burned").
+    * Published grounding: the per-benchmark contamination tables of
+    * model reports — PaLM §8 (Chowdhery et al. 2022), Llama 2
+    * Appendix A.6, the GPT-4 technical report — all report
+    * contamination PER EVAL SUITE, not as one corpus scalar, because
+    * the action (re-crawl, drop the benchmark, caveat the score) is
+    * per-suite. k = [[SamplingQueries.SpanContamK]] (the ≥ 8-token
+    * window of Llama 2's analysis, shared with l47).
+    *
+    * Scale shape: the eval side is a bounded benchmark suite — its
+    * per-suite distinct-gram set BROADCASTS into both hit joins, so
+    * the train corpus never reshuffles beyond [[SamplingQueries
+    * .docGramsK]]'s map-side distinct (l25/l30/l47's probe family).
+    * The train gram frame is checkpointed once and probed twice. */
+  private[graft] def suiteContam(corpus: DataFrame, k: Int): DataFrame = {
+    val suite = expr("concat('s', CAST(CAST(conv(substring(md5(concat(" +
+      "CAST(doc_id AS STRING), ':suite')), 1, 1), 16, 10) AS BIGINT) " +
+      "div 4 AS STRING))")
+    val evalD = corpus.filter(col("split") === "test")
+      .withColumn("suite", suite)
+    // per-(suite, doc) distinct grams; docGramsK dedups within a doc
+    val evalGrams = evalD
+      .transform(SamplingQueries.docGramsK(_, Seq("suite", "doc_id"), k,
+        hashed = false))
+    val suiteGrams = evalGrams.select("suite", "gram").distinct()
+    val trainGrams = corpus.filter(col("split") === "train")
+      .transform(SamplingQueries.docGramsK(_, Seq("doc_id"), k,
+        hashed = false))
+      .localCheckpoint(false) // probed twice (both leak directions)
+    val hitTrain = trainGrams.join(broadcast(suiteGrams), Seq("gram"))
+      .select("suite", "doc_id").distinct()
+    val hitEval = trainGrams.select("gram")
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select("suite", "doc_id").distinct()
+    val suites = evalD.groupBy("suite").agg(count(lit(1)).as("n_eval_docs"))
+    val gramCounts = suiteGrams.groupBy("suite")
+      .agg(count(lit(1)).as("n_eval_grams"))
+    val trainSide = hitTrain.groupBy("suite")
+      .agg(count(lit(1)).as("n_train_hit"), sum("doc_id").as("train_checksum"))
+    val evalSide = hitEval.groupBy("suite")
+      .agg(count(lit(1)).as("n_eval_leaked"), sum("doc_id").as("leaked_checksum"))
+    suites
+      .join(gramCounts, Seq("suite"), "left")
+      .join(trainSide, Seq("suite"), "left")
+      .join(evalSide, Seq("suite"), "left")
+      .select(col("suite"), col("n_eval_docs"),
+        coalesce(col("n_eval_grams"), lit(0L)).as("n_eval_grams"),
+        coalesce(col("n_train_hit"), lit(0L)).as("n_train_hit"),
+        coalesce(col("train_checksum"), lit(0L)).as("train_checksum"),
+        coalesce(col("n_eval_leaked"), lit(0L)).as("n_eval_leaked"),
+        coalesce(col("leaked_checksum"), lit(0L)).as("leaked_checksum"))
+      .orderBy("suite")
+  }
+
+  /** L68 — the DQ over l47's planted corpus (every TEST doc plants a
+    * verbatim-tail train copy — so every suite with an ≥ 9-token test
+    * doc measurably leaks, and the per-suite split of those hits is
+    * pinned by the oracle). */
+  val l68 = DQ(
+    "l68_suite_contam",
+    (s, d) => suiteContam(
+      SamplingQueries.spanContamCorpus(s, d), SamplingQueries.SpanContamK),
+    Some(s"""WITH base AS (
+              SELECT lang, doc_id, text,
+                CASE WHEN h IS NULL THEN NULL
+                     WHEN h < 'c000' THEN 'train'
+                     WHEN h < 'e000' THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT lang, doc_id, text,
+                      substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) AS h
+                    FROM documents WHERE text IS NOT NULL)),
+            off AS (SELECT COALESCE(MAX(doc_id), -1) + 1 AS o FROM base),
+            planted AS (
+              SELECT lang, doc_id + off.o AS doc_id,
+                CASE WHEN doc_id % 2 = 0
+                  THEN substring(text, instr(text, ' ') + 1)
+                  ELSE substring(text, instr(text, ' ') + 1) || ' ' ||
+                    array_to_string(list_reverse(string_split(
+                      substring(text, instr(text, ' ') + 1), ' ')), ' ')
+                END AS text,
+                'train' AS split
+              FROM base, off WHERE split = 'test'),
+            corpus AS (
+              SELECT lang, doc_id, text, split FROM base
+              UNION ALL
+              SELECT lang, doc_id, text, split FROM planted),
+            ev AS (
+              SELECT doc_id, text,
+                's' || CAST(CAST(('0x' || substring(md5(
+                  CAST(doc_id AS VARCHAR) || ':suite'), 1, 1)) AS BIGINT) // 4
+                  AS VARCHAR) AS suite
+              FROM corpus WHERE split = 'test'),
+            evt AS (
+              SELECT suite, doc_id,
+                string_split_regex(lower(text), '\\s+') AS ta FROM ev),
+            evg AS (
+              SELECT DISTINCT suite, doc_id, gram FROM (
+                SELECT suite, doc_id,
+                  unnest(list_transform(range(len(ta) - ${SamplingQueries.SpanContamK - 1}),
+                    i -> array_to_string(
+                      list_slice(ta, i + 1, i + ${SamplingQueries.SpanContamK}), ' '))) AS gram
+                FROM evt WHERE len(ta) >= ${SamplingQueries.SpanContamK})),
+            sg AS (SELECT DISTINCT suite, gram FROM evg),
+            trt AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ta
+              FROM corpus WHERE split = 'train'),
+            tg AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(len(ta) - ${SamplingQueries.SpanContamK - 1}),
+                    i -> array_to_string(
+                      list_slice(ta, i + 1, i + ${SamplingQueries.SpanContamK}), ' '))) AS gram
+                FROM trt WHERE len(ta) >= ${SamplingQueries.SpanContamK})),
+            hitT AS (
+              SELECT DISTINCT s.suite, t.doc_id
+              FROM tg t JOIN sg s ON t.gram = s.gram),
+            hitE AS (
+              SELECT DISTINCT e.suite, e.doc_id FROM evg e
+              WHERE EXISTS (SELECT 1 FROM tg t WHERE t.gram = e.gram)),
+            suites AS (
+              SELECT suite, COUNT(*) AS n_eval_docs FROM ev GROUP BY 1),
+            sgc AS (SELECT suite, COUNT(*) AS n_eval_grams FROM sg GROUP BY 1),
+            ht AS (
+              SELECT suite, COUNT(*) AS n_train_hit, SUM(doc_id) AS sum_t
+              FROM hitT GROUP BY 1),
+            he AS (
+              SELECT suite, COUNT(*) AS n_eval_leaked, SUM(doc_id) AS sum_e
+              FROM hitE GROUP BY 1)
+            SELECT s.suite,
+              CAST(s.n_eval_docs AS BIGINT) AS n_eval_docs,
+              CAST(COALESCE(g.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
+              CAST(COALESCE(ht.n_train_hit, 0) AS BIGINT) AS n_train_hit,
+              CAST(COALESCE(ht.sum_t, 0) AS BIGINT) AS train_checksum,
+              CAST(COALESCE(he.n_eval_leaked, 0) AS BIGINT) AS n_eval_leaked,
+              CAST(COALESCE(he.sum_e, 0) AS BIGINT) AS leaked_checksum
+            FROM suites s
+            LEFT JOIN sgc g USING (suite)
+            LEFT JOIN ht USING (suite)
+            LEFT JOIN he USING (suite)
+            ORDER BY suite"""))
+
+  // ----------------------------------- l69 Gopher doc-quality ladder
+
+  /** The corpus-realized stopword set of the Gopher "must contain ≥ 2
+    * of..." rule (Rae et al. 2021 list {the, be, to, of, and, that,
+    * have, with} realized on this synthetic vocabulary — the same set
+    * [[LlmQueries.qualityKeep]]'s stopword share uses, so the two
+    * quality layers read the same lexicon). */
+  private val GopherStopwords = Seq("the", "a", "value", "table")
+
+  /** Per-document flags for the NON-repetition half of Gopher's
+    * Table A1 quality rules (Rae et al. 2021; l27b/[[LlmQueries
+    * .ladderFlags]] is the repetition half). All row-local, all
+    * integer cross-multiplies — no division, no floats:
+    *
+    *  - `f_wc`     word count < 50 or > 100 000
+    *  - `f_mwl`    mean word length outside [3, 10] chars
+    *  - `f_sym`    symbol-to-word ratio ('#' + '…'-as-'...') > 0.1
+    *  - `f_bullet` > 90% of lines start with a bullet ('-' / '*')
+    *  - `f_ell`    > 30% of lines end with an ellipsis
+    *  - `f_alpha`  < 80% of words contain an alphabetic character
+    *  - `f_stop`   < 2 distinct [[GopherStopwords]] present
+    */
+  private[graft] def gopherFlagsFrame(df: DataFrame): DataFrame =
+    df.filter(col("text").isNotNull)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_w", size(col("ta")).cast("long"))
+      .withColumn("sum_wlen",
+        expr("aggregate(ta, 0L, (a, t) -> a + length(t))"))
+      .withColumn("n_alpha",
+        expr("size(filter(ta, t -> t rlike '[a-z]'))").cast("long"))
+      .withColumn("n_sym",
+        (length(col("text")) - length(expr("replace(text, '#', '')")))
+          .cast("long") +
+        expr("(length(text) - length(replace(text, '...', ''))) div 3")
+          .cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_bullet", expr(
+        "size(filter(lines, l -> substring(ltrim(l), 1, 1) IN ('-', '*')))")
+        .cast("long"))
+      .withColumn("n_ellend", expr(
+        "size(filter(lines, l -> rtrim(l) LIKE '%...'))").cast("long"))
+      .withColumn("n_stop", GopherStopwords
+        .map(w => when(array_contains(col("ta"), w), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .select(col("lang"), col("doc_id"),
+        (col("n_w") < 50L || col("n_w") > 100000L).as("f_wc"),
+        (col("sum_wlen") < lit(3L) * col("n_w") ||
+          col("sum_wlen") > lit(10L) * col("n_w")).as("f_mwl"),
+        (col("n_sym") * 10L > col("n_w")).as("f_sym"),
+        (col("n_bullet") * 10L > lit(9L) * col("n_lines")).as("f_bullet"),
+        (col("n_ellend") * 10L > lit(3L) * col("n_lines")).as("f_ell"),
+        (col("n_alpha") * 10L < lit(8L) * col("n_w")).as("f_alpha"),
+        (col("n_stop") < 2L).as("f_stop"))
+
+  /** [[l69]]'s planted corpus: the stock documents carry no symbols,
+    * newlines, or bullets (verified on the generator's output), so
+    * three of the seven published rules could never fire — the catalog
+    * plants the phenomenon with one expression battery both engines
+    * replay verbatim (l47's discipline): every src doc with
+    * doc_id % 10 = 0 also lands a degraded copy at id + offset —
+    * bullet-per-line (% 30 = 0), '#'-laced (% 30 = 10), or
+    * ellipsis-line-ended (% 30 = 20). */
+  private[graft] def gopherCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("text").isNotNull)
+      .select(col("lang"), col("doc_id"), col("text"))
+    val off = LlmQueries.plantedOffset(base, "doc_id")
+    val bad = base.filter(col("doc_id") % 10 === 0)
+      .crossJoin(broadcast(off)) // 1-row offset broadcast
+      .select(col("lang"), (col("doc_id") + col("_off")).as("doc_id"),
+        when(col("doc_id") % 30 === 0,
+          expr("concat('- ', replace(text, ' ', concat(chr(10), '- ')))"))
+        .when(col("doc_id") % 30 === 10,
+          expr("replace(text, ' ', ' # ')"))
+        .otherwise(expr("replace(text, ' ', concat('...', chr(10)))"))
+        .as("text"))
+    base.unionByName(bad)
+  }
+
+  /** L69 — the DQ: per-language rule-firing counts of the Gopher
+    * doc-quality ladder over the planted corpus, plus the any-flag
+    * count and the flagged-id checksum (pinning WHICH docs trip, the
+    * l27b shape). */
+  val l69 = DQ(
+    "l69_gopher_quality",
+    (s, d) => {
+      val anyf = col("f_wc") || col("f_mwl") || col("f_sym") ||
+        col("f_bullet") || col("f_ell") || col("f_alpha") || col("f_stop")
+      gopherFlagsFrame(gopherCorpus(s, d))
+        .withColumn("f_any", anyf)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("f_wc"), 1L).otherwise(0L)).as("n_flag_wordcount"),
+          sum(when(col("f_mwl"), 1L).otherwise(0L)).as("n_flag_wordlen"),
+          sum(when(col("f_sym"), 1L).otherwise(0L)).as("n_flag_symbol"),
+          sum(when(col("f_bullet"), 1L).otherwise(0L)).as("n_flag_bullet"),
+          sum(when(col("f_ell"), 1L).otherwise(0L)).as("n_flag_ellipsis"),
+          sum(when(col("f_alpha"), 1L).otherwise(0L)).as("n_flag_alpha"),
+          sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_flag_stopword"),
+          sum(when(col("f_any"), 1L).otherwise(0L)).as("n_flag_any"),
+          coalesce(sum(when(col("f_any"), col("doc_id"))), lit(0L))
+            .as("flagged_checksum"))
+        .orderBy("lang")
+    },
+    Some("""WITH base0 AS (
+              SELECT lang, doc_id, text FROM documents WHERE text IS NOT NULL),
+            off AS (SELECT COALESCE(MAX(doc_id), -1) + 1 AS o FROM base0),
+            bad AS (
+              SELECT lang, doc_id + off.o AS doc_id,
+                CASE WHEN doc_id % 30 = 0
+                       THEN '- ' || replace(text, ' ', chr(10) || '- ')
+                     WHEN doc_id % 30 = 10
+                       THEN replace(text, ' ', ' # ')
+                     ELSE replace(text, ' ', '...' || chr(10)) END AS text
+              FROM base0, off WHERE doc_id % 10 = 0),
+            corpus AS (
+              SELECT * FROM base0 UNION ALL SELECT * FROM bad),
+            m AS (
+              SELECT lang, doc_id,
+                string_split_regex(lower(text), '\s+') AS ta,
+                string_split(text, chr(10)) AS lines,
+                len(text) - len(replace(text, '#', '')) AS n_hash,
+                (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell
+              FROM corpus),
+            f AS (
+              SELECT lang, doc_id,
+                len(ta) AS n_w,
+                list_sum(list_transform(ta, t -> len(t))) AS sum_wlen,
+                len(list_filter(ta, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+                n_hash + n_ell AS n_sym,
+                len(lines) AS n_lines,
+                len(list_filter(lines,
+                  l -> substring(ltrim(l), 1, 1) IN ('-', '*'))) AS n_bullet,
+                len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS n_ellend,
+                CAST(list_contains(ta, 'the') AS INT)
+                  + CAST(list_contains(ta, 'a') AS INT)
+                  + CAST(list_contains(ta, 'value') AS INT)
+                  + CAST(list_contains(ta, 'table') AS INT) AS n_stop
+              FROM m),
+            fl AS (
+              SELECT lang, doc_id,
+                (n_w < 50 OR n_w > 100000) AS f_wc,
+                (sum_wlen < 3 * n_w OR sum_wlen > 10 * n_w) AS f_mwl,
+                (n_sym * 10 > n_w) AS f_sym,
+                (n_bullet * 10 > 9 * n_lines) AS f_bullet,
+                (n_ellend * 10 > 3 * n_lines) AS f_ell,
+                (n_alpha * 10 < 8 * n_w) AS f_alpha,
+                (n_stop < 2) AS f_stop
+              FROM f),
+            fa AS (
+              SELECT *, (f_wc OR f_mwl OR f_sym OR f_bullet OR f_ell
+                OR f_alpha OR f_stop) AS f_any FROM fl)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_wordcount,
+              CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_wordlen,
+              CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_symbol,
+              CAST(SUM(CASE WHEN f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_bullet,
+              CAST(SUM(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_ellipsis,
+              CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_alpha,
+              CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_stopword,
+              CAST(SUM(CASE WHEN f_any THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_any,
+              CAST(COALESCE(SUM(CASE WHEN f_any THEN doc_id END), 0) AS BIGINT)
+                AS flagged_checksum
+            FROM fa GROUP BY 1 ORDER BY lang"""))
+
+  val all: Seq[DQ] = Seq(l66, l67, l68, l69)
+}

@@ -716,6 +716,271 @@ object SamplingQueries {
             FROM total t LEFT JOIN perlang p ON t.lang = p.lang
             ORDER BY t.lang"""))
 
+  /** The substring-dedup TRANSFORM — [[l33]] accounts the repeated
+    * spans; this CUTS them, the operation Lee et al. 2022 actually
+    * apply (ExactSubstr "removes the duplicated substring, keeping one
+    * occurrence"): per repeated gram the canonical OWNER is the
+    * smallest doc_id containing it; every occurrence in a NON-owner
+    * document is a cut site, cut sites merge into maximal spans
+    * ([[mergeSpans]] — the same coalescing l33 fingerprints), and the
+    * cleaned document is its normalized token stream with cut spans
+    * removed. Cross-document repeats only (l33's criterion);
+    * within-doc-only repeats are below the nd ≥ 2 bar by construction.
+    * Returns (lang, doc_id, ta, cuts, text_clean, n_tokens,
+    * n_cut_tokens) — one row per corpus document, `text_clean` the
+    * space-rejoined kept tokens ("" when a doc cuts entirely).
+    *
+    * Scale shape: the gram agg is l33's one shuffle; cut sites are
+    * hit-density-bounded into the per-doc merge window; the cut
+    * itself is ROW-LOCAL (zip_with + filter over the doc's own tokens
+    * against its ≤spans-sized cut list) — no second corpus shuffle. */
+  private[graft] def exactSubstrCut(corpus: DataFrame, k: Int): DataFrame = {
+    val grams = spanGrams(corpus, k, hashed = false).localCheckpoint(false)
+    val owners = grams.groupBy("gram")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram", "owner")
+    val cutHits = grams.join(owners, Seq("gram"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select("lang", "doc_id", "pos")
+    val cuts = mergeSpans(cutHits, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    applyCuts(corpus, cuts)
+  }
+
+  /** The UNIFIED ExactSubstr cut — [[exactSubstrCut]] handles the
+    * cross-document criterion (l33's scope: owner DOCUMENTS keep all
+    * their occurrences); this is the full Lee et al. rule, within-doc
+    * repeats included: for every gram the CANONICAL occurrence is the
+    * globally first site in (doc_id, pos) order, and every other
+    * occurrence — a later position in the SAME doc just as much as a
+    * site in another doc — is a cut site. The canonical key is the
+    * integer encoding doc_id·2²⁰ + pos (positions are token offsets,
+    * far under 2²⁰ — integer-exact in both engines, no struct-min
+    * portability question), so "first occurrence" is ONE min() per
+    * gram. Same merge/cut machinery as [[exactSubstrCut]] downstream.
+    *
+    * Fixpoint (spec-pinned): after the cut, every k-gram of the
+    * cleaned corpus occurs exactly ONCE globally — nothing repeats,
+    * across or within documents. */
+  private[graft] def exactSubstrCutGlobal(corpus: DataFrame,
+      k: Int): DataFrame = {
+    val grams = spanGrams(corpus, k, hashed = false).localCheckpoint(false)
+    val keyed = grams.withColumn("okey",
+      shiftleft(col("doc_id"), 20) + col("pos"))
+    val canon = keyed.groupBy("gram").agg(min("okey").as("ckey"))
+    val cutHits = keyed.join(canon, Seq("gram"))
+      .filter(col("okey") =!= col("ckey"))
+      .select("lang", "doc_id", "pos")
+    val cuts = mergeSpans(cutHits, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    applyCuts(corpus, cuts)
+  }
+
+  /** The shared row-local cut application: corpus ⋈ per-doc cut list →
+    * cleaned token stream + accounting columns. Factored so the
+    * cross-doc ([[exactSubstrCut]]) and unified
+    * ([[exactSubstrCutGlobal]]) criteria share one implementation. */
+  private def applyCuts(corpus: DataFrame, cuts: DataFrame): DataFrame =
+    corpus.filter(col("text").isNotNull)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("cuts").isNull, col("ta")).otherwise(expr(
+          s"""transform(
+                filter(
+                  zip_with(ta, sequence(0, size(ta) - 1),
+                    (t, i) -> struct(t AS tok, i AS idx)),
+                  x -> NOT exists(cuts, c -> x.idx >= c.s AND x.idx < c.e)),
+                x -> x.tok)""")))
+      .withColumn("text_clean", concat_ws(" ", col("kept")))
+      .withColumn("n_tokens", size(col("ta")).cast("long"))
+      .withColumn("n_cut_tokens",
+        when(col("cuts").isNull, 0L).otherwise(expr(
+          "aggregate(cuts, 0L, (acc, c) -> acc + (c.e - c.s))")))
+      .select("lang", "doc_id", "ta", "cuts", "text_clean",
+        "n_tokens", "n_cut_tokens")
+
+  /** L65 — the unified-criterion DQ ([[exactSubstrCutGlobal]] over the
+    * planted corpus): same rollup shape as [[l64]]; the two DQs differ
+    * exactly where the criteria differ — a within-doc repeat is
+    * invisible to l64 and cut by l65. */
+  val l65 = DQ(
+    "l65_substring_cut_global",
+    (s, d) => {
+      exactSubstrCutGlobal(LlmQueries.plantedFull(docs(s, d)), SpanK)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_cut_tokens") > 0L, 1L).otherwise(0L))
+            .as("n_docs_cut"),
+          sum("n_tokens").as("tokens_before"),
+          sum("n_cut_tokens").as("tokens_cut"),
+          (sum("n_tokens") - sum("n_cut_tokens")).as("tokens_after"),
+          sum(conv(substring(md5(col("text_clean")), 1, 8), 16, 10)
+            .cast("long")).as("cleaned_checksum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH corpus AS (
+              SELECT lang, doc_id, text FROM documents
+              UNION ALL
+              SELECT d.lang,
+                d.doc_id + (SELECT COALESCE(MAX(doc_id), -1) + 1 FROM documents),
+                substring(d.text, instr(d.text, ' ') + 1)
+              FROM documents d WHERE d.doc_id % 10 = 0),
+            toks AS (
+              SELECT lang, doc_id, string_split_regex(lower(text), '\\s+') AS ta
+              FROM corpus WHERE text IS NOT NULL),
+            posn AS (
+              SELECT lang, doc_id, ta,
+                unnest(range(len(ta) - ${SpanK - 1})) AS pos
+              FROM toks WHERE len(ta) >= $SpanK),
+            grams AS (
+              SELECT lang, doc_id, pos,
+                doc_id * 1048576 + pos AS okey,
+                array_to_string(list_slice(ta, pos + 1, pos + $SpanK), ' ') AS gram
+              FROM posn),
+            canon AS (
+              SELECT gram, MIN(okey) AS ckey FROM grams GROUP BY gram),
+            hits AS (
+              SELECT g.lang, g.doc_id, g.pos FROM grams g
+              JOIN canon c ON g.gram = c.gram AND g.okey <> c.ckey),
+            marked AS (
+              SELECT lang, doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos + $SpanK) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+              FROM hits),
+            spanid AS (
+              SELECT lang, doc_id, pos,
+                SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+              FROM marked),
+            spans AS (
+              SELECT lang, doc_id, span_id,
+                MIN(pos) AS s, MAX(pos) + $SpanK AS e
+              FROM spanid GROUP BY 1, 2, 3),
+            positions AS (
+              SELECT lang, doc_id, ta, unnest(range(len(ta))) AS i
+              FROM toks),
+            kept AS (
+              SELECT p.lang, p.doc_id, p.i, p.ta[p.i + 1] AS tok
+              FROM positions p
+              WHERE NOT EXISTS (SELECT 1 FROM spans s
+                WHERE s.doc_id = p.doc_id AND p.i >= s.s AND p.i < s.e)),
+            cleaned AS (
+              SELECT t.lang, t.doc_id, len(t.ta) AS n_tokens,
+                COALESCE(k.ctext, '') AS text_clean,
+                COALESCE(k.n_kept, 0) AS n_kept
+              FROM toks t LEFT JOIN (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext,
+                  COUNT(*) AS n_kept
+                FROM kept GROUP BY 1) k ON t.doc_id = k.doc_id)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN n_tokens > n_kept THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_cut,
+              CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+              CAST(SUM(n_tokens - n_kept) AS BIGINT) AS tokens_cut,
+              CAST(SUM(n_kept) AS BIGINT) AS tokens_after,
+              CAST(SUM(CAST(('0x' || substring(md5(text_clean), 1, 8))
+                AS BIGINT)) AS BIGINT) AS cleaned_checksum
+            FROM cleaned GROUP BY 1 ORDER BY lang"""))
+
+  /** L64 — substring-cut accounting (the DQ over [[exactSubstrCut]] on
+    * the planted corpus, string grams for oracle parity): per language
+    * — docs, docs cut, tokens before/cut/after, and a checksum over
+    * the CLEANED text (8 md5 hex digits per doc, summed — pins the
+    * exact byte content of every cleaned document, not just counts).
+    * The planted near-dup copies are the verifiable repeats: each
+    * copy's text is owned by its smaller-id source, so copies cut and
+    * sources keep — keep-one-occurrence realized corpus-wide. */
+  val l64 = DQ(
+    "l64_substring_cut",
+    (s, d) => {
+      exactSubstrCut(LlmQueries.plantedFull(docs(s, d)), SpanK)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_cut_tokens") > 0L, 1L).otherwise(0L))
+            .as("n_docs_cut"),
+          sum("n_tokens").as("tokens_before"),
+          sum("n_cut_tokens").as("tokens_cut"),
+          (sum("n_tokens") - sum("n_cut_tokens")).as("tokens_after"),
+          sum(conv(substring(md5(col("text_clean")), 1, 8), 16, 10)
+            .cast("long")).as("cleaned_checksum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH corpus AS (
+              SELECT lang, doc_id, text FROM documents
+              UNION ALL
+              SELECT d.lang,
+                d.doc_id + (SELECT COALESCE(MAX(doc_id), -1) + 1 FROM documents),
+                substring(d.text, instr(d.text, ' ') + 1)
+              FROM documents d WHERE d.doc_id % 10 = 0),
+            toks AS (
+              SELECT lang, doc_id, string_split_regex(lower(text), '\\s+') AS ta
+              FROM corpus WHERE text IS NOT NULL),
+            posn AS (
+              SELECT lang, doc_id, ta,
+                unnest(range(len(ta) - ${SpanK - 1})) AS pos
+              FROM toks WHERE len(ta) >= $SpanK),
+            grams AS (
+              SELECT lang, doc_id, pos,
+                array_to_string(list_slice(ta, pos + 1, pos + $SpanK), ' ') AS gram
+              FROM posn),
+            owners AS (
+              SELECT gram, MIN(doc_id) AS owner FROM grams GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT g.lang, g.doc_id, g.pos FROM grams g
+              JOIN owners o ON g.gram = o.gram AND g.doc_id <> o.owner),
+            marked AS (
+              SELECT lang, doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos + $SpanK) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+              FROM hits),
+            spanid AS (
+              SELECT lang, doc_id, pos,
+                SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+              FROM marked),
+            spans AS (
+              SELECT lang, doc_id, span_id,
+                MIN(pos) AS s, MAX(pos) + $SpanK AS e
+              FROM spanid GROUP BY 1, 2, 3),
+            positions AS (
+              SELECT lang, doc_id, ta, unnest(range(len(ta))) AS i
+              FROM toks),
+            kept AS (
+              SELECT p.lang, p.doc_id, p.i, p.ta[p.i + 1] AS tok
+              FROM positions p
+              WHERE NOT EXISTS (SELECT 1 FROM spans s
+                WHERE s.doc_id = p.doc_id AND p.i >= s.s AND p.i < s.e)),
+            cleaned AS (
+              SELECT t.lang, t.doc_id, len(t.ta) AS n_tokens,
+                COALESCE(k.ctext, '') AS text_clean,
+                COALESCE(k.n_kept, 0) AS n_kept
+              FROM toks t LEFT JOIN (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext,
+                  COUNT(*) AS n_kept
+                FROM kept GROUP BY 1) k ON t.doc_id = k.doc_id)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN n_tokens > n_kept THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_cut,
+              CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+              CAST(SUM(n_tokens - n_kept) AS BIGINT) AS tokens_cut,
+              CAST(SUM(n_kept) AS BIGINT) AS tokens_after,
+              CAST(SUM(CAST(('0x' || substring(md5(text_clean), 1, 8))
+                AS BIGINT)) AS BIGINT) AS cleaned_checksum
+            FROM cleaned GROUP BY 1 ORDER BY lang"""))
+
   /** [[l40]]'s cap as a reusable frame so the spec can run a binding
     * cap at sf0.001 (where the DQ's production cap of 10 exceeds every
     * source's 2–3 docs and nothing would differ). Returns per-source
@@ -1782,5 +2047,5 @@ object SamplingQueries {
             FROM lv l, wl w ORDER BY lang"""))
 
   val all: Seq[DQ] = Seq(l20, l21, l22, l23, l25, l33, l35, l39, l40, l42,
-    l45, l47, l51, l55, l60, l61, l62)
+    l45, l47, l51, l55, l60, l61, l62, l64, l65)
 }

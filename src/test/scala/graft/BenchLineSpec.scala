@@ -45,15 +45,15 @@ class BenchLineSpec extends AnyFunSuite {
     val omitted = """"omitted":(\d+)""".r.findFirstMatchIn(line)
       .map(_.group(1).toInt).getOrElse(0)
     // proportional, not absolute — and sized by the LINE-BUDGET
-    // arithmetic, not wishful thinking: ~1500 B of query-map room at
-    // ~24 B/entry itemizes ~65-70 entries, so past ~90 queries the
-    // fast-quarter bound of the 88-query round is unreachable at any
-    // precision. The contract that survives growth: the slow TWO
-    // THIRDS (every floor-relevant magnitude) is itemized, the
+    // arithmetic, not wishful thinking: ~1670 B of query-map room at
+    // ~23 B/entry itemizes ~72 entries, so past ~108 queries even the
+    // slow-two-thirds bound of the 105-query round is unreachable at
+    // any precision. The contract that survives growth: the slow
+    // ~60% (every floor-relevant magnitude) is itemized, the
     // omission is exactly the fastest tail (checked below), and the
     // total covers the full catalog. Per-query floors come from the
     // full bench_full_*.json records, never from the tail line.
-    assert(omitted <= names.size / 3, s"omitted tail too large: $omitted")
+    assert(omitted <= names.size * 2 / 5, s"omitted tail too large: $omitted")
     timings.sortBy(-_._2).dropRight(omitted)
       .foreach { case (n, _) =>
         assert(line.contains("\"" + n + "\":"), s"slow query $n missing") }

@@ -81,7 +81,13 @@ class PlanSpec extends AnyFunSuite {
       // l62: the same two 1-row broadcasts (totals, water level)
       // crossJoined onto the L-row frame — the composed l45/l51/l61
       // report inherits their shapes.
-      "l62_mix_plan")
+      "l62_mix_plan",
+      // l64/l65/l66: plantedFull's 1-row offset broadcast (the l33
+      // planted-corpus construction these cut/profile variants share).
+      "l64_substring_cut", "l65_substring_cut_global", "l66_dup_profile",
+      // l69: the 1-row planted-offset broadcast building the degraded
+      // fixture copies (l47's construction).
+      "l69_gopher_quality")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.Session
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-audit reports (l66–l69): each pinned on a hand-built fixture
+  * where the expected numbers are computable by eye, plus a planted- or
+  * brute-force reconciliation at sf0.001. */
+class AuditQueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def frame(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  // ------------------------------------------------------------- l66
+
+  test("l66 duplication profile: bucket membership, site totals, and " +
+      "max count on a fixture with known gram counts") {
+    // k = 3: 'a b c' occurs 3x (docs 1, 2, 3), 'b c d' 2x (docs 1, 2);
+    // every other gram once
+    val rows = frame(Seq(
+      (1L, "en", "a b c d x"),   // grams: abc, bcd, cdx
+      (2L, "en", "a b c d y"),   // grams: abc, bcd, cdy
+      (3L, "en", "z a b c")))    // grams: zab, abc
+    val got = AuditQueries.dupProfile(rows, k = 3)
+      .select("dup_bucket", "n_grams", "n_sites", "max_count")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("1") === (3L, 3L, 1L), "cdx, cdy, zab each once")
+    assert(got("2") === (1L, 2L, 2L), "'b c d' twice")
+    assert(got("3-10") === (1L, 3L, 3L), "'a b c' three times")
+    assert(!got.contains("11+"))
+  }
+
+  test("l66 reconciles against the gram population at sf0.001: site " +
+      "totals equal the corpus' gram count and the >=2 buckets are " +
+      "exactly the planted repeats") {
+    val corpus = LlmQueries.plantedFull(
+      graft.Tables.documents(spark, sf))
+    val prof = AuditQueries.dupProfile(corpus, SamplingQueries.SpanK)
+      .collect()
+    val totalSites = prof.map(_.getLong(3)).sum
+    val gramPop = corpus
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .filter(size(col("ta")) >= SamplingQueries.SpanK)
+      .agg(sum(size(col("ta")) - (SamplingQueries.SpanK - 1)))
+      .collect()(0).getLong(0)
+    assert(totalSites === gramPop,
+      "every gram site lands in exactly one bucket")
+    // the planted copies are the only cross-doc repeats (l33's planted
+    // invariant) — so at least one >=2 bucket must be populated
+    assert(prof.exists(r => r.getString(1) != "1" && r.getLong(2) > 0))
+  }
+
+  // ------------------------------------------------------------- l67
+
+  test("l67 source report card equals a driver-side brute-force " +
+      "recompute at sf0.001, column for column") {
+    val got = AuditQueries.sourceReport(graft.Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val rows = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select("source", "lang", "doc_id", "n_chars", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val hashCount = rows.groupBy(_._5.toLowerCase.trim)
+      .map { case (k, v) => k -> v.size }
+    val stop = Set("the", "a", "value", "table")
+    val bySource = rows.groupBy(_._1)
+    for ((src, ds) <- bySource) {
+      val n = ds.size.toLong
+      val toks = ds.map(_._5.toLowerCase.split("\\s+"))
+      val nTokens = toks.map(_.length.toLong).sum
+      val nDup = ds.count(d => hashCount(d._5.toLowerCase.trim) >= 2).toLong
+      val nLowq = ds.count { d =>
+        val ta = d._5.toLowerCase.split("\\s+")
+        val stopBp = math.round(ta.count(stop) * 10000.0 / ta.length)
+        !(d._4 >= 200 && stopBp < 2500)
+      }.toLong
+      val nRep = toks.count { ta =>
+        ta.length >= 2 && {
+          val bp = math.round(ta.sliding(2).map(_.mkString(" ")).toSeq
+            .groupBy(identity).values.map(_.size).max * 10000.0 /
+            (ta.length - 1))
+          bp > 1000
+        }
+      }.toLong
+      val r = got(src)
+      assert(r.getLong(1) === n, s"$src n_docs")
+      assert(r.getLong(2) === nTokens, s"$src n_tokens")
+      assert(r.getLong(3) === nTokens / n, s"$src mean_tokens")
+      assert(r.getLong(4) === ds.map(_._2).distinct.size.toLong, s"$src n_langs")
+      assert(r.getLong(5) === nDup, s"$src n_dup_docs")
+      assert(r.getLong(6) === nLowq, s"$src n_lowq")
+      assert(r.getLong(7) === nRep, s"$src n_rep")
+      assert(r.getLong(8) === math.round(nDup * 10000.0 / n), s"$src dup_bp")
+      assert(r.getLong(9) === math.round(nLowq * 10000.0 / n), s"$src lowq_bp")
+    }
+    assert(got.keySet === bySource.keySet)
+  }
+
+  // ------------------------------------------------------------- l68
+
+  /** The same md5-suite draw the operator applies, driver-side. */
+  private def suiteOf(docId: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$docId:suite".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"s${Integer.parseInt(hex.substring(0, 1), 16) / 4}"
+  }
+
+  test("l68 per-suite contamination: a train doc copying one suite's " +
+      "eval text hits THAT suite only; untouched suites read zero") {
+    import spark.implicits._
+    // eval docs across suites; ids chosen so at least two distinct
+    // suites appear; one train doc embeds eval doc A's text verbatim
+    val evalIds = (1L to 40L).toSeq
+    // every token parameterized by i — no 8-gram is shared ACROSS eval
+    // docs, so the quote below can only hit its own doc's suite
+    val eva = evalIds.map(i => (i, "en",
+      s"eval sample $i alpha$i beta$i gamma$i delta$i epsilon$i " +
+        s"zeta$i eta$i theta$i iota$i"))
+    val hitId = evalIds.head
+    val train = Seq(
+      (1000L, "en", s"train page quoting eval sample $hitId alpha$hitId " +
+        s"beta$hitId gamma$hitId delta$hitId epsilon$hitId zeta$hitId " +
+        s"eta$hitId theta$hitId iota$hitId and more"),
+      (1001L, "en", "completely unrelated train page with its own " +
+        "twelve words of content here now"))
+    val corpus = (eva.map { case (i, l, t) => (i, l, t, "test") } ++
+      train.map { case (i, l, t) => (i, l, t, "train") })
+      .toDF("doc_id", "lang", "text", "split")
+    val got = AuditQueries.suiteContam(corpus, SamplingQueries.SpanContamK)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val hitSuite = suiteOf(hitId)
+    assert(got(hitSuite) === (1L, 1000L, 1L),
+      "one train doc hits, checksum pins it, one eval doc leaked")
+    got.filter(_._1 != hitSuite).foreach { case (s, v) =>
+      assert(v === (0L, 0L, 0L), s"suite $s must be clean")
+    }
+    assert(got.size >= 2, "fixture must span >= 2 suites")
+  }
+
+  test("l68 at sf0.001: planted tails leak — totals reconcile with the " +
+      "corpus-level overlap and every leaked count is bounded by its " +
+      "suite's eval docs") {
+    val corpus = SamplingQueries.spanContamCorpus(spark, sf)
+    val rows = AuditQueries
+      .suiteContam(corpus, SamplingQueries.SpanContamK).collect()
+    assert(rows.map(_.getLong(3)).sum > 0, "planted copies must hit")
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(1),
+        s"suite ${r.getString(0)}: leaked eval docs <= eval docs")
+    }
+    // every test doc long enough to plant a full-tail copy (even ids)
+    // must be leaked in ITS suite's ledger
+    val evalDocs = corpus.filter(col("split") === "test")
+      .filter(col("doc_id") % 2 === 0)
+      .filter(size(split(lower(col("text")), "\\s+")) >
+        SamplingQueries.SpanContamK)
+      .select("doc_id").collect().map(_.getLong(0))
+    val leakedBySuite = rows
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val expectedMin = evalDocs.groupBy(suiteOf).map { case (s, d) => s -> d.length }
+    expectedMin.foreach { case (s, nMin) =>
+      assert(leakedBySuite(s) >= nMin.toLong,
+        s"suite $s: every even-id test doc plants verbatim, so >= $nMin leak")
+    }
+  }
+
+  // ------------------------------------------------------------- l69
+
+  private def flags(rows: Seq[(Long, String, String)]) =
+    AuditQueries.gopherFlagsFrame(frame(rows))
+      .collect().map(r => r.getLong(1) -> (2 to 8).map(r.getBoolean)).toMap
+
+  test("l69 rules fire exactly as published: each fixture doc trips " +
+      "its one designed rule (plus none of the others)") {
+    // 60 words, mean len 4, all alpha, >= 2 stopwords, no symbols →
+    // clean baseline
+    val cleanText = ("the table " + Seq.tabulate(58)(i => "word").mkString(" "))
+    val got = flags(Seq(
+      (1L, "en", cleanText),
+      // 5 words incl. 2 stopwords, mean (3+5+4+4+4)/5 = 4 → only f_wc
+      (2L, "en", "the value word word word"),
+      // 60 single-char words → mean 1 < 3 → f_mwl (wc ok, alpha ok,
+      // stopword 'a' counts once → f_stop also fires: accept both)
+      (3L, "en", ("the a " + Seq.tabulate(58)(_ => "w").mkString(" "))),
+      // clean baseline + '#' on half the words → f_sym + f_alpha
+      (4L, "en", "the table " + Seq.tabulate(50)(_ => "word #").mkString(" ")),
+      // every line bullet-led → f_bullet (short lines keep others quiet)
+      (5L, "en", Seq.tabulate(60)(i => s"- the table word word$i").mkString("\n")),
+      // half the lines ellipsis-ended → f_ell (8 words per line keeps
+      // the 30 '...' under the 10% symbol bar: 30·10 < 480)
+      (6L, "en", Seq.tabulate(60)(i =>
+        if (i % 2 == 0) s"the table word word word word word line$i..."
+        else s"the table word word word word word line$i")
+        .mkString("\n")),
+      // no stopwords at all → f_stop
+      (7L, "en", Seq.tabulate(60)(i => s"word$i").mkString(" "))))
+    //               (f_wc, f_mwl, f_sym, f_bullet, f_ell, f_alpha, f_stop)
+    assert(got(1L) === Seq(false, false, false, false, false, false, false))
+    assert(got(2L) === Seq(true, false, false, false, false, false, false))
+    assert(got(3L)(1) === true, "mean word length < 3")
+    assert(got(3L)(0) === false && got(3L)(2) === false)
+    assert(got(4L)(2) === true, "symbol ratio > 0.1")
+    assert(got(4L)(5) === true, "'#' tokens carry no alpha char")
+    assert(got(5L) === Seq(false, false, false, true, false, false, false))
+    assert(got(6L) === Seq(false, false, false, false, true, false, false))
+    assert(got(7L)(6) === true, "no stopwords")
+  }
+
+  test("l69 DQ at sf0.001: the planted degradations make every " +
+      "plantable arm fire somewhere, and f_any accounting closes") {
+    val out = AuditQueries.l69.fn(spark, sf).collect()
+    def tot(i: Int) = out.map(_.getLong(i)).sum
+    assert(tot(3) > 0, "wordlen arm (planted bullet/symbol copies)")
+    assert(tot(4) > 0, "symbol arm")
+    assert(tot(5) > 0, "bullet arm")
+    assert(tot(6) > 0, "ellipsis arm")
+    assert(tot(7) > 0, "alpha arm")
+    assert(tot(8) > 0, "stopword arm (natural corpus)")
+    out.foreach { r =>
+      val anyN = r.getLong(9)
+      val perRule = (2 to 8).map(r.getLong)
+      assert(anyN <= perRule.sum && anyN >= perRule.max,
+        s"${r.getString(0)}: f_any between max-rule and rule-sum")
+      assert(anyN <= r.getLong(1), "flagged docs <= docs")
+    }
+  }
+}

@@ -168,6 +168,102 @@ class SubstringSpanSpec extends AnyFunSuite {
 
   // ------------------------------------------------ l47 span decontam
 
+  test("l64 substring cut: non-owner occurrences are removed, the " +
+      "smallest-id owner keeps its text, and token accounting closes") {
+    // docs 1 < 2 < 3 share an 8-token paragraph inside different
+    // surroundings (k = 3): doc 1 owns it; 2 and 3 cut it
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = frame(Seq(
+      (1L, "en", s"one two $shared nine ten"),
+      (2L, "en", s"$shared completely different tail words here"),
+      (3L, "en", s"prefix padding tokens then $shared trailing bits")))
+    val got = SamplingQueries.exactSubstrCut(rows, k = 3)
+      .select("doc_id", "text_clean", "n_tokens", "n_cut_tokens")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === (s"one two $shared nine ten", 12L, 0L),
+      "the owner keeps every token")
+    assert(got(2L) === ("completely different tail words here", 13L, 8L))
+    assert(got(3L) === ("prefix padding tokens then trailing bits", 14L, 8L))
+    // per-doc conservation: kept tokens = before − cut
+    got.values.foreach { case (clean, before, cut) =>
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept.toLong === before - cut)
+    }
+  }
+
+  test("l64 reaches the ExactSubstr fixpoint on the planted corpus: the " +
+      "cleaned corpus has ZERO cross-document repeated spans, and the " +
+      "planted copies are the docs that cut") {
+    val corpus = graft.operators.LlmQueries.plantedFull(
+      Tables.documents(spark, sf))
+    val cut = SamplingQueries.exactSubstrCut(corpus, SamplingQueries.SpanK)
+      .localCheckpoint()
+    // keep-one semantics corpus-wide: every planted copy long enough
+    // to carry a 15-gram shares it with its smaller-id source, so it
+    // MUST cut. (Source docs may cut too — the generator's NATURAL
+    // near-dup families repeat spans across source docs, where the
+    // smallest family member is the keeper; the owner-keeps rule
+    // itself is pinned exactly on the fixture test above.)
+    val sourceMax = Tables.documents(spark, sf)
+      .agg(max("doc_id")).collect()(0).getLong(0)
+    val cutDocs = cut.filter(col("n_cut_tokens") > 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val copies = corpus.filter(col("doc_id") > sourceMax)
+      .filter(size(split(lower(col("text")), "\\s+")) >=
+        SamplingQueries.SpanK)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(copies.nonEmpty, "the planted corpus must contain copies")
+    assert(copies.subsetOf(cutDocs),
+      s"every gram-bearing planted copy must cut: missing ${copies -- cutDocs}")
+    // fixpoint: re-running l33's accounting over the CLEANED corpus
+    // finds nothing — the cut removed every cross-doc repeat ≥ k
+    val residual = SamplingQueries.substringSpans(
+      cut.select(col("lang"), col("doc_id"),
+        col("text_clean").as("text")),
+      SamplingQueries.SpanK, hashed = true)
+      .agg(sum("n_spans")).collect()(0).getLong(0)
+    assert(residual === 0L, s"cleaned corpus still has $residual spans")
+  }
+
+  test("l65 unified cut: a WITHIN-doc repeat (invisible to l64) is cut " +
+      "back to its first occurrence; cross-doc sites cut as before") {
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = frame(Seq(
+      // the paragraph twice in ONE doc, separated by two tokens
+      (1L, "en", s"$p one two $p"),
+      // and once in a later doc
+      (2L, "en", s"x y $p z")))
+    val global = SamplingQueries.exactSubstrCutGlobal(rows, k = 3)
+      .select("doc_id", "text_clean", "n_cut_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(global(1L) === (s"$p one two", 8L),
+      "the second within-doc occurrence must cut")
+    assert(global(2L) === ("x y z", 8L))
+    // the cross-doc-only criterion (l64) keeps doc 1 WHOLE — doc 1
+    // owns the gram family, and owners keep all their occurrences
+    val crossOnly = SamplingQueries.exactSubstrCut(rows, k = 3)
+      .select("doc_id", "n_cut_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(crossOnly(1L) === 0L && crossOnly(2L) === 8L,
+      s"l64 must be blind to the within-doc repeat: $crossOnly")
+  }
+
+  test("l65 fixpoint: after the unified cut NO 15-gram occurs twice " +
+      "anywhere in the cleaned corpus — across or within documents") {
+    val corpus = graft.operators.LlmQueries.plantedFull(
+      Tables.documents(spark, sf))
+    val cleaned = SamplingQueries.exactSubstrCutGlobal(
+        corpus, SamplingQueries.SpanK)
+      .select(col("lang"), col("doc_id"), col("text_clean").as("text"))
+      .localCheckpoint()
+    val maxOcc = SamplingQueries
+      .spanGrams(cleaned, SamplingQueries.SpanK, hashed = true)
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).collect()(0).getLong(0)
+    assert(maxOcc <= 1L, s"a gram still occurs $maxOcc times")
+  }
+
   test("l47 span-coverage decontam equals a driver-side recompute, flags " +
       "every fully-planted doc, and passes every half-planted one") {
     val k = SamplingQueries.SpanContamK
