@@ -513,5 +513,233 @@ object AuditQueries {
                 AS flagged_checksum
             FROM fa GROUP BY 1 ORDER BY lang"""))
 
-  val all: Seq[DQ] = Seq(l66, l67, l68, l69)
+  // --------------------------------------- l70 BPE merge candidates
+
+  /** L70 — the first BPE merge iteration (Sennrich et al. 2016
+    * arXiv:1508.07909 §3.2): count adjacent character pairs over the
+    * corpus' word-frequency dictionary and emit the top candidates —
+    * the step a byte-pair tokenizer trainer repeats to build its merge
+    * table, and the published trick that makes it tractable: pair
+    * counting runs on the DISTINCT-WORD frame weighted by word count,
+    * never on the corpus. The full trainer is sequential in the merge
+    * list; the FIRST iteration is the one that touches corpus-scale
+    * data, and this is it — every later iteration is driver-side work
+    * on the V-row dictionary a deployment exports from here.
+    * `n_occ` = corpus-wide adjacency occurrences (a word with "aa"
+    * twice counts twice per instance, the published count), `n_types` =
+    * distinct words carrying the pair. Shares [[VocabIndex.tokens]]
+    * (the l5/l41/l57 pre-tokenizer) so the merge table and the
+    * vocabulary audits read the same token stream.
+    *
+    * Scale shape: ONE token-grain agg (l41's exact shuffle) down to the
+    * V-row dictionary; pair explode + count on V rows; top-K compiles
+    * to TakeOrdered — no global sort. */
+  private[graft] def bpeMerges(dd: DataFrame, k: Int): DataFrame = {
+    val wc = dd.filter(col("text").isNotNull)
+      .select(explode(VocabIndex.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    wc.filter(length(col("tok")) >= 2)
+      .select(col("tok"), col("cnt"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(sum("cnt").as("n_occ"), countDistinct("tok").as("n_types"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(k)
+  }
+
+  val l70 = DQ(
+    "l70_bpe_merges",
+    (s, d) => bpeMerges(docs(s, d), 20),
+    Some("""WITH wc AS (
+              SELECT tok, COUNT(*) AS cnt FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+                FROM documents WHERE text IS NOT NULL)
+              GROUP BY 1),
+            p AS (
+              SELECT tok, cnt,
+                unnest(list_transform(range(1, len(tok)),
+                  i -> substring(tok, i, 2))) AS pair
+              FROM wc WHERE len(tok) >= 2)
+            SELECT pair,
+              CAST(SUM(cnt) AS BIGINT) AS n_occ,
+              CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+            FROM p GROUP BY 1 ORDER BY n_occ DESC, pair LIMIT 20"""))
+
+  // ------------------------------------- l71 distinct-n diversity
+
+  /** L71 — n-gram diversity (distinct-n, Li et al. 2016
+    * arXiv:1510.03055 §4.1, the standard corpus-diversity report —
+    * also the saturation signal of a dedup pass: distinct-n RISES as
+    * duplicates leave): per (lang, n ∈ {1,2,3}), total word n-grams,
+    * distinct n-grams, and their ratio in integer millis. One
+    * union-of-three gram stream, one partial-aggregable agg —
+    * [[l66]]'s shuffle family at small n. */
+  val l71 = DQ(
+    "l71_distinct_ngrams",
+    (s, d) => {
+      val base = docs(s, d).filter(col("text").isNotNull)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+      def grams(n: Int) = base.filter(size(col("ta")) >= n)
+        .select(col("lang"), lit(n.toLong).as("n"), explode(expr(
+          s"transform(sequence(0, size(ta) - $n), " +
+            s"i -> concat_ws(' ', slice(ta, i + 1, $n)))")).as("gram"))
+      grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .groupBy("lang", "n")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct("gram").as("n_distinct"))
+        .withColumn("distinct_milli",
+          round(col("n_distinct") * lit(1000.0) / col("n_grams")).cast("long"))
+        .orderBy("lang", "n")
+    },
+    Some("""WITH t AS (
+              SELECT lang, string_split_regex(lower(text), '\s+') AS ta
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT lang, 1 AS n, unnest(ta) AS gram FROM t
+              UNION ALL
+              SELECT lang, 2 AS n,
+                unnest(list_transform(range(len(ta) - 1),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 2), ' ')))
+              FROM t WHERE len(ta) >= 2
+              UNION ALL
+              SELECT lang, 3 AS n,
+                unnest(list_transform(range(len(ta) - 2),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 3), ' ')))
+              FROM t WHERE len(ta) >= 3)
+            SELECT lang, CAST(n AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS n_grams,
+              CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+              CAST(ROUND(COUNT(DISTINCT gram) * 1000.0 / COUNT(*)) AS BIGINT)
+                AS distinct_milli
+            FROM g GROUP BY 1, 2 ORDER BY lang, n"""))
+
+  // --------------------------------- l72 rule-vs-model agreement
+
+  /** L72 — quality-filter agreement matrix: the calibration table every
+    * model-based-filter recipe reports before swapping a heuristic for
+    * a classifier (CCNet compares its fastText scorer against
+    * heuristic buckets, Wenzek et al. 2020 §3.2; the GPT-3 appendix
+    * grades its LR filter against hand rules) — per language, the
+    * 2×2 cells of rule-keep ([[LlmQueries.qualityKeep]]) × model-keep
+    * (l34's hashed-feature scorer > 0), the agreement rate, and a
+    * checksum of each DISAGREEMENT cell (the docs a reviewer actually
+    * reads). Reuses both single-definition rules, so this report can
+    * never drift from the gates it calibrates.
+    *
+    * Scale shape: both signals are row-local folds — one corpus scan,
+    * one L-row rollup. No join, no shuffle before the rollup. */
+  val l72 = DQ(
+    "l72_quality_agreement",
+    (s, d) => {
+      val base = LlmQueries.withStopBp(
+          docs(s, d).filter(col("text").isNotNull))
+        .withColumnRenamed("toks", "ta")
+        .withColumn("score_milli", expr(CleaningQueries.scoreMilliSql))
+        .withColumn("rk", LlmQueries.qualityKeep)
+        .withColumn("mk", col("score_milli") > 0L)
+      base.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rk") && col("mk"), 1L).otherwise(0L)).as("n_both_keep"),
+          sum(when(col("rk") && !col("mk"), 1L).otherwise(0L)).as("n_rule_only"),
+          sum(when(!col("rk") && col("mk"), 1L).otherwise(0L)).as("n_model_only"),
+          sum(when(!col("rk") && !col("mk"), 1L).otherwise(0L)).as("n_both_drop"),
+          coalesce(sum(when(col("rk") && !col("mk"), col("doc_id"))), lit(0L))
+            .as("rule_only_checksum"),
+          coalesce(sum(when(!col("rk") && col("mk"), col("doc_id"))), lit(0L))
+            .as("model_only_checksum"))
+        .withColumn("agree_bp",
+          round((col("n_both_keep") + col("n_both_drop")) * lit(10000.0) /
+            col("n_docs")).cast("long"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH base AS (
+              SELECT lang, doc_id, n_chars,
+                string_split_regex(lower(text), '\\s+') AS ta,
+                ${CleaningQueries.duckScoreSql} AS score_milli
+              FROM documents WHERE text IS NOT NULL),
+            cells AS (
+              SELECT lang, doc_id,
+                (n_chars >= 200 AND
+                 CAST(ROUND(len(list_filter(ta,
+                     t -> list_contains(['the', 'a', 'value', 'table'], t)))
+                   * 10000.0 / len(ta)) AS BIGINT) < 2500) AS rk,
+                (score_milli > 0) AS mk
+              FROM base)
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN rk AND mk THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_both_keep,
+              CAST(SUM(CASE WHEN rk AND NOT mk THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_rule_only,
+              CAST(SUM(CASE WHEN NOT rk AND mk THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_model_only,
+              CAST(SUM(CASE WHEN NOT rk AND NOT mk THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_both_drop,
+              CAST(COALESCE(SUM(CASE WHEN rk AND NOT mk THEN doc_id END), 0)
+                AS BIGINT) AS rule_only_checksum,
+              CAST(COALESCE(SUM(CASE WHEN NOT rk AND mk THEN doc_id END), 0)
+                AS BIGINT) AS model_only_checksum,
+              CAST(ROUND((SUM(CASE WHEN rk AND mk THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN NOT rk AND NOT mk THEN 1 ELSE 0 END))
+                * 10000.0 / COUNT(*)) AS BIGINT) AS agree_bp
+            FROM cells GROUP BY 1 ORDER BY lang"""))
+
+  // ------------------------------------ l73 sequence-length profile
+
+  /** L73 — sequence-length histogram + padding-waste audit: the
+    * length-distribution figure of corpus datasheets, with the number
+    * packing exists for (Krell et al. 2021 arXiv:2107.02027: padding
+    * waste of the naive pad-per-document layout — what l21's
+    * concat-and-chunk packing eliminates). Per (lang, length bucket of
+    * l21's 256-token context): docs, tokens, the min/max length, and
+    * the pad-per-doc chunk count Σ⌈len/256⌉ — all integers, the waste
+    * compare against l21's packed ⌈Σlen/256⌉ is one subtraction in the
+    * reader. Token rule = l21's pre-tokenizer ([[VocabIndex.tokens]]).
+    * Entirely row-local until the (lang × 5)-bucket rollup. */
+  val l73 = DQ(
+    "l73_length_histogram",
+    (s, d) => {
+      docs(s, d).filter(col("text").isNotNull)
+        .withColumn("n_tok",
+          size(VocabIndex.tokens(col("text"))).cast("long"))
+        .withColumn("bucket",
+          when(col("n_tok") < 32, "b0_lt32")
+            .when(col("n_tok") < 64, "b1_32_63")
+            .when(col("n_tok") < 128, "b2_64_127")
+            .when(col("n_tok") < 256, "b3_128_255")
+            .otherwise("b4_ge256"))
+        .groupBy("lang", "bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          min("n_tok").as("min_tok"),
+          max("n_tok").as("max_tok"),
+          sum(expr("(n_tok + 255L) div 256L")).as("padded_chunks"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH t AS (
+              SELECT lang,
+                CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok
+              FROM documents WHERE text IS NOT NULL),
+            b AS (
+              SELECT lang, n_tok,
+                CASE WHEN n_tok < 32 THEN 'b0_lt32'
+                     WHEN n_tok < 64 THEN 'b1_32_63'
+                     WHEN n_tok < 128 THEN 'b2_64_127'
+                     WHEN n_tok < 256 THEN 'b3_128_255'
+                     ELSE 'b4_ge256' END AS bucket
+              FROM t)
+            SELECT lang, bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+              CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+              CAST(SUM((n_tok + 255) // 256) AS BIGINT) AS padded_chunks
+            FROM b GROUP BY 1, 2 ORDER BY lang, bucket"""))
+
+  val all: Seq[DQ] = Seq(l66, l67, l68, l69, l70, l71, l72, l73)
 }

@@ -219,6 +219,127 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(got(7L)(6) === true, "no stopwords")
   }
 
+  // ------------------------------------------------------------- l70
+
+  test("l70 BPE merge candidates: pair counts weighted by word " +
+      "frequency, types distinct, ordered (count desc, pair)") {
+    // TokRe tokens: 'aab' x3, 'ab' x1, 'bb' x1 →
+    //   pair 'aa': 3 occ / 1 type; 'ab': 3+1 = 4 occ / 2 types;
+    //   'bb': 1 occ / 1 type
+    val rows = frame(Seq(
+      (1L, "en", "aab aab ab"),
+      (2L, "en", "bb aab")))
+    val got = AuditQueries.bpeMerges(rows, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Seq(("ab", 4L, 2L), ("aa", 3L, 1L), ("bb", 1L, 1L)))
+  }
+
+  test("l70 at sf0.001 equals a driver-side recompute of the top-20 " +
+      "merge table") {
+    val got = AuditQueries.l70.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val wc = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("text").collect()
+      .flatMap(r => re.findAllIn(r.getString(0).toLowerCase))
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val pairs = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((w, c) <- wc if w.length >= 2; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      val (occ, _) = pairs.getOrElse(p, (0L, 0L))
+      pairs(p) = (occ + c, 0L)
+    }
+    for ((p, (occ, _)) <- pairs.toSeq) {
+      val types = wc.keys.count(w => w.sliding(2).contains(p)).toLong
+      pairs(p) = (occ, types)
+    }
+    val want = pairs.toSeq.map { case (p, (o, t)) => (p, o, t) }
+      .sortBy { case (p, o, _) => (-o, p) }.take(20)
+    assert(got.toSeq === want)
+  }
+
+  // ------------------------------------------------------------- l71
+
+  test("l71 distinct-n at sf0.001 equals a driver-side recompute for " +
+      "every (lang, n)") {
+    val got = AuditQueries.l71.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docsL = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split("\\s+")))
+    for (lang <- docsL.map(_._1).distinct; n <- 1 to 3) {
+      val grams = docsL.filter(_._1 == lang).flatMap { case (_, ta) =>
+        if (ta.length >= n) ta.sliding(n).map(_.mkString(" ")).toSeq else Nil
+      }
+      val want = (grams.length.toLong, grams.distinct.length.toLong,
+        math.round(grams.distinct.length * 1000.0 / grams.length))
+      assert(got((lang, n.toLong)) === want, s"($lang, $n)")
+    }
+  }
+
+  // ------------------------------------------------------------- l72
+
+  test("l72 agreement matrix: cells partition the corpus and the " +
+      "checksums pin the disagreement docs (driver recompute, sf0.001)") {
+    val got = AuditQueries.l72.fn(spark, sf).collect()
+    val rows = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select("lang", "doc_id", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val stop = Set("the", "a", "value", "table")
+    def scoreMilli(ta: Array[String]): Long = ta.map { t =>
+      val h = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000003L)
+      ((h % 256L) * 2654435761L) % 1001L - 500L
+    }.sum
+    for (r <- got) {
+      val lang = r.getString(0)
+      val ds = rows.filter(_._1 == lang)
+      val cells = ds.map { case (_, id, nc, text) =>
+        val ta = text.toLowerCase.split("\\s+")
+        val stopBp = math.round(ta.count(stop) * 10000.0 / ta.length)
+        val rk = nc >= 200 && stopBp < 2500
+        val mk = scoreMilli(ta) > 0
+        (id, rk, mk)
+      }
+      assert(r.getLong(1) === ds.length.toLong)
+      assert(r.getLong(2) === cells.count(c => c._2 && c._3).toLong, s"$lang both_keep")
+      assert(r.getLong(3) === cells.count(c => c._2 && !c._3).toLong, s"$lang rule_only")
+      assert(r.getLong(4) === cells.count(c => !c._2 && c._3).toLong, s"$lang model_only")
+      assert(r.getLong(5) === cells.count(c => !c._2 && !c._3).toLong, s"$lang both_drop")
+      assert(r.getLong(6) === cells.filter(c => c._2 && !c._3).map(_._1).sum, s"$lang ro_ck")
+      assert(r.getLong(7) === cells.filter(c => !c._2 && c._3).map(_._1).sum, s"$lang mo_ck")
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        === r.getLong(1), s"$lang cells partition")
+    }
+  }
+
+  // ------------------------------------------------------------- l73
+
+  test("l73 length histogram: buckets partition docs and tokens, and " +
+      "padded chunks equal the per-doc ceil sum (driver recompute)") {
+    val got = AuditQueries.l73.fn(spark, sf).collect()
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val lens = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("lang", "text").collect()
+      .map(r => (r.getString(0),
+        re.findAllIn(r.getString(1).toLowerCase).length.toLong))
+    def bucket(n: Long) =
+      if (n < 32) "b0_lt32" else if (n < 64) "b1_32_63"
+      else if (n < 128) "b2_64_127" else if (n < 256) "b3_128_255"
+      else "b4_ge256"
+    val want = lens.groupBy { case (l, n) => (l, bucket(n)) }
+    assert(got.length === want.size)
+    for (r <- got) {
+      val ds = want((r.getString(0), r.getString(1))).map(_._2)
+      assert(r.getLong(2) === ds.length.toLong)
+      assert(r.getLong(3) === ds.sum)
+      assert(r.getLong(4) === ds.min)
+      assert(r.getLong(5) === ds.max)
+      assert(r.getLong(6) === ds.map(n => (n + 255) / 256).sum)
+    }
+  }
+
   test("l69 DQ at sf0.001: the planted degradations make every " +
       "plantable arm fire somewhere, and f_any accounting closes") {
     val out = AuditQueries.l69.fn(spark, sf).collect()
