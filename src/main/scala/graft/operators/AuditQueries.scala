@@ -368,38 +368,41 @@ object AuditQueries {
     *  - `f_alpha`  < 80% of words contain an alphabetic character
     *  - `f_stop`   < 2 distinct [[GopherStopwords]] present
     */
-  private[graft] def gopherFlagsFrame(df: DataFrame): DataFrame =
+  private[graft] def gopherFlags(text: Column, ta: Column): Seq[Column] = {
+    val lines = split(text, "\n")
+    val nW = size(ta).cast("long")
+    val sumWlen = aggregate(ta, lit(0L), (a, t) => a + length(t).cast("long"))
+    val nAlpha = size(filter(ta, t => t.rlike("[a-z]"))).cast("long")
+    // '...' occurrences: the length delta is a multiple of 3, so the
+    // double divide is exact — still integer-valued arithmetic
+    val nSym = (length(text) - length(replace(text, lit("#")))).cast("long") +
+      ((length(text) - length(replace(text, lit("...")))) / lit(3)).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("-", "*"))).cast("long")
+    val nEllEnd = size(filter(lines, l => rtrim(l).like("%..."))).cast("long")
+    val nStop = GopherStopwords
+      .map(w => when(array_contains(ta, w), 1L).otherwise(0L)).reduce(_ + _)
+    Seq(
+      nW < 50L || nW > 100000L,
+      sumWlen < lit(3L) * nW || sumWlen > lit(10L) * nW,
+      nSym * 10L > nW,
+      nBullet * 10L > lit(9L) * nLines,
+      nEllEnd * 10L > lit(3L) * nLines,
+      nAlpha * 10L < lit(8L) * nW,
+      nStop < 2L)
+  }
+
+  /** [[gopherFlags]] over a (lang, doc_id, text) frame — the DQ's
+    * per-document view, one boolean column per rule. */
+  private[graft] def gopherFlagsFrame(df: DataFrame): DataFrame = {
+    val names = Seq("f_wc", "f_mwl", "f_sym", "f_bullet", "f_ell",
+      "f_alpha", "f_stop")
     df.filter(col("text").isNotNull)
-      .withColumn("ta", split(lower(col("text")), "\\s+"))
-      .withColumn("lines", split(col("text"), "\n"))
-      .withColumn("n_w", size(col("ta")).cast("long"))
-      .withColumn("sum_wlen",
-        expr("aggregate(ta, 0L, (a, t) -> a + length(t))"))
-      .withColumn("n_alpha",
-        expr("size(filter(ta, t -> t rlike '[a-z]'))").cast("long"))
-      .withColumn("n_sym",
-        (length(col("text")) - length(expr("replace(text, '#', '')")))
-          .cast("long") +
-        expr("(length(text) - length(replace(text, '...', ''))) div 3")
-          .cast("long"))
-      .withColumn("n_lines", size(col("lines")).cast("long"))
-      .withColumn("n_bullet", expr(
-        "size(filter(lines, l -> substring(ltrim(l), 1, 1) IN ('-', '*')))")
-        .cast("long"))
-      .withColumn("n_ellend", expr(
-        "size(filter(lines, l -> rtrim(l) LIKE '%...'))").cast("long"))
-      .withColumn("n_stop", GopherStopwords
-        .map(w => when(array_contains(col("ta"), w), 1L).otherwise(0L))
-        .reduce(_ + _))
-      .select(col("lang"), col("doc_id"),
-        (col("n_w") < 50L || col("n_w") > 100000L).as("f_wc"),
-        (col("sum_wlen") < lit(3L) * col("n_w") ||
-          col("sum_wlen") > lit(10L) * col("n_w")).as("f_mwl"),
-        (col("n_sym") * 10L > col("n_w")).as("f_sym"),
-        (col("n_bullet") * 10L > lit(9L) * col("n_lines")).as("f_bullet"),
-        (col("n_ellend") * 10L > lit(3L) * col("n_lines")).as("f_ell"),
-        (col("n_alpha") * 10L < lit(8L) * col("n_w")).as("f_alpha"),
-        (col("n_stop") < 2L).as("f_stop"))
+      .select(Seq(col("lang"), col("doc_id")) ++
+        gopherFlags(col("text"), split(lower(col("text")), "\\s+"))
+          .zip(names).map { case (c, n) => c.as(n) }: _*)
+  }
 
   /** [[l69]]'s planted corpus: the stock documents carry no symbols,
     * newlines, or bullets (verified on the generator's output), so

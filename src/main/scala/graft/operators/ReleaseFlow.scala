@@ -71,7 +71,11 @@ object ReleaseFlow {
     * rule-based arms (quality, repetition) are always on, exactly as at
     * ingest. */
   final case class Screens(holdoutGrams: Option[DataFrame] = None,
-      classifier: Option[Map[Int, Long]] = None)
+      classifier: Option[Map[Int, Long]] = None,
+      /** Opt-in Gopher doc-quality ladder (l69's rules) — the same
+        * flag as [[AdmissionPipeline.Gates.docQuality]], so a corpus
+        * ingested under the ladder releases under it too. */
+      docQuality: Boolean = false)
 
   /** Screen `shard` (lang, doc_id, text) against the persisted
     * artifacts, append the admitted slice to each, return the labeled
@@ -99,7 +103,8 @@ object ReleaseFlow {
         .select(lit(0L).as("gram")).limit(0)),
       corpusSpans = Some(StreamingSubstring.fromPersisted(spark, substrDir(base))),
       classifier = screens.classifier,
-      exactHashes = Some(DedupIndex.read(spark, dedupDir(base)).select("h")))
+      exactHashes = Some(DedupIndex.read(spark, dedupDir(base)).select("h")),
+      docQuality = screens.docQuality)
     val decided = AdmissionPipeline.decide(withChars, gates)
       .withColumnRenamed("reason", "decision")
       .drop((if (addChars) Seq("n_chars") else Seq.empty[String]): _*)

@@ -69,7 +69,19 @@ object AdmissionPipeline {
         * rows read `contaminated`, same label as the gram arm — both
         * are the same claim about eval leakage, detected differently.
         * None runs the pipeline unchanged. */
-      evalVecs: Option[DataFrame] = None)
+      evalVecs: Option[DataFrame] = None,
+      /** Opt-in Gopher DOC-QUALITY screen (l69's seven published rules
+        * — word count, mean word length, symbol ratio, bullet/ellipsis
+        * lines, alpha share, stopword floor — the non-repetition half
+        * of Rae et al. 2021 Table A1; the repetition half already runs
+        * in the `repetitive` arm). A doc passing [[LlmQueries
+        * .qualityKeep]] but tripping any ladder rule lands
+        * `low_quality` (the same claim, one label — release parity via
+        * [[graft.operators.ReleaseFlow.Screens]]). Opt-in because the
+        * rules assume web-document shapes (the published 50-word floor
+        * alone would reject half this synthetic corpus). Row-local —
+        * no join, no shuffle. */
+      docQuality: Boolean = false)
 
   /** The per-batch decision frame: `batch`'s columns plus `reason`.
     * Pure function of (batch, gates) — spec-tested directly and reused
@@ -223,7 +235,14 @@ object AdmissionPipeline {
           // divide would throw, not null; the ladder's gram-less widths
           // report 0 and never flag) correctly admits — no grams,
           // nothing repeats.
-          .when(LlmQueries.qualityKeep,
+          // the opt-in doc-quality ladder widens the quality verdict:
+          // lit(false) when off, so the branch is byte-identical for
+          // default callers. A null text nulls qualityKeep first —
+          // the ladder never decides alone.
+          .when(LlmQueries.qualityKeep && !(if (gates.docQuality)
+              graft.operators.AuditQueries
+                .gopherFlags(col("text"), col("toks")).reduce(_ || _)
+            else lit(false)),
             when(LlmQueries.ladderFlags(col("text"), col("toks"))
                 .foldLeft(LlmQueries.top2Bp(col("toks")) >
                   LlmQueries.RepetitionFlagBp)(_ || _),

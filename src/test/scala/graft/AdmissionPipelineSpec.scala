@@ -416,6 +416,42 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       Map(30L -> "admit", 31L -> "admit"))
   }
 
+  test("opt-in doc-quality ladder: a bullet-formatted doc that clears " +
+      "qualityKeep admits by default and lands low_quality under the " +
+      "ladder; a clean long doc admits under both") {
+    // every token its own '- ' bullet line: clears the char/stopword
+    // bar (qualityKeep) but >90% of lines start with a bullet — l69's
+    // published rule. NOVEL words, so the near-dup sketch stays quiet
+    // and the ladder is the only gate in play.
+    val bullet = ("submarine accordion whistle prairie cobalt thimble " +
+      "orchard granite sparrow limestone mahogany crescent bamboo " +
+      "furnace opal ladder trumpet satchel willow compass anvil ribbon " +
+      "meadow falcon zirconium mandolin")
+      .split(" ").map("- " + _).mkString("\n")
+    // ≥50 words, stopwords 'the'/'a' present, no bullets/ellipses —
+    // clears every ladder rule AND qualityKeep
+    val clean = "the hacienda gondola parapet sextant mural quiver " +
+      "topaz lattice ember sonata gable plinth zephyr cairn dulcimer " +
+      "vellum astrolabe brazier cupola filament girder hawser ingot " +
+      "jetty krill monolith palisade quarterdeck rivulet sandbar " +
+      "tundra became a verdant mooring for seasoned harbor pilots who " +
+      "charted narrow inlets beyond the weathered breakwater while " +
+      "gulls wheeled over brine slick pilings and patient ferrymen " +
+      "waited beside coiled hempen ropes near the tide worn quay"
+    val batch = mkBatch(Seq(10L -> bullet, 11L -> clean))
+    def reasons(g: AdmissionPipeline.Gates) =
+      AdmissionPipeline.decide(batch, g)
+        .select("doc_id", "reason").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val off = reasons(gates)
+    assert(off(10L) === "admit", "default gates: the ladder is off")
+    assert(off(11L) === "admit")
+    val on = reasons(gates.copy(docQuality = true))
+    assert(on(10L) === "low_quality",
+      "ladder on: bullet-led lines trip the published rule")
+    assert(on(11L) === "admit", "a clean doc is untouched by the ladder")
+  }
+
   test("decide preserves the batch's columns plus one reason column, " +
       "one row per input doc") {
     val batch = mkBatch(Seq(6L -> "any text at all here"))

@@ -174,6 +174,42 @@ class ReleaseFlowSpec extends AnyFunSuite {
       Seq("lang", "doc_id", "text", "decision"))
   }
 
+  test("doc-quality ladder parity: Screens(docQuality = true) rejects a " +
+      "bullet-formatted shard doc as low_quality (the ingest arm's " +
+      "label) and keeps it OUT of every artifact; default screens admit " +
+      "it") {
+    import spark.implicits._
+    val longA = "glacier harmonium bicycle observatory penumbra " +
+      "cartography velvet isotope meridian chrysanthemum quarry " +
+      "lighthouse obsidian fjord tapestry nebula saffron pendulum " +
+      "archipelago marzipan telescope bassoon citadel juniper"
+    // NOVEL words (disjoint from the corpus doc) so the sketch/hash/
+    // span screens stay quiet and the ladder is the only gate in play
+    val bullet = ("hacienda gondola parapet sextant mural quiver topaz " +
+      "lattice ember sonata gable plinth zephyr cairn dulcimer vellum " +
+      "astrolabe brazier cupola filament girder hawser ingot jetty krill")
+      .split(" ").map("- " + _).mkString("\n")
+    val corpus = Seq(("en", 1L, longA)).toDF("lang", "doc_id", "text")
+    val shard = Seq(("en", 20L, bullet)).toDF("lang", "doc_id", "text")
+    val baseOn = tmp("graft_release_dq_on")
+    ReleaseFlow.init(corpus, baseOn)
+    val on = ReleaseFlow.release(spark, shard, baseOn,
+      ReleaseFlow.Screens(docQuality = true))
+      .select("decision").collect().map(_.getString(0)).toSeq
+    assert(on === Seq("low_quality"))
+    // rejected → not appended: a re-release under DEFAULT screens must
+    // re-decide from pre-shard state (admit), not read its own bytes back
+    val replay = ReleaseFlow.release(spark, shard, baseOn)
+      .select("decision").collect().map(_.getString(0)).toSeq
+    assert(replay === Seq("admit"),
+      "the ladder-rejected doc left no trace in the artifacts")
+    val baseOff = tmp("graft_release_dq_off")
+    ReleaseFlow.init(corpus, baseOff)
+    val off = ReleaseFlow.release(spark, shard, baseOff)
+      .select("decision").collect().map(_.getString(0)).toSeq
+    assert(off === Seq("admit"), "default screens leave the ladder off")
+  }
+
   test("release decisions ARE the streaming pipeline's decisions: " +
       "AdmissionPipeline.decide over the same persisted gates labels " +
       "every shard row identically (one decision function, two callers)") {
