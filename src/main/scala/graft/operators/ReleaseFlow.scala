@@ -116,6 +116,62 @@ object ReleaseFlow {
     decided
   }
 
+  /** The CURATIVE release — [[release]] rejects a span-lifting document
+    * whole (`verbatim_repeat`); this applies Lee et al. 2022's actual
+    * remedy first (ExactSubstr "removes the duplicated substring,
+    * keeping one occurrence" — the corpus already holds the canonical
+    * occurrence, so the shard's copy cuts) and releases the CURED
+    * shard: every maximal run of indexed k-grams is cut from the
+    * document's token stream ([[SamplingQueries.cutAgainstIndex]] over
+    * the persisted [[SubstringIndex]]), then the standard decision
+    * chain runs over the cleaned text — a doc that was only quoting
+    * indexed boilerplate admits with the quote removed; a doc that is
+    * NOTHING BUT indexed text cuts to empty and lands `low_quality`
+    * (nothing left worth admitting); a doc with no indexed spans flows
+    * byte-identical to [[release]]. The returned frame carries
+    * `n_cut_tokens` beside `decision` — the cure's accounting column —
+    * and admitted rows enter every artifact with their CLEANED text.
+    *
+    * Byte-copies of the LANDED corpus are exempt from the cure: the
+    * duplicate claim precedes the cut (a doc whose content hash is
+    * already indexed is a duplicate, not a quote-carrier — cutting it
+    * to empty would downgrade `corpus_duplicate` to `low_quality`), so
+    * hash-known docs flow uncut and the hash arm labels them.
+    * With that, idempotence holds at span resolution k, by the
+    * artifacts' own semantics: re-releasing a cut shard re-labels its
+    * uncut admissions `corpus_duplicate` and re-cuts everything a cure
+    * admitted (those cleaned grams are now indexed), so a formerly-
+    * cured doc collapses to empty (`low_quality`) — either way nothing
+    * re-appends. Residuals shorter than k tokens are below the
+    * published criterion's resolution by construction (ReleaseFlowSpec
+    * pins the composed behavior).
+    *
+    * Scale shape: one extra shard-side tokenize + hash and a
+    * distinct-gram projection scan of the persisted index on top of
+    * [[release]]'s own probes — the corpus never reshuffles. */
+  def releaseCut(spark: SparkSession, shard0: DataFrame, base: String,
+      screens: Screens = Screens()): DataFrame = {
+    val shard = shard0.filter(col("text").isNotNull)
+    val fresh = shard
+      .withColumn("_h", DedupIndex.contentHash)
+      .join(DedupIndex.read(spark, dedupDir(base))
+        .select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
+      .drop("_h")
+    val cured = SamplingQueries.cutAgainstIndex(fresh,
+        SubstringIndex.read(spark, substrDir(base)), SamplingQueries.SpanK)
+      .filter(col("n_cut_tokens") > 0L)
+      .select(col("doc_id"), col("text_clean"), col("n_cut_tokens"))
+    // uncut docs keep their ORIGINAL bytes (the cut operates on the
+    // normalized token stream; a no-op cure must not re-normalize)
+    val shardCured = shard
+      .join(cured, Seq("doc_id"), "left")
+      .withColumn("text", when(col("n_cut_tokens").isNotNull,
+        col("text_clean")).otherwise(col("text")))
+      .withColumn("n_cut_tokens", coalesce(col("n_cut_tokens"), lit(0L)))
+      .drop("text_clean")
+    release(spark, shardCured, base, screens)
+  }
+
   /** The release audit rollup — decisions per (lang, decision) with an
     * identity checksum, the accounting row a release report carries. */
   def audit(decided: DataFrame): DataFrame =

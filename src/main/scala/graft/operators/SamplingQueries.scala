@@ -779,6 +779,32 @@ object SamplingQueries {
     applyCuts(corpus, cuts)
   }
 
+  /** The INCREMENTAL ExactSubstr cut — [[exactSubstrCut]]'s criterion
+    * against a PERSISTED corpus ([[SubstringIndex]]'s hashed gram
+    * frame) instead of within one corpus: every maximal run of `shard`
+    * k-grams that exist ANYWHERE in the index is a cut span (the
+    * corpus already holds the canonical occurrence — the shard copy is
+    * the one Lee et al. remove), and the cleaned shard document is its
+    * token stream with those spans removed. This is the curative form
+    * of [[SubstringIndex.spansAgainst]]: same probe join, but the hits
+    * feed the cut instead of the accounting rollup.
+    *
+    * Scale shape: only the SHARD tokenizes (the index side is a
+    * distinct-gram projection scan of the persisted files); the merge
+    * window sees hit positions only; the cut is row-local
+    * ([[applyCuts]]). Shard ids must be disjoint from indexed ids —
+    * the index family's standing contract. */
+  private[graft] def cutAgainstIndex(shard: DataFrame, index: DataFrame,
+      k: Int): DataFrame = {
+    val hits = spanGrams(shard, k, hashed = true)
+      .join(index.select("gram").distinct(), Seq("gram"), "left_semi")
+      .select("lang", "doc_id", "pos")
+    val cuts = mergeSpans(hits, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    applyCuts(shard, cuts)
+  }
+
   /** The shared row-local cut application: corpus ⋈ per-doc cut list →
     * cleaned token stream + accounting columns. Factored so the
     * cross-doc ([[exactSubstrCut]]) and unified

@@ -238,6 +238,88 @@ class ReleaseFlowSpec extends AnyFunSuite {
       "ingest-time and release-time decisions must read identically")
   }
 
+  test("releaseCut cures a span-lifting doc (cut + admit with cleaned " +
+      "text), rejects an all-indexed doc as low_quality, passes novel " +
+      "docs byte-identical, and a replay admits nothing") {
+    import spark.implicits._
+    val base = tmp("graft_release_cut")
+    val xWords = (1 to 60).map(i => s"corpusterm$i")
+    val corpus = Seq(("en", 1L, xWords.mkString(" ")))
+      .toDF("lang", "doc_id", "text")
+    ReleaseFlow.init(corpus, base)
+    val prefix = (1 to 20).map(i => s"alphaword$i")
+    val lifted = xWords.slice(20, 40) // 20 consecutive corpus tokens
+    val suffix = (1 to 20).map(i => s"omegaword$i")
+    val cured = Seq(
+      // quotes 20 indexed tokens inside novel prose → cut, then admit
+      ("en", 30L, (prefix ++ lifted ++ suffix).mkString(" ")),
+      // NOTHING BUT indexed text → cuts to empty → low_quality
+      ("en", 31L, xWords.slice(5, 45).mkString(" ")),
+      // all-novel → no cut, byte-identical flow
+      ("en", 32L, (1 to 30).map(i => s"deltaword$i").mkString(" ")))
+      .toDF("lang", "doc_id", "text")
+    val got = ReleaseFlow.releaseCut(spark, cured, base)
+      .select("doc_id", "decision", "n_cut_tokens", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(30L)._1 === "admit", got(30L).toString)
+    assert(got(30L)._2 === 20L, "exactly the lifted span cuts")
+    assert(got(30L)._3 === (prefix ++ suffix).mkString(" "),
+      "the admitted text is the cleaned token stream")
+    assert(got(31L)._1 === "low_quality", "cut-to-empty cannot admit")
+    assert(got(31L)._2 === 40L)
+    assert(got(31L)._3 === "")
+    assert(got(32L)._1 === "admit")
+    assert(got(32L)._2 === 0L)
+    assert(got(32L)._3 === (1 to 30).map(i => s"deltaword$i").mkString(" "),
+      "an uncut doc must keep its ORIGINAL bytes, not re-normalize")
+    // the artifact holds the CLEANED bytes: the cleaned text re-offered
+    // as its own doc reads corpus_duplicate
+    val again = ReleaseFlow.release(spark,
+      Seq(("en", 40L, (prefix ++ suffix).mkString(" ")))
+        .toDF("lang", "doc_id", "text"), base)
+      .select("decision").collect().map(_.getString(0)).toSeq
+    assert(again === Seq("corpus_duplicate"),
+      "the cured doc landed with its cleaned bytes")
+    // replay of the ORIGINAL shard admits nothing: the first pass's
+    // admissions are indexed, so the quoting doc now cuts entirely
+    // (its kept regions gram against its own landed bytes) and the
+    // novel doc hash-matches
+    val replay = ReleaseFlow.releaseCut(spark, cured, base)
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!replay.values.exists(_ == "admit"), replay.toString)
+    assert(replay(32L) === "corpus_duplicate")
+  }
+
+  test("releaseCut ≡ release when no indexed span fires: same labels, " +
+      "same artifacts") {
+    val baseA = tmp("graft_release_cut_eq_a")
+    val baseB = tmp("graft_release_cut_eq_b")
+    val (corpus, shard, _, _, _) = fixture()
+    ReleaseFlow.init(corpus, baseA)
+    ReleaseFlow.init(corpus, baseB)
+    // keep only rows the span screen is provably quiet on (no indexed
+    // 15-gram — the fixture's near-dup row and any natural cross-split
+    // span-sharers are out), so the cure is a no-op by construction
+    val quietIds = SamplingQueries.cutAgainstIndex(
+        shard.filter(col("text").isNotNull),
+        SubstringIndex.read(spark, ReleaseFlow.substrDir(baseA)),
+        SamplingQueries.SpanK)
+      .filter(col("n_cut_tokens") === 0L)
+      .select("doc_id")
+    val quiet = shard.join(quietIds, Seq("doc_id"), "left_semi")
+    val viaCut = ReleaseFlow.releaseCut(spark, quiet, baseA)
+      .select("doc_id", "decision", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val viaPlain = ReleaseFlow.release(spark, quiet, baseB)
+      .select("doc_id", "decision", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // releaseCut adds n_cut_tokens; on the quiet slice every value is 0
+    // and the (id, decision, text) projection must agree row-for-row
+    assert(viaCut === viaPlain)
+  }
+
   test("audit rolls decisions up per (lang, decision) with checksums " +
       "reconciling to the decision frame") {
     val base = tmp("graft_release3")
