@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{DQ, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-audit operators — the REPORTS a large-scale training-data
@@ -744,5 +745,320 @@ object AuditQueries {
               CAST(SUM((n_tok + 255) // 256) AS BIGINT) AS padded_chunks
             FROM b GROUP BY 1, 2 ORDER BY lang, bucket"""))
 
-  val all: Seq[DQ] = Seq(l66, l67, l68, l69, l70, l71, l72, l73)
+  // ---------------------------------- l74 winnowing fingerprints
+
+  /** Winnowing parameters: token [[WinnowK]]-gram hashes, window of
+    * [[WinnowW]] consecutive hashes. Published guarantee (Schleimer,
+    * Wilkerson, Aiken 2003 §3, the MOSS algorithm): any shared
+    * substring of at least k + w − 1 tokens is caught by at least one
+    * shared selected fingerprint, at an expected density of 2/(w+1). */
+  private val WinnowK = 5
+  private val WinnowW = 4
+
+  /** L74 — winnowing fingerprint audit (Schleimer et al. 2003, SIGMOD —
+    * the MOSS local fingerprinting scheme): per document, hash every
+    * token k-gram, slide a w-hash window, and SELECT the minimum hash
+    * of each window (rightmost on ties — the standard rule, realized
+    * here as one integer key h·2²⁰ + (2²⁰−1−pos), so min(key) is
+    * (min h, max pos) and both engines order identically). The
+    * selected set is the document's fingerprint — the storage-bounded
+    * alternative to l33's every-position index, with the published
+    * guarantee that any ≥ k+w−1-token overlap shares a fingerprint.
+    * Report per language: participating docs, windows, selected
+    * fingerprints (density ≈ 2/(w+1) of windows), distinct fingerprint
+    * hashes seen in ≥ 2 docs (the MOSS match signal — non-trivial here
+    * by the planted near-dup copies), and their checksum.
+    *
+    * Scale shape: the gram/hash/key columns are row-local; the window
+    * min runs per document over its own dense positions (never
+    * corpus-wide); the rollups are partial-aggregable hash aggs. The
+    * 2²⁰ position packing bounds docs at 1M tokens — the catalog's
+    * standing okey encoding (l65). At 100 TB the fingerprint frame is
+    * the PERSISTED artifact (2/(w+1) the size of l33's index); the
+    * md5-prefix hash here is the oracle-portable stand-in for
+    * xxhash64 (the production key, same as [[SubstringIndex]]). */
+  /** The winnowing SELECTION — one row per window start with its
+    * selected `minkey` (h·2²⁰ + 2²⁰−1−pos of the window's minimum,
+    * rightmost on ties). Factored for the spec's fixture-level
+    * guarantee pin. */
+  private[graft] def winnowSelect(corpus: DataFrame): DataFrame = {
+    val keyed = corpus.filter(col("text").isNotNull)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .filter(size(col("ta")) >= WinnowK)
+      .select(col("lang"), col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ta) - $WinnowK), " +
+          s"i -> concat_ws(' ', slice(ta, i + 1, $WinnowK)))")))
+      .withColumnRenamed("col", "gram")
+      .withColumn("key",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") *
+          lit(1048576L) + (lit(1048575L) - col("pos")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    keyed
+      .withColumn("maxpos", max("pos").over(Window.partitionBy("doc_id")))
+      .withColumn("minkey",
+        min("key").over(w.rowsBetween(Window.currentRow, WinnowW - 1)))
+      .filter(col("pos") <= col("maxpos") - (WinnowW - 1))
+      .select("lang", "doc_id", "pos", "minkey")
+  }
+
+  val l74 = DQ(
+    "l74_winnow_fingerprints",
+    (s, d) => {
+      val sel = winnowSelect(LlmQueries.plantedFull(docs(s, d)))
+        .localCheckpoint(false)
+      val fps = sel.select("lang", "doc_id", "minkey").distinct()
+        .withColumn("h", expr("minkey div 1048576"))
+      val perLang = sel.groupBy("lang").agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_windows"))
+      val selected = fps.groupBy("lang").agg(count(lit(1)).as("n_selected"))
+      val shared = fps.select("lang", "doc_id", "h").distinct()
+        .groupBy("lang", "h").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_shared_fp"),
+          sum("h").as("shared_checksum"))
+      perLang.join(selected, Seq("lang"))
+        .join(shared, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_windows"),
+          col("n_selected"),
+          expr("n_selected * 1000L div n_windows").as("density_milli"),
+          coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"),
+          coalesce(col("shared_checksum"), lit(0L)).as("shared_checksum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH corpus AS (
+              SELECT lang, doc_id, text FROM documents
+              UNION ALL
+              SELECT d.lang,
+                d.doc_id + (SELECT COALESCE(MAX(doc_id), -1) + 1 FROM documents),
+                substring(d.text, instr(d.text, ' ') + 1)
+              FROM documents d WHERE d.doc_id % 10 = 0),
+            toks AS (
+              SELECT lang, doc_id,
+                string_split_regex(lower(text), '\\s+') AS ta
+              FROM corpus WHERE text IS NOT NULL),
+            posn AS (
+              SELECT lang, doc_id, ta,
+                unnest(range(len(ta) - ${WinnowK - 1})) AS pos
+              FROM toks WHERE len(ta) >= $WinnowK),
+            keyed AS (
+              SELECT lang, doc_id, pos,
+                CAST(('0x' || substring(md5(array_to_string(
+                    list_slice(ta, pos + 1, pos + $WinnowK), ' ')), 1, 8))
+                  AS BIGINT) * 1048576 + (1048575 - pos) AS key
+              FROM posn),
+            win AS (
+              SELECT lang, doc_id, pos,
+                MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+                  AS minkey,
+                MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+              FROM keyed),
+            sel AS (
+              SELECT lang, doc_id, minkey FROM win
+              WHERE pos <= maxpos - ${WinnowW - 1}),
+            fps AS (SELECT DISTINCT lang, doc_id, minkey FROM sel),
+            fph AS (
+              SELECT DISTINCT lang, doc_id, minkey // 1048576 AS h FROM fps),
+            perlang AS (
+              SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+                COUNT(*) AS n_windows
+              FROM sel GROUP BY 1),
+            nsel AS (SELECT lang, COUNT(*) AS n_selected FROM fps GROUP BY 1),
+            shared AS (
+              SELECT lang, COUNT(*) AS n_shared_fp, SUM(h) AS shared_checksum
+              FROM (SELECT lang, h FROM fph GROUP BY lang, h
+                    HAVING COUNT(DISTINCT doc_id) >= 2)
+              GROUP BY 1)
+            SELECT p.lang,
+              CAST(p.n_docs AS BIGINT) AS n_docs,
+              CAST(p.n_windows AS BIGINT) AS n_windows,
+              CAST(n.n_selected AS BIGINT) AS n_selected,
+              CAST(n.n_selected * 1000 // p.n_windows AS BIGINT)
+                AS density_milli,
+              CAST(COALESCE(s.n_shared_fp, 0) AS BIGINT) AS n_shared_fp,
+              CAST(COALESCE(s.shared_checksum, 0) AS BIGINT)
+                AS shared_checksum
+            FROM perlang p
+            JOIN nsel n ON p.lang = n.lang
+            LEFT JOIN shared s ON p.lang = s.lang
+            ORDER BY p.lang"""))
+
+  // ------------------------------------- l75 vocabulary growth (Heaps)
+
+  /** L75 — vocabulary-growth audit (Heaps' law, Heaps 1978; Herdan
+    * 1960): distinct word types vs tokens seen at 25% / 50% / 100%
+    * prefixes of each language's corpus in doc_id order — the
+    * V(n) = K·n^β curve every tokenizer-vocabulary sizing decision
+    * reads (a still-steep curve at 100% says the corpus has not
+    * saturated its vocabulary and an OOV budget must cover growth;
+    * read beside l41's coverage and l63's fertility). `growth_milli` =
+    * types_all·1000 ÷ types_p50 is the half-to-full growth factor —
+    * ~1000 means saturation.
+    *
+    * Scale shape: prefix membership is a per-language doc rank (one
+    * doc-grain window; at 100 TB a deployment derives the flag from
+    * ingest order or a hash range instead — same frame), then ONE
+    * token-grain (lang, tok) agg with three conditional counts — the
+    * earliest-prefix trick: types_pXX = tokens whose prefix count is
+    * positive, so no per-prefix countDistinct expand, one shuffle —
+    * and an L-row rollup. */
+  val l75 = DQ(
+    "l75_vocab_growth",
+    (s, d) => {
+      val ranked = docs(s, d).filter(col("text").isNotNull)
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy("lang").orderBy("doc_id")).cast("long"))
+        .withColumn("nl", count(lit(1))
+          .over(Window.partitionBy("lang")).cast("long"))
+        .withColumn("p25", col("rk") <= expr("(nl + 3) div 4"))
+        .withColumn("p50", col("rk") <= expr("(nl + 1) div 2"))
+      val byTok = ranked
+        .select(col("lang"), col("p25"), col("p50"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .groupBy("lang", "tok")
+        .agg(
+          sum(when(col("p25"), 1L).otherwise(0L)).as("c25"),
+          sum(when(col("p50"), 1L).otherwise(0L)).as("c50"),
+          count(lit(1)).as("call"))
+      byTok.groupBy("lang")
+        .agg(
+          sum("c25").as("tokens_p25"),
+          sum(when(col("c25") > 0L, 1L).otherwise(0L)).as("types_p25"),
+          sum("c50").as("tokens_p50"),
+          sum(when(col("c50") > 0L, 1L).otherwise(0L)).as("types_p50"),
+          sum("call").as("tokens_all"),
+          count(lit(1)).as("types_all"))
+        .withColumn("growth_milli",
+          expr("types_all * 1000L div types_p50"))
+        .orderBy("lang")
+    },
+    Some("""WITH ranked AS (
+              SELECT lang, text,
+                CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                  AS BIGINT) AS rk,
+                CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+              FROM documents WHERE text IS NOT NULL),
+            t AS (
+              SELECT lang, rk <= (nl + 3) // 4 AS p25,
+                rk <= (nl + 1) // 2 AS p50,
+                unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM ranked),
+            bytok AS (
+              SELECT lang, tok,
+                SUM(CASE WHEN p25 THEN 1 ELSE 0 END) AS c25,
+                SUM(CASE WHEN p50 THEN 1 ELSE 0 END) AS c50,
+                COUNT(*) AS call
+              FROM t GROUP BY 1, 2)
+            SELECT lang,
+              CAST(SUM(c25) AS BIGINT) AS tokens_p25,
+              CAST(SUM(CASE WHEN c25 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS types_p25,
+              CAST(SUM(c50) AS BIGINT) AS tokens_p50,
+              CAST(SUM(CASE WHEN c50 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS types_p50,
+              CAST(SUM(call) AS BIGINT) AS tokens_all,
+              CAST(COUNT(*) AS BIGINT) AS types_all,
+              CAST(COUNT(*) * 1000 //
+                SUM(CASE WHEN c50 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS growth_milli
+            FROM bytok GROUP BY 1 ORDER BY lang"""))
+
+  // --------------------------------- l76 embedding outlier audit
+
+  /** L76 — embedding-space outlier audit: cosine of every vector to
+    * its label's centroid, the de-noising report of cluster-based
+    * curation (the outlier-removal step SemDeDup-family pipelines run
+    * before training, cf. Abbas et al. 2023's cluster preprocessing;
+    * the farthest-from-centroid docs are the mislabeled/noise
+    * candidates a curator reviews). Per label: vectors, mean/min
+    * cosine-to-centroid (e4), and the checksum of the 3 farthest
+    * vec_ids.
+    *
+    * ENGINE-PORTABLE BY INTEGER SUMS: components are scaled once to
+    * integer micros (float→double is exact, round is), the centroid
+    * is an integer-div mean of integer sums (order-independent —
+    * a double mean could flip the last ulp across partitionings), and
+    * dot/norms are exact long arithmetic (|v|≤1 micros → dot ≤
+    * 64·10¹² « 2⁶³); the only floating step is the final
+    * sqrt/divide/round from IDENTICAL integers — IEEE-deterministic
+    * in both engines.
+    *
+    * Scale shape: one narrow agg to the (labels × 64)-row centroid
+    * frame, broadcast back, then a row-local zip_with dot per vector
+    * and a label-row rollup; the top-3 window runs per label. */
+  val l76 = DQ(
+    "l76_embedding_outliers",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          expr("transform(cast(embedding as array<double>), " +
+            "x -> cast(round(x * 1000000) as bigint))").as("vi"))
+      val cent = e.select(col("label"), posexplode(col("vi")))
+        .groupBy("label", "pos")
+        .agg(expr("sum(col) div count(1)").as("cv"))
+        .groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), " +
+          "x -> x.cv)").as("cv"))
+      val sims = e.join(broadcast(cent), Seq("label"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(vi, cv, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
+        .withColumn("nv", expr(
+          "aggregate(vi, 0L, (s, x) -> s + x * x)"))
+        .withColumn("nc", expr(
+          "aggregate(cv, 0L, (s, x) -> s + x * x)"))
+        .withColumn("sim_e4", when(col("nv") === 0L || col("nc") === 0L, 0L)
+          .otherwise(round(lit(10000.0) * col("dot") /
+            (sqrt(col("nv")) * sqrt(col("nc")))).cast("long")))
+      val ranked = sims.withColumn("rk", row_number().over(
+        Window.partitionBy("label").orderBy(col("sim_e4"), col("vec_id"))))
+      ranked.groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          expr("sum(sim_e4) div count(1)").as("mean_sim_e4"),
+          min("sim_e4").as("min_sim_e4"),
+          sum(when(col("rk") <= 3, col("vec_id")).otherwise(0L))
+            .as("outlier_checksum"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (
+              SELECT CAST(label AS BIGINT) AS label, vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS vi
+              FROM embeddings),
+            d AS (
+              SELECT label, vec_id, unnest(vi) AS v,
+                generate_subscripts(vi, 1) AS pos
+              FROM e),
+            c AS (
+              SELECT label, pos, SUM(v) // COUNT(*) AS cv
+              FROM d GROUP BY 1, 2),
+            dots AS (
+              SELECT d.label, d.vec_id,
+                SUM(d.v * c.cv) AS dot, SUM(d.v * d.v) AS nv
+              FROM d JOIN c ON d.label = c.label AND d.pos = c.pos
+              GROUP BY 1, 2),
+            cn AS (SELECT label, SUM(cv * cv) AS nc FROM c GROUP BY 1),
+            sims AS (
+              SELECT t.label, t.vec_id,
+                CASE WHEN t.nv = 0 OR n.nc = 0 THEN 0
+                     ELSE CAST(ROUND(10000.0 * t.dot /
+                       (sqrt(t.nv) * sqrt(n.nc))) AS BIGINT) END AS sim_e4
+              FROM dots t JOIN cn n ON t.label = n.label),
+            ranked AS (
+              SELECT label, vec_id, sim_e4,
+                row_number() OVER (PARTITION BY label
+                  ORDER BY sim_e4, vec_id) AS rk
+              FROM sims)
+            SELECT label,
+              CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              CAST(SUM(sim_e4) // COUNT(*) AS BIGINT) AS mean_sim_e4,
+              CAST(MIN(sim_e4) AS BIGINT) AS min_sim_e4,
+              CAST(SUM(CASE WHEN rk <= 3 THEN vec_id ELSE 0 END) AS BIGINT)
+                AS outlier_checksum
+            FROM ranked GROUP BY 1 ORDER BY label"""))
+
+  val all: Seq[DQ] = Seq(l66, l67, l68, l69, l70, l71, l72, l73, l74,
+    l75, l76)
 }

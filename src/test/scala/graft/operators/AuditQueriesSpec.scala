@@ -340,6 +340,151 @@ class AuditQueriesSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- l74
+
+  /** Driver-side winnowing over one tokenized doc: k=5, w=4, md5-prefix
+    * hash, rightmost-min rule — returns the selected (pos, h) set. */
+  private def winnowBrute(ta: Array[String]): Set[(Int, Long)] = {
+    val k = 5; val w = 4
+    if (ta.length < k) return Set.empty
+    val hs = (0 to ta.length - k).map { i =>
+      val gram = ta.slice(i, i + k).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    (0 to hs.length - w).map { s =>
+      val win = (s until s + w).map(p => (hs(p), -p))
+      val (h, negP) = win.min // min h, rightmost pos on ties
+      (-negP, h)
+    }.toSet
+  }
+
+  test("l74 winnowing guarantee (fixture): two docs sharing a " +
+      "k+w-1-token substring share a selected fingerprint, disjoint " +
+      "docs share none, and the DQ-shape recompute agrees") {
+    val shared = "quartz plover basalt nimbus ferrule osprey garnet mica"
+    val a = s"alpha bravo charlie delta echo $shared foxtrot golf hotel " +
+      "india juliet kilo"
+    val b = s"november oscar papa quebec romeo $shared sierra tango " +
+      "uniform victor whiskey xray"
+    val c = "yankee zulu anchor bobbin crate dowel easel flange grommet " +
+      "hasp inlet jamb keel"
+    val corpus = frame(Seq((1L, "en", a), (2L, "en", b), (3L, "en", c)))
+    val sel: Seq[(Long, Int, Long)] = AuditQueries.winnowSelect(corpus)
+      .select("doc_id", "pos", "minkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val fps: Map[Long, Set[Long]] = sel
+      .map { case (id, _, mk) => (id, mk / 1048576L) }.toSet
+      .groupBy((p: (Long, Long)) => p._1)
+      .map { case (id, s) => id -> s.map(_._2) }
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "an 8-token shared substring must share a fingerprint (published " +
+        "guarantee at k=5, w=4)")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "token-disjoint docs share nothing")
+    // the engine's selection IS the brute rightmost-min rule, doc by doc
+    for ((id, text) <- Seq((1L, a), (2L, b), (3L, c))) {
+      val want = winnowBrute(text.toLowerCase.split("\\s+"))
+        .map { case (p, h) => h * 1048576L + (1048575L - p) }
+      assert(sel.filter(_._1 == id).map(_._3).toSet === want, s"doc $id")
+    }
+  }
+
+  test("l74 at sf0.001 equals a driver-side recompute of every column") {
+    val got = AuditQueries.l74.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getLong)).toMap
+    val planted = LlmQueries.plantedFull(
+        graft.Tables.documents(spark, sf).filter(col("text").isNotNull))
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val selAll = planted.flatMap { case (lang, id, text) =>
+      val ta = text.toLowerCase.split("\\s+")
+      if (ta.length < 5) Nil
+      else {
+        val n = ta.length - 5 + 1 // grams
+        val nWin = math.max(0, n - 4 + 1)
+        val sel = winnowBrute(ta)
+        Seq((lang, id, nWin.toLong, sel))
+      }
+    }
+    for (lang <- selAll.map(_._1).distinct) {
+      val ds = selAll.filter(d => d._1 == lang && d._3 > 0)
+      val nDocs = ds.length.toLong
+      val nWindows = ds.map(_._3).sum
+      val nSelected = ds.map(_._4.size.toLong).sum
+      val byH = ds.flatMap(d => d._4.map(_._2).toSeq.distinct.map(h => (h, d._2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val sharedH = byH.filter(_._2 >= 2).keys.toSeq
+      val want = Seq(nDocs, nWindows, nSelected,
+        nSelected * 1000L / nWindows, sharedH.length.toLong, sharedH.sum)
+      assert(got(lang) === want, lang)
+    }
+  }
+
+  // ------------------------------------------------------------- l75
+
+  test("l75 vocabulary growth at sf0.001 equals a driver-side " +
+      "recompute, and the curve is monotone (types grow with tokens)") {
+    val got = AuditQueries.l75.fn(spark, sf).collect()
+    val rows = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    for (r <- got) {
+      val lang = r.getString(0)
+      val ds = rows.filter(_._1 == lang).sortBy(_._2)
+      val L = ds.length
+      val cut25 = (L + 3) / 4; val cut50 = (L + 1) / 2
+      def stats(nDocs: Int) = {
+        val toks = ds.take(nDocs)
+          .flatMap(_._3.toLowerCase.split("\\s+"))
+        (toks.length.toLong, toks.distinct.length.toLong)
+      }
+      val (tok25, typ25) = stats(cut25)
+      val (tok50, typ50) = stats(cut50)
+      val (tokAll, typAll) = stats(L)
+      assert((1 to 6).map(r.getLong) ===
+        Seq(tok25, typ25, tok50, typ50, tokAll, typAll), lang)
+      assert(r.getLong(7) === typAll * 1000L / typ50, s"$lang growth")
+      assert(typ25 <= typ50 && typ50 <= typAll, s"$lang monotone")
+    }
+  }
+
+  // ------------------------------------------------------------- l76
+
+  test("l76 embedding outliers at sf0.001 equals a driver-side integer " +
+      "recompute of centroids, cosines, and the bottom-3 checksum") {
+    val got = AuditQueries.l76.fn(spark, sf).collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 1e6)).toArray))
+    assert(got.length === vecs.map(_._1).distinct.length)
+    for (r <- got) {
+      val label = r.getLong(0)
+      val vs = vecs.filter(_._1 == label)
+      val dim = vs.head._3.length
+      val cent = (0 until dim).map(p =>
+        vs.map(_._3(p)).sum / vs.length).toArray // long floor-div mean
+      val nc = cent.map(x => x * x).sum
+      val sims = vs.map { case (_, id, v) =>
+        val dot = v.zip(cent).map { case (a, b) => a * b }.sum
+        val nv = v.map(x => x * x).sum
+        val s = if (nv == 0L || nc == 0L) 0L
+        else math.round(10000.0 * dot / (math.sqrt(nv.toDouble) *
+          math.sqrt(nc.toDouble)))
+        (id, s)
+      }
+      assert(r.getLong(1) === vs.length.toLong, s"$label n")
+      assert(r.getLong(2) === sims.map(_._2).sum / vs.length, s"$label mean")
+      assert(r.getLong(3) === sims.map(_._2).min, s"$label min")
+      assert(r.getLong(4) ===
+        sims.sortBy(x => (x._2, x._1)).take(3).map(_._1).sum,
+        s"$label outliers")
+    }
+  }
+
   test("l69 DQ at sf0.001: the planted degradations make every " +
       "plantable arm fire somewhere, and f_any accounting closes") {
     val out = AuditQueries.l69.fn(spark, sf).collect()
