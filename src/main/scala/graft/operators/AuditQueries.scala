@@ -769,9 +769,11 @@ object AuditQueries {
     * hashes seen in ≥ 2 docs (the MOSS match signal — non-trivial here
     * by the planted near-dup copies), and their checksum.
     *
-    * Scale shape: the gram/hash/key columns are row-local; the window
-    * min runs per document over its own dense positions (never
-    * corpus-wide); the rollups are partial-aggregable hash aggs. The
+    * Scale shape: the ENTIRE selection is row-local ([[winnowArrays]]
+    * — gram hashes, packed keys, per-window array_min all inside the
+    * row), the shared checkpoint is doc-grain (one row per document),
+    * and the only non-doc-grain work is the selected-fingerprint
+    * explode feeding the cross-doc shared-hash agg. The
     * 2²⁰ position packing bounds docs at 1M tokens — the catalog's
     * standing okey encoding (l65). At 100 TB the fingerprint frame is
     * the PERSISTED artifact (2/(w+1) the size of l33's index); the
@@ -779,47 +781,66 @@ object AuditQueries {
     * xxhash64 (the production key, same as [[SubstringIndex]]). */
   /** The winnowing SELECTION — one row per window start with its
     * selected `minkey` (h·2²⁰ + 2²⁰−1−pos of the window's minimum,
-    * rightmost on ties). Factored for the spec's fixture-level
-    * guarantee pin. */
-  private[graft] def winnowSelect(corpus: DataFrame): DataFrame = {
-    val keyed = corpus.filter(col("text").isNotNull)
+    * rightmost on ties). ROW-LOCAL by construction: winnowing is a
+    * per-document computation, so the gram hashes, the packed keys,
+    * and the per-window array_min all run inside the row as array
+    * higher-order functions — no posexplode-then-Window shuffle of
+    * gram-grain data (the first cut partitioned a corpus-wide window
+    * by doc_id: one full shuffle + sort the lambda form doesn't pay;
+    * measured ~1.9 → ~1.5 s at sf0.1 with the doc-grain l74 rollup —
+    * the residual cost is the 5M md5 gram hashes themselves, the
+    * oracle-portable stand-in for xxhash64). The only explode is the
+    * window-grain result feeding the caller's aggregation. Factored
+    * for the spec's fixture-level guarantee pin. */
+  /** The DOC-GRAIN winnowing frame: one row per participating document
+    * with its full `minkeys` array — the shape every consumer derives
+    * from row-locally (window counts, per-doc distinct fingerprints)
+    * so a checkpoint of it is document-count-sized, never gram-sized. */
+  private[graft] def winnowArrays(corpus: DataFrame): DataFrame =
+    corpus.filter(col("text").isNotNull)
       .withColumn("ta", split(lower(col("text")), "\\s+"))
-      .filter(size(col("ta")) >= WinnowK)
-      .select(col("lang"), col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(ta) - $WinnowK), " +
-          s"i -> concat_ws(' ', slice(ta, i + 1, $WinnowK)))")))
-      .withColumnRenamed("col", "gram")
-      .withColumn("key",
-        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") *
-          lit(1048576L) + (lit(1048575L) - col("pos")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    keyed
-      .withColumn("maxpos", max("pos").over(Window.partitionBy("doc_id")))
-      .withColumn("minkey",
-        min("key").over(w.rowsBetween(Window.currentRow, WinnowW - 1)))
-      .filter(col("pos") <= col("maxpos") - (WinnowW - 1))
-      .select("lang", "doc_id", "pos", "minkey")
-  }
+      .filter(size(col("ta")) >= WinnowK + WinnowW - 1)
+      .withColumn("keys", expr(
+        s"transform(sequence(0, size(ta) - $WinnowK), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', " +
+          s"slice(ta, i + 1, $WinnowK))), 1, 8), 16, 10) as bigint) " +
+          "* 1048576L + (1048575L - i))"))
+      .select(col("lang"), col("doc_id"), expr(
+        s"transform(sequence(0, size(keys) - $WinnowW), s -> " +
+          s"array_min(slice(keys, s + 1, $WinnowW)))").as("minkeys"))
+
+  private[graft] def winnowSelect(corpus: DataFrame): DataFrame =
+    winnowArrays(corpus)
+      .select(col("lang"), col("doc_id"), posexplode(col("minkeys")))
+      .withColumnRenamed("col", "minkey")
 
   val l74 = DQ(
     "l74_winnow_fingerprints",
     (s, d) => {
-      val sel = winnowSelect(LlmQueries.plantedFull(docs(s, d)))
+      // doc-grain: window counts and per-doc distinct fingerprints are
+      // row-local array ops, so the shared checkpoint holds ONE row per
+      // document (the md5 gram work runs exactly once); only the
+      // cross-doc shared-hash question pays an explode + hash agg
+      val perDoc = winnowArrays(LlmQueries.plantedFull(docs(s, d)))
+        .select(col("lang"), col("doc_id"),
+          size(col("minkeys")).cast("long").as("n_windows"),
+          size(array_distinct(col("minkeys"))).cast("long")
+            .as("n_selected"),
+          expr("array_distinct(transform(minkeys, k -> k div 1048576))")
+            .as("hs"))
         .localCheckpoint(false)
-      val fps = sel.select("lang", "doc_id", "minkey").distinct()
-        .withColumn("h", expr("minkey div 1048576"))
-      val perLang = sel.groupBy("lang").agg(
-        countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_windows"))
-      val selected = fps.groupBy("lang").agg(count(lit(1)).as("n_selected"))
-      val shared = fps.select("lang", "doc_id", "h").distinct()
-        .groupBy("lang", "h").agg(countDistinct("doc_id").as("nd"))
+      val perLang = perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_windows").as("n_windows"),
+        sum("n_selected").as("n_selected"))
+      val shared = perDoc
+        .select(col("lang"), col("doc_id"), explode(col("hs")).as("h"))
+        .groupBy("lang", "h").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
         .groupBy("lang").agg(
           count(lit(1)).as("n_shared_fp"),
           sum("h").as("shared_checksum"))
-      perLang.join(selected, Seq("lang"))
-        .join(shared, Seq("lang"), "left")
+      perLang.join(shared, Seq("lang"), "left")
         .select(col("lang"), col("n_docs"), col("n_windows"),
           col("n_selected"),
           expr("n_selected * 1000L div n_windows").as("density_milli"),
@@ -1059,6 +1080,144 @@ object AuditQueries {
                 AS outlier_checksum
             FROM ranked GROUP BY 1 ORDER BY label"""))
 
+  // --------------------------------- l77 collocation / phrase table
+
+  /** L77 — collocation table (the data-driven phrase discovery of
+    * Mikolov et al. 2013 arXiv:1310.4546 §4, scored with the
+    * discounted PMI-style statistic score(a,b) = (c(ab) − δ)·N /
+    * (c(a)·c(b)), δ = 5 as published; Church & Hanks 1990 is the PMI
+    * original): the top-20 adjacent word pairs whose joint count beats
+    * independence — the phrase vocabulary a tokenizer or
+    * entity-mining pass reads. Count bar c(ab) ≥ 10 (the published
+    * min-count). All-integer scoring in millis: (c(ab)−5)·1000·N ÷
+    * (c(a)·c(b)) — at 5M tokens the numerator tops at ~2.5·10¹⁶,
+    * long-safe, and both engines divide identically.
+    *
+    * Scale shape: one unigram agg + one bigram agg (the l70/l41 token
+    * shuffle family), two joins keyed on the type-grain word dict
+    * (vocabulary-sized, not corpus-sized), a 1-row total broadcast,
+    * and TakeOrdered 20. */
+  val l77 = DQ(
+    "l77_collocations",
+    (s, d) => {
+      val base = docs(s, d).filter(col("text").isNotNull)
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+      val uni = base.select(explode(col("ta")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val total = uni.agg(sum("c").as("n"))
+      base.filter(size(col("ta")) >= 2)
+        .select(posexplode(expr(
+          "transform(sequence(0, size(ta) - 2), " +
+            "i -> struct(ta[i] AS w1, ta[i + 1] AS w2))")))
+        .select(col("col.w1"), col("col.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 10L)
+        .join(uni.select(col("w").as("w1"), col("c").as("n_w1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("n_w2")), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+          col("n_w2"),
+          expr("(n_pair - 5L) * 1000L * n div (n_w1 * n_w2)")
+            .as("score_milli"))
+        .orderBy(desc("score_milli"), col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH t AS (
+              SELECT string_split_regex(lower(text), '\s+') AS ta
+              FROM documents WHERE text IS NOT NULL),
+            uni AS (
+              SELECT unnest(ta) AS w FROM t),
+            uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM uni GROUP BY 1),
+            total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+            posn AS (
+              SELECT ta, unnest(range(len(ta) - 1)) AS i
+              FROM t WHERE len(ta) >= 2),
+            pairs AS (
+              SELECT ta[i + 1] AS w1, ta[i + 2] AS w2,
+                CAST(COUNT(*) AS BIGINT) AS n_pair
+              FROM posn GROUP BY 1, 2
+              HAVING COUNT(*) >= 10)
+            SELECT p.w1, p.w2, p.n_pair,
+              u1.c AS n_w1, u2.c AS n_w2,
+              CAST((p.n_pair - 5) * 1000 * t.n // (u1.c * u2.c) AS BIGINT)
+                AS score_milli
+            FROM pairs p
+            JOIN uc u1 ON p.w1 = u1.w
+            JOIN uc u2 ON p.w2 = u2.w
+            CROSS JOIN total t
+            ORDER BY score_milli DESC, w1, w2 LIMIT 20"""))
+
+  // --------------------------------- l78 per-source PII exposure
+
+  /** L78 — per-source PII exposure report: the privacy table of a
+    * corpus datasheet (Gebru et al. 2021's datasheet questions; the
+    * per-source PII audits of Dolma/RedPajama-class releases) — [[l32]]
+    * scrubs the corpus globally, this reports WHICH provenance leaks
+    * what, one row per (source, pii_type): docs carrying the type,
+    * total occurrences, and occurrences per million corpus characters
+    * (integer ppm — size-normalized so a big clean source and a small
+    * leaky one rank honestly). Patterns and the planted-PII corpus are
+    * [[CleaningQueries]]' own single definitions — the report cannot
+    * drift from the scrub it plans.
+    *
+    * Scale shape: three codegen'd regex counts per row (no UDF), one
+    * row-local unpivot to (source, type), one partial-aggregable
+    * rollup on the (sources × 3) frame. No join, no corpus shuffle. */
+  val l78 = DQ(
+    "l78_pii_by_source",
+    (s, d) => {
+      val counted = CleaningQueries.piiPatterns.foldLeft(
+          docs(s, d).withColumn("text2",
+            expr(CleaningQueries.plantedPiiSql))) {
+        case (df, (name, re)) =>
+          df.withColumn(s"n_$name",
+            regexp_count(col("text2"), lit(re)).cast("long"))
+      }
+      counted
+        .select(col("source"), length(col("text2")).cast("long")
+          .as("n_chars2"),
+          explode(expr("array(" + CleaningQueries.piiPatterns.map {
+            case (name, _) => s"struct('$name' AS pii_type, n_$name AS n)"
+          }.mkString(", ") + ")")).as("p"))
+        .select(col("source"), col("p.pii_type"), col("p.n"),
+          col("n_chars2"))
+        .groupBy("source", "pii_type")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n") > 0L, 1L).otherwise(0L)).as("docs_hit"),
+          sum("n").as("n_occurrences"),
+          expr("sum(n) * 1000000L div sum(n_chars2)").as("occ_ppm_chars"))
+        .orderBy("source", "pii_type")
+    },
+    Some(s"""WITH pii AS (
+              SELECT source, ${CleaningQueries.duckPlantedPiiSql} AS text2
+              FROM documents),
+            counted AS (
+              SELECT source, len(text2) AS n_chars2,
+                len(regexp_extract_all(text2,
+                  '${CleaningQueries.piiPatterns(0)._2}')) AS n_email,
+                len(regexp_extract_all(text2,
+                  '${CleaningQueries.piiPatterns(1)._2}')) AS n_phone,
+                len(regexp_extract_all(text2,
+                  '${CleaningQueries.piiPatterns(2)._2}')) AS n_ip
+              FROM pii),
+            unpivoted AS (
+              SELECT source, 'email' AS pii_type, n_email AS n, n_chars2
+              FROM counted
+              UNION ALL
+              SELECT source, 'phone', n_phone, n_chars2 FROM counted
+              UNION ALL
+              SELECT source, 'ip', n_ip, n_chars2 FROM counted)
+            SELECT source, pii_type,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_hit,
+              CAST(SUM(n) AS BIGINT) AS n_occurrences,
+              CAST(SUM(n) * 1000000 // SUM(n_chars2) AS BIGINT)
+                AS occ_ppm_chars
+            FROM unpivoted GROUP BY 1, 2 ORDER BY source, pii_type"""))
+
   val all: Seq[DQ] = Seq(l66, l67, l68, l69, l70, l71, l72, l73, l74,
-    l75, l76)
+    l75, l76, l77, l78)
 }

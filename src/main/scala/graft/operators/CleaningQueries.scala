@@ -187,6 +187,14 @@ object CleaningQueries {
   private[operators] def phoneReForTest  = PhoneRe
   private[operators] def ipReForTest     = IpRe
 
+  // THE single definitions of the PII patterns and the planted-PII
+  // corpus, shared with l78's per-source exposure report
+  // (AuditQueries) so the report can never drift from the scrub
+  private[operators] val piiPatterns: Seq[(String, String)] =
+    Seq("email" -> EmailRe, "phone" -> PhoneRe, "ip" -> IpRe)
+  private[operators] def plantedPiiSql     = piiSql
+  private[operators] def duckPlantedPiiSql = duckPiiSql
+
   /** The planted PII corpus for [[l32]] (column `text2`): emails on
     * `doc_id % 5 = 0` (address derived from doc_id), phones on
     * `% 7 = 0`, IPv4 on `% 11 = 0` — overlapping moduli so some docs

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED winnowing-fingerprint index — l74's build/probe split,
+  * the same lifecycle discipline as [[SubstringIndex]] but at 2/(w+1)
+  * of its row count: instead of one row per corpus token position, the
+  * index stores only the winnowing-SELECTED fingerprints (Schleimer et
+  * al. 2003 §3 — the minimum hash of each w-window of k-gram hashes,
+  * rightmost on ties), with the published guarantee that any verbatim
+  * overlap of at least k + w − 1 tokens between a probe document and
+  * an indexed document shares at least one stored fingerprint. That
+  * makes this the CHEAP first-pass screen of the substring family: a
+  * shard can be winnow-screened against a 40%-sized artifact, and only
+  * the flagged documents need the exact span work
+  * ([[SubstringIndex.spansAgainst]] / [[SamplingQueries
+  * .cutAgainstIndex]]) — the two-tier probe a 100 TB deployment
+  * actually runs.
+  *
+  * One row per selected fingerprint: (h, doc_id) — `h` the 32-bit
+  * md5-prefix gram hash ([[AuditQueries.winnowSelect]]'s key div 2²⁰;
+  * xxhash64 is the drop-in production key, same note as
+  * [[SubstringIndex]]). Files cluster by `h` (range partitioning +
+  * in-file sort) so parquet footer min/max carry real selectivity for
+  * hash-keyed probes.
+  *
+  * Append contract (same as every index here): fingerprints are a PURE
+  * per-row function of a document — no trained state — so
+  * append-then-probe equals full rebuild exactly, provided appended
+  * doc_ids don't collide with indexed ones (the caller's id authority).
+  */
+object WinnowIndex {
+
+  /** The index frame of a corpus (lang, doc_id, text): one row per
+    * distinct selected fingerprint hash per document. Per-doc
+    * dedup is a row-local array_distinct — no corpus-wide distinct
+    * shuffle. */
+  def build(corpus: DataFrame): DataFrame =
+    AuditQueries.winnowArrays(corpus)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(minkeys, k -> k div 1048576))")).as("h"))
+
+  def write(corpus: DataFrame, base: String): Unit =
+    build(corpus).repartitionByRange(col("h"))
+      .sortWithinPartitions("h")
+      .write.mode("overwrite").parquet(s"$base/winnow_fp")
+
+  def append(newDocs: DataFrame, base: String): Unit =
+    build(newDocs).repartitionByRange(col("h"))
+      .sortWithinPartitions("h")
+      .write.mode("append").parquet(s"$base/winnow_fp")
+
+  def read(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(s"$base/winnow_fp")
+
+  /** Screen NEW documents against the indexed corpus: per probe doc,
+    * the count of its selected fingerprints that exist in the index
+    * and the distinct indexed documents sharing one — (lang, doc_id,
+    * n_shared_fp, n_index_docs), hit rows only. By the winnowing
+    * guarantee, any probe doc sharing a ≥ k+w−1-token verbatim run
+    * with an indexed doc IS in this frame; a doc absent from it needs
+    * no exact span work. Only the probe side tokenizes — the index
+    * side is a hash-keyed projection scan of the persisted files.
+    * Probe ids must be disjoint from indexed ids. */
+  def screenAgainst(newDocs: DataFrame, index: DataFrame): DataFrame =
+    build(newDocs)
+      .join(newDocs.select("lang", "doc_id"), Seq("doc_id"))
+      .join(index.select(col("h"), col("doc_id").as("corpus_id")), Seq("h"))
+      .groupBy("lang", "doc_id")
+      .agg(countDistinct("h").as("n_shared_fp"),
+        countDistinct("corpus_id").as("n_index_docs"))
+}

@@ -87,7 +87,13 @@ class PlanSpec extends AnyFunSuite {
       "l64_substring_cut", "l65_substring_cut_global", "l66_dup_profile",
       // l69: the 1-row planted-offset broadcast building the degraded
       // fixture copies (l47's construction).
-      "l69_gopher_quality")
+      "l69_gopher_quality",
+      // l74: plantedFull's 1-row offset broadcast (the l33/l64
+      // planted-corpus construction the winnowing audit shares).
+      "l74_winnow_fingerprints",
+      // l77: the 1-row token-total broadcast crossJoined onto the
+      // min-count-filtered pair frame (l51/l52's totals shape).
+      "l77_collocations")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {

@@ -485,6 +485,62 @@ class AuditQueriesSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- l77
+
+  test("l77 collocations at sf0.001 equals a driver-side recompute of " +
+      "the discounted-PMI top-20") {
+    val got = AuditQueries.l77.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val tas = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\s+"))
+    val uni = tas.flatten.groupBy(identity).map { case (w, v) =>
+      w -> v.length.toLong }
+    val n = uni.values.sum
+    val pairs = tas.flatMap(ta => ta.sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1)))
+      .groupBy(identity).map { case (p, v) => p -> v.length.toLong }
+      .filter(_._2 >= 10L)
+    val want = pairs.toSeq.map { case ((w1, w2), c) =>
+      (w1, w2, c, uni(w1), uni(w2), (c - 5L) * 1000L * n / (uni(w1) * uni(w2)))
+    }.sortBy { case (w1, w2, _, _, _, s) => (-s, w1, w2) }.take(20)
+    assert(got.toSeq === want)
+  }
+
+  // ------------------------------------------------------------- l78
+
+  test("l78 per-source PII exposure equals a driver recompute per " +
+      "(source, type), and totals reconcile with l32's corpus-wide " +
+      "n_pii (one pattern set, two reports)") {
+    val got = AuditQueries.l78.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val res = Seq(
+      "email" -> CleaningQueries.emailReForTest,
+      "phone" -> CleaningQueries.phoneReForTest,
+      "ip" -> CleaningQueries.ipReForTest).toMap
+    val rows = graft.Tables.documents(spark, sf)
+      .withColumn("text2", expr(CleaningQueries.plantedPiiSql))
+      .select("source", "text2").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    for (((src, typ), (nDocs, hit, occ, ppm)) <- got) {
+      val ds = rows.filter(_._1 == src)
+      val counts = ds.map(_._2.map(t =>
+        res(typ).r.findAllIn(t).length.toLong))
+      assert(nDocs === ds.length.toLong, s"$src/$typ n_docs")
+      assert(hit === counts.count(_.exists(_ > 0L)).toLong, s"$src/$typ hit")
+      assert(occ === counts.flatten.sum, s"$src/$typ occ")
+      val chars = ds.flatMap(_._2.map(_.length.toLong)).sum
+      assert(ppm === occ * 1000000L / chars, s"$src/$typ ppm")
+    }
+    // cross-report reconciliation: Σ occurrences over sources ==
+    // l32's Σ n_pii over languages (same patterns, same planted corpus)
+    val l32Pii = CleaningQueries.l32.fn(spark, sf)
+      .agg(sum("n_pii")).collect().head.getLong(0)
+    assert(got.values.map(_._3).sum === l32Pii)
+  }
+
   test("l69 DQ at sf0.001: the planted degradations make every " +
       "plantable arm fire somewhere, and f_any accounting closes") {
     val out = AuditQueries.l69.fn(spark, sf).collect()
