@@ -81,5 +81,16 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(exactHit.subsetOf(winnowHit),
       s"winnow screen missed ${exactHit -- winnowHit} — violates the " +
         "k+w-1 guarantee (15 ≥ 8)")
+
+    // and the COMPOSED two-tier probe is row-identical to the untiered
+    // one: pre-filtering the exact probe to winnow-flagged docs drops
+    // nothing (the guarantee, realized as a call)
+    val untiered = SubstringIndex.spansAgainst(probes,
+      SubstringIndex.read(spark, sBase))
+    val tiered = SubstringIndex.spansAgainstTiered(probes,
+      WinnowIndex.read(spark, wBase), SubstringIndex.read(spark, sBase))
+    assert(tiered.collect().map(_.toString).sorted.toSeq ===
+      untiered.collect().map(_.toString).sorted.toSeq,
+      "tiered ≡ untiered")
   }
 }
