@@ -149,7 +149,23 @@ object Report {
       // by language cardinality.
       "mix_plan" -> rowsJson(operators.SamplingQueries.l62.fn(spark, sfDir)),
       "tokenizer_fertility" ->
-        rowsJson(operators.LlmQueries.l63.fn(spark, sfDir)))
+        rowsJson(operators.LlmQueries.l63.fn(spark, sfDir)),
+      // Datasheet panels (round 13): the corpus-audit family — per-
+      // provenance report card (l67), memorization-risk duplication
+      // histogram (l66, reads the shared planted-gram checkpoint),
+      // per-benchmark contamination (l68), the Gopher quality ladder
+      // (l69), the length/padding histogram (l73), the Heaps
+      // vocabulary-growth curve (l75), and the per-source PII exposure
+      // table (l78). All bounded rollups: (sources|langs) × small.
+      "source_report" -> rowsJson(operators.AuditQueries.l67.fn(spark, sfDir)),
+      "dup_profile" -> rowsJson(operators.AuditQueries.l66.fn(spark, sfDir)),
+      "suite_contamination" ->
+        rowsJson(operators.AuditQueries.l68.fn(spark, sfDir)),
+      "quality_ladder" -> rowsJson(operators.AuditQueries.l69.fn(spark, sfDir)),
+      "length_histogram" ->
+        rowsJson(operators.AuditQueries.l73.fn(spark, sfDir)),
+      "vocab_growth" -> rowsJson(operators.AuditQueries.l75.fn(spark, sfDir)),
+      "pii_by_source" -> rowsJson(operators.AuditQueries.l78.fn(spark, sfDir)))
     val body = panels.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val martBacked = Seq("revenue_trend" -> trendM, "top_products" -> topM,
       "quality_rates" -> qualityM).collect { case (k, true) => s""""$k"""" }

@@ -55,7 +55,13 @@ object AuditQueries {
     * 100 TB form), a per-(lang, gram) count, then a bucket rollup on
     * the tiny (lang × 4) frame. Fully partial-aggregable. */
   private[graft] def dupProfile(corpus: DataFrame, k: Int): DataFrame =
-    SamplingQueries.spanGrams(corpus, k, hashed = false)
+    dupProfileFrom(SamplingQueries.spanGrams(corpus, k, hashed = false))
+
+  /** [[dupProfile]] with a caller-supplied gram frame — the DQ passes
+    * [[SamplingQueries.sharedPlantedGrams]] so the l33/l64/l65/l66
+    * family tokenizes the planted corpus once per snapshot. */
+  private[graft] def dupProfileFrom(grams: DataFrame): DataFrame =
+    grams
       .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
       .withColumn("dup_bucket",
         when(col("c") === 1, "1")
@@ -77,8 +83,7 @@ object AuditQueries {
     * buckets verifiably, exactly as in the l33/l64 family). */
   val l66 = DQ(
     "l66_dup_profile",
-    (s, d) => dupProfile(
-      LlmQueries.plantedFull(docs(s, d)), SamplingQueries.SpanK),
+    (s, d) => dupProfileFrom(SamplingQueries.sharedPlantedGrams(s, d)),
     Some(s"""WITH corpus AS (
               SELECT lang, doc_id, text FROM documents
               UNION ALL

@@ -592,6 +592,26 @@ object SamplingQueries {
       .localCheckpoint(false), k)
   }
 
+  /** ONE checkpointed positional string-gram frame of the PLANTED
+    * corpus per snapshot, shared by every SpanK-gram consumer — l33's
+    * span accounting, l64/l65's ExactSubstr cuts, l66's duplication
+    * profile. Same (appId, dir) memo discipline (and rationale) as
+    * [[LlmQueries.sharedPairs]]: before the memo each of the four
+    * catalog queries re-ran the tokenize + posexplode + 15-gram build
+    * from scratch; now the first action materializes the lazy
+    * checkpoint once and the rest read rows — which is also the
+    * production shape (the gram frame IS the persisted
+    * [[SubstringIndex]]; this is its single-job stand-in). The frame
+    * is a deterministic pure function of the snapshot, so a memo read
+    * cannot differ from a rebuild. */
+  private val plantedGramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def sharedPlantedGrams(s: SparkSession, d: String): DataFrame =
+    plantedGramsMemo.computeIfAbsent(s.sparkContext.applicationId + ":" + d,
+      _ => spanGrams(LlmQueries.plantedFull(docs(s, d)), SpanK,
+        hashed = false).localCheckpoint(eager = false))
+
   /** The PROBE half of l33, factored so the gram frame can come from
     * either the in-job checkpoint ([[substringSpans]]) or the persisted
     * parquet index ([[SubstringIndex.read]]) — identical plan from the
@@ -655,8 +675,8 @@ object SamplingQueries {
     * identical computation. */
   val l33 = DQ(
     "l33_substring_dedup",
-    (s, d) => substringSpans(
-      LlmQueries.plantedFull(docs(s, d)), SpanK, hashed = false),
+    (s, d) => substringSpansFrom(
+      LlmQueries.plantedFull(docs(s, d)), sharedPlantedGrams(s, d), SpanK),
     Some(s"""WITH corpus AS (
               SELECT lang, doc_id, text FROM documents
               UNION ALL
@@ -734,8 +754,15 @@ object SamplingQueries {
     * hit-density-bounded into the per-doc merge window; the cut
     * itself is ROW-LOCAL (zip_with + filter over the doc's own tokens
     * against its ≤spans-sized cut list) — no second corpus shuffle. */
-  private[graft] def exactSubstrCut(corpus: DataFrame, k: Int): DataFrame = {
-    val grams = spanGrams(corpus, k, hashed = false).localCheckpoint(false)
+  private[graft] def exactSubstrCut(corpus: DataFrame, k: Int): DataFrame =
+    exactSubstrCutFrom(corpus,
+      spanGrams(corpus, k, hashed = false).localCheckpoint(false), k)
+
+  /** [[exactSubstrCut]] with a caller-supplied gram frame — the DQ
+    * passes [[sharedPlantedGrams]] so the l33/l64/l65/l66 family
+    * tokenizes the planted corpus exactly once per snapshot. */
+  private[graft] def exactSubstrCutFrom(corpus: DataFrame,
+      grams: DataFrame, k: Int): DataFrame = {
     val owners = grams.groupBy("gram")
       .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
@@ -765,8 +792,14 @@ object SamplingQueries {
     * cleaned corpus occurs exactly ONCE globally — nothing repeats,
     * across or within documents. */
   private[graft] def exactSubstrCutGlobal(corpus: DataFrame,
-      k: Int): DataFrame = {
-    val grams = spanGrams(corpus, k, hashed = false).localCheckpoint(false)
+      k: Int): DataFrame =
+    exactSubstrCutGlobalFrom(corpus,
+      spanGrams(corpus, k, hashed = false).localCheckpoint(false), k)
+
+  /** [[exactSubstrCutGlobal]] with a caller-supplied gram frame (same
+    * split as [[exactSubstrCutFrom]]). */
+  private[graft] def exactSubstrCutGlobalFrom(corpus: DataFrame,
+      grams: DataFrame, k: Int): DataFrame = {
     val keyed = grams.withColumn("okey",
       shiftleft(col("doc_id"), 20) + col("pos"))
     val canon = keyed.groupBy("gram").agg(min("okey").as("ckey"))
@@ -836,7 +869,8 @@ object SamplingQueries {
   val l65 = DQ(
     "l65_substring_cut_global",
     (s, d) => {
-      exactSubstrCutGlobal(LlmQueries.plantedFull(docs(s, d)), SpanK)
+      exactSubstrCutGlobalFrom(LlmQueries.plantedFull(docs(s, d)),
+        sharedPlantedGrams(s, d), SpanK)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -927,7 +961,8 @@ object SamplingQueries {
   val l64 = DQ(
     "l64_substring_cut",
     (s, d) => {
-      exactSubstrCut(LlmQueries.plantedFull(docs(s, d)), SpanK)
+      exactSubstrCutFrom(LlmQueries.plantedFull(docs(s, d)),
+        sharedPlantedGrams(s, d), SpanK)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1885,6 +1920,9 @@ object SamplingQueries {
         expr(s"(sum(avail) * $WaterfillBudgetNum) div $WaterfillBudgetDen")
           .as("b"),
         count(lit(1)).as("n"))
+      // un-partitioned window over the L-row language frame —
+      // language-cardinality by construction; WindowExec's "No
+      // Partition Defined" warning is the design, not a hazard
       val w = Window.orderBy(col("avail"), col("lang"))
       val lv = avail
         .withColumn("rk", row_number().over(w).cast("long"))
@@ -1991,6 +2029,9 @@ object SamplingQueries {
         .withColumn("partial_tokens",
           when(col("avail_tokens") > 0L,
             expr("realized_tokens % avail_tokens")).otherwise(0L))
+      // un-partitioned window over the L-row language frame —
+      // language-cardinality by construction; WindowExec's "No
+      // Partition Defined" warning is the design, not a hazard
       val w = Window.orderBy(col("avail_tokens"), col("lang"))
       val lv = withT
         .withColumn("rk", row_number().over(w).cast("long"))

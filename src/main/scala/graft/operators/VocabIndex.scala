@@ -44,6 +44,10 @@ object VocabIndex {
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+    // the un-partitioned window ranks the V-row cut (vocabSize bounded
+    // by construction) — WindowExec's "No Partition Defined" warning is
+    // the design here, not a scale hazard: the corpus-sized work ended
+    // at the limit above
     cut.withColumn("id",
       (row_number().over(Window.orderBy(col("cnt").desc, col("tok"))) - 1)
         .cast("long"))

@@ -21,8 +21,25 @@ class ReportSpec extends AnyFunSuite {
         "cleaning", "pii_scrub", "quality_classifier", "repetition_ladder",
         "snapshot_diff", "increment_screen", "source_overlap",
         "heavy_hitters", "media_dedup", "distribution_drift",
-        "media_quality", "mix_plan", "tokenizer_fertility"))
+        "media_quality", "mix_plan", "tokenizer_fertility",
+        "source_report", "dup_profile", "suite_contamination",
+        "quality_ladder", "length_histogram", "vocab_growth",
+        "pii_by_source"))
       assert(root.has(k), s"missing panel $k")
+    // datasheet panels carry their gate queries' own invariant columns:
+    // the dup profile's singleton bucket exists, the PII table is
+    // (sources × 3 types), vocab growth is monotone per language
+    assert(root.get("dup_profile").get(0).has("n_grams"))
+    assert(root.get("pii_by_source").size() % 3 === 0)
+    assert(root.get("pii_by_source").get(0).has("occ_ppm_chars"))
+    root.get("vocab_growth").forEach { n =>
+      assert(n.get("types_p25").asLong() <= n.get("types_p50").asLong() &&
+        n.get("types_p50").asLong() <= n.get("types_all").asLong())
+    }
+    assert(root.get("source_report").get(0).has("n_lowq"))
+    assert(root.get("quality_ladder").get(0).has("n_flag_any"))
+    assert(root.get("length_histogram").get(0).has("padded_chunks"))
+    assert(root.get("suite_contamination").get(0).has("n_train_hit"))
     // round-13 panels: the allocation decision frame carries all three
     // allocators' columns; the fertility audit its milli ratios
     for (c <- Seq("temp_bp", "realized_tokens", "allocated", "water_level"))
