@@ -801,7 +801,8 @@ object AuditQueries {
     * with its full `minkeys` array — the shape every consumer derives
     * from row-locally (window counts, per-doc distinct fingerprints)
     * so a checkpoint of it is document-count-sized, never gram-sized. */
-  private[graft] def winnowArrays(corpus: DataFrame): DataFrame =
+  private[graft] def winnowArrays(corpus: DataFrame,
+      keyCols: Seq[String] = Seq("lang", "doc_id")): DataFrame =
     corpus.filter(col("text").isNotNull)
       .withColumn("ta", split(lower(col("text")), "\\s+"))
       .filter(size(col("ta")) >= WinnowK + WinnowW - 1)
@@ -810,9 +811,9 @@ object AuditQueries {
           "cast(conv(substring(md5(concat_ws(' ', " +
           s"slice(ta, i + 1, $WinnowK))), 1, 8), 16, 10) as bigint) " +
           "* 1048576L + (1048575L - i))"))
-      .select(col("lang"), col("doc_id"), expr(
+      .select(keyCols.map(col) :+ expr(
         s"transform(sequence(0, size(keys) - $WinnowW), s -> " +
-          s"array_min(slice(keys, s + 1, $WinnowW)))").as("minkeys"))
+          s"array_min(slice(keys, s + 1, $WinnowW)))").as("minkeys"): _*)
 
   private[graft] def winnowSelect(corpus: DataFrame): DataFrame =
     winnowArrays(corpus)

@@ -37,7 +37,7 @@ object WinnowIndex {
     * dedup is a row-local array_distinct — no corpus-wide distinct
     * shuffle. */
   def build(corpus: DataFrame): DataFrame =
-    AuditQueries.winnowArrays(corpus)
+    AuditQueries.winnowArrays(corpus, Seq("doc_id"))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(minkeys, k -> k div 1048576))")).as("h"))
 

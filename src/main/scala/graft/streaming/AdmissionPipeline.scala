@@ -70,6 +70,15 @@ object AdmissionPipeline {
         * are the same claim about eval leakage, detected differently.
         * None runs the pipeline unchanged. */
       evalVecs: Option[DataFrame] = None,
+      /** Opt-in TIER-1 winnow pre-gate for the verbatim arm (the
+        * persisted [[graft.operators.WinnowIndex]] fingerprint frame,
+        * column `h`): only batch docs sharing a selected fingerprint
+        * with the indexed corpus pay the 15-gram build and the
+        * span-index probe. Decision-IDENTICAL with or without (the
+        * winnowing guarantee — see [[StreamingSubstring.screenRaw]]);
+        * at scale the quiet majority of a batch stops at the
+        * 2/(w+1)-sized artifact. Ignored unless `corpusSpans` is set. */
+      corpusWinnow: Option[DataFrame] = None,
       /** Opt-in Gopher DOC-QUALITY screen (l69's seven published rules
         * — word count, mean word length, symbol ratio, bullet/ellipsis
         * lines, alpha share, stopword floor — the non-repetition half
@@ -172,7 +181,7 @@ object AdmissionPipeline {
     // the decision chain) stays identical either way
     val verbatim = gates.corpusSpans
       .map(ix => StreamingSubstring.screenRaw(batch, ix,
-          excludeOwners = Some(batchOwned))
+          excludeOwners = Some(batchOwned), winnow = gates.corpusWinnow)
         .select("doc_id").distinct().withColumn("_vr", lit(true)))
       .getOrElse(near.sparkSession.emptyDataFrame
         .select(lit(-1L).as("doc_id"), lit(true).as("_vr")).limit(0))

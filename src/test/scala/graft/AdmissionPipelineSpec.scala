@@ -237,6 +237,35 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     assert(withoutGate === Seq("admit"), withoutGate.toString)
   }
 
+  test("tier-1 winnow pre-gate: decisions with corpusWinnow are " +
+      "IDENTICAL to the untiered verbatim gate — the lift still flags, " +
+      "the quiet doc still admits") {
+    val lifted = (longCorpusText.split(" ").slice(4, 20) ++ Seq(
+      "zephyr", "quill", "almanac", "gondola", "parapet", "sundial",
+      "vellum", "ossuary", "tureen", "paddock", "bellows", "crampon",
+      "jetty", "kiln", "lozenge", "mortise", "naphtha", "oculus",
+      "pergola", "quoin")).mkString(" ")
+    val quiet = "periscope ostrich quilt lagoon velvet hammock sequoia " +
+      "tundra biscuit chandelier mongoose parchment zephyrine iceberg " +
+      "raccoon dolomite pretzel observatory kelp wombat clarinet " +
+      "geyser tambourine walrus porcelain aqueduct sycamore gondolier " +
+      "marmalade vestibule catamaran"
+    val batch = mkBatch(Seq(8L -> lifted, 9L -> quiet))
+    val spanGate = gates.copy(
+      corpusSpans = Some(StreamingSubstring.buildIndex(corpus)))
+    def reasons(g: AdmissionPipeline.Gates) =
+      AdmissionPipeline.decide(batch, g)
+        .select("doc_id", "reason").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untiered = reasons(spanGate)
+    val tiered = reasons(spanGate.copy(
+      corpusWinnow = Some(graft.operators.WinnowIndex.build(corpus))))
+    assert(untiered === Map(8L -> "verbatim_repeat", 9L -> "admit"),
+      untiered.toString)
+    assert(tiered === untiered,
+      "the winnow tier must not change a single decision")
+  }
+
   test("buildIndexSince scopes the verbatim gate to a recency window: a doc " +
       "repeating only a past-horizon span admits, a recent span still flags") {
     import spark.implicits._
