@@ -1982,10 +1982,16 @@ object LlmQueries {
           sum("n_chars").as("n_chars"),
           sum("n_words").as("n_words"),
           sum("n_toks").as("n_tokens"))
-        .withColumn("fertility_milli",
-          round(col("n_tokens") * lit(1000.0) / col("n_words")).cast("long"))
-        .withColumn("chars_per_tok_milli",
-          round(col("n_chars") * lit(1000.0) / col("n_tokens")).cast("long"))
+        // zero-denominator guards (top2Bp's null-safe discipline): a
+        // language whose docs carry no pre-tokenizer-matching text has
+        // n_tokens = 0 — the unguarded double divide would read
+        // Infinity and the ANSI long cast would THROW at runtime, not
+        // null. Same for an (implausible but cheap-to-guard) zero
+        // word sum. Null, not 0: "no ratio" is not "ratio 0".
+        .withColumn("fertility_milli", when(col("n_words") > 0L,
+          round(col("n_tokens") * lit(1000.0) / col("n_words")).cast("long")))
+        .withColumn("chars_per_tok_milli", when(col("n_tokens") > 0L,
+          round(col("n_chars") * lit(1000.0) / col("n_tokens")).cast("long")))
         .orderBy("lang")
     },
     Some("""WITH t AS (
@@ -2000,10 +2006,12 @@ object LlmQueries {
               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
               CAST(SUM(n_words) AS BIGINT) AS n_words,
               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-              CAST(ROUND(SUM(n_toks) * 1000.0 / SUM(n_words)) AS BIGINT)
-                AS fertility_milli,
-              CAST(ROUND(SUM(n_chars) * 1000.0 / SUM(n_toks)) AS BIGINT)
-                AS chars_per_tok_milli
+              CASE WHEN SUM(n_words) > 0 THEN
+                CAST(ROUND(SUM(n_toks) * 1000.0 / SUM(n_words)) AS BIGINT)
+              END AS fertility_milli,
+              CASE WHEN SUM(n_toks) > 0 THEN
+                CAST(ROUND(SUM(n_chars) * 1000.0 / SUM(n_toks)) AS BIGINT)
+              END AS chars_per_tok_milli
             FROM t GROUP BY 1 ORDER BY lang"""))
 
   val all: Seq[DQ] =

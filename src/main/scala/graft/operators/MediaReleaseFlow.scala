@@ -46,11 +46,15 @@ object MediaReleaseFlow {
 
   /** The byte-exact index frame of a media corpus (doc_id, payload):
     * (h, doc_id), h = sha256 of the raw payload — [[MediaAdmission]]'s
-    * decodable item key. Undecodable rows (null payload) carry no
-    * byte identity and are skipped, as [[DedupIndex.build]] skips
-    * null text. */
+    * decodable item key. Undecodable rows (null OR sub-header payload
+    * — the SAME [[MediaAdmission.decodable]] predicate the decision
+    * arms use) carry no byte identity and are skipped, as
+    * [[DedupIndex.build]] skips null text; with the shared predicate,
+    * init-then-probe is exactly a composition of releases even for
+    * corrupt rows (decide labels them `corrupt`, release never
+    * appends them — so init must not index them either). */
   def buildByteIndex(media: DataFrame): DataFrame =
-    media.filter(col("payload").isNotNull)
+    media.filter(MediaAdmission.decodable)
       .select(sha2(col("payload"), 256).as("h"), col("doc_id"))
 
   private def writeBytes(media: DataFrame, base: String, mode: String): Unit =

@@ -7,7 +7,7 @@ import graft.streaming.{AdmissionPipeline, StreamingNearDup, StreamingSubstring}
 
 /** One corpus RELEASE, end-to-end, over the persisted index artifacts —
   * the composition the whole index family exists for, as a callable
-  * instead of a runbook. A release pipeline holds three standing
+  * instead of a runbook. A release pipeline holds four standing
   * artifacts per corpus version (each with its own build/probe/append
   * split, all spec-pinned append ≡ rebuild):
   *
@@ -15,7 +15,17 @@ import graft.streaming.{AdmissionPipeline, StreamingNearDup, StreamingSubstring}
   *  - the MinHash band index ([[StreamingNearDup]]'s persisted form —
   *    l9/L18/l49's probe side),
   *  - the substring span-gram index ([[SubstringIndex]] — l33's probe
-  *    side and the streaming verbatim gate's source).
+  *    side and the streaming verbatim gate's source),
+  *  - the winnowing-fingerprint index ([[WinnowIndex]] — l74's
+  *    persisted form, the verbatim arm's TIER-1 screen: only shard
+  *    docs sharing a selected fingerprint with the corpus pay the
+  *    15-gram explode and the span-index probe, decision-identically
+  *    by the k+w−1 guarantee). Because init builds it from the same
+  *    corpus as the span index and every release appends the same
+  *    admitted slice to both, the tier's COVERAGE invariant — the
+  *    winnow artifact covers every doc the span index holds — is true
+  *    by construction here (see [[graft.streaming.AdmissionPipeline
+  *    .Gates.corpusWinnow]] for the caller-managed case).
   *
   * [[release]] labels every shard row by CALLING the streaming
   * pipeline's own decision function ([[AdmissionPipeline.decide]]) over
@@ -53,6 +63,7 @@ object ReleaseFlow {
   def dedupDir(base: String): String   = s"$base/dedup"
   def neardupDir(base: String): String = s"$base/neardup"
   def substrDir(base: String): String  = s"$base/substr"
+  def winnowDir(base: String): String  = s"$base/winnow"
 
   /** Initialize the artifact set from the first corpus version.
     * `corpus` must carry (lang, doc_id, text). */
@@ -61,6 +72,7 @@ object ReleaseFlow {
     StreamingNearDup.writeIndex(StreamingNearDup.buildIndex(corpus),
       neardupDir(base))
     SubstringIndex.write(corpus, substrDir(base))
+    WinnowIndex.write(corpus, winnowDir(base))
   }
 
   /** Opt-in screens beyond the three standing artifacts — the two
@@ -102,6 +114,11 @@ object ReleaseFlow {
       screens.holdoutGrams.getOrElse(spark.emptyDataFrame
         .select(lit(0L).as("gram")).limit(0)),
       corpusSpans = Some(StreamingSubstring.fromPersisted(spark, substrDir(base))),
+      // the tier-1 winnow pre-gate: decision-identical (coverage holds
+      // by construction — see the object scaladoc), and the quiet
+      // majority of a shard stops at the 2/(w+1)-sized artifact
+      // instead of paying the span-index probe
+      corpusWinnow = Some(WinnowIndex.read(spark, winnowDir(base))),
       classifier = screens.classifier,
       exactHashes = Some(DedupIndex.read(spark, dedupDir(base)).select("h")),
       docQuality = screens.docQuality)
@@ -113,6 +130,10 @@ object ReleaseFlow {
     DedupIndex.append(admitted, dedupDir(base))
     StreamingNearDup.appendIndex(admitted, neardupDir(base))
     SubstringIndex.append(admitted, substrDir(base))
+    // the winnow append keeps the tier's coverage invariant: every doc
+    // entering the span index enters the fingerprint index in the same
+    // release
+    WinnowIndex.append(admitted, winnowDir(base))
     decided
   }
 
@@ -148,7 +169,14 @@ object ReleaseFlow {
     *
     * Scale shape: one extra shard-side tokenize + hash and a
     * distinct-gram projection scan of the persisted index on top of
-    * [[release]]'s own probes — the corpus never reshuffles. */
+    * [[release]]'s own probes — the corpus never reshuffles. The cut
+    * probe itself is TIERED ([[SubstringIndex.spansAgainstTiered]]'s
+    * shape): a winnow screen against the 2/(w+1)-sized fingerprint
+    * artifact picks the candidate docs, and only those pay the 15-gram
+    * explode and the span-index probe — cut-identical, because any doc
+    * with a [[SamplingQueries.SpanK]]-token indexed span shares a
+    * ≥ k+w−1-token run with that span's owner (15 ≥ 8) and is
+    * therefore winnow-flagged. */
   def releaseCut(spark: SparkSession, shard0: DataFrame, base: String,
       screens: Screens = Screens()): DataFrame = {
     val shard = shard0.filter(col("text").isNotNull)
@@ -157,7 +185,11 @@ object ReleaseFlow {
       .join(DedupIndex.read(spark, dedupDir(base))
         .select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
       .drop("_h")
-    val cured = SamplingQueries.cutAgainstIndex(fresh,
+    val flagged = WinnowIndex.screenAgainst(fresh,
+        WinnowIndex.read(spark, winnowDir(base)))
+      .select("doc_id")
+    val cured = SamplingQueries.cutAgainstIndex(
+        fresh.join(flagged, Seq("doc_id"), "left_semi"),
         SubstringIndex.read(spark, substrDir(base)), SamplingQueries.SpanK)
       .filter(col("n_cut_tokens") > 0L)
       .select(col("doc_id"), col("text_clean"), col("n_cut_tokens"))

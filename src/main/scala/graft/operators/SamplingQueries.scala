@@ -788,9 +788,19 @@ object SamplingQueries {
     * portability question), so "first occurrence" is ONE min() per
     * gram. Same merge/cut machinery as [[exactSubstrCut]] downstream.
     *
-    * Fixpoint (spec-pinned): after the cut, every k-gram of the
-    * cleaned corpus occurs exactly ONCE globally — nothing repeats,
-    * across or within documents. */
+    * Fixpoint, precisely stated (the Lee et al. caveat): after the
+    * cut, every k-gram that was INTACT IN THE ORIGINAL token stream
+    * occurs exactly once globally — nothing the original corpus
+    * repeated survives, across or within documents. Re-joining the
+    * kept tokens across a cut boundary can MINT new k-grams (the
+    * suffix before a cut abutting the prefix after it), and a minted
+    * gram may itself repeat; the single-pass criterion does not chase
+    * those, exactly as the published ExactSubstr pass does not (its
+    * remedy concatenates around the removed span too). The spec pins
+    * the original-stream property on a planted corpus where no
+    * boundary-minted gram happens to repeat, so the re-run there
+    * finds zero spans; a caller wanting the stronger every-gram-of-
+    * the-CLEANED-stream property iterates the cut to convergence. */
   private[graft] def exactSubstrCutGlobal(corpus: DataFrame,
       k: Int): DataFrame =
     exactSubstrCutGlobalFrom(corpus,
@@ -841,19 +851,28 @@ object SamplingQueries {
   /** The shared row-local cut application: corpus ⋈ per-doc cut list →
     * cleaned token stream + accounting columns. Factored so the
     * cross-doc ([[exactSubstrCut]]) and unified
-    * ([[exactSubstrCutGlobal]]) criteria share one implementation. */
+    * ([[exactSubstrCutGlobal]]) criteria share one implementation.
+    *
+    * The kept stream is assembled as the GAP slices between cuts —
+    * one slice per gap plus the tail, O(tokens + spans) per doc —
+    * rather than a per-token `exists(cuts, ...)` membership scan
+    * (O(tokens × spans), which bites exactly on the boilerplate-heavy
+    * docs where spans are dense). Sound because [[mergeSpans]]' output
+    * is sorted, non-overlapping, and maximal: gap i is
+    * [prev.e, cuts(i).s) (prev.e = 0 at i = 0), never negative-width,
+    * and the lazy CASE keeps the i−1 index unevaluated at i = 0. */
   private def applyCuts(corpus: DataFrame, cuts: DataFrame): DataFrame =
     corpus.filter(col("text").isNotNull)
       .withColumn("ta", split(lower(col("text")), "\\s+"))
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("kept",
         when(col("cuts").isNull, col("ta")).otherwise(expr(
-          s"""transform(
-                filter(
-                  zip_with(ta, sequence(0, size(ta) - 1),
-                    (t, i) -> struct(t AS tok, i AS idx)),
-                  x -> NOT exists(cuts, c -> x.idx >= c.s AND x.idx < c.e)),
-                x -> x.tok)""")))
+          s"""flatten(concat(
+                transform(cuts, (c, i) -> slice(ta,
+                  (CASE WHEN i = 0 THEN 0 ELSE cuts[i-1].e END) + 1,
+                  c.s - (CASE WHEN i = 0 THEN 0 ELSE cuts[i-1].e END))),
+                array(slice(ta, element_at(cuts, -1).e + 1,
+                  size(ta) - element_at(cuts, -1).e))))""")))
       .withColumn("text_clean", concat_ws(" ", col("kept")))
       .withColumn("n_tokens", size(col("ta")).cast("long"))
       .withColumn("n_cut_tokens",

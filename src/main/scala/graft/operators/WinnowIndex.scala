@@ -32,14 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object WinnowIndex {
 
+  /** One row per distinct selected fingerprint hash per document,
+    * `keyCols` carried through. Per-doc dedup is a row-local
+    * array_distinct — no corpus-wide distinct shuffle — and key
+    * columns ride the same row, so no consumer re-joins the corpus
+    * just to recover them. */
+  private def fingerprints(corpus: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    AuditQueries.winnowArrays(corpus, keyCols)
+      .select(keyCols.map(col) :+ explode(expr(
+        "array_distinct(transform(minkeys, k -> k div 1048576))")).as("h"): _*)
+
   /** The index frame of a corpus (lang, doc_id, text): one row per
-    * distinct selected fingerprint hash per document. Per-doc
-    * dedup is a row-local array_distinct — no corpus-wide distinct
-    * shuffle. */
+    * distinct selected fingerprint hash per document. */
   def build(corpus: DataFrame): DataFrame =
-    AuditQueries.winnowArrays(corpus, Seq("doc_id"))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(minkeys, k -> k div 1048576))")).as("h"))
+    fingerprints(corpus, Seq("doc_id"))
 
   def write(corpus: DataFrame, base: String): Unit =
     build(corpus).repartitionByRange(col("h"))
@@ -64,8 +71,7 @@ object WinnowIndex {
     * side is a hash-keyed projection scan of the persisted files.
     * Probe ids must be disjoint from indexed ids. */
   def screenAgainst(newDocs: DataFrame, index: DataFrame): DataFrame =
-    build(newDocs)
-      .join(newDocs.select("lang", "doc_id"), Seq("doc_id"))
+    fingerprints(newDocs, Seq("lang", "doc_id"))
       .join(index.select(col("h"), col("doc_id").as("corpus_id")), Seq("h"))
       .groupBy("lang", "doc_id")
       .agg(countDistinct("h").as("n_shared_fp"),

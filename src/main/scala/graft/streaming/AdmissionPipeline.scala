@@ -77,7 +77,17 @@ object AdmissionPipeline {
         * span-index probe. Decision-IDENTICAL with or without (the
         * winnowing guarantee — see [[StreamingSubstring.screenRaw]]);
         * at scale the quiet majority of a batch stops at the
-        * 2/(w+1)-sized artifact. Ignored unless `corpusSpans` is set. */
+        * 2/(w+1)-sized artifact. Ignored unless `corpusSpans` is set.
+        *
+        * COVERAGE INVARIANT (the caller's contract): the winnow
+        * artifact must cover every document the span index holds —
+        * the equivalence argument screens tier 2's candidates through
+        * tier 1, so a span-indexed doc with NO fingerprints in the
+        * winnow artifact silently under-flags its verbatim repeats.
+        * Whoever appends to one index appends to the other in the
+        * same step: [[startLive]] does (its winnow dir is required
+        * whenever both live indexes are configured), and
+        * [[graft.operators.ReleaseFlow]] holds it by construction. */
       corpusWinnow: Option[DataFrame] = None,
       /** Opt-in Gopher DOC-QUALITY screen (l69's seven published rules
         * — word count, mean word length, symbol ratio, bullet/ellipsis
@@ -340,6 +350,15 @@ object AdmissionPipeline {
       outDir: String, tsCol: String, delay: String,
       clean: Boolean = false,
       substrIndexDir: Option[String] = None,
+      /** Opt-in TIER-1 winnow pre-gate for the live verbatim arm: the
+        * persisted [[graft.operators.WinnowIndex]] directory, resolved
+        * per batch and APPENDED with each batch's admitted docs in the
+        * same step as the substring append — which is what keeps
+        * [[Gates.corpusWinnow]]'s coverage invariant under a growing
+        * span index (a winnow artifact that stops growing while the
+        * span index grows silently under-flags). Ignored unless
+        * `substrIndexDir` is set, same as the gate itself. */
+      winnowIndexDir: Option[String] = None,
       classifier: Option[Map[Int, Long]] = None,
       /** Opt-in LIVE exact-hash corpus backstop: the persisted
         * [[graft.operators.DedupIndex]] directory, probed per batch
@@ -370,6 +389,8 @@ object AdmissionPipeline {
           StreamingNearDup.readIndex(spark, neardupIndexDir), holdoutGrams,
           corpusSpans = substrIndexDir.map(d =>
             StreamingSubstring.fromPersisted(spark, d)),
+          corpusWinnow = winnowIndexDir.map(d =>
+            graft.operators.WinnowIndex.read(spark, d)),
           classifier = classifier,
           exactHashes = exactHashDir.map(d =>
             graft.operators.DedupIndex.read(spark, d)),
@@ -391,6 +412,11 @@ object AdmissionPipeline {
             else admitted.withColumn("lang", lit("und"))
           SubstringIndex.append(
             withLang.select("lang", "doc_id", "text"), d)
+          // the winnow append rides the SAME conditional as the
+          // substring append — one cannot grow without the other, the
+          // coverage invariant's operational form
+          winnowIndexDir.foreach(w => graft.operators.WinnowIndex.append(
+            admitted.select("doc_id", "text"), w))
         }
         // the live exact backstop closes ITS cross-batch window the
         // same way: batch N's admitted hashes screen batch N+1's

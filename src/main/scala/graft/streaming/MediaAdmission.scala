@@ -60,7 +60,12 @@ object MediaAdmission {
   final case class Gates(phash: StreamingMediaDedup.Index,
       exactHashes: Option[DataFrame] = None)
 
-  private def decodable =
+  /** ONE definition of "carries a byte identity" — [[itemKey]],
+    * [[decide]]'s corrupt arm, and [[graft.operators.MediaReleaseFlow
+    * .buildByteIndex]] all share it, so the init-time index and the
+    * release-time decisions can never disagree on which payloads are
+    * indexable. */
+  private[graft] def decodable =
     col("payload").isNotNull && length(col("payload")) >= 5
 
   /** The per-item join/state key: the payload hash where one exists,

@@ -652,8 +652,9 @@ class AdmissionPipelineSpec extends AnyFunSuite {
   }
 
   test("startLive end-to-end: a doc admitted in batch 1 flags its " +
-      "near-copy AND its span lift in batch 2 via the live index appends") {
-    import graft.operators.SubstringIndex
+      "near-copy AND its span lift in batch 2 via the live index appends, " +
+      "with the winnow tier live and coverage-complete") {
+    import graft.operators.{SubstringIndex, WinnowIndex}
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -665,6 +666,10 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     SubstringIndex.write(
       corpus.withColumn("lang", lit("und")).select("lang", "doc_id", "text"),
       ssDir)
+    // the tier-1 winnow artifact, seeded from the SAME corpus as the
+    // span index (the coverage invariant at init)
+    val wDir = Files.createTempDirectory("graft_live_w_").toString
+    WinnowIndex.write(corpus, wDir)
     // batch 1: docA is a novel long admit
     val docA = "carburetor dovetail eiderdown flywheel grommet hawser " +
       "isinglass jackstay keelson lanyard mizzen oakum pintle quoin " +
@@ -677,7 +682,7 @@ class AdmissionPipelineSpec extends AnyFunSuite {
     val q = AdmissionPipeline.startLive(spark,
       spark.readStream.schema(schema).json(in), ndDir,
       gates.holdoutGrams, out, "ts", "10 minutes",
-      substrIndexDir = Some(ssDir))
+      substrIndexDir = Some(ssDir), winnowIndexDir = Some(wDir))
     q.processAllAvailable()
     // batch 2: docB = docA minus its first token (near-copy — catchable
     // only via the LIVE band append); docC lifts docA's tokens 4..19
@@ -710,6 +715,17 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(indexedIds.contains(41L) && indexedIds.contains(44L),
       indexedIds.toString)
+    // the winnow artifact grew in lockstep (coverage invariant under
+    // live appends): it equals a rebuild over corpus ∪ admitted, doc
+    // for doc and fingerprint for fingerprint
+    val admitted = spark.read.parquet(s"$out/decisions")
+      .filter(col("reason") === "admit").select("doc_id", "text")
+    val rebuilt = WinnowIndex.build(
+        corpus.select("doc_id", "text").unionByName(admitted))
+      .collect().map(_.toString).toSet
+    val grown = WinnowIndex.read(spark, wDir)
+      .collect().map(_.toString).toSet
+    assert(grown === rebuilt, "live winnow append must equal rebuild")
   }
 
   test("end-to-end: exact dup suppressed by stream state, decisions land " +

@@ -5,7 +5,7 @@ import graft.streaming.StreamingNearDup
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** End-to-end release composition: the three persisted dedup artifacts
+/** End-to-end release composition: the four persisted dedup artifacts
   * screen and absorb a shard in one call, decisions match the
   * components' own semantics, a re-release admits nothing, and every
   * artifact after the release equals the artifact rebuilt from scratch
@@ -117,6 +117,9 @@ class ReleaseFlowSpec extends AnyFunSuite {
       rows(DedupIndex.build(union)), "hash index")
     assert(rows(SubstringIndex.read(spark, ReleaseFlow.substrDir(base))) ===
       rows(SubstringIndex.build(union)), "substring index")
+    assert(rows(WinnowIndex.read(spark, ReleaseFlow.winnowDir(base))) ===
+      rows(WinnowIndex.build(union)),
+      "winnow index — the tier's coverage invariant as an equality")
     val persisted = StreamingNearDup.readIndex(spark, ReleaseFlow.neardupDir(base))
     val rebuilt = StreamingNearDup.buildIndex(union)
     assert(rows(persisted.bands) === rows(rebuilt.bands), "band index")
@@ -212,13 +215,17 @@ class ReleaseFlowSpec extends AnyFunSuite {
 
   test("release decisions ARE the streaming pipeline's decisions: " +
       "AdmissionPipeline.decide over the same persisted gates labels " +
-      "every shard row identically (one decision function, two callers)") {
+      "every shard row identically (one decision function, two callers) " +
+      "— which, since release runs the winnow tier and these gates " +
+      "don't, also pins tier-on ≡ tier-off at release grain") {
     import graft.streaming.{AdmissionPipeline, StreamingNearDup, StreamingSubstring}
     val base = tmp("graft_release_parity")
     val (corpus, shard, _, _, _) = fixture()
     ReleaseFlow.init(corpus, base)
     // the streaming-side decision, built from the SAME artifacts the
-    // release reads — computed BEFORE release mutates them
+    // release reads — computed BEFORE release mutates them. Deliberately
+    // NO corpusWinnow here: release() sets it, so the equality below is
+    // also the tier's decision-identity proof on real-corpus data.
     val gates = AdmissionPipeline.Gates(
       StreamingNearDup.readIndex(spark, ReleaseFlow.neardupDir(base)),
       spark.emptyDataFrame.select(lit(0L).as("gram")).limit(0),
