@@ -1224,6 +1224,159 @@ object AuditQueries {
                 AS occ_ppm_chars
             FROM unpivoted GROUP BY 1, 2 ORDER BY source, pii_type"""))
 
+  // ------------------------------------------- l80 media report card
+
+  /** L80 — per-source MEDIA report card, the media half of the
+    * datasheet l67 gives text (Gebru et al. 2021's datasheet
+    * questions; the per-source media audits of LAION/DataComp-class
+    * releases): one row per provenance with item count, byte-duplicate
+    * and perceptual-duplicate counts and milli rates, and l58's
+    * quality-violation shares — the table an operator reads to see
+    * WHICH source ships re-encoded copies vs byte re-crawls vs
+    * low-quality media.
+    *
+    * One media corpus, three planted classes (l53's fixture
+    * discipline, provenance inherited from the source doc): the base
+    * payloads, a perceptual near-copy of every %10 == 0 doc (first
+    * byte overwritten — the minimal re-encode), and a BYTE copy of
+    * every %10 == 1 doc (the re-crawl). Decision arms mirror
+    * [[graft.streaming.MediaAdmission]]'s precedence: byte identity
+    * (sha256 of the payload) claims first, the pHash screen (l53's
+    * band join + exact-Hamming verify, [[LlmQueries.PhashHammingMax]])
+    * counts only hash-distinct matches to a smaller id.
+    *
+    * Oracle discipline: byte-dup and the l58 quality flags replay
+    * GENUINELY in DuckDB hex (the payload IS sha256 hex by
+    * construction — same-partition grouping and header arithmetic,
+    * l13/l58's move); the perceptual arm is construction-pinned (the
+    * one-byte perturbation flips ≤ 2 signature bits, so ≤ 3-Hamming
+    * banding finds every planted pair by pigeonhole — l53's argument —
+    * and the corpus measures ZERO natural ≤ 3-Hamming pairs at every
+    * shipped SF, so flagged ≡ planted).
+    *
+    * Scale shape: signature + hash computed once on a lazily
+    * checkpointed frame feeding the dup screens and the rollup; the
+    * only exchanges are the 16-bit band keys, the candidate id pairs,
+    * and the (sources × flags) rollup — no all-pairs, no corpus
+    * re-join (provenance rides through the typed decode, l58's
+    * one-scan move). */
+  val l80 = DQ(
+    "l80_media_by_source",
+    (s, d) => {
+      import org.apache.spark.sql.Encoders
+      val dd = docs(s, d)
+      val off = LlmQueries.plantedOffset(dd, "doc_id")
+      val basem = dd.select(col("doc_id").cast("long").as("doc_id"),
+        col("source"),
+        graft.functions.Multimodal.payloadCol(col("doc_id")).as("payload"))
+      val pert = basem.filter(col("doc_id") % 10 === 0)
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("_off")).as("doc_id"), col("source"),
+          concat(lit(Array[Byte](0x7F.toByte)),
+            expr("substring(payload, 2, 31)")).as("payload"))
+      val bytec = basem.filter(col("doc_id") % 10 === 1)
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("_off") * 2).as("doc_id"),
+          col("source"), col("payload"))
+      val media = basem.unionByName(pert).unionByName(bytec)
+        .withColumn("hx", sha2(col("payload"), 256))
+        .withColumn("sig", graft.functions.Multimodal.sigCol(col("payload")))
+        .localCheckpoint(false)
+      val byteDup = media
+        .join(media.groupBy("hx").agg(min("doc_id").as("_mn")), Seq("hx"))
+        .filter(col("doc_id") > col("_mn"))
+        .select("doc_id").withColumn("_bd", lit(true))
+      val bands = graft.functions.Multimodal.sigBandFrame(
+        media.select("doc_id", "sig"))
+      val percDup = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+        .distinct()
+        .join(media.select(col("doc_id").as("ida"), col("sig").as("siga"),
+          col("hx").as("hxa")), "ida")
+        .join(media.select(col("doc_id").as("idb"), col("sig").as("sigb"),
+          col("hx").as("hxb")), "idb")
+        .filter(bit_count(col("siga").bitwiseXOR(col("sigb"))) <=
+          lit(LlmQueries.PhashHammingMax) && col("hxa") =!= col("hxb"))
+        .select(col("idb").as("doc_id")).distinct()
+        .withColumn("_pd", lit(true))
+      val hdr = graft.functions.Multimodal.decodeStubTagged(
+        media.select(col("doc_id"), col("source").as("tag"), col("payload"))
+          .as[graft.functions.Multimodal.MediaRawTagged](
+            Encoders.product[graft.functions.Multimodal.MediaRawTagged]))
+        .toDF().withColumnRenamed("tag", "source")
+      hdr
+        .join(byteDup, Seq("doc_id"), "left")
+        .join(percDup, Seq("doc_id"), "left")
+        .withColumn("bd", coalesce(col("_bd"), lit(false)))
+        // MediaAdmission's precedence: the byte claim wins, the
+        // perceptual arm counts only what byte identity cannot see
+        .withColumn("pd", coalesce(col("_pd"), lit(false)) && !col("bd"))
+        .withColumn("small",
+          col("width") < LlmQueries.MediaMinDim ||
+            col("height") < LlmQueries.MediaMinDim)
+        .withColumn("extreme",
+          greatest(col("width"), col("height")).cast("long") >
+            lit(LlmQueries.MediaAspectMax) *
+              least(col("width"), col("height")).cast("long"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(when(col("bd"), 1L).otherwise(0L)).as("n_byte_dup"),
+          sum(when(col("pd"), 1L).otherwise(0L)).as("n_perceptual_dup"),
+          sum(when(col("small"), 1L).otherwise(0L)).as("n_small"),
+          sum(when(col("extreme"), 1L).otherwise(0L)).as("n_extreme_aspect"),
+          coalesce(sum(when(col("bd") || col("pd"), col("doc_id"))), lit(0L))
+            .as("dup_checksum"))
+        .withColumn("byte_dup_milli",
+          round(col("n_byte_dup") * lit(1000.0) / col("n_items")).cast("long"))
+        .withColumn("perceptual_dup_milli",
+          round(col("n_perceptual_dup") * lit(1000.0) / col("n_items"))
+            .cast("long"))
+        .orderBy("source")
+    },
+    Some(s"""WITH off AS (SELECT COALESCE(MAX(doc_id), -1) + 1 AS o
+                          FROM documents),
+            m AS (
+              SELECT doc_id, source, sha256('media:' || doc_id) AS px,
+                0 AS kind
+              FROM documents
+              UNION ALL
+              SELECT doc_id + o, source,
+                '7f' || substr(sha256('media:' || doc_id), 3, 62), 1
+              FROM documents, off WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2 * o, source, sha256('media:' || doc_id), 2
+              FROM documents, off WHERE doc_id % 10 = 1),
+            f AS (
+              SELECT doc_id, source, kind,
+                CAST(concat('0x', substr(px, 1, 4)) AS INTEGER) AS w,
+                CAST(concat('0x', substr(px, 5, 4)) AS INTEGER) AS ht,
+                doc_id > MIN(doc_id) OVER (PARTITION BY px) AS bd,
+                kind = 1 AS pd
+              FROM m)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              CAST(SUM(CASE WHEN bd THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_byte_dup,
+              CAST(SUM(CASE WHEN pd AND NOT bd THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_perceptual_dup,
+              CAST(SUM(CASE WHEN w < ${LlmQueries.MediaMinDim}
+                OR ht < ${LlmQueries.MediaMinDim} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small,
+              CAST(SUM(CASE WHEN GREATEST(w, ht) >
+                ${LlmQueries.MediaAspectMax} * LEAST(w, ht)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme_aspect,
+              CAST(COALESCE(SUM(CASE WHEN bd OR (pd AND NOT bd)
+                THEN doc_id END), 0) AS BIGINT) AS dup_checksum,
+              CAST(ROUND(SUM(CASE WHEN bd THEN 1 ELSE 0 END) * 1000.0
+                / COUNT(*)) AS BIGINT) AS byte_dup_milli,
+              CAST(ROUND(SUM(CASE WHEN pd AND NOT bd THEN 1 ELSE 0 END)
+                * 1000.0 / COUNT(*)) AS BIGINT) AS perceptual_dup_milli
+            FROM f GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[DQ] = Seq(l66, l67, l68, l69, l70, l71, l72, l73, l74,
-    l75, l76, l77, l78)
+    l75, l76, l77, l78, l80)
 }

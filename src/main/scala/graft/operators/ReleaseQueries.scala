@@ -315,5 +315,257 @@ object ReleaseQueries {
             FROM s2dec GROUP BY 2, 3
             ORDER BY release, lang, decision"""))
 
-  val all: Seq[DQ] = Seq(r1)
+  /** r2 — the CURATIVE release ([[ReleaseFlow.releaseCut]]) under the
+    * oracle: same artifact init and held-out discipline as [[r1]], but
+    * the shard exercises the cut-then-decide path — Lee et al. 2022's
+    * actual remedy — and the oracle REPLAYS THE CUT genuinely (the
+    * l64 span machinery against the corpus gram set: hits → merged
+    * maximal spans → gap-slice kept stream), then the decision chain
+    * over the CURED text. Four classes:
+    *
+    *  - quote carriers (clean held-out ≥ 20 tokens + the 16-token
+    *    corpus quote): the quote cuts — exactly 16 tokens — and the
+    *    remainder admits (or fails quality) on its own merits;
+    *  - all-indexed docs (the first 20 tokens of a ≥ 25-token corpus
+    *    doc): every gram is indexed, the doc cuts to EMPTY and lands
+    *    low_quality — "nothing left worth admitting";
+    *  - byte copies of corpus docs: hash-EXEMPT from the cure (the
+    *    duplicate claim precedes the cut), flow UNCUT and label
+    *    corpus_duplicate — n_cut_tokens 0 pins the exemption;
+    *  - clean held-out naturals: no indexed span, byte-identical
+    *    flow, the replayed quality chain decides.
+    *
+    * Because the cut criterion (shard gram ∈ index) is replayed
+    * rather than construction-pinned, even the pathological mixed
+    * boundary gram (≤ 7 base tokens + a quote prefix that happens to
+    * appear verbatim in the corpus) cannot desynchronize the gate —
+    * both engines would cut it. The winnow tier inside releaseCut is
+    * cut-identical by the k+w−1 guarantee (a doc with any indexed
+    * 15-gram shares a ≥ 15-token run), so the untiered replay is
+    * exact. The output adds the cure's accounting columns to the
+    * audit matrix: docs cut and tokens cut per (lang, decision). */
+  val r2 = DQ(
+    "r2_releasecut_roundtrip",
+    (s, d) => {
+      val base = gateBase(d) + "_cut"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val all = docs(s, d).filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"), col("text"))
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+      val corpus = all.filter(inCorpus)
+      val held = all.filter(!inCorpus)
+      val corpusG8 = SamplingQueries.docGramsK(corpus, Seq.empty, 8,
+        hashed = false).select("gram").distinct()
+      val dirty = SamplingQueries.docGramsK(held, Seq("doc_id"), 8,
+          hashed = false)
+        .join(corpusG8, Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+      val clean = held.join(dirty, Seq("doc_id"), "left_anti")
+      val off = LlmQueries.plantedOffset(all, "doc_id")
+      val quote = corpus.filter(size(col("ta")) >= 16)
+        .orderBy("doc_id").limit(1)
+        .select(concat_ws(" ", slice(col("ta"), 1, 16)).as("_q"))
+      def cls(src: DataFrame, k: Int, text: org.apache.spark.sql.Column) =
+        src.crossJoin(broadcast(off))
+          .select(col("lang"),
+            (col("doc_id") + col("_off") * k).as("doc_id"), text.as("text"))
+      val ca = cls(clean.filter(col("doc_id") % 3 === 1 &&
+          size(col("ta")) >= 20).crossJoin(broadcast(quote)), 1,
+        concat(trim(col("text")), lit(" "), col("_q")))
+      val cb = cls(corpus.filter(col("doc_id") % 7 === 2 &&
+          size(col("ta")) >= 25), 2,
+        concat_ws(" ", slice(col("ta"), 1, 20)))
+      val cc = cls(corpus.filter(col("doc_id") % 7 === 0), 3, col("text"))
+      val cd = cls(clean.filter(col("doc_id") % 3 === 2), 4, col("text"))
+      val shard = ca.unionByName(cb).unionByName(cc).unionByName(cd)
+      ReleaseFlow.init(corpus.select("lang", "doc_id", "text"), base)
+      ReleaseFlow.releaseCut(s, shard, base)
+        .groupBy("lang", "decision")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("doc_id_sum"),
+          sum(when(col("n_cut_tokens") > 0L, 1L).otherwise(0L))
+            .as("n_docs_cut"),
+          sum("n_cut_tokens").as("tokens_cut"))
+        .orderBy("lang", "decision")
+    },
+    Some("""WITH base AS (
+              SELECT lang, doc_id, text,
+                string_split_regex(lower(text), '\s+') AS ta,
+                substring(md5(CAST(doc_id AS VARCHAR) || ':r1'), 1, 4)
+                  < 'c000' AS in_corpus
+              FROM documents WHERE text IS NOT NULL),
+            off AS (SELECT COALESCE(MAX(doc_id), -1) + 1 AS o FROM base),
+            cg8 AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                range(len(ta) - 7),
+                i -> array_to_string(list_slice(ta, i + 1, i + 8), ' ')))) AS gram
+              FROM base WHERE in_corpus AND len(ta) >= 8),
+            dirty AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(len(ta) - 7),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 8), ' ')))) AS gram
+                FROM base WHERE NOT in_corpus AND len(ta) >= 8)
+              WHERE gram IN (SELECT gram FROM cg8)),
+            clean AS (
+              SELECT * FROM base WHERE NOT in_corpus
+                AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+            quote AS (
+              SELECT array_to_string(list_slice(ta, 1, 16), ' ') AS q
+              FROM base WHERE in_corpus AND len(ta) >= 16
+              ORDER BY doc_id LIMIT 1),
+            s0 AS (
+              SELECT lang, doc_id + o AS doc_id,
+                trim(text) || ' ' || (SELECT q FROM quote) AS text
+              FROM clean, off WHERE doc_id % 3 = 1 AND len(ta) >= 20
+              UNION ALL
+              SELECT lang, doc_id + 2 * o,
+                array_to_string(list_slice(ta, 1, 20), ' ')
+              FROM base, off WHERE in_corpus AND doc_id % 7 = 2
+                AND len(ta) >= 25
+              UNION ALL
+              SELECT lang, doc_id + 3 * o, text
+              FROM base, off WHERE in_corpus AND doc_id % 7 = 0
+              UNION ALL
+              SELECT lang, doc_id + 4 * o, text
+              FROM clean, off WHERE doc_id % 3 = 2),
+            chashes AS (
+              SELECT sha256(lower(trim(text))) AS h FROM base WHERE in_corpus),
+            cg15 AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                range(len(ta) - 14),
+                i -> array_to_string(list_slice(ta, i + 1, i + 15), ' ')))) AS gram
+              FROM base WHERE in_corpus AND len(ta) >= 15),
+            st AS (
+              SELECT lang, doc_id, text,
+                string_split_regex(lower(text), '\s+') AS ta,
+                sha256(lower(trim(text))) AS h
+              FROM s0),
+            fresh AS (
+              SELECT * FROM st WHERE h NOT IN (SELECT h FROM chashes)),
+            hits AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                  array_to_string(list_slice(ta, pos + 1, pos + 15), ' ') AS gram
+                FROM (SELECT doc_id, ta, unnest(range(len(ta) - 14)) AS pos
+                      FROM fresh WHERE len(ta) >= 15))
+              WHERE gram IN (SELECT gram FROM cg15)),
+            marked AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos + 15) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+              FROM hits),
+            spans AS (
+              SELECT doc_id, MIN(pos) AS s, MAX(pos) + 15 AS e
+              FROM (SELECT doc_id, pos,
+                      SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS span_id
+                    FROM marked)
+              GROUP BY doc_id, span_id),
+            kept AS (
+              SELECT p.doc_id, p.i, p.ta[p.i + 1] AS tok
+              FROM (SELECT doc_id, ta, unnest(range(len(ta))) AS i
+                    FROM fresh) p
+              WHERE NOT EXISTS (SELECT 1 FROM spans s
+                WHERE s.doc_id = p.doc_id AND p.i >= s.s AND p.i < s.e)),
+            cured AS (
+              SELECT f.doc_id,
+                COALESCE(k.ctext, '') AS text_clean,
+                len(f.ta) - COALESCE(k.n_kept, 0) AS n_cut
+              FROM fresh f LEFT JOIN (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext,
+                  COUNT(*) AS n_kept
+                FROM kept GROUP BY 1) k ON f.doc_id = k.doc_id
+              WHERE len(f.ta) - COALESCE(k.n_kept, 0) > 0),
+            s2 AS (
+              SELECT s.lang, s.doc_id,
+                COALESCE(c.text_clean, s.text) AS text,
+                COALESCE(c.n_cut, 0) AS n_cut
+              FROM s0 s LEFT JOIN cured c ON s.doc_id = c.doc_id),
+            s2t AS (
+              SELECT lang, doc_id, text, n_cut,
+                string_split_regex(lower(text), '\s+') AS ta,
+                CAST(len(text) AS BIGINT) AS n_chars
+              FROM s2),
+            s2vr AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(len(ta) - 14),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 15), ' ')))) AS gram
+                FROM s2t WHERE len(ta) >= 15)
+              WHERE gram IN (SELECT gram FROM cg15)),
+            s2lines AS (
+              SELECT doc_id,
+                (COUNT(*) - COUNT(DISTINCT line)) * 100 > 30 * COUNT(*) AS f_line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                    FROM s2t)
+              GROUP BY 1),
+            s2grams AS (
+              SELECT doc_id, n_chars, 2 AS n, len(ta) - 1 AS n_grams,
+                unnest(list_transform(range(len(ta) - 1),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 2), ' '))) AS gram
+              FROM s2t WHERE len(ta) >= 2
+              UNION ALL
+              SELECT doc_id, n_chars, 3, len(ta) - 2,
+                unnest(list_transform(range(len(ta) - 2),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 3), ' ')))
+              FROM s2t WHERE len(ta) >= 3
+              UNION ALL
+              SELECT doc_id, n_chars, 4, len(ta) - 3,
+                unnest(list_transform(range(len(ta) - 3),
+                  i -> array_to_string(list_slice(ta, i + 1, i + 4), ' ')))
+              FROM s2t WHERE len(ta) >= 4),
+            s2counts AS (
+              SELECT doc_id, n_chars, n, n_grams, gram, COUNT(*) AS c,
+                COUNT(*) * len(gram) AS cov
+              FROM s2grams GROUP BY 1, 2, 3, 4, 5),
+            s2top AS (
+              SELECT doc_id, n_chars, n, n_grams,
+                arg_max(cov, CAST(c AS HUGEINT) * 18446744073709551616 + cov)
+                  AS cov,
+                MAX(c) AS c
+              FROM s2counts GROUP BY 1, 2, 3, 4),
+            s2rep AS (
+              SELECT doc_id,
+                MAX(CASE WHEN n = 2 THEN
+                  CAST(ROUND(c * 10000.0 / n_grams) AS BIGINT) END) AS top2_bp,
+                COALESCE(MAX(CASE WHEN n = 2 THEN
+                  c >= 2 AND cov * 100 > 20 * n_chars END), false) AS f_2g,
+                COALESCE(MAX(CASE WHEN n = 3 THEN
+                  c >= 2 AND cov * 100 > 18 * n_chars END), false) AS f_3g,
+                COALESCE(MAX(CASE WHEN n = 4 THEN
+                  c >= 2 AND cov * 100 > 16 * n_chars END), false) AS f_4g
+              FROM s2top GROUP BY 1),
+            s2dec AS (
+              SELECT t.lang, t.doc_id, t.n_cut,
+                CASE
+                  WHEN sha256(lower(trim(t.text))) IN (SELECT h FROM chashes)
+                    THEN 'corpus_duplicate'
+                  WHEN t.doc_id IN (SELECT doc_id FROM s2vr)
+                    THEN 'verbatim_repeat'
+                  WHEN NOT (t.n_chars >= 200 AND
+                    CAST(ROUND(10000.0 * len(list_filter(t.ta,
+                      x -> x IN ('the', 'a', 'value', 'table'))) / len(t.ta))
+                      AS BIGINT) < 2500) THEN 'low_quality'
+                  WHEN COALESCE(r.top2_bp > 1000, false)
+                    OR COALESCE(l.f_line, false)
+                    OR COALESCE(r.f_2g, false) OR COALESCE(r.f_3g, false)
+                    OR COALESCE(r.f_4g, false) THEN 'repetitive'
+                  ELSE 'admit' END AS decision
+              FROM s2t t
+              LEFT JOIN s2lines l ON t.doc_id = l.doc_id
+              LEFT JOIN s2rep r ON t.doc_id = r.doc_id)
+            SELECT lang, decision,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+              CAST(SUM(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_docs_cut,
+              CAST(SUM(n_cut) AS BIGINT) AS tokens_cut
+            FROM s2dec GROUP BY 1, 2 ORDER BY lang, decision"""))
+
+  val all: Seq[DQ] = Seq(r1, r2)
 }

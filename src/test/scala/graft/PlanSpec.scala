@@ -93,7 +93,13 @@ class PlanSpec extends AnyFunSuite {
       "l74_winnow_fingerprints",
       // l77: the 1-row token-total broadcast crossJoined onto the
       // min-count-filtered pair frame (l51/l52's totals shape).
-      "l77_collocations")
+      "l77_collocations",
+      // l80: the 1-row planted-offset broadcast building the media
+      // copies (l53's construction).
+      "l80_media_by_source",
+      // r1/r2: the 1-row offset and 1-row quote broadcasts building the
+      // planted shard classes (l53/l74's construction family).
+      "r1_release_roundtrip", "r2_releasecut_roundtrip")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {
