@@ -104,9 +104,18 @@ object ReleaseFlow {
     // screen drops them up front.
     val shard = shard0.filter(col("text").isNotNull)
     val addChars = !shard.columns.contains("n_chars")
+    // Pin the SHARD once before screening: decide() probes the batch
+    // from six arms (sketch, grams, hash, stop-word stats, …) and each
+    // arm is its own subtree, so an unpinned shard LINEAGE re-executes
+    // per arm — invisible for a plain parquet-backed shard (six pruned
+    // re-scans), a multiplier whenever the lineage carries compute (a
+    // cure, a decode, a planted construction: r1's gate measured ~16 s
+    // from exactly this). One materialization, bounded by SHARD size —
+    // never the corpus — the same discipline as the decided checkpoint
+    // below. Lazy: the first arm materializes it.
     val withChars =
-      if (addChars) shard.withColumn("n_chars", length(col("text")).cast("long"))
-      else shard
+      (if (addChars) shard.withColumn("n_chars", length(col("text")).cast("long"))
+       else shard).localCheckpoint(false)
     val gates = AdmissionPipeline.Gates(
       StreamingNearDup.readIndex(spark, neardupDir(base)),
       // an empty LONG gram frame leaves the contaminated arm inert
@@ -179,7 +188,11 @@ object ReleaseFlow {
     * therefore winnow-flagged. */
   def releaseCut(spark: SparkSession, shard0: DataFrame, base: String,
       screens: Screens = Screens()): DataFrame = {
-    val shard = shard0.filter(col("text").isNotNull)
+    // same shard-pinning argument as [[release]], needed HERE as well
+    // because the cure path walks the shard three more times (hash
+    // exemption, winnow screen, cut) before release() ever sees it —
+    // r2's gate measured ~38 s from the unpinned composite
+    val shard = shard0.filter(col("text").isNotNull).localCheckpoint(false)
     val fresh = shard
       .withColumn("_h", DedupIndex.contentHash)
       .join(DedupIndex.read(spark, dedupDir(base))
