@@ -29,6 +29,12 @@ object BenchWinnow {
     val spark = Session.get()
     val base = java.nio.file.Files.createTempDirectory("graft_winnow_bench_").toString
 
+    // SPARK_GRAFT_WINNOW_REPLICAS scales the SHARD (the tier's saving
+    // is shard-side work skipped, so the crossover appears as the
+    // shard grows relative to the fixed index): each replica is the
+    // held-out slice re-idd into its own range, same 10% lift rate.
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_WINNOW_REPLICAS", "1")
+      .toInt.max(1)
     val all = Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
       .select("lang", "doc_id", "text")
@@ -40,12 +46,15 @@ object BenchWinnow {
       .filter(size(col("ta")) >= 16)
       .orderBy("doc_id").limit(1)
       .select(concat_ws(" ", slice(col("ta"), 1, 16)).as("_q"))
-    val shard = all.filter(col("doc_id") % 5 === 0)
-      .crossJoin(broadcast(off)).crossJoin(broadcast(quote))
-      .select(col("lang"), (col("doc_id") + col("_off")).as("doc_id"),
-        when(col("doc_id") % 50 === 0,
-          concat(col("text"), lit(" "), col("_q")))
-          .otherwise(col("text")).as("text"))
+    val held = all.filter(col("doc_id") % 5 === 0)
+    val shard = (1 to replicas).map { r =>
+        held.crossJoin(broadcast(off)).crossJoin(broadcast(quote))
+          .select(col("lang"),
+            (col("doc_id") + col("_off") * r).as("doc_id"),
+            when(col("doc_id") % 50 === 0,
+              concat(col("text"), lit(" "), col("_q")))
+              .otherwise(col("text")).as("text"))
+      }.reduce(_ unionByName _)
       .localCheckpoint() // the shard is the workload, not part of the cost
 
     SubstringIndex.write(corpus, base)
@@ -78,7 +87,8 @@ object BenchWinnow {
       s""""tiered":${r3(tiered)},"flagged_frac_milli":${
         if (nShard == 0) 0 else Math.round(nFlag * 1000.0 / nShard)},""" +
       s""""shard_docs":$nShard,"span_index_rows":$idxRows,""" +
-      s""""winnow_index_rows":$winRows,"runs":$runs,"sf":"$sfDir"}""")
+      s""""winnow_index_rows":$winRows,"replicas":$replicas,""" +
+      s""""runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -801,19 +801,34 @@ object AuditQueries {
     * with its full `minkeys` array — the shape every consumer derives
     * from row-locally (window counts, per-doc distinct fingerprints)
     * so a checkpoint of it is document-count-sized, never gram-sized. */
+  /** `hashed = false` (l74's DQ form) keys windows on the md5 32-bit
+    * prefix — the oracle-portable stand-in, exactly replayable in
+    * DuckDB. `hashed = true` (the [[WinnowIndex]] PRODUCTION form, the
+    * same split as [[SamplingQueries.docGramsK]]/[[SubstringIndex]])
+    * keys on xxhash64 masked to 43 bits: the winnowing guarantee is
+    * HASH-AGNOSTIC (it needs only a deterministic total order on
+    * (gram hash, position)), the mask keeps the h·2²⁰ position packing
+    * inside a non-negative long, and the codegen'd hash is ~3× cheaper
+    * than md5-hex-parse — which is the tier-1 cost a screen pays on
+    * every shard doc. */
   private[graft] def winnowArrays(corpus: DataFrame,
-      keyCols: Seq[String] = Seq("lang", "doc_id")): DataFrame =
+      keyCols: Seq[String] = Seq("lang", "doc_id"),
+      hashed: Boolean = false): DataFrame = {
+    val h =
+      if (hashed) "(xxhash64(concat_ws(' ', slice(ta, i + 1, " +
+        s"$WinnowK))) & 8796093022207L)"
+      else "cast(conv(substring(md5(concat_ws(' ', " +
+        s"slice(ta, i + 1, $WinnowK))), 1, 8), 16, 10) as bigint)"
     corpus.filter(col("text").isNotNull)
       .withColumn("ta", split(lower(col("text")), "\\s+"))
       .filter(size(col("ta")) >= WinnowK + WinnowW - 1)
       .withColumn("keys", expr(
         s"transform(sequence(0, size(ta) - $WinnowK), i -> " +
-          "cast(conv(substring(md5(concat_ws(' ', " +
-          s"slice(ta, i + 1, $WinnowK))), 1, 8), 16, 10) as bigint) " +
-          "* 1048576L + (1048575L - i))"))
+          s"$h * 1048576L + (1048575L - i))"))
       .select(keyCols.map(col) :+ expr(
         s"transform(sequence(0, size(keys) - $WinnowW), s -> " +
           s"array_min(slice(keys, s + 1, $WinnowW)))").as("minkeys"): _*)
+  }
 
   private[graft] def winnowSelect(corpus: DataFrame): DataFrame =
     winnowArrays(corpus)

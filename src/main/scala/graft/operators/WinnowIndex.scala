@@ -36,10 +36,15 @@ object WinnowIndex {
     * `keyCols` carried through. Per-doc dedup is a row-local
     * array_distinct — no corpus-wide distinct shuffle — and key
     * columns ride the same row, so no consumer re-joins the corpus
-    * just to recover them. */
+    * just to recover them. PRODUCTION keys (`hashed = true`):
+    * codegen'd xxhash64 grams, the same key-form split as
+    * [[SubstringIndex]] — tier 1 hashes every shard doc, and the md5
+    * stand-in measured ~1.5× the whole exact probe at a 10k-doc shard
+    * (BENCH_NOTES round 14); the winnowing guarantee is hash-agnostic,
+    * so only l74's oracle-replayed DQ keeps md5. */
   private def fingerprints(corpus: DataFrame,
       keyCols: Seq[String]): DataFrame =
-    AuditQueries.winnowArrays(corpus, keyCols)
+    AuditQueries.winnowArrays(corpus, keyCols, hashed = true)
       .select(keyCols.map(col) :+ explode(expr(
         "array_distinct(transform(minkeys, k -> k div 1048576))")).as("h"): _*)
 

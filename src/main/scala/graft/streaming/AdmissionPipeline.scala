@@ -389,7 +389,13 @@ object AdmissionPipeline {
           StreamingNearDup.readIndex(spark, neardupIndexDir), holdoutGrams,
           corpusSpans = substrIndexDir.map(d =>
             StreamingSubstring.fromPersisted(spark, d)),
-          corpusWinnow = winnowIndexDir.map(d =>
+          // resolved only when the verbatim gate it tiers is itself
+          // configured — the documented "ignored unless substrIndexDir
+          // is set" contract operationally: without the guard a set-
+          // but-unseeded winnow dir would PATH_NOT_FOUND every batch
+          // for a gate decide() never consults (and a valid one would
+          // pay a per-batch footer read for nothing)
+          corpusWinnow = substrIndexDir.flatMap(_ => winnowIndexDir).map(d =>
             graft.operators.WinnowIndex.read(spark, d)),
           classifier = classifier,
           exactHashes = exactHashDir.map(d =>

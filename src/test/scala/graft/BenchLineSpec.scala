@@ -47,7 +47,7 @@ class BenchLineSpec extends AnyFunSuite {
     // proportional, not absolute — and sized by the LINE-BUDGET
     // arithmetic, not wishful thinking: ~1670 B of query-map room at
     // ~23 B/entry itemizes ~72 entries, so past ~120 queries (round 14:
-    // 127) even the slow-three-fifths bound of the 122-query round is
+    // 126) even the slow-three-fifths bound of the 122-query round is
     // unreachable at any precision. The contract that survives growth:
     // the SLOW HALF (every floor-relevant magnitude) is itemized, the
     // omission is exactly the fastest tail (checked below), and the

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.Session
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The OOV contract of [[BpeIndex.applied]]: applying a PERSISTED
+  * trained tokenizer to a corpus the trainer never saw — the entire
+  * point of the artifact — must fall back to char-count segmentation
+  * for unseen words, not fail the job. Spark 4 runs ANSI mode, where a
+  * plain `element_at(map, key)` THROWS on a missing key before any
+  * coalesce can supply a default (the `try_element_at` convention
+  * [[CleaningQueries]] established); this spec exists so that lookup
+  * can never regress to the throwing form.
+  */
+class BpeAppliedOovSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+
+  test("applied() on a corpus with words outside the trained map " +
+      "falls back to char-count segments instead of throwing") {
+    import spark.implicits._
+    val dict = Seq("low" -> 5L, "lower" -> 2L)
+    val merges = BpeIndex.trainFromDict(dict, 4)
+    val segMap = BpeIndex.segmentMap(dict.map(_._1), merges)
+    val novel = Seq((1L, "low unseen zz"), (2L, "lower")).toDF("doc_id", "text")
+    val out = BpeIndex.applied(novel, BpeIndex.segMapCol(segMap))
+      .select("doc_id", "n_toks", "n_segs").orderBy("doc_id").collect()
+    // 'unseen' (6 chars) and 'zz' (2 chars) fall back to char counts
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getLong(2) === segMap("low") + 6L + 2L)
+    assert(out(1).getLong(2) === segMap("lower"))
+  }
+
+  test("applied() under an EMPTY map (no trained release yet) " +
+      "char-segments every word") {
+    import spark.implicits._
+    val novel = Seq((1L, "ab cde")).toDF("doc_id", "text")
+    val out = BpeIndex.applied(novel,
+      BpeIndex.segMapCol(Map.empty[String, Long])).collect()
+    assert(out(0).getAs[Long]("n_segs") === 5L)
+  }
+}
