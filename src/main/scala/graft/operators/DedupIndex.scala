@@ -68,6 +68,12 @@ object DedupIndex {
   def read(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/content_hashes")
 
+  /** Restore the range-clustered layout after an append chain — see
+    * [[Compaction]]. Row multiset unchanged. */
+  def compact(spark: SparkSession, base: String): Unit =
+    Compaction.rewrite(spark, s"$base/content_hashes")(
+      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
+
   /** Split a batch of candidate documents against the index: rows whose
     * content the index already holds are dropped, the rest pass — the
     * `foreachBatch` backstop probe of the streaming deployment (L17's

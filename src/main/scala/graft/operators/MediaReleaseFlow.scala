@@ -81,7 +81,15 @@ object MediaReleaseFlow {
     * sub-header payloads) get a decision row and are never indexed —
     * deterministic per-row rules, so a re-release re-labels them
     * identically. */
-  def release(spark: SparkSession, shard: DataFrame, base: String): DataFrame = {
+  def release(spark: SparkSession, shard0: DataFrame, base: String): DataFrame = {
+    // Pin the SHARD once before screening — [[ReleaseFlow.release]]'s
+    // r14 lesson on the media column: decide() probes the batch from
+    // four subtrees (decode, perceptual screen, byte screen, final
+    // join), so an unpinned shard LINEAGE re-executes per arm — a
+    // multiplier whenever the lineage carries compute (a planted
+    // construction, an upstream decode). One lazy materialization,
+    // bounded by SHARD size, never the corpus.
+    val shard = shard0.localCheckpoint(false)
     val gates = MediaAdmission.Gates(
       StreamingMediaDedup.readIndex(spark, phashDir(base)),
       exactHashes = Some(readByteIndex(spark, base).select("h")))
@@ -93,6 +101,14 @@ object MediaReleaseFlow {
     writeBytes(admitted, base, "append")
     StreamingMediaDedup.appendIndex(admitted, phashDir(base))
     decided
+  }
+
+  /** Compact both artifacts — [[ReleaseFlow.compact]]'s maintenance op
+    * for the media lifecycle (see [[Compaction]]). */
+  def compact(spark: SparkSession, base: String): Unit = {
+    Compaction.rewrite(spark, s"${bytehashDir(base)}/payload_hashes")(
+      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
+    StreamingMediaDedup.compactIndex(spark, phashDir(base))
   }
 
   /** The release audit rollup — decisions per reason with an identity

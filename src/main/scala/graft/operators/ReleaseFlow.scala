@@ -17,15 +17,19 @@ import graft.streaming.{AdmissionPipeline, StreamingNearDup, StreamingSubstring}
   *  - the substring span-gram index ([[SubstringIndex]] — l33's probe
   *    side and the streaming verbatim gate's source),
   *  - the winnowing-fingerprint index ([[WinnowIndex]] — l74's
-  *    persisted form, the verbatim arm's TIER-1 screen: only shard
-  *    docs sharing a selected fingerprint with the corpus pay the
-  *    15-gram explode and the span-index probe, decision-identically
-  *    by the k+w−1 guarantee). Because init builds it from the same
+  *    persisted form, the verbatim arm's opt-in TIER-1 screen
+  *    ([[Screens.tieredVerbatim]]): only shard docs sharing a selected
+  *    fingerprint with the corpus pay the 15-gram explode and the
+  *    span-index probe, decision-identically by the k+w−1 guarantee —
+  *    a measured cost knob, ON for the index-bigger-than-cache regime,
+  *    OFF (the default, per BENCH_NOTES' pricing) when both artifacts
+  *    are page-cached). Because init builds it from the same
   *    corpus as the span index and every release appends the same
   *    admitted slice to both, the tier's COVERAGE invariant — the
   *    winnow artifact covers every doc the span index holds — is true
   *    by construction here (see [[graft.streaming.AdmissionPipeline
-  *    .Gates.corpusWinnow]] for the caller-managed case).
+  *    .Gates.corpusWinnow]] for the caller-managed case), whichever
+  *    way the knob points.
   *
   * [[release]] labels every shard row by CALLING the streaming
   * pipeline's own decision function ([[AdmissionPipeline.decide]]) over
@@ -87,7 +91,24 @@ object ReleaseFlow {
       /** Opt-in Gopher doc-quality ladder (l69's rules) — the same
         * flag as [[AdmissionPipeline.Gates.docQuality]], so a corpus
         * ingested under the ladder releases under it too. */
-      docQuality: Boolean = false)
+      docQuality: Boolean = false,
+      /** Probe the verbatim arm (and [[releaseCut]]'s cure) through
+        * the winnow TIER instead of the exact span probe directly.
+        * Decision- and cut-IDENTICAL either way (the k+w−1 coverage
+        * guarantee; ReleaseFlowSpec pins both modes), so this is a
+        * measured COST knob, not semantics: the tier wins when the
+        * span index dwarfs the page cache (the index-side 100 TB
+        * regime it was built for — the quiet majority of a shard then
+        * stops at the 2/(w+1)-sized fingerprint artifact instead of
+        * probing the big index), and LOSES ~1.1–1.5× when both
+        * artifacts are page-cached (BENCH_NOTES round 14's
+        * measurement: "deployments at THIS scale should run the exact
+        * probe directly"). Default follows that guidance — exact
+        * probe; flip it on when the span index outgrows memory. The
+        * winnow ARTIFACT is initialized and appended regardless, so
+        * the coverage invariant stays true and the knob can change
+        * per release call. */
+      tieredVerbatim: Boolean = false)
 
   /** Screen `shard` (lang, doc_id, text) against the persisted
     * artifacts, append the admitted slice to each, return the labeled
@@ -123,11 +144,11 @@ object ReleaseFlow {
       screens.holdoutGrams.getOrElse(spark.emptyDataFrame
         .select(lit(0L).as("gram")).limit(0)),
       corpusSpans = Some(StreamingSubstring.fromPersisted(spark, substrDir(base))),
-      // the tier-1 winnow pre-gate: decision-identical (coverage holds
-      // by construction — see the object scaladoc), and the quiet
-      // majority of a shard stops at the 2/(w+1)-sized artifact
-      // instead of paying the span-index probe
-      corpusWinnow = Some(WinnowIndex.read(spark, winnowDir(base))),
+      // the opt-in tier-1 winnow pre-gate: decision-identical either
+      // way (coverage holds by construction — see the object scaladoc
+      // and the [[Screens.tieredVerbatim]] pricing note)
+      corpusWinnow = if (screens.tieredVerbatim)
+        Some(WinnowIndex.read(spark, winnowDir(base))) else None,
       classifier = screens.classifier,
       exactHashes = Some(DedupIndex.read(spark, dedupDir(base)).select("h")),
       docQuality = screens.docQuality)
@@ -178,14 +199,16 @@ object ReleaseFlow {
     *
     * Scale shape: one extra shard-side tokenize + hash and a
     * distinct-gram projection scan of the persisted index on top of
-    * [[release]]'s own probes — the corpus never reshuffles. The cut
-    * probe itself is TIERED ([[SubstringIndex.spansAgainstTiered]]'s
-    * shape): a winnow screen against the 2/(w+1)-sized fingerprint
-    * artifact picks the candidate docs, and only those pay the 15-gram
-    * explode and the span-index probe — cut-identical, because any doc
-    * with a [[SamplingQueries.SpanK]]-token indexed span shares a
+    * [[release]]'s own probes — the corpus never reshuffles. With
+    * [[Screens.tieredVerbatim]] on, the cut probe runs TIERED
+    * ([[SubstringIndex.spansAgainstTiered]]'s shape): a winnow screen
+    * against the 2/(w+1)-sized fingerprint artifact picks the
+    * candidate docs, and only those pay the 15-gram explode and the
+    * span-index probe — cut-identical, because any doc with a
+    * [[SamplingQueries.SpanK]]-token indexed span shares a
     * ≥ k+w−1-token run with that span's owner (15 ≥ 8) and is
-    * therefore winnow-flagged. */
+    * therefore winnow-flagged. Default is the exact probe (the knob's
+    * pricing note). */
   def releaseCut(spark: SparkSession, shard0: DataFrame, base: String,
       screens: Screens = Screens()): DataFrame = {
     // same shard-pinning argument as [[release]], needed HERE as well
@@ -198,11 +221,17 @@ object ReleaseFlow {
       .join(DedupIndex.read(spark, dedupDir(base))
         .select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
       .drop("_h")
-    val flagged = WinnowIndex.screenAgainst(fresh,
-        WinnowIndex.read(spark, winnowDir(base)))
-      .select("doc_id")
-    val cured = SamplingQueries.cutAgainstIndex(
-        fresh.join(flagged, Seq("doc_id"), "left_semi"),
+    // cut-identical either way — see [[Screens.tieredVerbatim]]: the
+    // winnow pre-screen only prunes docs the k+w−1 guarantee proves
+    // span-free
+    val cutCandidates =
+      if (screens.tieredVerbatim) {
+        val flagged = WinnowIndex.screenAgainst(fresh,
+            WinnowIndex.read(spark, winnowDir(base)))
+          .select("doc_id")
+        fresh.join(flagged, Seq("doc_id"), "left_semi")
+      } else fresh
+    val cured = SamplingQueries.cutAgainstIndex(cutCandidates,
         SubstringIndex.read(spark, substrDir(base)), SamplingQueries.SpanK)
       .filter(col("n_cut_tokens") > 0L)
       .select(col("doc_id"), col("text_clean"), col("n_cut_tokens"))
@@ -215,6 +244,21 @@ object ReleaseFlow {
       .withColumn("n_cut_tokens", coalesce(col("n_cut_tokens"), lit(0L)))
       .drop("text_clean")
     release(spark, shardCured, base, screens)
+  }
+
+  /** Compact all four artifacts — the maintenance op a release
+    * schedule runs every N shards: each append lands a new
+    * range-clustered file set beside the old ones, so after N releases
+    * footer min/max selectivity has decayed N-fold; this rewrite
+    * restores each index's probe-keyed layout without touching a row
+    * ([[Compaction]]'s contract — compact ≡ rebuild ≡ append-chain,
+    * CompactionSpec pins it through a live release). Offline op, like
+    * the init/release calls themselves. */
+  def compact(spark: SparkSession, base: String): Unit = {
+    DedupIndex.compact(spark, dedupDir(base))
+    StreamingNearDup.compactIndex(spark, neardupDir(base))
+    SubstringIndex.compact(spark, substrDir(base))
+    WinnowIndex.compact(spark, winnowDir(base))
   }
 
   /** The release audit rollup — decisions per (lang, decision) with an

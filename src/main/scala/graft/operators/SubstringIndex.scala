@@ -60,6 +60,15 @@ object SubstringIndex {
   def read(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/span_grams")
 
+  /** Restore the range-clustered layout after an append chain — see
+    * [[Compaction]]. Row multiset unchanged. This is the artifact
+    * compaction matters most for: one 12-byte row per corpus token
+    * position makes it the largest index by an order of magnitude,
+    * and its probes are all gram-keyed. */
+  def compact(spark: SparkSession, base: String): Unit =
+    Compaction.rewrite(spark, s"$base/span_grams")(
+      _.repartitionByRange(col("gram")).sortWithinPartitions("gram"))
+
   /** l33's span accounting, probed FROM the persisted index: `corpus`
     * supplies only the per-language doc counts (an id/lang projection —
     * no tokenize), the gram work reads `index`. Identical to the

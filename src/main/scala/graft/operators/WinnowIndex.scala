@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object WinnowIndex {
 
+  /** The artifact's key-format VERSION, encoded in the directory name so
+    * a format change fails LOUDLY at read (PATH_NOT_FOUND) instead of
+    * silently matching nothing: the winnow screen is a safety tier — a
+    * stale-format artifact probed under a new key function would yield
+    * zero tier-1 matches and under-flag verbatim repeats without any
+    * error. v2 = masked xxhash64 keys (v1 was the md5-prefix stand-in,
+    * retired in round 14). Bump this whenever [[fingerprints]]' key
+    * derivation changes. */
+  private val FmtDir = "winnow_fp_v2"
+
   /** One row per distinct selected fingerprint hash per document,
     * `keyCols` carried through. Per-doc dedup is a row-local
     * array_distinct — no corpus-wide distinct shuffle — and key
@@ -56,15 +66,21 @@ object WinnowIndex {
   def write(corpus: DataFrame, base: String): Unit =
     build(corpus).repartitionByRange(col("h"))
       .sortWithinPartitions("h")
-      .write.mode("overwrite").parquet(s"$base/winnow_fp")
+      .write.mode("overwrite").parquet(s"$base/$FmtDir")
 
   def append(newDocs: DataFrame, base: String): Unit =
     build(newDocs).repartitionByRange(col("h"))
       .sortWithinPartitions("h")
-      .write.mode("append").parquet(s"$base/winnow_fp")
+      .write.mode("append").parquet(s"$base/$FmtDir")
 
   def read(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/winnow_fp")
+    spark.read.parquet(s"$base/$FmtDir")
+
+  /** Restore the range-clustered layout after an append chain — see
+    * [[Compaction]]. Row multiset unchanged. */
+  def compact(spark: SparkSession, base: String): Unit =
+    Compaction.rewrite(spark, s"$base/$FmtDir")(
+      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
 
   /** Screen NEW documents against the indexed corpus: per probe doc,
     * the count of its selected fingerprints that exist in the index

@@ -65,6 +65,17 @@ object StreamingMediaDedup {
   def readIndex(spark: SparkSession, base: String): Index =
     Index(spark.read.parquet(s"$base/sigs"), spark.read.parquet(s"$base/bands"))
 
+  /** Restore both frames' clustered layout after an append chain —
+    * [[StreamingNearDup.compactIndex]]'s contract on the media
+    * column. Row multisets unchanged. */
+  def compactIndex(spark: SparkSession, base: String): Unit = {
+    graft.operators.Compaction.rewrite(spark, s"$base/sigs")(
+      _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
+    graft.operators.Compaction.rewrite(spark, s"$base/bands")(
+      _.repartitionByRange(col("band_id"), col("bkey"))
+        .sortWithinPartitions("band_id", "bkey"))
+  }
+
   /** Incremental append — newly admitted media join the persisted
     * index without a rebuild. Signature and band rows are a PURE
     * per-row function of the payload, so append-then-read equals a

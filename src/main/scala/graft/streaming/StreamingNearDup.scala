@@ -66,6 +66,19 @@ object StreamingNearDup {
   def readIndex(spark: org.apache.spark.sql.SparkSession, base: String): Index =
     Index(spark.read.parquet(s"$base/sketch"), spark.read.parquet(s"$base/bands"))
 
+  /** Restore both frames' clustered layout after an append chain —
+    * see [[graft.operators.Compaction]]: bands re-cluster by
+    * (band_id, bkey) for the probe equi-join, the sketch by doc_id
+    * for the verify join. Row multisets unchanged. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      base: String): Unit = {
+    graft.operators.Compaction.rewrite(spark, s"$base/sketch")(
+      _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
+    graft.operators.Compaction.rewrite(spark, s"$base/bands")(
+      _.repartitionByRange(col("band_id"), col("bkey"))
+        .sortWithinPartitions("band_id", "bkey"))
+  }
+
   /** Incremental append — newly admitted docs join the persisted corpus
     * index without a rebuild (the [[graft.operators.AnnIndexes.appendLsh]]
     * pattern for the document sketch index). Sketch and band rows are a

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Session, Tables}
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Compaction]]'s contract through a LIVE release chain: after N
+  * appends, compaction (a) preserves every artifact's row multiset
+  * exactly — so compact ≡ rebuild ≡ append-chain for every probe,
+  * trivially — (b) reduces the parquet file count (the fragmentation
+  * it exists to undo), and (c) leaves the NEXT release's decisions
+  * byte-identical to an uncompacted twin's. */
+class CompactionSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsAll = Tables.documents(spark, sf)
+    .filter(col("text").isNotNull)
+    .select("lang", "doc_id", "text")
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+    df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("compact after a release chain: row multisets unchanged, file " +
+      "counts shrink, and the next release decides identically to an " +
+      "uncompacted twin") {
+    val base = tmp("graft_compact")
+    val twin = tmp("graft_compact_twin")
+    val corpus = docsAll.filter(col("doc_id") % 3 === 0)
+    ReleaseFlow.init(corpus, base)
+    ReleaseFlow.init(corpus, twin)
+    // a chain of releases fragments every artifact (each appends its
+    // own file set); three slices of the remaining docs, offset ids
+    val off = 1000000L
+    for (k <- 1 to 3) {
+      val shard = docsAll.filter(col("doc_id") % 3 === lit(k % 3 + 1) % 3 &&
+          col("doc_id") % 9 === lit(3 * (k - 1)))
+        .select(col("lang"), (col("doc_id") + lit(k * off)).as("doc_id"),
+          col("text"))
+      ReleaseFlow.release(spark, shard, base)
+      ReleaseFlow.release(spark, shard, twin)
+    }
+    val dirs = Seq(
+      s"${ReleaseFlow.dedupDir(base)}/content_hashes",
+      s"${ReleaseFlow.substrDir(base)}/span_grams",
+      s"${ReleaseFlow.neardupDir(base)}/sketch",
+      s"${ReleaseFlow.neardupDir(base)}/bands")
+    val beforeFiles = dirs.map(d => d -> Compaction.fileCount(spark, d)).toMap
+    val beforeRows = Map(
+      "dedup" -> rowsOf(DedupIndex.read(spark, ReleaseFlow.dedupDir(base))),
+      "substr" -> rowsOf(SubstringIndex.read(spark, ReleaseFlow.substrDir(base))),
+      "winnow" -> rowsOf(WinnowIndex.read(spark, ReleaseFlow.winnowDir(base))),
+      "bands" -> rowsOf(StreamingNearDup
+        .readIndex(spark, ReleaseFlow.neardupDir(base)).bands))
+
+    ReleaseFlow.compact(spark, base)
+
+    assert(rowsOf(DedupIndex.read(spark, ReleaseFlow.dedupDir(base))) ===
+      beforeRows("dedup"), "dedup row multiset")
+    assert(rowsOf(SubstringIndex.read(spark, ReleaseFlow.substrDir(base))) ===
+      beforeRows("substr"), "substring row multiset")
+    assert(rowsOf(WinnowIndex.read(spark, ReleaseFlow.winnowDir(base))) ===
+      beforeRows("winnow"), "winnow row multiset")
+    assert(rowsOf(StreamingNearDup
+      .readIndex(spark, ReleaseFlow.neardupDir(base)).bands) ===
+      beforeRows("bands"), "band row multiset")
+    dirs.foreach { d =>
+      assert(Compaction.fileCount(spark, d) < beforeFiles(d),
+        s"$d: compaction must reduce the file count " +
+          s"(${beforeFiles(d)} before)")
+    }
+
+    // the probe semantics are untouched: release the SAME final shard
+    // against the compacted base and the untouched twin — decisions
+    // must agree row-for-row (this also exercises the winnow tier's
+    // compacted artifact)
+    val shard4 = docsAll.filter(col("doc_id") % 3 === 1)
+      .select(col("lang"), (col("doc_id") + lit(9 * off)).as("doc_id"),
+        col("text"))
+    def decisions(b: String) =
+      ReleaseFlow.release(spark, shard4, b,
+          ReleaseFlow.Screens(tieredVerbatim = true))
+        .select("doc_id", "decision").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decisions(base) === decisions(twin),
+      "post-compaction decisions must equal the uncompacted twin's")
+  }
+
+  test("media lifecycle compaction: row multisets unchanged, file " +
+      "counts shrink, decisions identical to an uncompacted twin") {
+    val base = tmp("graft_compact_media")
+    val twin = tmp("graft_compact_media_twin")
+    val allm = docsAll
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.Multimodal.payloadCol(col("doc_id")).as("payload"))
+    val corpus = allm.filter(col("doc_id") % 3 === 0)
+    MediaReleaseFlow.init(corpus, base)
+    MediaReleaseFlow.init(corpus, twin)
+    val off = 1000000L
+    for (k <- 1 to 3) {
+      val shard = allm.filter(col("doc_id") % 3 === 1 &&
+          col("doc_id") % 9 === lit(3 * (k - 1) + 1))
+        .select((col("doc_id") + lit(k * off)).as("doc_id"), col("payload"))
+      MediaReleaseFlow.release(spark, shard, base)
+      MediaReleaseFlow.release(spark, shard, twin)
+    }
+    val bytesDir = s"${MediaReleaseFlow.bytehashDir(base)}/payload_hashes"
+    val beforeFiles = Compaction.fileCount(spark, bytesDir)
+    val beforeBytes = rowsOf(MediaReleaseFlow.readByteIndex(spark, base))
+
+    MediaReleaseFlow.compact(spark, base)
+
+    assert(rowsOf(MediaReleaseFlow.readByteIndex(spark, base)) === beforeBytes)
+    assert(Compaction.fileCount(spark, bytesDir) < beforeFiles)
+    val shard4 = allm.filter(col("doc_id") % 3 === 2)
+      .select((col("doc_id") + lit(9 * off)).as("doc_id"), col("payload"))
+    def decisions(b: String) =
+      MediaReleaseFlow.release(spark, shard4, b)
+        .select("doc_id", "decision").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decisions(base) === decisions(twin))
+  }
+}

@@ -216,16 +216,17 @@ class ReleaseFlowSpec extends AnyFunSuite {
   test("release decisions ARE the streaming pipeline's decisions: " +
       "AdmissionPipeline.decide over the same persisted gates labels " +
       "every shard row identically (one decision function, two callers) " +
-      "— which, since release runs the winnow tier and these gates " +
-      "don't, also pins tier-on ≡ tier-off at release grain") {
+      "— and with release run tier-ON while these gates are untiered, " +
+      "it also pins tier-on ≡ tier-off at release grain") {
     import graft.streaming.{AdmissionPipeline, StreamingNearDup, StreamingSubstring}
     val base = tmp("graft_release_parity")
     val (corpus, shard, _, _, _) = fixture()
     ReleaseFlow.init(corpus, base)
     // the streaming-side decision, built from the SAME artifacts the
     // release reads — computed BEFORE release mutates them. Deliberately
-    // NO corpusWinnow here: release() sets it, so the equality below is
-    // also the tier's decision-identity proof on real-corpus data.
+    // NO corpusWinnow here while release() below runs tieredVerbatim =
+    // true, so the equality is also the tier's decision-identity proof
+    // on real-corpus data (the knob's contract).
     val gates = AdmissionPipeline.Gates(
       StreamingNearDup.readIndex(spark, ReleaseFlow.neardupDir(base)),
       spark.emptyDataFrame.select(lit(0L).as("gram")).limit(0),
@@ -238,11 +239,36 @@ class ReleaseFlowSpec extends AnyFunSuite {
         .withColumn("n_chars", length(col("text")).cast("long")), gates)
       .select("doc_id", "reason").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val releaseSide = ReleaseFlow.release(spark, shard, base)
+    val releaseSide = ReleaseFlow.release(spark, shard, base,
+        ReleaseFlow.Screens(tieredVerbatim = true))
       .select("doc_id", "decision").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(releaseSide === streamSide,
       "ingest-time and release-time decisions must read identically")
+  }
+
+  test("tieredVerbatim is a pure cost knob: release and releaseCut " +
+      "label (and cut) identically in both modes over the same init") {
+    val baseT = tmp("graft_release_tier_on")
+    val baseE = tmp("graft_release_tier_off")
+    val (corpus, shard, _, _, _) = fixture()
+    ReleaseFlow.init(corpus, baseT)
+    ReleaseFlow.init(corpus, baseE)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "decision", "n_cut_tokens", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+    val tiered = rows(ReleaseFlow.releaseCut(spark, shard, baseT,
+      ReleaseFlow.Screens(tieredVerbatim = true)))
+    val exact = rows(ReleaseFlow.releaseCut(spark, shard, baseE))
+    assert(tiered === exact,
+      "cut + decision must be identical under either probe mode")
+    // and the artifacts the two releases appended must agree too —
+    // same admitted slice, same cleaned bytes
+    def hashes(b: String) =
+      DedupIndex.read(spark, ReleaseFlow.dedupDir(b))
+        .collect().map(_.toString).toSet
+    assert(hashes(baseT) === hashes(baseE))
   }
 
   test("releaseCut cures a span-lifting doc (cut + admit with cleaned " +
