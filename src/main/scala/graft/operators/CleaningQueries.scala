@@ -344,8 +344,11 @@ object CleaningQueries {
     * scoring stays one row-local pass per document: the
     * broadcast-lookup shape without even a join, nothing per-row
     * leaves the scan. Buckets absent from the frame weigh 0
-    * (`try_element_at` — under ANSI a plain `element_at` would throw
-    * on the first unseen bucket). CleaningSpec pins this path
+    * (`try_element_at` — the repo's convention for stating tolerant
+    * map access in the plan; since Spark 3.3 / SPARK-40066 a plain
+    * `element_at` also NULLs on a missing MAP key even under ANSI, so
+    * this is intent + future-proofing, not a crash guard against
+    * today's behavior). CleaningSpec pins this path
     * bit-identical to [[scoreMilliSql]] when fed the synthetic weights
     * ([[syntheticWeights]]), so swapping in trained weights is the
     * declared one-line change, now with code and a gate behind it. */

@@ -7,11 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The OOV contract of [[BpeIndex.applied]]: applying a PERSISTED
   * trained tokenizer to a corpus the trainer never saw — the entire
   * point of the artifact — must fall back to char-count segmentation
-  * for unseen words, not fail the job. Spark 4 runs ANSI mode, where a
-  * plain `element_at(map, key)` THROWS on a missing key before any
-  * coalesce can supply a default (the `try_element_at` convention
-  * [[CleaningQueries]] established); this spec exists so that lookup
-  * can never regress to the throwing form.
+  * for unseen words, not fail the job. The lookup follows the
+  * `try_element_at` convention [[CleaningQueries]] established for
+  * tolerant map access. (Precise ANSI behavior, for the record: since
+  * Spark 3.3 / SPARK-40066 a plain `element_at(map, key)` also returns
+  * NULL for a missing MAP key even under ANSI — only ARRAY indexing
+  * throws — so the try-form is about stating the fallback intent and
+  * guarding against that behavior ever tightening, not about a crash
+  * observed today.) This spec pins the fallback itself.
   */
 class BpeAppliedOovSpec extends AnyFunSuite {
 

@@ -114,6 +114,22 @@ class BpeIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded random dicts, larger regime: the INCREMENTAL trainer " +
+      "(round-15 pair-count maintenance) equals the naive full-recount " +
+      "reference on 60 bigger corpora with deep merge chains") {
+    val rnd = new scala.util.Random(15)
+    for (k <- 0 until 60) {
+      val dict = (0 until (5 + rnd.nextInt(25))).map { _ =>
+        val len = 1 + rnd.nextInt(10)
+        (Vector.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString,
+          (1 + rnd.nextInt(20)).toLong)
+      }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }.toSeq
+      // deep budgets force merges whose pair statistics exist only
+      // through incremental updates (symbols created by prior merges)
+      check(dict, m = 4 + rnd.nextInt(12), tag = s"random-big#$k")
+    }
+  }
+
   test("artifact roundtrip: write/read preserves the rank-ordered " +
       "merge list, and the applied segment map follows the artifact") {
     val spark = Session.get()
