@@ -18,7 +18,8 @@ object SparkEntry {
       SetOpQueries.all ++ ScalarQueries.all ++ IngestQueries.all ++
       LlmQueries.all ++ SamplingQueries.all ++ ValidationQueries.all ++
       MartQueries.all ++ CleaningQueries.all ++ CorpusOpsQueries.all ++
-      AuditQueries.all ++ ReleaseQueries.all ++ TokenizerQueries.all
+      AuditQueries.all ++ ReleaseQueries.all ++ TokenizerQueries.all ++
+      MediaReleaseQueries.all ++ CorpusBuildQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DQ-J1 star join: scan → broadcast joins → hash agg → sort. */

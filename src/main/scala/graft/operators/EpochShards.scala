@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object EpochShards {
 
-  private def ordEpoch(epoch: Int): Column =
+  private[operators] def ordEpoch(epoch: Int): Column =
     substring(md5(concat(col("doc_id").cast("string"),
       lit(":epoch"), lit(epoch).cast("string"))), 1, 8)
 
@@ -43,8 +43,8 @@ object EpochShards {
     substring(md5(concat(col("doc_id").cast("string"),
       lit(":curriculum"))), 1, 8)
 
-  private def shardOf: Column =
-    conv(substring(col("ord"), 1, SamplingQueries.EpochShardHexDigits), 16, 10)
+  private[operators] def shardOf(ord: Column = col("ord")): Column =
+    conv(substring(ord, 1, SamplingQueries.EpochShardHexDigits), 16, 10)
       .cast("long")
 
   private def writeSorted(df: DataFrame, path: String,
@@ -62,7 +62,7 @@ object EpochShards {
     writeSorted(
       corpus.filter(col("text").isNotNull)
         .withColumn("ord", ordEpoch(epoch))
-        .withColumn("shard", shardOf),
+        .withColumn("shard", shardOf()),
       s"$base/epoch=$epoch", Seq("shard"))
 
   /** Materialize l60's two-phase curriculum order: phase 0 (score ≤ 0,
@@ -78,7 +78,7 @@ object EpochShards {
         .withColumn("phase", when(col("score_milli") > 0L, 1).otherwise(0))
         .drop("ta")
         .withColumn("ord", ordCurriculum)
-        .withColumn("shard", shardOf),
+        .withColumn("shard", shardOf()),
       s"$base/curriculum", Seq("phase", "shard"))
 
   /** One shard's rows IN REPLAY ORDER — the single file's own row

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object MartQueries {
 
-  /** Scratch mart base for the gate run, unique per source dir; wiped at
-    * the start of every invocation so the query is idempotent. */
+  /** Scratch mart base for the gate run, unique per (JVM, source dir)
+    * — the per-JVM nonce ([[ReleaseQueries.nonce]]) keeps concurrent
+    * driver invocations from cross-wiping; wiped at the start of every
+    * invocation so the query is idempotent. */
   private def gateBase(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_mart_gate_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_mart_gate_${ReleaseQueries.nonce}_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
 
   val m1 = DQ(
     "m1_mart_roundtrip",

@@ -77,23 +77,97 @@ object ReleaseQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** Scratch artifact base for the gate run, unique per source dir;
-    * wiped at the start of every invocation so the query is
+  /** Per-JVM nonce in every scratch path: two concurrent driver
+    * invocations (bench and verify overlapping on one box) each get
+    * their own artifact dirs instead of cross-wiping; within one JVM
+    * the path is stable, so a re-run stays idempotent (wipe + rebuild)
+    * and the [[InitMemo]] clone source stays valid. */
+  private[operators] val nonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** Scratch artifact base for the gate run, unique per (JVM, source
+    * dir); wiped at the start of every invocation so the query is
     * idempotent (m1's idiom). */
   private def gateBase(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_release_gate_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_release_gate_${nonce}_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** One PRISTINE four-artifact init per (JVM, source dir), shared by
+    * the r1/r2 gates: both init IDENTICAL artifact sets from the same
+    * 75% corpus slice (same [[inCorpus]] rule, same projection), so
+    * re-running [[ReleaseFlow.init]]'s four index builds per gate was
+    * pure duplicated setup — ~24% of every official bench (VERDICT
+    * r14 #1). The first gate to run builds the master once; every
+    * caller then gets a parquet FILE COPY of it to mutate (releases
+    * append to their own clone, never the master) — the
+    * content-addressed-memo discipline the ANN family's centroid memo
+    * established. The memo key carries the corpus-rule version; bump
+    * `ruleV` whenever [[inCorpus]] or the init projection changes. */
+  private[operators] object InitMemo {
+    private val ruleV = "v1"
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** Wipe `dest`, then populate it with a clone of the memoized
+      * pristine init for source dir `d` (building the master via
+      * `build` on first use). */
+    def cloneInto(s: SparkSession, d: String, dest: String)(
+        build: String => Unit): Unit = {
+      val conf = s.sparkContext.hadoopConfiguration
+      val master = built.computeIfAbsent(s"$d|$ruleV", _ => {
+        val m = s"${sys.props("java.io.tmpdir")}/graft_release_init_" +
+          s"${nonce}_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val mp = new org.apache.hadoop.fs.Path(m)
+        val mfs = mp.getFileSystem(conf)
+        if (mfs.exists(mp)) mfs.delete(mp, true)
+        build(m)
+        m
+      })
+      val src = new org.apache.hadoop.fs.Path(master)
+      val dst = new org.apache.hadoop.fs.Path(dest)
+      val fs = dst.getFileSystem(conf)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(conf), src, fs, dst, false, conf)
+      ()
+    }
+  }
 
   /** The corpus/held-out split: ~75% of docs by the md5 trick (l47's
     * idiom) form the landed corpus, the rest are shard material. */
-  private def inCorpus =
+  private[operators] def inCorpus =
     substring(md5(concat(col("doc_id").cast("string"), lit(":r1"))), 1, 4) < "c000"
+
+  /** ONE checkpointed CLEAN held-out frame per (app, source dir) —
+    * r1, r2 and c1 all derive the identical set (held-out docs sharing
+    * no 8-token gram with the corpus, the oracle-replayed determinism
+    * filter), so the corpus-gram explode + anti-join chain prices once
+    * per JVM instead of once per gate ([[LlmQueries.sharedPairs]]'s
+    * memo discipline; deterministic, so a memo read cannot differ from
+    * a rebuild). Columns: (lang, doc_id, text, ta). */
+  private val cleanMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[operators] def cleanHeld(s: SparkSession, d: String): DataFrame =
+    cleanMemo.computeIfAbsent(s.sparkContext.applicationId + ":" + d, _ => {
+      val all = docs(s, d).filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"), col("text"))
+        .withColumn("ta", split(lower(col("text")), "\\s+"))
+      val corpus = all.filter(inCorpus)
+      val held = all.filter(!inCorpus)
+      val corpusG8 = SamplingQueries.docGramsK(corpus, Seq.empty, 8,
+        hashed = false).select("gram").distinct()
+      val dirty = SamplingQueries.docGramsK(held, Seq("doc_id"), 8,
+          hashed = false)
+        .join(corpusG8, Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+      held.join(dirty, Seq("doc_id"), "left_anti").localCheckpoint(false)
+    })
 
   /** One internal space doubled after the first space — the token
     * array (split on \s+) is unchanged, so the MinHash sketch is
     * IDENTICAL to the source doc's, while the content hash differs
     * whenever the first space is internal (see the object scaladoc for
     * the edge-run case). */
-  private val wsVariant = expr(
+  private[operators] val wsVariant = expr(
     "concat(substring(text, 1, instr(text, ' ')), ' ', " +
       "substring(text, instr(text, ' ') + 1))")
 
@@ -101,24 +175,15 @@ object ReleaseQueries {
     "r1_release_roundtrip",
     (s, d) => {
       val base = gateBase(d)
-      val p = new org.apache.hadoop.fs.Path(base)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
       val all = docs(s, d).filter(col("text").isNotNull)
         .select(col("lang"), col("doc_id"), col("text"))
         .withColumn("ta", split(lower(col("text")), "\\s+"))
       val corpus = all.filter(inCorpus)
-      val held = all.filter(!inCorpus)
       // "clean" held-out docs: share no 8-token gram with the corpus —
       // the determinism filter (see the object scaladoc). String grams
-      // (hashed = false) so the oracle replays the filter byte-for-byte.
-      val corpusG8 = SamplingQueries.docGramsK(corpus, Seq.empty, 8,
-        hashed = false).select("gram").distinct()
-      val dirty = SamplingQueries.docGramsK(held, Seq("doc_id"), 8,
-          hashed = false)
-        .join(corpusG8, Seq("gram"), "left_semi")
-        .select("doc_id").distinct()
-      val clean = held.join(dirty, Seq("doc_id"), "left_anti")
+      // (hashed = false) so the oracle replays the filter byte-for-byte;
+      // memoized + checkpointed per JVM ([[cleanHeld]] — r2/c1 share it)
+      val clean = cleanHeld(s, d)
       val off = LlmQueries.plantedOffset(all, "doc_id")
       // the quote source: the lowest-id corpus doc with >= 16 tokens;
       // its first 16 lowercase tokens are the planted verbatim lift
@@ -141,8 +206,14 @@ object ReleaseQueries {
       val c5 = cls(clean.filter(col("doc_id") % 3 === 2), 5, col("text"))
       val shard1 = c1.unionByName(c2).unionByName(c3)
         .unionByName(c4).unionByName(c5)
-      ReleaseFlow.init(corpus.select("lang", "doc_id", "text"), base)
-      val d1 = ReleaseFlow.release(s, shard1, base)
+      // wipe + populate from the shared pristine init (see [[InitMemo]])
+      InitMemo.cloneInto(s, d, base)(m =>
+        ReleaseFlow.init(corpus.select("lang", "doc_id", "text"), m))
+      // the tier stays ON here (non-default since round 15): a green r1
+      // is then an oracle-grade pin of tiered ≡ untiered on real-corpus
+      // data, while r2 covers the exact-probe default
+      val d1 = ReleaseFlow.release(s, shard1, base,
+        ReleaseFlow.Screens(tieredVerbatim = true))
       // release 2 probes the APPENDED artifacts: copies of release-1
       // admissions must now read as landed corpus
       val admitted = d1.filter(col("decision") === "admit")
@@ -152,7 +223,8 @@ object ReleaseQueries {
         .withColumn("ta", split(lower(col("text")), "\\s+"))
         .filter(size(col("ta")) >= 3 && instr(col("text"), " ") > 0),
         2, wsVariant)
-      val d2 = ReleaseFlow.release(s, c6.unionByName(c7), base)
+      val d2 = ReleaseFlow.release(s, c6.unionByName(c7), base,
+        ReleaseFlow.Screens(tieredVerbatim = true))
       ReleaseFlow.audit(d1).withColumn("release", lit(1L))
         .unionByName(ReleaseFlow.audit(d2).withColumn("release", lit(2L)))
         .select("release", "lang", "decision", "n_docs", "doc_id_sum")
@@ -197,6 +269,7 @@ object ReleaseQueries {
               SELECT lang, doc_id + 3 * o,
                 trim(text) || ' ' || (SELECT q FROM quote), 3
               FROM clean, off WHERE doc_id % 3 = 1 AND len(ta) >= 20
+                AND EXISTS (SELECT 1 FROM quote)
               UNION ALL
               SELECT lang, doc_id + 4 * o, substring(text, 1, 100), 4
               FROM clean, off WHERE doc_id % 3 = 0
@@ -339,30 +412,22 @@ object ReleaseQueries {
     * rather than construction-pinned, even the pathological mixed
     * boundary gram (≤ 7 base tokens + a quote prefix that happens to
     * appear verbatim in the corpus) cannot desynchronize the gate —
-    * both engines would cut it. The winnow tier inside releaseCut is
-    * cut-identical by the k+w−1 guarantee (a doc with any indexed
-    * 15-gram shares a ≥ 15-token run), so the untiered replay is
-    * exact. The output adds the cure's accounting columns to the
-    * audit matrix: docs cut and tokens cut per (lang, decision). */
+    * both engines would cut it. Since round 15 this gate runs the
+    * DEFAULT exact span probe ([[ReleaseFlow.Screens.tieredVerbatim]]
+    * off, per BENCH_NOTES' local-scale pricing) while r1 runs tier-ON
+    * — so the gate pair oracle-covers both probe modes, and the
+    * untiered oracle replay here is exact trivially. The output adds
+    * the cure's accounting columns to the audit matrix: docs cut and
+    * tokens cut per (lang, decision). */
   val r2 = DQ(
     "r2_releasecut_roundtrip",
     (s, d) => {
       val base = gateBase(d) + "_cut"
-      val p = new org.apache.hadoop.fs.Path(base)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
       val all = docs(s, d).filter(col("text").isNotNull)
         .select(col("lang"), col("doc_id"), col("text"))
         .withColumn("ta", split(lower(col("text")), "\\s+"))
       val corpus = all.filter(inCorpus)
-      val held = all.filter(!inCorpus)
-      val corpusG8 = SamplingQueries.docGramsK(corpus, Seq.empty, 8,
-        hashed = false).select("gram").distinct()
-      val dirty = SamplingQueries.docGramsK(held, Seq("doc_id"), 8,
-          hashed = false)
-        .join(corpusG8, Seq("gram"), "left_semi")
-        .select("doc_id").distinct()
-      val clean = held.join(dirty, Seq("doc_id"), "left_anti")
+      val clean = cleanHeld(s, d)
       val off = LlmQueries.plantedOffset(all, "doc_id")
       val quote = corpus.filter(size(col("ta")) >= 16)
         .orderBy("doc_id").limit(1)
@@ -380,7 +445,12 @@ object ReleaseQueries {
       val cc = cls(corpus.filter(col("doc_id") % 7 === 0), 3, col("text"))
       val cd = cls(clean.filter(col("doc_id") % 3 === 2), 4, col("text"))
       val shard = ca.unionByName(cb).unionByName(cc).unionByName(cd)
-      ReleaseFlow.init(corpus.select("lang", "doc_id", "text"), base)
+      // same corpus slice as r1 → the same pristine init, cloned (the
+      // r14 verdict's duplicated-setup finding); r2 runs the DEFAULT
+      // exact span probe (tieredVerbatim off), so the pair of gates
+      // oracle-covers both probe modes
+      InitMemo.cloneInto(s, d, base)(m =>
+        ReleaseFlow.init(corpus.select("lang", "doc_id", "text"), m))
       ReleaseFlow.releaseCut(s, shard, base)
         .groupBy("lang", "decision")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("doc_id_sum"),
@@ -419,6 +489,7 @@ object ReleaseQueries {
               SELECT lang, doc_id + o AS doc_id,
                 trim(text) || ' ' || (SELECT q FROM quote) AS text
               FROM clean, off WHERE doc_id % 3 = 1 AND len(ta) >= 20
+                AND EXISTS (SELECT 1 FROM quote)
               UNION ALL
               SELECT lang, doc_id + 2 * o,
                 array_to_string(list_slice(ta, 1, 20), ' ')

@@ -27,7 +27,7 @@ object SamplingQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** L5's BPE-ish pre-tokenizer count, shared by l21. */
-  private def nTok(c: org.apache.spark.sql.Column) =
+  private[operators] def nTok(c: org.apache.spark.sql.Column) =
     size(regexp_extract_all(lower(c),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
 
@@ -35,7 +35,7 @@ object SamplingQueries {
     * (lexicographic compare == numeric compare on fixed-width lowercase
     * hex; 'zzzz' > 'ffff' keeps everything). en is downsampled hardest,
     * zh kept whole — the usual rebalancing direction. */
-  private val thresholds = Seq(
+  private[operators] val thresholds = Seq(
     "en" -> "2000", "de" -> "4000", "es" -> "8000", "fr" -> "c000", "zh" -> "zzzz")
 
   /** L20 — stratified deterministic sampling: keep a per-language share

@@ -34,8 +34,11 @@ object TokenizerQueries {
     * consume earlier merges' output symbols). */
   val Merges = 8
 
+  /** Per-JVM nonce ([[ReleaseQueries.nonce]]'s argument): concurrent
+    * driver invocations must not cross-wipe each other's artifacts. */
   private def gateBase(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_bpe_gate_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_bpe_gate_${ReleaseQueries.nonce}_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** One unrolled trainer iteration: pair counts over the previous
     * dictionary state, the deterministic argmax, the rewrite. */

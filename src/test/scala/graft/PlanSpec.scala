@@ -99,7 +99,13 @@ class PlanSpec extends AnyFunSuite {
       "l80_media_by_source",
       // r1/r2: the 1-row offset and 1-row quote broadcasts building the
       // planted shard classes (l53/l74's construction family).
-      "r1_release_roundtrip", "r2_releasecut_roundtrip")
+      "r1_release_roundtrip", "r2_releasecut_roundtrip",
+      // r3: the 1-row planted-offset broadcast building the media shard
+      // classes (l80's construction on the release lifecycle).
+      "r3_media_release_roundtrip",
+      // c1: r1's 1-row offset and 1-row quote broadcasts, one class
+      // deeper (the build-gate shard construction).
+      "c1_corpus_build")
 
   test("no catalog query plans a CartesianProduct") {
     for (dq <- SparkEntry.catalog) {
