@@ -165,6 +165,51 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(stages === Set("gate"), s"replay stops at the gate: $stages")
   }
 
+  test("curative flag: a quote-carrying doc is rejected whole by the " +
+      "default build and admitted CURED by the curative one, with the " +
+      "cleaned tokens in the manifest") {
+    import spark.implicits._
+    val corpusWords = (1 to 60).map(i => s"corpusterm$i")
+    val corpus = Seq(("en", 1L, corpusWords.mkString(" ")))
+      .toDF("lang", "doc_id", "text")
+    // 40 novel tokens + a 20-token indexed lift; novel half long enough
+    // to clear the 200-char quality floor on its own after the cure
+    val novel = (1 to 40).map(i => s"novelword$i")
+    // id 52: md5('52:en') < '2000' (passes the en sample draw) and
+    // md5('52:split') < 'c000' (lands train) — chosen so the cured doc
+    // flows through to the manifest deterministically
+    val raw = Seq(("en", 52L,
+      (novel.take(20) ++ corpusWords.slice(20, 40) ++ novel.drop(20))
+        .mkString(" ")))
+      .toDF("lang", "doc_id", "text")
+    val baseA = tmp("graft_build_cure_off")
+    val baseB = tmp("graft_build_cure_on")
+    ReleaseFlow.init(corpus, baseA)
+    ReleaseFlow.init(corpus, baseB)
+    val off = CorpusBuild.build(spark, raw, baseA)
+    assert(off.ledger.collect().map(r =>
+      (r.getString(2), r.getString(3))).toSeq ===
+      Seq(("gate", "verbatim_repeat")),
+      "default build rejects the carrier whole")
+    val on = CorpusBuild.build(spark, raw, baseB,
+      cfg = CorpusBuild.Config(curative = true))
+    val row = on.ledger.collect()
+    assert(row.length === 1 && row(0).getString(2) === "manifest",
+      s"curative build admits the cured carrier: ${row.mkString}")
+    // the manifest counts the CURED tokens: 40 kept whitespace words,
+    // each "novelwordN" = 2 pre-tokenizer tokens ([a-z]+ run + digit
+    // run) — the 20 cut corpus terms' 40 tokens are GONE
+    val toks = on.manifest.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(toks === 80L, s"manifest must count cleaned tokens, got $toks")
+    // and the artifact holds the cleaned bytes: the cured text
+    // re-offered reads corpus_duplicate
+    val probe = ReleaseFlow.release(spark,
+      Seq(("en", 60L, (novel.take(20) ++ novel.drop(20)).mkString(" ")))
+        .toDF("lang", "doc_id", "text"), baseB)
+      .select("decision").collect().map(_.getString(0)).toSeq
+    assert(probe === Seq("corpus_duplicate"))
+  }
+
   test("cleanse flag: on this single-line corpus the C4 page bar nulls " +
       "every doc (the documented opt-in semantics) and the ledger says " +
       "so; planted multi-line docs survive it") {
