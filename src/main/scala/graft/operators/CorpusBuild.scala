@@ -68,8 +68,13 @@ object CorpusBuild {
   /** The build output: `ledger` = (lang, doc_id, stage, outcome), one
     * row per raw doc; `manifest` = (lang, split, shard, n_docs,
     * n_tokens, doc_id_sum), shard = −1 for val/test (only the train
-    * split is training-ordered). */
-  final case class Result(ledger: DataFrame, manifest: DataFrame)
+    * split is training-ordered); `gate` = the gate ladder's FULL
+    * per-doc decision frame (already checkpointed by the release) —
+    * the place the cure's per-doc accounting lives on a curative
+    * build (`n_cut_tokens` beside `decision`), which the compressed
+    * (stage, outcome) ledger deliberately does not carry. */
+  final case class Result(ledger: DataFrame, manifest: DataFrame,
+      gate: DataFrame)
 
   /** Run the full build of `raw` (lang, doc_id, text) against the
     * artifact set at `base` (must be initialized — an EMPTY corpus
@@ -152,6 +157,6 @@ object CorpusBuild {
         survivors.filter(col("split") === "train").drop("split"),
         cfg.epoch, sb)
     }
-    Result(ledger, manifest)
+    Result(ledger, manifest, decided)
   }
 }

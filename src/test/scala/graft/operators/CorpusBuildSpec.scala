@@ -201,6 +201,12 @@ class CorpusBuildSpec extends AnyFunSuite {
     // run) — the 20 cut corpus terms' 40 tokens are GONE
     val toks = on.manifest.agg(sum("n_tokens")).collect()(0).getLong(0)
     assert(toks === 80L, s"manifest must count cleaned tokens, got $toks")
+    // the cure's per-doc accounting rides the gate frame (the ledger
+    // compresses to (stage, outcome) by design)
+    val cut = on.gate.select("doc_id", "n_cut_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cut === Map(52L -> 20L),
+      s"gate frame must carry the cure accounting: $cut")
     // and the artifact holds the cleaned bytes: the cured text
     // re-offered reads corpus_duplicate
     val probe = ReleaseFlow.release(spark,
