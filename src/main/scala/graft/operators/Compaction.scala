@@ -48,6 +48,31 @@ object Compaction {
       sys.error(s"compact: rename $staging -> $p failed")
   }
 
+  /** RETRACTION primitive — [[rewrite]] with a doc-id anti-join: drop
+    * every row of the artifact at `dir` whose `doc_id` is in `ids`,
+    * restoring the probe-keyed layout in the same pass. Because every
+    * index row is a PURE per-doc function of a document (the append
+    * contract's own premise), the anti-join equals a rebuild over the
+    * complement corpus EXACTLY — retraction is the recall half of
+    * append-≡-rebuild, and RetractSpec pins the multiset equality both
+    * ways (vs the pristine pre-release artifact and vs a fresh
+    * complement rebuild). `ids` is bounded by a release's admitted set
+    * — shard-sized, never corpus-sized — hence the broadcast hint;
+    * batch recalls should union their id lists first, since each call
+    * prices as one compaction of the artifact. */
+  private[graft] def retract(spark: SparkSession, dir: String,
+      ids: DataFrame)(cluster: DataFrame => DataFrame): Unit =
+    rewrite(spark, dir) { df =>
+      // a USING-column join reorders doc_id to the front — restore the
+      // artifact's own column order so the rewritten schema is stable
+      val kept = df.join(
+          org.apache.spark.sql.functions.broadcast(ids),
+          Seq("doc_id"), "left_anti")
+        .select(df.columns.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*)
+      cluster(kept)
+    }
+
   /** Parquet file count of an artifact dir — the fragmentation gauge a
     * compaction schedule watches (CompactionSpec asserts it shrinks;
     * BENCH_NOTES prices the probe cost it buys back). */

@@ -74,6 +74,13 @@ object DedupIndex {
     Compaction.rewrite(spark, s"$base/content_hashes")(
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))
 
+  /** Remove every hash row of documents in `ids` (a doc_id frame) —
+    * [[Compaction.retract]]'s contract on this artifact: equals a
+    * rebuild without those documents exactly. */
+  def retract(spark: SparkSession, ids: DataFrame, base: String): Unit =
+    Compaction.retract(spark, s"$base/content_hashes", ids)(
+      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
+
   /** Split a batch of candidate documents against the index: rows whose
     * content the index already holds are dropped, the rest pass — the
     * `foreachBatch` backstop probe of the streaming deployment (L17's

@@ -105,6 +105,18 @@ object MediaReleaseFlow {
 
   /** Compact both artifacts — [[ReleaseFlow.compact]]'s maintenance op
     * for the media lifecycle (see [[Compaction]]). */
+  /** RETRACTION on the media column — [[ReleaseFlow.retract]]'s
+    * contract over the artifact pair: remove every byte-hash,
+    * signature, and band row derived from `docIds`, as if those items
+    * had never been released (RetractSpec pins multiset equality with
+    * the pre-release artifacts and with a complement rebuild). */
+  def retract(spark: SparkSession, docIds: DataFrame, base: String): Unit = {
+    val ids = docIds.select("doc_id").distinct().localCheckpoint()
+    Compaction.retract(spark, s"${bytehashDir(base)}/payload_hashes", ids)(
+      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
+    StreamingMediaDedup.retractIndex(spark, ids, phashDir(base))
+  }
+
   def compact(spark: SparkSession, base: String): Unit = {
     Compaction.rewrite(spark, s"${bytehashDir(base)}/payload_hashes")(
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))

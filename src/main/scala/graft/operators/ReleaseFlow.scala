@@ -261,6 +261,40 @@ object ReleaseFlow {
     WinnowIndex.compact(spark, winnowDir(base))
   }
 
+  /** RETRACTION — the RECALL half of the release lifecycle: remove
+    * every artifact row derived from `docIds` across all four indexes,
+    * as if those documents had never been released. The operation a
+    * real corpus deployment cannot live without — a takedown request,
+    * a post-release contamination discovery, a licensing recall — and
+    * the one an append-only contract can't express: after
+    * `retract(admittedIdsOf(R))`, every artifact's row multiset equals
+    * its pre-release state EXACTLY (not approximately — each index row
+    * is a pure per-doc function, the append contract's own premise, so
+    * anti-join ≡ rebuild-on-complement; RetractSpec pins it byte-for-
+    * byte, plus decision-identity of a re-release). Semantics notes:
+    *
+    *  - ids need not be a whole release — any doc_id set retracts,
+    *    and ids absent from the artifacts are a no-op;
+    *  - documents REJECTED because of a retracted doc are NOT
+    *    re-admitted retroactively (decisions are frames the caller
+    *    kept, not index state); re-release the shard to re-decide
+    *    against the post-retraction corpus;
+    *  - cost = one [[Compaction]]-grade rewrite per artifact (the
+    *    span-gram index dominates), so batch recalls into one call —
+    *    the id list is shard-bounded (hence broadcast), never
+    *    corpus-bounded. Offline op, like compact/init; a deployment
+    *    under a transactional table format expresses this same
+    *    rewrite as its DELETE + OPTIMIZE pair. */
+  def retract(spark: SparkSession, docIds: DataFrame, base: String): Unit = {
+    // pin the id list before the first swap: a caller may derive it
+    // from a frame whose lineage reads these very artifacts
+    val ids = docIds.select("doc_id").distinct().localCheckpoint()
+    DedupIndex.retract(spark, ids, dedupDir(base))
+    StreamingNearDup.retractIndex(spark, ids, neardupDir(base))
+    SubstringIndex.retract(spark, ids, substrDir(base))
+    WinnowIndex.retract(spark, ids, winnowDir(base))
+  }
+
   /** The release audit rollup — decisions per (lang, decision) with an
     * identity checksum, the accounting row a release report carries. */
   def audit(decided: DataFrame): DataFrame =

@@ -638,5 +638,87 @@ object ReleaseQueries {
               CAST(SUM(n_cut) AS BIGINT) AS tokens_cut
             FROM s2dec GROUP BY 1, 2 ORDER BY lang, decision"""))
 
-  val all: Seq[DQ] = Seq(r1, r2)
+  /** R4 — the RETRACTION roundtrip, [[ReleaseFlow.retract]] under the
+    * oracle: init the four artifacts from the corpus slice (the shared
+    * [[InitMemo]] clone — same pristine master as r1/r2/c1), release a
+    * shard of held-out docs (mixed decisions, admissions guaranteed by
+    * a require) plus corpus copies (rejected — never indexed), then
+    * retract every admitted id and return per-artifact row counts and
+    * doc_id sums READ FROM THE RETRACTED ARTIFACTS. The DuckDB oracle
+    * replays what those counts must be for a PRISTINE build straight
+    * from `documents` — each artifact's row cardinality is a pure
+    * per-doc function the oracle computes independently (dedup: one
+    * row per non-null-text corpus doc; sketch: one per ≥ 3-token doc;
+    * bands: 16 per sketched doc; substring: len(ta) − k + 1 positional
+    * grams per ≥ k-token doc, k = [[SamplingQueries.SpanK]]) — so any
+    * retraction residue or over-removal desynchronizes count or id-sum
+    * and fails the hash compare. The winnow artifact's cardinality is
+    * a function of xxhash64 VALUES (window-argmin selection) and is
+    * not DuckDB-replayable — its restore-to-pristine is pinned
+    * byte-for-byte in RetractSpec instead, alongside the
+    * complement-rebuild equality and re-release decision identity this
+    * count-level gate cannot see. */
+  val r4 = DQ(
+    "r4_retract_roundtrip",
+    (s, d) => {
+      val base = gateBase(d) + "_retract"
+      val all = docs(s, d).filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"), col("text"))
+      val corpus = all.filter(inCorpus)
+      val off = LlmQueries.plantedOffset(all, "doc_id")
+      def cls(src: DataFrame, k: Int) =
+        src.crossJoin(broadcast(off))
+          .select(col("lang"), (col("doc_id") + col("_off") * k).as("doc_id"),
+            col("text"))
+      // held-out docs (mixed decisions, incl. admits) + corpus copies
+      // (corpus_duplicate — proving rejected rows need no retraction);
+      // quarter/fifth slices: the gate's cost should be the retraction
+      // rewrites under test, not shard volume
+      val shard = cls(all.filter(!inCorpus && col("doc_id") % 4 === 1), 1)
+        .unionByName(cls(corpus.filter(col("doc_id") % 5 === 0), 2))
+      InitMemo.cloneInto(s, d, base)(m =>
+        ReleaseFlow.init(corpus.select("lang", "doc_id", "text"), m))
+      val d1 = ReleaseFlow.release(s, shard, base)
+      val admitted = d1.filter(col("decision") === "admit").select("doc_id")
+      require(admitted.limit(1).count() == 1,
+        "r4 fixture must admit at least one shard doc")
+      ReleaseFlow.retract(s, admitted, base)
+      def stat(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+          .select(lit(name).as("artifact"), col("n_rows"), col("id_sum"))
+      stat("bands", graft.streaming.StreamingNearDup
+          .readIndex(s, ReleaseFlow.neardupDir(base)).bands)
+        .unionByName(stat("dedup",
+          DedupIndex.read(s, ReleaseFlow.dedupDir(base))))
+        .unionByName(stat("sketch", graft.streaming.StreamingNearDup
+          .readIndex(s, ReleaseFlow.neardupDir(base)).sketch))
+        .unionByName(stat("substr",
+          SubstringIndex.read(s, ReleaseFlow.substrDir(base))))
+        .orderBy("artifact")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ta
+              FROM documents
+              WHERE text IS NOT NULL
+                AND substring(md5(CAST(doc_id AS VARCHAR) || ':r1'), 1, 4)
+                  < 'c000')
+            SELECT 'bands' AS artifact,
+              CAST(16 * COUNT(*) AS BIGINT) AS n_rows,
+              CAST(16 * SUM(doc_id) AS BIGINT) AS id_sum
+            FROM base WHERE len(ta) >= 3
+            UNION ALL
+            SELECT 'dedup', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(doc_id) AS BIGINT)
+            FROM base
+            UNION ALL
+            SELECT 'sketch', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(doc_id) AS BIGINT)
+            FROM base WHERE len(ta) >= 3
+            UNION ALL
+            SELECT 'substr', CAST(SUM(len(ta) - 14) AS BIGINT),
+              CAST(SUM(doc_id * (len(ta) - 14)) AS BIGINT)
+            FROM base WHERE len(ta) >= 15
+            ORDER BY artifact"""))
+
+  val all: Seq[DQ] = Seq(r1, r2, r4)
 }

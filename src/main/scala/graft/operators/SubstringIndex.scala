@@ -69,6 +69,15 @@ object SubstringIndex {
     Compaction.rewrite(spark, s"$base/span_grams")(
       _.repartitionByRange(col("gram")).sortWithinPartitions("gram"))
 
+  /** Remove every positional-gram row of documents in `ids` (a doc_id
+    * frame) — [[Compaction.retract]]'s contract on this artifact:
+    * equals a rebuild without those documents exactly. The costliest
+    * retraction of the family (this is the largest index), priced as
+    * one compaction of it. */
+  def retract(spark: SparkSession, ids: DataFrame, base: String): Unit =
+    Compaction.retract(spark, s"$base/span_grams", ids)(
+      _.repartitionByRange(col("gram")).sortWithinPartitions("gram"))
+
   /** l33's span accounting, probed FROM the persisted index: `corpus`
     * supplies only the per-language doc counts (an id/lang projection —
     * no tokenize), the gram work reads `index`. Identical to the

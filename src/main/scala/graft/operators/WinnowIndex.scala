@@ -82,6 +82,15 @@ object WinnowIndex {
     Compaction.rewrite(spark, s"$base/$FmtDir")(
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))
 
+  /** Remove every fingerprint row of documents in `ids` (a doc_id
+    * frame) — [[Compaction.retract]]'s contract on this artifact:
+    * winnow selection is per-doc (window-min inside one document,
+    * never across), so dropping a doc's rows equals a rebuild without
+    * it exactly. */
+  def retract(spark: SparkSession, ids: DataFrame, base: String): Unit =
+    Compaction.retract(spark, s"$base/$FmtDir", ids)(
+      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
+
   /** Screen NEW documents against the indexed corpus: per probe doc,
     * the count of its selected fingerprints that exist in the index
     * and the distinct indexed documents sharing one — (lang, doc_id,

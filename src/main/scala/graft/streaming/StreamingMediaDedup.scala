@@ -76,6 +76,20 @@ object StreamingMediaDedup {
         .sortWithinPartitions("band_id", "bkey"))
   }
 
+  /** Remove every signature and band row of items in `ids` (a doc_id
+    * frame) — [[StreamingNearDup.retractIndex]]'s contract on the
+    * media column: both row kinds are pure per-row functions of one
+    * payload, so the anti-join equals a rebuild without those items
+    * exactly. */
+  def retractIndex(spark: SparkSession, ids: DataFrame,
+      base: String): Unit = {
+    graft.operators.Compaction.retract(spark, s"$base/sigs", ids)(
+      _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
+    graft.operators.Compaction.retract(spark, s"$base/bands", ids)(
+      _.repartitionByRange(col("band_id"), col("bkey"))
+        .sortWithinPartitions("band_id", "bkey"))
+  }
+
   /** Incremental append — newly admitted media join the persisted
     * index without a rebuild. Signature and band rows are a PURE
     * per-row function of the payload, so append-then-read equals a

@@ -79,6 +79,20 @@ object StreamingNearDup {
         .sortWithinPartitions("band_id", "bkey"))
   }
 
+  /** Remove every sketch and band row of documents in `ids` (a doc_id
+    * frame) — [[graft.operators.Compaction.retract]]'s contract on both
+    * frames: sketch and band rows are pure per-row functions of one
+    * document, so the anti-join equals a rebuild without those
+    * documents exactly. */
+  def retractIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, base: String): Unit = {
+    graft.operators.Compaction.retract(spark, s"$base/sketch", ids)(
+      _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
+    graft.operators.Compaction.retract(spark, s"$base/bands", ids)(
+      _.repartitionByRange(col("band_id"), col("bkey"))
+        .sortWithinPartitions("band_id", "bkey"))
+  }
+
   /** Incremental append — newly admitted docs join the persisted corpus
     * index without a rebuild (the [[graft.operators.AnnIndexes.appendLsh]]
     * pattern for the document sketch index). Sketch and band rows are a

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{Session, Tables}
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[ReleaseFlow.retract]]'s contract — the RECALL half of the release
+  * lifecycle, pinned three ways:
+  *
+  *  1. RESTORE: after `release(shard)` then `retract(admitted ids)`,
+  *     every artifact's row multiset equals its pre-release snapshot
+  *     byte-for-byte, and a retract of ids the artifacts never held is
+  *     a no-op;
+  *  2. COMPLEMENT REBUILD: retracting release 1 from a two-release
+  *     chain leaves artifacts equal to a FRESH init over
+  *     (corpus ∪ release-2 admissions) — the anti-join IS a rebuild
+  *     without the retracted docs, the append contract read backwards;
+  *  3. DECISION IDENTITY: re-releasing the same shard against the
+  *     retracted artifacts reproduces the original decision frame
+  *     row-for-row (the corpus state is provably "as if never
+  *     released").
+  *
+  * Same pins on the media column ([[MediaReleaseFlow.retract]]).
+  */
+class RetractSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.get()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsAll = Tables.documents(spark, sf)
+    .filter(col("text").isNotNull)
+    .select("lang", "doc_id", "text")
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+    df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def artifacts(base: String): Map[String, Map[String, Int]] = Map(
+    "dedup" -> rowsOf(DedupIndex.read(spark, ReleaseFlow.dedupDir(base))),
+    "substr" -> rowsOf(SubstringIndex.read(spark, ReleaseFlow.substrDir(base))),
+    "winnow" -> rowsOf(WinnowIndex.read(spark, ReleaseFlow.winnowDir(base))),
+    "sketch" -> rowsOf(StreamingNearDup
+      .readIndex(spark, ReleaseFlow.neardupDir(base)).sketch),
+    "bands" -> rowsOf(StreamingNearDup
+      .readIndex(spark, ReleaseFlow.neardupDir(base)).bands))
+
+  test("retract(admitted) restores every artifact to its pre-release " +
+      "multiset; unknown ids are a no-op; a re-release decides " +
+      "identically to the original") {
+    val base = tmp("graft_retract")
+    val corpus = docsAll.filter(col("doc_id") % 3 === 0)
+    ReleaseFlow.init(corpus, base)
+    val pristine = artifacts(base)
+
+    val off = 1000000L
+    // a mixed shard: fresh docs (admit) and corpus copies (reject) —
+    // rejected rows never reach the artifacts, so only admissions
+    // need retraction
+    val shard = docsAll.filter(col("doc_id") % 3 === 1)
+      .select(col("lang"), (col("doc_id") + lit(off)).as("doc_id"),
+        col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 9 === 0)
+        .select(col("lang"), (col("doc_id") + lit(2 * off)).as("doc_id"),
+          col("text")))
+    val d1 = ReleaseFlow.release(spark, shard, base)
+    val dec1 = d1.select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec1.values.exists(_ == "admit") &&
+      dec1.values.exists(_ != "admit"),
+      "fixture must release a mixed-decision shard")
+    val released = artifacts(base)
+    assert(released !== pristine, "the release must change the artifacts")
+
+    // ids the artifacts never held: a no-op rewrite
+    ReleaseFlow.retract(spark,
+      spark.range(5).select((col("id") + lit(77 * off)).as("doc_id")), base)
+    assert(artifacts(base) === released, "unknown-id retract is a no-op")
+
+    ReleaseFlow.retract(spark,
+      d1.filter(col("decision") === "admit").select("doc_id"), base)
+    assert(artifacts(base) === pristine,
+      "retraction must restore the pre-release artifacts exactly")
+
+    // the corpus state is "as if never released": the same shard
+    // re-decides identically
+    val dec2 = ReleaseFlow.release(spark, shard, base)
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec2 === dec1, "re-release must reproduce the original decisions")
+  }
+
+  test("retracting release 1 of a chain equals a fresh init over " +
+      "(corpus ∪ release-2 admissions)") {
+    val base = tmp("graft_retract_chain")
+    val corpus = docsAll.filter(col("doc_id") % 3 === 0)
+    ReleaseFlow.init(corpus, base)
+    val off = 1000000L
+    def slice(k: Int) = docsAll.filter(col("doc_id") % 3 === 1 &&
+        col("doc_id") % 6 === lit(if (k == 1) 1 else 4))
+      .select(col("lang"), (col("doc_id") + lit(k * off)).as("doc_id"),
+        col("text"))
+    val d1 = ReleaseFlow.release(spark, slice(1), base)
+    val d2 = ReleaseFlow.release(spark, slice(2), base)
+
+    ReleaseFlow.retract(spark,
+      d1.filter(col("decision") === "admit").select("doc_id"), base)
+
+    val admitted2 = d2.filter(col("decision") === "admit")
+      .select("lang", "doc_id", "text")
+    val rebuilt = tmp("graft_retract_rebuild")
+    ReleaseFlow.init(corpus.unionByName(admitted2), rebuilt)
+    assert(artifacts(base) === artifacts(rebuilt),
+      "retract must equal a rebuild without the retracted docs")
+  }
+
+  test("media retract: restores the artifact pair, unknown ids no-op, " +
+      "re-release decides identically") {
+    val base = tmp("graft_retract_media")
+    val allm = docsAll
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.Multimodal.payloadCol(col("doc_id")).as("payload"))
+    val corpus = allm.filter(col("doc_id") % 3 === 0)
+    MediaReleaseFlow.init(corpus, base)
+    def mediaArtifacts() = Map(
+      "bytes" -> rowsOf(MediaReleaseFlow.readByteIndex(spark, base)),
+      "sigs" -> rowsOf(graft.streaming.StreamingMediaDedup
+        .readIndex(spark, MediaReleaseFlow.phashDir(base)).sigs),
+      "bands" -> rowsOf(graft.streaming.StreamingMediaDedup
+        .readIndex(spark, MediaReleaseFlow.phashDir(base)).bands))
+    val pristine = mediaArtifacts()
+
+    val off = 1000000L
+    val shard = allm.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + lit(off)).as("doc_id"), col("payload"))
+      .unionByName(corpus.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + lit(2 * off)).as("doc_id"), col("payload")))
+    val d1 = MediaReleaseFlow.release(spark, shard, base)
+    val dec1 = d1.select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec1.values.exists(_ == "admit") &&
+      dec1.values.exists(_ != "admit"))
+    val released = mediaArtifacts()
+    assert(released !== pristine)
+
+    MediaReleaseFlow.retract(spark,
+      spark.range(5).select((col("id") + lit(77 * off)).as("doc_id")), base)
+    assert(mediaArtifacts() === released)
+
+    MediaReleaseFlow.retract(spark,
+      d1.filter(col("decision") === "admit").select("doc_id"), base)
+    assert(mediaArtifacts() === pristine)
+
+    val dec2 = MediaReleaseFlow.release(spark, shard, base)
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec2 === dec1)
+  }
+}
