@@ -33,10 +33,14 @@ object BenchCompact {
     val off = all.agg(coalesce(max("doc_id"), lit(-1L)) + 1L)
       .collect()(0).getLong(0)
     SubstringIndex.write(corpus, base)
-    // N appends — each its own slice of the held docs, re-idd
+    // N appends — each its own slice of the held docs, re-idd. Held
+    // ids are all ≡0 (mod 5), so slice on doc_id/5 — a plain
+    // doc_id % appends would leave most slices empty (only residues
+    // 0 and 5 occur for appends=10) and the chain would not build the
+    // N-file-set fragmentation this bench exists to price.
     for (k <- 1 to appends) {
       SubstringIndex.append(
-        held.filter(col("doc_id") % appends === (k - 1))
+        held.filter(expr(s"(doc_id div 5) % $appends") === (k - 1))
           .select(col("lang"), (col("doc_id") + lit(k * off)).as("doc_id"),
             col("text")),
         base)

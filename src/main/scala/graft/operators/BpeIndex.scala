@@ -94,6 +94,15 @@ object BpeIndex {
     * affected-word rewrites): each merge pays only for the words it
     * changes, plus the argmax over live pairs. */
   def trainFromDict(dict: Seq[(String, Long)], m: Int): Seq[String] = {
+    // counts are word FREQUENCIES — positive by construction at every
+    // caller (they come from a groupBy count). The incremental
+    // maintenance relies on it: a word's contribution to each of its
+    // pairs is +cnt, so "count drained to zero" ≡ "no remaining
+    // holder", which a zero- or negative-count entry would break
+    // (the drained key would be re-read by a later zero-count holder).
+    // Reject loudly instead of silently diverging from a full recount.
+    require(dict.forall(_._2 > 0L),
+      "trainFromDict: word counts must be positive frequencies")
     val words = dict.collect {
       case (t, c) if t.codePointCount(0, t.length) >= 2 => (render(t), c)
     }.toArray

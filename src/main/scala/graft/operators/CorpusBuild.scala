@@ -83,7 +83,16 @@ object CorpusBuild {
   def build(spark: SparkSession, raw: DataFrame, base: String,
       shardsBase: Option[String] = None,
       cfg: Config = Config()): Result = {
-    val staged = if (cfg.cleanse) AdmissionPipeline.cleanse(raw) else raw
+    // pinned when cleansed: the frame feeds two subtrees (the
+    // cleaned_out ledger arm and the gate's shard) and the C4+PII
+    // battery is the dominant per-doc cost of a cleansing build — an
+    // unpinned lineage would re-run it per consumer (the same
+    // multiplier the release's shard checkpoint exists to stop). Lazy;
+    // the first consumer materializes it. A raw passthrough needs no
+    // pin (plain scans re-read cheaply).
+    val staged =
+      if (cfg.cleanse) AdmissionPipeline.cleanse(raw).localCheckpoint(false)
+      else raw
     // born-null and cleansed-to-null rows cannot be screened or indexed
     // (the release gate would drop them silently); the ledger accounts
     // them here so every raw doc has exactly one row

@@ -103,8 +103,6 @@ object MediaReleaseFlow {
     decided
   }
 
-  /** Compact both artifacts — [[ReleaseFlow.compact]]'s maintenance op
-    * for the media lifecycle (see [[Compaction]]). */
   /** RETRACTION on the media column — [[ReleaseFlow.retract]]'s
     * contract over the artifact pair: remove every byte-hash,
     * signature, and band row derived from `docIds`, as if those items
@@ -117,6 +115,8 @@ object MediaReleaseFlow {
     StreamingMediaDedup.retractIndex(spark, ids, phashDir(base))
   }
 
+  /** Compact both artifacts — [[ReleaseFlow.compact]]'s maintenance op
+    * for the media lifecycle (see [[Compaction]]). */
   def compact(spark: SparkSession, base: String): Unit = {
     Compaction.rewrite(spark, s"${bytehashDir(base)}/payload_hashes")(
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))

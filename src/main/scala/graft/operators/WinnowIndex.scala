@@ -68,10 +68,23 @@ object WinnowIndex {
       .sortWithinPartitions("h")
       .write.mode("overwrite").parquet(s"$base/$FmtDir")
 
-  def append(newDocs: DataFrame, base: String): Unit =
+  def append(newDocs: DataFrame, base: String): Unit = {
+    // an append without a prior CURRENT-format write would silently
+    // create a fresh partial artifact beside a retired-format one —
+    // the tier would then read only post-upgrade docs and under-flag
+    // verbatim repeats with no error (the exact failure the versioned
+    // directory exists to prevent). Appends require the v-current dir.
+    val dir = new org.apache.hadoop.fs.Path(s"$base/$FmtDir")
+    val fs = dir.getFileSystem(
+      newDocs.sparkSession.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"winnow append: no $FmtDir artifact under $base — append requires a " +
+        "prior init/write in the current key format; a retired-format " +
+        "directory here means rebuild the artifact, don't append to it")
     build(newDocs).repartitionByRange(col("h"))
       .sortWithinPartitions("h")
       .write.mode("append").parquet(s"$base/$FmtDir")
+  }
 
   def read(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/$FmtDir")

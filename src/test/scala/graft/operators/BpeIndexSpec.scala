@@ -101,6 +101,18 @@ class BpeIndexSpec extends AnyFunSuite {
     assert(BpeIndex.trainFromDict(dict, 5) === Seq("a b"))
   }
 
+  test("non-positive word counts are rejected loudly — the incremental " +
+      "maintenance's drained-to-zero ≡ no-remaining-holder invariant " +
+      "needs positive frequencies") {
+    // a zero-count holder of a pair drained by positive-count words
+    // would re-read the removed key (NoSuchElementException at best,
+    // silent divergence from a full recount at worst)
+    val e = intercept[IllegalArgumentException] {
+      BpeIndex.trainFromDict(Seq("xy" -> 1L, "xyz" -> 0L), 2)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("seeded random dicts: string-render trainer equals the naive " +
       "reference on 60 corpora") {
     val rnd = new scala.util.Random(14)

@@ -35,14 +35,19 @@ class CompactionSpec extends AnyFunSuite {
     ReleaseFlow.init(corpus, base)
     ReleaseFlow.init(corpus, twin)
     // a chain of releases fragments every artifact (each appends its
-    // own file set); three slices of the remaining docs, offset ids
+    // own file set); three disjoint NON-corpus slices (corpus holds
+    // %3==0, i.e. %9 ∈ {0,3,6}; slice k takes %9 ∈ {3k−2, 3k−1}),
+    // offset ids — and each must actually admit, or the chain pins
+    // nothing
     val off = 1000000L
     for (k <- 1 to 3) {
-      val shard = docsAll.filter(col("doc_id") % 3 === lit(k % 3 + 1) % 3 &&
-          col("doc_id") % 9 === lit(3 * (k - 1)))
+      val shard = docsAll.filter(col("doc_id") % 9 === lit(3 * k - 2) ||
+          col("doc_id") % 9 === lit(3 * k - 1))
         .select(col("lang"), (col("doc_id") + lit(k * off)).as("doc_id"),
           col("text"))
-      ReleaseFlow.release(spark, shard, base)
+      val d = ReleaseFlow.release(spark, shard, base)
+      assert(d.filter(col("decision") === "admit").limit(1).count() === 1L,
+        s"chain release $k must append rows for the contract to bite")
       ReleaseFlow.release(spark, shard, twin)
     }
     val dirs = Seq(

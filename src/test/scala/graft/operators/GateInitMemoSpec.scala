@@ -81,4 +81,25 @@ class GateInitMemoSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("winnow_fp_v2")),
       s"the failure must name the expected format dir: ${e.getMessage}")
   }
+
+  test("a winnow APPEND onto a stale-format base fails loudly instead of " +
+      "silently creating a fresh partial v2 artifact beside it") {
+    import spark.implicits._
+    val base = tmp("graft_winnow_stale_append")
+    Seq((1L, 42L)).toDF("doc_id", "h")
+      .write.parquet(s"$base/winnow_fp")
+    // without the guard this would create $base/winnow_fp_v2 holding
+    // ONLY the appended docs — a later tiered release would then read
+    // a partial artifact with no error and under-flag verbatim repeats
+    val e = intercept[IllegalArgumentException] {
+      WinnowIndex.append(
+        Seq((7L, "a b c d e f g h i j")).toDF("doc_id", "text"), base)
+    }
+    assert(e.getMessage.contains("winnow_fp_v2"),
+      s"the failure must name the expected format dir: ${e.getMessage}")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/winnow_fp_v2")),
+      "the guard must refuse BEFORE any partial artifact is written")
+  }
 }
