@@ -69,6 +69,16 @@ object AnnIndexes {
       .sortWithinPartitions("band_id", "bval")
       .write.mode("append").parquet(s"$base/lsh_bands")
 
+  /** Remove every band row of vectors in `ids` (a vec_id frame) —
+    * [[Compaction.retract]]'s contract on this artifact (the vector
+    * side of [[graft.operators.ReleaseFlow.retract]]'s recall story:
+    * retracting a document whose embedding was indexed must recall the
+    * embedding too). Band rows are pure per-vector functions, so the
+    * anti-join equals a rebuild without those vectors exactly. */
+  def retractLsh(spark: SparkSession, ids: DataFrame, base: String): Unit =
+    Compaction.retract(spark, s"$base/lsh_bands", ids, "vec_id")(
+      _.repartition(col("band_id")).sortWithinPartitions("band_id", "bval"))
+
   /** Top-k by exact cosine among the vectors sharing ≥1 LSH band with
     * the query. `bands` may be the composed [[lshBands]] frame or a
     * [[readLsh]] read-back — same result by construction. `query` is a
@@ -269,6 +279,22 @@ object AnnIndexes {
     Ivf.assign(newVecs, spark.read.parquet(s"$base/ivf_centroids"))
       .repartition(col("cid")).sortWithinPartitions("vec_id")
       .write.mode("append").partitionBy("cid").parquet(s"$base/ivf_lists")
+
+  /** Remove every inverted-list row of vectors in `ids` (a vec_id
+    * frame) — the IndexIVF `remove_ids` operation. Assignments are a
+    * pure per-vector function of the FROZEN centroids, so the
+    * anti-join equals an assign-over-the-complement rebuild under the
+    * same centroids exactly. Centroids and the `ivf_stats` training
+    * record are untouched: retraction does not retrain (exactly as
+    * append does not), so [[ivfDrift]] keeps measuring against the
+    * original training distribution. The cid directory layout is
+    * preserved ([[Compaction.retractWith]] + partitionBy), so
+    * path-level cell pruning survives the rewrite. */
+  def retractIvf(spark: SparkSession, ids: DataFrame, base: String): Unit =
+    Compaction.retractWith(spark, s"$base/ivf_lists", ids, "vec_id")(
+      (kept, staging) => kept.repartition(col("cid"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(staging))
 
   /** The retrain criterion: 1-row frame comparing the mean squared
     * assignment distance of `newVecs` under the persisted centroids

@@ -35,22 +35,32 @@ object Compaction {
     * so a crash mid-compaction leaves either the original or a
     * complete staging copy — never a half-written artifact. */
   private[graft] def rewrite(spark: SparkSession, dir: String)(
-      cluster: DataFrame => DataFrame): Unit = {
+      cluster: DataFrame => DataFrame): Unit =
+    rewriteWith(spark, dir)((df, staging) =>
+      cluster(df).write.mode("overwrite").parquet(staging))
+
+  /** [[rewrite]] with a caller-supplied writer — for artifacts whose
+    * layout is more than a cluster+sort (e.g. the IVF inverted lists'
+    * `partitionBy(cid)` directory layout, which a plain parquet write
+    * would flatten and so lose the path-level cell pruning probes rely
+    * on). Same staged-swap crash-safety contract. */
+  private[graft] def rewriteWith(spark: SparkSession, dir: String)(
+      write: (DataFrame, String) => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"compact: no artifact at $dir")
     val staging = new org.apache.hadoop.fs.Path(dir + "_compacting")
     if (fs.exists(staging)) fs.delete(staging, true)
-    cluster(spark.read.parquet(dir))
-      .write.mode("overwrite").parquet(staging.toString)
+    write(spark.read.parquet(dir), staging.toString)
     fs.delete(p, true)
     if (!fs.rename(staging, p))
       sys.error(s"compact: rename $staging -> $p failed")
   }
 
-  /** RETRACTION primitive — [[rewrite]] with a doc-id anti-join: drop
-    * every row of the artifact at `dir` whose `doc_id` is in `ids`,
-    * restoring the probe-keyed layout in the same pass. Because every
+  /** RETRACTION primitive — [[rewrite]] with a key anti-join: drop
+    * every row of the artifact at `dir` whose `keyCol` (doc_id for the
+    * document indexes, vec_id for the ANN ones) is in `ids`, restoring
+    * the probe-keyed layout in the same pass. Because every
     * index row is a PURE per-doc function of a document (the append
     * contract's own premise), the anti-join equals a rebuild over the
     * complement corpus EXACTLY — retraction is the recall half of
@@ -61,16 +71,26 @@ object Compaction {
     * batch recalls should union their id lists first, since each call
     * prices as one compaction of the artifact. */
   private[graft] def retract(spark: SparkSession, dir: String,
-      ids: DataFrame)(cluster: DataFrame => DataFrame): Unit =
-    rewrite(spark, dir) { df =>
-      // a USING-column join reorders doc_id to the front — restore the
-      // artifact's own column order so the rewritten schema is stable
+      ids: DataFrame, keyCol: String = "doc_id")(
+      cluster: DataFrame => DataFrame): Unit =
+    retractWith(spark, dir, ids, keyCol)((df, staging) =>
+      cluster(df).write.mode("overwrite").parquet(staging))
+
+  /** [[retract]] with a caller-supplied writer ([[rewriteWith]]'s
+    * variant, for directory-partitioned artifacts). */
+  private[graft] def retractWith(spark: SparkSession, dir: String,
+      ids: DataFrame, keyCol: String = "doc_id")(
+      write: (DataFrame, String) => Unit): Unit =
+    rewriteWith(spark, dir) { (df, staging) =>
+      // a USING-column join reorders the key to the front — restore
+      // the artifact's own column order so the rewritten schema is
+      // stable
       val kept = df.join(
           org.apache.spark.sql.functions.broadcast(ids),
-          Seq("doc_id"), "left_anti")
+          Seq(keyCol), "left_anti")
         .select(df.columns.toIndexedSeq.map(
           org.apache.spark.sql.functions.col): _*)
-      cluster(kept)
+      write(kept, staging)
     }
 
   /** Parquet file count of an artifact dir — the fragmentation gauge a

@@ -105,6 +105,48 @@ class AnnIndexSpec extends AnyFunSuite {
       pairs(AnnIndexes.probeLsh(AnnIndexes.readLsh(spark, full), e, q, 5, 0L)))
   }
 
+  test("retractLsh/retractIvf: removing appended vectors restores both " +
+      "artifacts to their pre-append state exactly — the IndexIVF " +
+      "remove_ids half of the append contract") {
+    val e = vecs(sf)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    // LSH: append then retract the appended ids → byte-identical rows
+    val baseL = Files.createTempDirectory("graft_annidx_retr_lsh_").toString
+    AnnIndexes.writeLsh(AnnIndexes.lshBands(evens), baseL)
+    def lshRows() = AnnIndexes.readLsh(spark, baseL)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val pristineL = lshRows()
+    AnnIndexes.appendLsh(odds, baseL)
+    assert(lshRows() !== pristineL, "the append must change the index")
+    AnnIndexes.retractLsh(spark, odds.select("vec_id"), baseL)
+    assert(lshRows() === pristineL, "LSH retract must restore pre-append rows")
+    // probe of the retracted index equals a probe of the never-appended one
+    val q = e.filter(col("vec_id") === 0)
+    assert(pairs(AnnIndexes.probeLsh(AnnIndexes.readLsh(spark, baseL),
+        evens, q, 5, 0L)) ===
+      pairs(AnnIndexes.probeLsh(AnnIndexes.lshBands(evens), evens, q, 5, 0L)))
+    // IVF: same cycle; centroids and the cid directory layout untouched
+    val baseI = Files.createTempDirectory("graft_annidx_retr_ivf_").toString
+    val idxHalf = AnnIndexes.buildIvf(evens, k = 16, iters = 2)
+    AnnIndexes.writeIvf(idxHalf, baseI)
+    def ivfRows() = AnnIndexes.readIvf(spark, baseI).lists
+      .selectExpr("vec_id", "CAST(cid AS INT) AS cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val pristineI = ivfRows()
+    AnnIndexes.appendIvf(spark, odds, baseI)
+    assert(ivfRows() !== pristineI)
+    AnnIndexes.retractIvf(spark, odds.select("vec_id"), baseI)
+    assert(ivfRows() === pristineI, "IVF retract must restore pre-append lists")
+    // the rewrite must keep the cid directory partitioning (path-level
+    // nprobe pruning is the layout's whole point)
+    val fs = new org.apache.hadoop.fs.Path(baseI)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$baseI/ivf_lists"))
+      .count(_.getPath.getName.startsWith("cid="))
+    assert(cells > 0, "retractIvf must preserve the cid= directory layout")
+  }
+
   test("appendIvf: assign-only append equals assign-over-everything with " +
       "the same frozen centroids, and ivfDrift separates in-distribution " +
       "from shifted batches") {
