@@ -79,7 +79,11 @@ object CorpusBuild {
   /** Run the full build of `raw` (lang, doc_id, text) against the
     * artifact set at `base` (must be initialized — an EMPTY corpus
     * init is the v1-build case). Appends the admitted slice to every
-    * artifact, exactly as [[ReleaseFlow.release]] does. */
+    * artifact, exactly as [[ReleaseFlow.release]] does. To RECALL a
+    * build later (takedown, post-release contamination), retract its
+    * admissions: `ReleaseFlow.retract(spark,
+    * result.gate.filter(col("decision") === "admit").select("doc_id"),
+    * base)` — the r4-gated recall half of the lifecycle. */
   def build(spark: SparkSession, raw: DataFrame, base: String,
       shardsBase: Option[String] = None,
       cfg: Config = Config()): Result = {
