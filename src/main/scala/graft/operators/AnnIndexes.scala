@@ -69,14 +69,44 @@ object AnnIndexes {
       .sortWithinPartitions("band_id", "bval")
       .write.mode("append").parquet(s"$base/lsh_bands")
 
+  /** Retract vectors from BOTH persisted artifacts under `base` —
+    * `lsh_bands` and/or `ivf_lists`, whichever exist — with ONE id set
+    * pinned before any swap. This is the safe form whenever the id
+    * list's lineage may read either artifact: the single-artifact
+    * retracts below pin internally, which protects their own swap, but
+    * a LAZY frame passed to two separate calls would re-evaluate
+    * between swaps — the first rewrite replaces the files the second
+    * call's pin then tries to read (loud FileNotFound under a cached
+    * listing, silently-empty after a refresh; AnnIndexSpec pins the
+    * safe path). */
+  def retract(spark: SparkSession, ids: DataFrame, base: String): Unit = {
+    val pinned = ids.select("vec_id").distinct().localCheckpoint()
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).exists(p)
+    }
+    if (exists(s"$base/lsh_bands")) retractLsh(spark, pinned, base)
+    if (exists(s"$base/ivf_lists")) retractIvf(spark, pinned, base)
+  }
+
   /** Remove every band row of vectors in `ids` (a vec_id frame) —
     * [[Compaction.retract]]'s contract on this artifact (the vector
     * side of [[graft.operators.ReleaseFlow.retract]]'s recall story:
     * retracting a document whose embedding was indexed must recall the
     * embedding too). Band rows are pure per-vector functions, so the
-    * anti-join equals a rebuild without those vectors exactly. */
+    * anti-join equals a rebuild without those vectors exactly. For an
+    * id list whose lineage might read EITHER vector artifact, use
+    * [[retract]] (one pin across both swaps). */
   def retractLsh(spark: SparkSession, ids: DataFrame, base: String): Unit =
-    Compaction.retract(spark, s"$base/lsh_bands", ids, "vec_id")(
+    // pin before the swap ([[ReleaseFlow.retract]]'s discipline): a
+    // caller may derive ids from a frame whose lineage reads this very
+    // artifact, and an unpinned plan re-evaluated after the swap would
+    // silently retract nothing
+    Compaction.retract(spark,
+      s"$base/lsh_bands",
+      ids.select("vec_id").distinct().localCheckpoint(),
+      "vec_id")(
       _.repartition(col("band_id")).sortWithinPartitions("band_id", "bval"))
 
   /** Top-k by exact cosine among the vectors sharing ≥1 LSH band with
@@ -291,10 +321,22 @@ object AnnIndexes {
     * preserved ([[Compaction.retractWith]] + partitionBy), so
     * path-level cell pruning survives the rewrite. */
   def retractIvf(spark: SparkSession, ids: DataFrame, base: String): Unit =
-    Compaction.retractWith(spark, s"$base/ivf_lists", ids, "vec_id")(
-      (kept, staging) => kept.repartition(col("cid"))
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite").partitionBy("cid").parquet(staging))
+    Compaction.retractWith(spark, s"$base/ivf_lists",
+      // pinned before the swap — same lineage hazard as [[retractLsh]]
+      ids.select("vec_id").distinct().localCheckpoint(),
+      "vec_id") { (kept, staging) =>
+      kept.repartition(col("cid")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(staging)
+      // the full-takedown edge: a dynamically-partitioned write of an
+      // EMPTY frame emits no schema-bearing parquet file (only
+      // _SUCCESS), which would brick the artifact for every later
+      // read. Fall back to a non-partitioned empty write — the schema
+      // (cid included, now as a data column) survives, reads return
+      // an empty frame, and probes return no rows, as a fully
+      // retracted index should.
+      if (Compaction.fileCount(spark, staging) == 0L)
+        kept.limit(0).write.mode("overwrite").parquet(staging)
+    }
 
   /** The retrain criterion: 1-row frame comparing the mean squared
     * assignment distance of `newVecs` under the persisted centroids

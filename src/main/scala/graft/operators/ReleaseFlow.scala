@@ -279,8 +279,10 @@ object ReleaseFlow {
     *    re-admitted retroactively (decisions are frames the caller
     *    kept, not index state); re-release the shard to re-decide
     *    against the post-retraction corpus;
-    *  - cost = one [[Compaction]]-grade rewrite per artifact (the
-    *    span-gram index dominates), so batch recalls into one call —
+    *  - cost = one [[Compaction]]-grade rewrite per artifact
+    *    directory — five across the four artifacts, the neardup index
+    *    being a sketch + bands pair; the span-gram rewrite
+    *    dominates — so batch recalls into one call —
     *    the id list is shard-bounded (hence broadcast), never
     *    corpus-bounded. Offline op, like compact/init; a deployment
     *    under a transactional table format expresses this same

@@ -147,6 +147,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cells > 0, "retractIvf must preserve the cid= directory layout")
   }
 
+  test("retract id lineage reading the artifact itself is pinned before " +
+      "the swap, and a FULL IVF takedown leaves a readable empty index") {
+    val e = vecs(sf)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val base = Files.createTempDirectory("graft_annidx_retr_edge_").toString
+    AnnIndexes.writeLsh(AnnIndexes.lshBands(e), base)
+    val idxAll = AnnIndexes.buildIvf(e, k = 8, iters = 2)
+    AnnIndexes.writeIvf(idxAll, base)
+    // ids DERIVED FROM the LSH artifact (odd vec_ids present in it):
+    // the combined retract pins ONCE before any swap — the lsh_bands
+    // rewrite would otherwise replace the files the second artifact's
+    // id evaluation reads (separate retractLsh-then-retractIvf calls
+    // with this lazy frame fail exactly that way)
+    val fromArtifact = AnnIndexes.readLsh(spark, base)
+      .filter(col("vec_id") % 2 =!= 0).select("vec_id").distinct()
+    AnnIndexes.retract(spark, fromArtifact, base)
+    val leftIvf = AnnIndexes.readIvf(spark, base).lists
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(leftIvf === evens.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "the IVF retract must see the PRE-swap id set")
+    // full takedown: retracting every remaining vector must leave a
+    // READABLE empty artifact (a dynamically-partitioned empty write
+    // emits no schema-bearing file — the fallback covers it)
+    AnnIndexes.retractIvf(spark, evens.select("vec_id"), base)
+    val emptied = AnnIndexes.readIvf(spark, base).lists
+    assert(emptied.count() === 0L, "a fully retracted index is empty")
+    assert(emptied.columns.contains("vec_id") && emptied.columns.contains("cid"),
+      "the schema must survive a full takedown")
+  }
+
   test("appendIvf: assign-only append equals assign-over-everything with " +
       "the same frozen centroids, and ivfDrift separates in-distribution " +
       "from shifted batches") {
