@@ -57,7 +57,11 @@ object EpochShards {
 
   /** Materialize one epoch's shuffled order of `corpus` (doc_id, text,
     * …) under `base`: one directory per shard, one order-sorted file
-    * per directory. */
+    * per directory. Shards are a MATERIALIZATION of the corpus, not an
+    * index: a later [[ReleaseFlow.retract]] of released docs does not
+    * rewrite them — re-run the shard write (or the whole
+    * [[CorpusBuild]]) from the retracted corpus, exactly as any
+    * downstream training artifact is refreshed after a recall. */
   def writeShards(corpus: DataFrame, epoch: Int, base: String): Unit =
     writeSorted(
       corpus.filter(col("text").isNotNull)
