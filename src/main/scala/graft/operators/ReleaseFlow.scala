@@ -286,7 +286,21 @@ object ReleaseFlow {
     *    the id list is shard-bounded (hence broadcast), never
     *    corpus-bounded. Offline op, like compact/init; a deployment
     *    under a transactional table format expresses this same
-    *    rewrite as its DELETE + OPTIMIZE pair. */
+    *    rewrite as its DELETE + OPTIMIZE pair.
+    *
+    * Why rewrite rather than a tombstone tier: tombstones make the
+    * recall itself O(ids) but tax EVERY subsequent probe with an
+    * anti-join against the tombstone set and put a correctness
+    * obligation on every reader (a screen that forgets the filter
+    * silently resurrects recalled docs — the worst failure mode for a
+    * takedown). The rewrite keeps artifacts self-contained — every
+    * existing reader, batch or streaming, is correct unchanged — and
+    * recalls are rare and batchable, so the compaction-grade cost is
+    * paid seldom and buys back the layout anyway. A deployment whose
+    * recall rate makes per-recall rewrites untenable is exactly the
+    * transactional-format regime, where the format's own delete
+    * vectors ARE the tombstone tier, applied uniformly at scan level
+    * below every reader. */
   def retract(spark: SparkSession, docIds: DataFrame, base: String): Unit = {
     // pin the id list before the first swap: a caller may derive it
     // from a frame whose lineage reads these very artifacts
