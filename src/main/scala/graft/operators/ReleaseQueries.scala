@@ -680,7 +680,7 @@ object ReleaseQueries {
         ReleaseFlow.init(corpus.select("lang", "doc_id", "text"), m))
       val d1 = ReleaseFlow.release(s, shard, base)
       val admitted = d1.filter(col("decision") === "admit").select("doc_id")
-      require(admitted.limit(1).count() == 1,
+      require(!admitted.isEmpty,
         "r4 fixture must admit at least one shard doc")
       ReleaseFlow.retract(s, admitted, base)
       def stat(name: String, df: DataFrame) =

@@ -46,7 +46,7 @@ class CompactionSpec extends AnyFunSuite {
         .select(col("lang"), (col("doc_id") + lit(k * off)).as("doc_id"),
           col("text"))
       val d = ReleaseFlow.release(spark, shard, base)
-      assert(d.filter(col("decision") === "admit").limit(1).count() === 1L,
+      assert(!d.filter(col("decision") === "admit").isEmpty,
         s"chain release $k must append rows for the contract to bite")
       ReleaseFlow.release(spark, shard, twin)
     }
