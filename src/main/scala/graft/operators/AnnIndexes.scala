@@ -55,7 +55,7 @@ object AnnIndexes {
       .write.mode("overwrite").parquet(s"$base/lsh_bands")
 
   def readLsh(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/lsh_bands")
+    spark.read.parquet(Compaction.resolve(spark, s"$base/lsh_bands"))
 
   /** Incremental append: band rows for `newVecs` land beside the
     * existing index files. The LSH signature is a PURE per-row function
@@ -67,18 +67,19 @@ object AnnIndexes {
   def appendLsh(newVecs: DataFrame, base: String): Unit =
     lshBands(newVecs).repartition(col("band_id"))
       .sortWithinPartitions("band_id", "bval")
-      .write.mode("append").parquet(s"$base/lsh_bands")
+      .write.mode("append").parquet(
+        Compaction.resolve(newVecs.sparkSession, s"$base/lsh_bands"))
 
   /** Retract vectors from BOTH persisted artifacts under `base` —
     * `lsh_bands` and/or `ivf_lists`, whichever exist — with ONE id set
-    * pinned before any swap. This is the safe form whenever the id
-    * list's lineage may read either artifact: the single-artifact
-    * retracts below pin internally, which protects their own swap, but
-    * a LAZY frame passed to two separate calls would re-evaluate
-    * between swaps — the first rewrite replaces the files the second
-    * call's pin then tries to read (loud FileNotFound under a cached
-    * listing, silently-empty after a refresh; AnnIndexSpec pins the
-    * safe path). */
+    * pinned before any swap (exactly one materialization for the
+    * combined path: the single-artifact retracts below delegate to the
+    * same pre-pinned variants). This is the safe form whenever the id
+    * list's lineage may read either artifact: a LAZY frame passed to
+    * two separate calls would re-evaluate between swaps — the first
+    * rewrite replaces the files the second call's pin then tries to
+    * read (loud FileNotFound under a cached listing, silently-empty
+    * after a refresh; AnnIndexSpec pins the safe path). */
   def retract(spark: SparkSession, ids: DataFrame, base: String): Unit = {
     val pinned = ids.select("vec_id").distinct().localCheckpoint()
     val conf = spark.sparkContext.hadoopConfiguration
@@ -86,8 +87,8 @@ object AnnIndexes {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(conf).exists(p)
     }
-    if (exists(s"$base/lsh_bands")) retractLsh(spark, pinned, base)
-    if (exists(s"$base/ivf_lists")) retractIvf(spark, pinned, base)
+    if (exists(s"$base/lsh_bands")) retractLshPinned(spark, pinned, base)
+    if (exists(s"$base/ivf_lists")) retractIvfPinned(spark, pinned, base)
   }
 
   /** Remove every band row of vectors in `ids` (a vec_id frame) —
@@ -95,18 +96,23 @@ object AnnIndexes {
     * side of [[graft.operators.ReleaseFlow.retract]]'s recall story:
     * retracting a document whose embedding was indexed must recall the
     * embedding too). Band rows are pure per-vector functions, so the
-    * anti-join equals a rebuild without those vectors exactly. For an
-    * id list whose lineage might read EITHER vector artifact, use
-    * [[retract]] (one pin across both swaps). */
+    * anti-join equals a rebuild without those vectors exactly — and
+    * the rewrite is FILE-scoped: a vec_id signs into 4 of the 16 band
+    * partitions, so a small takedown touches at most 4·|ids| of the
+    * clustered files and the rest keep their bytes (AnnIndexSpec pins
+    * it). For an id list whose lineage might read EITHER vector
+    * artifact, use [[retract]] (one pin across both swaps). */
   def retractLsh(spark: SparkSession, ids: DataFrame, base: String): Unit =
     // pin before the swap ([[ReleaseFlow.retract]]'s discipline): a
     // caller may derive ids from a frame whose lineage reads this very
     // artifact, and an unpinned plan re-evaluated after the swap would
     // silently retract nothing
-    Compaction.retract(spark,
-      s"$base/lsh_bands",
-      ids.select("vec_id").distinct().localCheckpoint(),
-      "vec_id")(
+    retractLshPinned(spark,
+      ids.select("vec_id").distinct().localCheckpoint(), base)
+
+  private def retractLshPinned(spark: SparkSession, pinned: DataFrame,
+      base: String): Unit =
+    Compaction.retract(spark, s"$base/lsh_bands", pinned, "vec_id")(
       _.repartition(col("band_id")).sortWithinPartitions("band_id", "bval"))
 
   /** Top-k by exact cosine among the vectors sharing ≥1 LSH band with
@@ -290,7 +296,7 @@ object AnnIndexes {
   def readIvf(spark: SparkSession, base: String): IvfIndex =
     IvfIndex(
       spark.read.parquet(s"$base/ivf_centroids"),
-      spark.read.parquet(s"$base/ivf_lists"))
+      spark.read.parquet(Compaction.resolve(spark, s"$base/ivf_lists")))
 
   /** Incremental append: assign `newVecs` against the FROZEN persisted
     * centroids and append to the cid-partitioned inverted lists — the
@@ -305,10 +311,39 @@ object AnnIndexes {
     * reading them, so a replayed overlapping batch lands duplicates
     * (the batch probe tolerates this via its candidate distinct; dedup
     * the ingest upstream, e.g. [[graft.streaming.StreamingDedup]]). */
-  def appendIvf(spark: SparkSession, newVecs: DataFrame, base: String): Unit =
+  def appendIvf(spark: SparkSession, newVecs: DataFrame, base: String): Unit = {
+    val lists = Compaction.resolve(spark, s"$base/ivf_lists")
+    clearTakedownSentinel(spark, lists)
     Ivf.assign(newVecs, spark.read.parquet(s"$base/ivf_centroids"))
       .repartition(col("cid")).sortWithinPartitions("vec_id")
-      .write.mode("append").partitionBy("cid").parquet(s"$base/ivf_lists")
+      .write.mode("append").partitionBy("cid").parquet(lists)
+  }
+
+  /** A fully-retracted inverted file holds a single non-partitioned
+    * empty sentinel ([[retractIvf]]'s takedown edge — the only way a
+    * parquet file ever sits at the lists ROOT, since every data write
+    * is `partitionBy(cid)`). A partitioned append BESIDE it would land
+    * `cid=` directories next to that root file and every later read
+    * would die with "conflicting directory structures" — the
+    * takedown → re-ingest lifecycle must not brick the artifact. So:
+    * verify the root files really are the 0-row sentinel (anything
+    * else is a corrupted layout — fail loudly rather than delete
+    * data), then remove them; the append then rebuilds the partitioned
+    * layout from scratch. */
+  private def clearTakedownSentinel(spark: SparkSession, lists: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(lists)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val rootParquet = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (rootParquet.isEmpty) return
+    // a mixed root-file + cid= layout is already unreadable; this read
+    // fails loudly on it, which is the right outcome
+    require(spark.read.parquet(lists).isEmpty,
+      s"appendIvf: $lists holds non-empty root parquet files — not the " +
+        "takedown sentinel; refusing to touch them")
+    rootParquet.foreach(s => fs.delete(s.getPath, false))
+  }
 
   /** Remove every inverted-list row of vectors in `ids` (a vec_id
     * frame) — the IndexIVF `remove_ids` operation. Assignments are a
@@ -317,26 +352,41 @@ object AnnIndexes {
     * same centroids exactly. Centroids and the `ivf_stats` training
     * record are untouched: retraction does not retrain (exactly as
     * append does not), so [[ivfDrift]] keeps measuring against the
-    * original training distribution. The cid directory layout is
-    * preserved ([[Compaction.retractWith]] + partitionBy), so
-    * path-level cell pruning survives the rewrite. */
+    * original training distribution.
+    *
+    * CELL-scoped, the actual IndexIVF `remove_ids` cost model: each
+    * retracted vector lives in exactly ONE cell, so only the `cid=`
+    * partitions holding retracted vec_ids are rewritten — at 100 TB a
+    * 10-doc takedown moves ≤ 10 of the inverted lists, and untouched
+    * cell directories keep their files and mtimes (AnnIndexSpec pins
+    * it). [[Compaction.retractWith]] discovers the touched cells from
+    * one column-pruned (vec_id → file) scan; the cid directory layout
+    * is preserved (basePath read + partitionBy staging), so path-level
+    * cell pruning survives the rewrite. */
   def retractIvf(spark: SparkSession, ids: DataFrame, base: String): Unit =
-    Compaction.retractWith(spark, s"$base/ivf_lists",
+    retractIvfPinned(spark,
       // pinned before the swap — same lineage hazard as [[retractLsh]]
-      ids.select("vec_id").distinct().localCheckpoint(),
-      "vec_id") { (kept, staging) =>
+      ids.select("vec_id").distinct().localCheckpoint(), base)
+
+  private def retractIvfPinned(spark: SparkSession, pinned: DataFrame,
+      base: String): Unit = {
+    val dir = s"$base/ivf_lists"
+    Compaction.retractWith(spark, dir, pinned, "vec_id") { (kept, staging) =>
       kept.repartition(col("cid")).sortWithinPartitions("vec_id")
         .write.mode("overwrite").partitionBy("cid").parquet(staging)
-      // the full-takedown edge: a dynamically-partitioned write of an
-      // EMPTY frame emits no schema-bearing parquet file (only
-      // _SUCCESS), which would brick the artifact for every later
-      // read. Fall back to a non-partitioned empty write — the schema
-      // (cid included, now as a data column) survives, reads return
-      // an empty frame, and probes return no rows, as a fully
-      // retracted index should.
-      if (Compaction.fileCount(spark, staging) == 0L)
-        kept.limit(0).write.mode("overwrite").parquet(staging)
     }
+    // the full-takedown edge: retracting EVERY vector leaves no
+    // schema-bearing parquet file (a dynamically-partitioned write of
+    // an empty frame emits only _SUCCESS), which would brick the
+    // artifact for every later read. Restore a non-partitioned empty
+    // sentinel — the schema (cid included, now as a data column)
+    // survives, reads return an empty frame, probes return no rows as
+    // a fully retracted index should, and [[appendIvf]] clears the
+    // sentinel before the next partitioned append.
+    if (Compaction.fileCount(spark, dir) == 0L)
+      spark.range(0).select(col("id").as("vec_id"), lit(0).as("cid"))
+        .write.mode("overwrite").parquet(Compaction.resolve(spark, dir))
+  }
 
   /** The retrain criterion: 1-row frame comparing the mean squared
     * assignment distance of `newVecs` under the persisted centroids

@@ -63,10 +63,11 @@ object DedupIndex {
   def append(newDocs: DataFrame, base: String): Unit =
     build(newDocs).repartitionByRange(col("h"))
       .sortWithinPartitions("h")
-      .write.mode("append").parquet(s"$base/content_hashes")
+      .write.mode("append").parquet(
+        Compaction.resolve(newDocs.sparkSession, s"$base/content_hashes"))
 
   def read(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/content_hashes")
+    spark.read.parquet(Compaction.resolve(spark, s"$base/content_hashes"))
 
   /** Restore the range-clustered layout after an append chain — see
     * [[Compaction]]. Row multiset unchanged. */
@@ -78,7 +79,15 @@ object DedupIndex {
     * [[Compaction.retract]]'s contract on this artifact: equals a
     * rebuild without those documents exactly. */
   def retract(spark: SparkSession, ids: DataFrame, base: String): Unit =
-    Compaction.retract(spark, s"$base/content_hashes", ids)(
+    retractPinned(spark, ids.select("doc_id").distinct().localCheckpoint(),
+      base)
+
+  /** [[retract]] for an id frame the caller already materialized (the
+    * combined [[ReleaseFlow.retract]] pins once across all four
+    * artifacts). */
+  private[graft] def retractPinned(spark: SparkSession, pinned: DataFrame,
+      base: String): Unit =
+    Compaction.retract(spark, s"$base/content_hashes", pinned)(
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))
 
   /** Split a batch of candidate documents against the index: rows whose

@@ -57,13 +57,20 @@ object MediaReleaseFlow {
     media.filter(MediaAdmission.decodable)
       .select(sha2(col("payload"), 256).as("h"), col("doc_id"))
 
-  private def writeBytes(media: DataFrame, base: String, mode: String): Unit =
+  private def writeBytes(media: DataFrame, base: String, mode: String): Unit = {
+    val dir = s"${bytehashDir(base)}/payload_hashes"
     buildByteIndex(media).repartitionByRange(col("h"))
       .sortWithinPartitions("h")
-      .write.mode(mode).parquet(s"${bytehashDir(base)}/payload_hashes")
+      .write.mode(mode).parquet(
+        // appends land in the LIVE version tree; an overwrite resets
+        // the whole artifact (pointer included) to a fresh flat layout
+        if (mode == "append") Compaction.resolve(media.sparkSession, dir)
+        else dir)
+  }
 
   def readByteIndex(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"${bytehashDir(base)}/payload_hashes")
+    spark.read.parquet(
+      Compaction.resolve(spark, s"${bytehashDir(base)}/payload_hashes"))
 
   /** Initialize the artifact pair from the first media corpus version.
     * `media` must carry (doc_id, payload). */
@@ -112,7 +119,7 @@ object MediaReleaseFlow {
     val ids = docIds.select("doc_id").distinct().localCheckpoint()
     Compaction.retract(spark, s"${bytehashDir(base)}/payload_hashes", ids)(
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))
-    StreamingMediaDedup.retractIndex(spark, ids, phashDir(base))
+    StreamingMediaDedup.retractIndexPinned(spark, ids, phashDir(base))
   }
 
   /** Compact both artifacts — [[ReleaseFlow.compact]]'s maintenance op

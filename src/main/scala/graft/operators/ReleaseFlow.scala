@@ -305,10 +305,10 @@ object ReleaseFlow {
     // pin the id list before the first swap: a caller may derive it
     // from a frame whose lineage reads these very artifacts
     val ids = docIds.select("doc_id").distinct().localCheckpoint()
-    DedupIndex.retract(spark, ids, dedupDir(base))
-    StreamingNearDup.retractIndex(spark, ids, neardupDir(base))
-    SubstringIndex.retract(spark, ids, substrDir(base))
-    WinnowIndex.retract(spark, ids, winnowDir(base))
+    DedupIndex.retractPinned(spark, ids, dedupDir(base))
+    StreamingNearDup.retractIndexPinned(spark, ids, neardupDir(base))
+    SubstringIndex.retractPinned(spark, ids, substrDir(base))
+    WinnowIndex.retractPinned(spark, ids, winnowDir(base))
   }
 
   /** The release audit rollup — decisions per (lang, decision) with an

@@ -55,10 +55,11 @@ object SubstringIndex {
   def append(newDocs: DataFrame, base: String): Unit =
     build(newDocs).repartitionByRange(col("gram"))
       .sortWithinPartitions("gram")
-      .write.mode("append").parquet(s"$base/span_grams")
+      .write.mode("append").parquet(
+        Compaction.resolve(newDocs.sparkSession, s"$base/span_grams"))
 
   def read(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/span_grams")
+    spark.read.parquet(Compaction.resolve(spark, s"$base/span_grams"))
 
   /** Restore the range-clustered layout after an append chain — see
     * [[Compaction]]. Row multiset unchanged. This is the artifact
@@ -75,7 +76,14 @@ object SubstringIndex {
     * retraction of the family (this is the largest index), priced as
     * one compaction of it. */
   def retract(spark: SparkSession, ids: DataFrame, base: String): Unit =
-    Compaction.retract(spark, s"$base/span_grams", ids)(
+    retractPinned(spark, ids.select("doc_id").distinct().localCheckpoint(),
+      base)
+
+  /** [[retract]] for an already-materialized id frame (the combined
+    * [[ReleaseFlow.retract]] pins once across all four artifacts). */
+  private[graft] def retractPinned(spark: SparkSession, pinned: DataFrame,
+      base: String): Unit =
+    Compaction.retract(spark, s"$base/span_grams", pinned)(
       _.repartitionByRange(col("gram")).sortWithinPartitions("gram"))
 
   /** l33's span accounting, probed FROM the persisted index: `corpus`

@@ -83,11 +83,12 @@ object WinnowIndex {
         "directory here means rebuild the artifact, don't append to it")
     build(newDocs).repartitionByRange(col("h"))
       .sortWithinPartitions("h")
-      .write.mode("append").parquet(s"$base/$FmtDir")
+      .write.mode("append").parquet(
+        Compaction.resolve(newDocs.sparkSession, s"$base/$FmtDir"))
   }
 
   def read(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/$FmtDir")
+    spark.read.parquet(Compaction.resolve(spark, s"$base/$FmtDir"))
 
   /** Restore the range-clustered layout after an append chain — see
     * [[Compaction]]. Row multiset unchanged. */
@@ -101,7 +102,14 @@ object WinnowIndex {
     * never across), so dropping a doc's rows equals a rebuild without
     * it exactly. */
   def retract(spark: SparkSession, ids: DataFrame, base: String): Unit =
-    Compaction.retract(spark, s"$base/$FmtDir", ids)(
+    retractPinned(spark, ids.select("doc_id").distinct().localCheckpoint(),
+      base)
+
+  /** [[retract]] for an already-materialized id frame (the combined
+    * [[ReleaseFlow.retract]] pins once across all four artifacts). */
+  private[graft] def retractPinned(spark: SparkSession, pinned: DataFrame,
+      base: String): Unit =
+    Compaction.retract(spark, s"$base/$FmtDir", pinned)(
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))
 
   /** Screen NEW documents against the indexed corpus: per probe doc,

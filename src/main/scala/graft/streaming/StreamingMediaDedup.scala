@@ -63,7 +63,11 @@ object StreamingMediaDedup {
   }
 
   def readIndex(spark: SparkSession, base: String): Index =
-    Index(spark.read.parquet(s"$base/sigs"), spark.read.parquet(s"$base/bands"))
+    Index(
+      spark.read.parquet(
+        graft.operators.Compaction.resolve(spark, s"$base/sigs")),
+      spark.read.parquet(
+        graft.operators.Compaction.resolve(spark, s"$base/bands")))
 
   /** Restore both frames' clustered layout after an append chain —
     * [[StreamingNearDup.compactIndex]]'s contract on the media
@@ -80,12 +84,21 @@ object StreamingMediaDedup {
     * frame) — [[StreamingNearDup.retractIndex]]'s contract on the
     * media column: both row kinds are pure per-row functions of one
     * payload, so the anti-join equals a rebuild without those items
-    * exactly. */
+    * exactly. Ids pinned ONCE before the first swap, for the same
+    * lazy-lineage hazard [[StreamingNearDup.retractIndex]] documents. */
   def retractIndex(spark: SparkSession, ids: DataFrame,
-      base: String): Unit = {
-    graft.operators.Compaction.retract(spark, s"$base/sigs", ids)(
+      base: String): Unit =
+    retractIndexPinned(spark,
+      ids.select("doc_id").distinct().localCheckpoint(), base)
+
+  /** [[retractIndex]] for an ALREADY-materialized id frame (the
+    * combined [[graft.operators.MediaReleaseFlow.retract]] pins once
+    * across both artifacts). */
+  private[graft] def retractIndexPinned(spark: SparkSession,
+      pinned: DataFrame, base: String): Unit = {
+    graft.operators.Compaction.retract(spark, s"$base/sigs", pinned)(
       _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
-    graft.operators.Compaction.retract(spark, s"$base/bands", ids)(
+    graft.operators.Compaction.retract(spark, s"$base/bands", pinned)(
       _.repartitionByRange(col("band_id"), col("bkey"))
         .sortWithinPartitions("band_id", "bkey"))
   }
@@ -96,13 +109,16 @@ object StreamingMediaDedup {
     * rebuild over the union corpus exactly; the replayed-batch
     * tolerance contract is [[StreamingNearDup.appendIndex]]'s. */
   def appendIndex(media: DataFrame, base: String): Unit = {
+    val spark = media.sparkSession
     val idx = buildIndex(media)
     val sigs = idx.sigs.localCheckpoint()
     sigs.sortWithinPartitions("doc_id")
-      .write.mode("append").parquet(s"$base/sigs")
+      .write.mode("append").parquet(
+        graft.operators.Compaction.resolve(spark, s"$base/sigs"))
     Multimodal.sigBandFrame(sigs)
       .sortWithinPartitions("band_id", "bkey")
-      .write.mode("append").parquet(s"$base/bands")
+      .write.mode("append").parquet(
+        graft.operators.Compaction.resolve(spark, s"$base/bands"))
   }
 
   /** Screen a streaming media frame (doc_id, payload, `tsCol`) against

@@ -64,7 +64,11 @@ object StreamingNearDup {
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, base: String): Index =
-    Index(spark.read.parquet(s"$base/sketch"), spark.read.parquet(s"$base/bands"))
+    Index(
+      spark.read.parquet(
+        graft.operators.Compaction.resolve(spark, s"$base/sketch")),
+      spark.read.parquet(
+        graft.operators.Compaction.resolve(spark, s"$base/bands")))
 
   /** Restore both frames' clustered layout after an append chain —
     * see [[graft.operators.Compaction]]: bands re-cluster by
@@ -83,12 +87,26 @@ object StreamingNearDup {
     * frame) — [[graft.operators.Compaction.retract]]'s contract on both
     * frames: sketch and band rows are pure per-row functions of one
     * document, so the anti-join equals a rebuild without those
-    * documents exactly. */
+    * documents exactly. The id set is pinned ONCE before the first
+    * swap ([[graft.operators.AnnIndexes.retract]]'s discipline): a
+    * lazy frame whose lineage reads the sketch artifact would
+    * otherwise re-evaluate after the sketch rewrite and silently
+    * under-retract the bands. */
   def retractIndex(spark: org.apache.spark.sql.SparkSession,
-      ids: DataFrame, base: String): Unit = {
-    graft.operators.Compaction.retract(spark, s"$base/sketch", ids)(
+      ids: DataFrame, base: String): Unit =
+    retractIndexPinned(spark,
+      ids.select("doc_id").distinct().localCheckpoint(), base)
+
+  /** [[retractIndex]] for an ALREADY-materialized id frame — the
+    * combined-lifecycle callers ([[graft.operators.ReleaseFlow
+    * .retract]]) pin one id set across every artifact and must not pay
+    * a second materialization per index. */
+  private[graft] def retractIndexPinned(
+      spark: org.apache.spark.sql.SparkSession,
+      pinned: DataFrame, base: String): Unit = {
+    graft.operators.Compaction.retract(spark, s"$base/sketch", pinned)(
       _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
-    graft.operators.Compaction.retract(spark, s"$base/bands", ids)(
+    graft.operators.Compaction.retract(spark, s"$base/bands", pinned)(
       _.repartitionByRange(col("band_id"), col("bkey"))
         .sortWithinPartitions("band_id", "bkey"))
   }
@@ -105,12 +123,15 @@ object StreamingNearDup {
     * them, so DECISIONS are unaffected) but which cost index bytes
     * until the next batch rebuild compacts them. */
   def appendIndex(docs: DataFrame, base: String): Unit = {
+    val spark = docs.sparkSession
     val sk = LlmQueries.docSketch(docs).localCheckpoint()
     sk.sortWithinPartitions("doc_id")
-      .write.mode("append").parquet(s"$base/sketch")
+      .write.mode("append").parquet(
+        graft.operators.Compaction.resolve(spark, s"$base/sketch"))
     LlmQueries.minhashBuckets(sk.select("doc_id", "sig"))
       .sortWithinPartitions("band_id", "bkey")
-      .write.mode("append").parquet(s"$base/bands")
+      .write.mode("append").parquet(
+        graft.operators.Compaction.resolve(spark, s"$base/bands"))
   }
 
   /** Screen a streaming document frame (doc_id, text, `tsCol`) against

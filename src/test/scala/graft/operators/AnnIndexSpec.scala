@@ -142,7 +142,8 @@ class AnnIndexSpec extends AnyFunSuite {
     // nprobe pruning is the layout's whole point)
     val fs = new org.apache.hadoop.fs.Path(baseI)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$baseI/ivf_lists"))
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(
+        Compaction.resolve(spark, s"$baseI/ivf_lists")))
       .count(_.getPath.getName.startsWith("cid="))
     assert(cells > 0, "retractIvf must preserve the cid= directory layout")
   }
@@ -445,5 +446,111 @@ class AnnIndexSpec extends AnyFunSuite {
     val ivf = pairs(AnnIndexes.probeIvf(AnnIndexes.readIvf(spark, base), e, q, 4, 5, 0L))
     assert(ivf === Seq((365L, 3700L), (387L, 3311L), (423L, 2969L),
       (73L, 2954L), (190L, 2818L)), s"ivf $ivf")
+  }
+
+  /** (path → (length, mtime)) for every parquet file under `dir` — the
+    * untouched-bytes witness of the scoped-retraction tests. */
+  private def fileStamps(dir: String): Map[String, (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Map.newBuilder[String, (Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        b += f.getPath.toString -> ((f.getLen, f.getModificationTime))
+    }
+    b.result()
+  }
+
+  test("cell-scoped retraction: a takedown touching one IVF cell rewrites " +
+      "ONLY that cid partition (untouched cells keep files and mtimes) " +
+      "and a small LSH retract leaves most band files byte-identical — " +
+      "both still equal to a complement rebuild") {
+    val e = vecs(sf)
+    val base = Files.createTempDirectory("graft_annidx_scoped_").toString
+    val idx = AnnIndexes.buildIvf(e, k = 16, iters = 2)
+    AnnIndexes.writeIvf(idx, base)
+    AnnIndexes.writeLsh(AnnIndexes.lshBands(e), base)
+    // the takedown: every vector of ONE cell (the remove_ids shape — a
+    // handful of ids, all in one inverted list)
+    val lists = AnnIndexes.readIvf(spark, base).lists
+      .selectExpr("vec_id", "CAST(cid AS INT) AS cid")
+    val victimCid = lists.filter(col("vec_id") === 0)
+      .select("cid").head().getInt(0)
+    val victims = lists.filter(col("cid") === victimCid)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(victims.nonEmpty && victims.size < 100,
+      s"fixture: one cell's ids, got ${victims.size}")
+    // materialize the expectation BEFORE the swap (the lazy frame's
+    // file listing points at pre-retraction files)
+    val keptExpected = lists.filter(col("cid") =!= victimCid)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+
+    val ivfDir = Compaction.resolve(spark, s"$base/ivf_lists")
+    val lshDir = Compaction.resolve(spark, s"$base/lsh_bands")
+    val ivfBefore = fileStamps(ivfDir)
+    val lshBefore = fileStamps(lshDir)
+    val idFrame = spark.createDataFrame(
+      victims.toSeq.map(Tuple1(_))).toDF("vec_id")
+    // the LSH takedown retracts ONE vector — 4 band rows, so at most 4
+    // of the band-clustered files move and the rest provably cannot
+    val idFrameL = spark.createDataFrame(Seq(Tuple1(0L))).toDF("vec_id")
+    AnnIndexes.retractIvf(spark, idFrame, base)
+    AnnIndexes.retractLsh(spark, idFrameL, base)
+
+    // retract ≡ complement rebuild, both artifacts
+    assert(AnnIndexes.readIvf(spark, base).lists
+        .selectExpr("vec_id", "CAST(cid AS INT) AS cid")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ===
+      keptExpected,
+      "cell-scoped retract must equal dropping the cell's rows")
+    val survivors = e.filter(col("vec_id") =!= 0L)
+    assert(AnnIndexes.readLsh(spark, base)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq ===
+      AnnIndexes.lshBands(survivors)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq,
+      "scoped LSH retract must equal a complement rebuild")
+
+    // the scoped contract: untouched files keep path, length AND mtime
+    val ivfAfter = fileStamps(ivfDir)
+    val untouchedIvf = ivfBefore.filterNot(_._1.contains(s"cid=$victimCid"))
+    assert(untouchedIvf.forall { case (p, s) => ivfAfter.get(p).contains(s) },
+      "untouched cid partitions must keep their files and mtimes")
+    assert(ivfAfter.keySet.forall(p =>
+        ivfBefore.contains(p) || p.contains(s"cid=$victimCid")),
+      "only the victim cell may gain rewritten files")
+    val lshAfter = fileStamps(lshDir)
+    val lshUntouched = lshBefore.count { case (p, s) => lshAfter.get(p).contains(s) }
+    assert(lshUntouched > 0 && lshBefore.size - lshUntouched <= 4,
+      s"a 1-vector LSH retract moves at most its 4 band files " +
+        s"($lshUntouched of ${lshBefore.size} kept)")
+  }
+
+  test("takedown then re-ingest: appendIvf after a FULL retraction clears " +
+      "the empty sentinel and rebuilds the partitioned layout — the " +
+      "lifecycle must not brick the artifact") {
+    val e = vecs(sf)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val base = Files.createTempDirectory("graft_annidx_reingest_").toString
+    val idx = AnnIndexes.buildIvf(evens, k = 8, iters = 2)
+    AnnIndexes.writeIvf(idx, base)
+    AnnIndexes.retractIvf(spark, evens.select("vec_id"), base)
+    assert(AnnIndexes.readIvf(spark, base).lists.count() === 0L,
+      "full takedown leaves a readable empty index")
+    // the re-ingest: before the sentinel-clearing fix this append
+    // landed cid= directories beside the root sentinel file and every
+    // later read failed with conflicting directory structures
+    AnnIndexes.appendIvf(spark, odds, base)
+    val back = AnnIndexes.readIvf(spark, base).lists
+      .selectExpr("vec_id", "CAST(cid AS INT) AS cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(back === graft.functions.Ivf.assign(odds, idx.centroids)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq,
+      "post-takedown append must equal a fresh assignment of the new batch")
+    val q = e.filter(col("vec_id") === 1)
+    assert(pairs(AnnIndexes.probeIvf(AnnIndexes.readIvf(spark, base),
+      odds, q, 4, 5, 1L)).nonEmpty, "the re-ingested index must probe")
   }
 }

@@ -96,6 +96,61 @@ class CompactionSpec extends AnyFunSuite {
       "post-compaction decisions must equal the uncompacted twin's")
   }
 
+  test("reader-atomic swap: a frame resolved BEFORE a compaction still " +
+      "collects after it (old rows, no error), new reads resolve the " +
+      "pointer, and superseded trees are GC'd one generation behind") {
+    val base = tmp("graft_compact_reader")
+    val corpus = docsAll.filter(col("doc_id") % 4 === 0)
+    DedupIndex.write(corpus, base)
+    DedupIndex.append(
+      docsAll.filter(col("doc_id") % 4 === 1)
+        .select(col("lang"), (col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")), base)
+    val expected = rowsOf(DedupIndex.read(spark, base))
+
+    // reader 1 resolves the FLAT layout, then the first compaction
+    // versions the artifact (flat → v1) under it
+    val inFlight1 = DedupIndex.read(spark, base)
+    DedupIndex.compact(spark, base)
+    assert(rowsOf(inFlight1) === expected,
+      "a reader across the first swap must still see its resolved tree")
+    assert(rowsOf(DedupIndex.read(spark, base)) === expected,
+      "the pointer-resolved read sees the same multiset")
+    val dir = s"$base/content_hashes"
+    assert(Compaction.currentVersion(spark, dir).contains(1))
+
+    // reader 2 resolves v1; the second compaction flips to v2 and GCs
+    // the flat generation — v1 must survive for the in-flight reader
+    val inFlight2 = DedupIndex.read(spark, base)
+    DedupIndex.compact(spark, base)
+    assert(rowsOf(inFlight2) === expected,
+      "a reader across the second swap must still see v1")
+    assert(rowsOf(DedupIndex.read(spark, base)) === expected)
+    assert(Compaction.currentVersion(spark, dir).contains(2))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    assert(!entries.exists(_.endsWith(".parquet")),
+      s"the flat generation must be GC'd two flips in ($entries)")
+    assert(entries.contains("v1") && entries.contains("v2"),
+      s"live + one superseded tree must remain ($entries)")
+
+    // appends land in the LIVE tree and the next compact folds them in
+    DedupIndex.append(
+      docsAll.filter(col("doc_id") % 4 === 2)
+        .select(col("lang"), (col("doc_id") + lit(2000000L)).as("doc_id"),
+          col("text")), base)
+    val expected3 = rowsOf(DedupIndex.read(spark, base))
+    assert(expected3.size > expected.size)
+    DedupIndex.compact(spark, base)
+    assert(rowsOf(DedupIndex.read(spark, base)) === expected3,
+      "post-append compact keeps the appended rows")
+    assert(Compaction.currentVersion(spark, dir).contains(3))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1")),
+      "v1 is two generations old after the third flip — GC'd")
+  }
+
   test("media lifecycle compaction: row multisets unchanged, file " +
       "counts shrink, decisions identical to an uncompacted twin") {
     val base = tmp("graft_compact_media")
