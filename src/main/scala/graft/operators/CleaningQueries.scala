@@ -183,6 +183,7 @@ object CleaningQueries {
 
   // spec-visible handles (CleaningSpec pins rule-level behavior)
   private[operators] def linedSqlForTest = linedSql
+  private[operators] def duckLinedSqlShared = duckLinedSql
   private[operators] def emailReForTest  = EmailRe
   private[operators] def phoneReForTest  = PhoneRe
   private[operators] def ipReForTest     = IpRe

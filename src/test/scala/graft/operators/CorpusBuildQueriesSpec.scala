@@ -111,4 +111,36 @@ class CorpusBuildQueriesSpec extends AnyFunSuite {
     val curation = out.filter(_.getString(0) == "curation")
     assert(curation.nonEmpty, "planted pairs must reach curation")
   }
+
+  test("c2's cleansing build is non-degenerate at sf0.001 — every stage " +
+      "fires: cleaned_out pages, a low_quality gate class, curation " +
+      "twins, and a manifest — and the twin pairs converge to byte-equal " +
+      "cleaned text (the property that makes the oracle's exact window " +
+      "replay the whole curation stage)") {
+    val out = CorpusBuildQueries.c2.fn(spark, sf).collect()
+    def stageN(st: String, oc: String = null) = out
+      .filter(r => r.getString(0) == st &&
+        (oc == null || r.getString(1) == oc))
+      .map(_.getLong(3)).sum
+    assert(stageN("cleanse", "cleaned_out") > 0, "cleanse must drop pages")
+    assert(stageN("gate", "low_quality") > 0, "k4 must land low_quality")
+    val nCur = stageN("curation", "near_duplicate")
+    assert(nCur > 0, "the k1/k2 twins must reach curation")
+    val nMan = stageN("manifest")
+    val nSamp = stageN("sampling", "sampled_out")
+    // every k1/k2 pair loses exactly one member at curation, so the
+    // curation drops equal the survivors-before-sampling: pairs in,
+    // one out each
+    assert(nCur === nMan + nSamp,
+      s"one twin per pair must survive curation ($nCur dropped vs " +
+        s"${nMan + nSamp} surviving)")
+    // no admitted doc may land a gate decision the oracle cannot
+    // replay (near_duplicate/contaminated arms must stay silent on
+    // this fixture — the solo discipline's claim, cleansed edition)
+    val gateOutcomes = out.filter(_.getString(0) == "gate")
+      .map(_.getString(1)).toSet
+    assert(gateOutcomes.subsetOf(Set("low_quality", "repetitive",
+      "corpus_duplicate", "verbatim_repeat")),
+      s"non-replayable gate arm fired: $gateOutcomes")
+  }
 }
