@@ -80,8 +80,15 @@ object AnnIndexes {
     * rewrite replaces the files the second call's pin then tries to
     * read (loud FileNotFound under a cached listing, silently-empty
     * after a refresh; AnnIndexSpec pins the safe path). */
-  def retract(spark: SparkSession, ids: DataFrame, base: String): Unit = {
-    val pinned = ids.select("vec_id").distinct().localCheckpoint()
+  def retract(spark: SparkSession, ids: DataFrame, base: String): Unit =
+    retractPinned(spark, ids.select("vec_id").distinct().localCheckpoint(),
+      base)
+
+  /** [[retract]] for an id frame the caller already materialized
+    * ([[ReleaseFlow.retractAll]] pins one set across the whole
+    * deployment footprint). */
+  private[graft] def retractPinned(spark: SparkSession, pinned: DataFrame,
+      base: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     def exists(d: String) = {
       val p = new org.apache.hadoop.fs.Path(d)

@@ -184,6 +184,16 @@ object BpeIndex {
       .write.mode("overwrite").parquet(s"$base/merges")
   }
 
+  /** [[write]] plus the training-provenance stamp — merge ranks are
+    * REBUILD-class (global pair counts), so retraction marks the list
+    * stale instead of rewriting it ([[TrainMeta]]'s contract; the same
+    * overload discipline as [[DsirIndex.write]]). */
+  def write(spark: SparkSession, merges: Seq[String], corpus: DataFrame,
+      base: String): Unit = {
+    write(spark, merges, base)
+    TrainMeta.stamp(corpus, base)
+  }
+
   /** Read a release back as the rank-ordered merge list. The collect
     * is M rows — the artifact's own size. */
   def read(spark: SparkSession, base: String): Seq[String] =

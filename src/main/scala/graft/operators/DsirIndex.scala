@@ -43,6 +43,17 @@ object DsirIndex {
     model.coalesce(1).sortWithinPartitions("b")
       .write.mode("overwrite").parquet(s"$base/dsir_model")
 
+  /** [[write]] plus the training-provenance stamp ([[TrainMeta]]) — the
+    * form a deployment uses, because the llr table is REBUILD-class
+    * state: a takedown cannot anti-join it (every bucket's ratio is a
+    * global function of the token totals), so the retraction lifecycle
+    * marks it stale ([[ReleaseFlow.retractAll]]) and a scoring run
+    * checks [[TrainMeta.isStale]] before trusting the weights. */
+  def write(model: DataFrame, corpus: DataFrame, base: String): Unit = {
+    write(model, base)
+    TrainMeta.stamp(corpus, base)
+  }
+
   def read(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/dsir_model")
 

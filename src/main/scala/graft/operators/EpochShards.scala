@@ -69,6 +69,34 @@ object EpochShards {
         .withColumn("shard", shardOf()),
       s"$base/epoch=$epoch", Seq("shard"))
 
+  /** The post-takedown shard REFRESH: drop every row of `ids` from one
+    * epoch's materialized order. Although shards are a materialization,
+    * every row is a PURE per-doc function (ord and shard derive from
+    * doc_id alone), so the anti-join equals re-running [[writeShards]]
+    * on the retracted corpus EXACTLY — including the replay order,
+    * because removing rows from an ord-sorted file preserves the
+    * relative order of the rest (RetractSpec pins file-order equality
+    * with a complement rebuild). Scoped like every index retract: only
+    * the `shard=` partitions holding retracted ids are rewritten, one
+    * order-sorted file per touched shard, and a shard emptied entirely
+    * disappears exactly as the complement rebuild would never write
+    * it. */
+  def retractShards(spark: SparkSession, ids: DataFrame, epoch: Int,
+      base: String): Unit =
+    retractShardsPinned(spark,
+      ids.select("doc_id").distinct().localCheckpoint(), epoch, base)
+
+  /** [[retractShards]] for an already-materialized id frame (the
+    * [[ReleaseFlow.retractAll]] one-pin discipline). */
+  private[graft] def retractShardsPinned(spark: SparkSession,
+      pinned: DataFrame, epoch: Int, base: String): Unit =
+    Compaction.retractWith(spark, s"$base/epoch=$epoch",
+      pinned) { (kept, staging) =>
+      kept.repartition(col("shard"))
+        .sortWithinPartitions("shard", "ord", "doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    }
+
   /** Materialize l60's two-phase curriculum order: phase 0 (score ≤ 0,
     * bulk first) then phase 1 (score > 0, quality anneal last), each
     * sharded exactly as [[writeShards]]. Reading phase directories in
@@ -86,10 +114,27 @@ object EpochShards {
       s"$base/curriculum", Seq("phase", "shard"))
 
   /** One shard's rows IN REPLAY ORDER — the single file's own row
-    * order (no sort: physical order is the contract being consumed). */
+    * order (no sort: physical order is the contract being consumed).
+    * Resolves the epoch artifact's version pointer first: a
+    * [[retractShards]] whose id set touched every shard rewrites the
+    * whole epoch as a new version tree ([[Compaction]]'s reader-atomic
+    * swap), and a raw-path read would keep replaying the superseded
+    * pre-takedown order. */
   def readShard(spark: SparkSession, base: String, epoch: Int,
       shard: Long): DataFrame =
-    spark.read.parquet(s"$base/epoch=$epoch/shard=$shard")
+    spark.read.parquet(
+      s"${Compaction.resolve(spark, s"$base/epoch=$epoch")}/shard=$shard")
+
+  /** The epoch's shard ids, live tree — the iteration driver for a
+    * replay ([[readShard]] per id, in order). */
+  def listShards(spark: SparkSession, base: String, epoch: Int): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(
+      Compaction.resolve(spark, s"$base/epoch=$epoch"))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("shard="))
+      .map(_.stripPrefix("shard=").toLong).sorted.toSeq
+  }
 
   def readCurriculumShard(spark: SparkSession, base: String, phase: Int,
       shard: Long): DataFrame =

@@ -115,8 +115,14 @@ object MediaReleaseFlow {
     * signature, and band row derived from `docIds`, as if those items
     * had never been released (RetractSpec pins multiset equality with
     * the pre-release artifacts and with a complement rebuild). */
-  def retract(spark: SparkSession, docIds: DataFrame, base: String): Unit = {
-    val ids = docIds.select("doc_id").distinct().localCheckpoint()
+  def retract(spark: SparkSession, docIds: DataFrame, base: String): Unit =
+    retractPinned(spark,
+      docIds.select("doc_id").distinct().localCheckpoint(), base)
+
+  /** [[retract]] for an already-materialized id frame
+    * ([[ReleaseFlow.retractAll]]'s one-pin discipline). */
+  private[graft] def retractPinned(spark: SparkSession, ids: DataFrame,
+      base: String): Unit = {
     Compaction.retract(spark, s"${bytehashDir(base)}/payload_hashes", ids)(
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))
     StreamingMediaDedup.retractIndexPinned(spark, ids, phashDir(base))

@@ -311,6 +311,69 @@ object ReleaseFlow {
     WinnowIndex.retractPinned(spark, ids, winnowDir(base))
   }
 
+  /** A deployment's full artifact footprint, for [[retractAll]]. The
+    * three artifact families a corpus deployment accumulates:
+    * RETRACT-class indexes (pure per-doc rows — anti-join ≡ rebuild),
+    * MATERIALIZATIONS whose rows are still per-doc pure (epoch shards
+    * — refreshed in place), and REBUILD-class trained state (global
+    * statistics — can only be re-trained, so a retraction marks it
+    * stale via [[TrainMeta]] and [[TrainMeta.isStale]] makes the
+    * boundary DETECTABLE instead of documentation-only).
+    * `ann` assumes vec_id shares the doc_id namespace (the l11
+    * multimodal-join premise — one id authority across modalities). */
+  final case class Footprint(
+      release: String,
+      media: Option[String] = None,
+      ann: Option[String] = None,
+      /** epoch-shard roots to refresh in place, with the epochs each
+        * has materialized. */
+      shards: Seq[(String, Seq[Int])] = Nil,
+      /** [[TrainMeta]]-stamped rebuild-class artifact dirs (a
+        * [[DsirIndex]] base, a [[BpeIndex]] base, …) to mark stale. */
+      rebuildClass: Seq[String] = Nil)
+
+  /** THE one-call takedown — [[retract]] extended across the whole
+    * deployment footprint with ONE pinned id set: the four release
+    * artifacts, the media pair, the ANN indexes, every materialized
+    * epoch-shard order ([[EpochShards.retractShards]] — per-doc pure,
+    * so the in-place refresh equals a complement rebuild exactly,
+    * replay order included), and a staleness marker on each
+    * rebuild-class artifact whose statistics still embody the
+    * retracted docs (the DSIR llr table, the BPE merge list — their
+    * next [[TrainMeta.stamp]]-ing retrain clears the marker). Before
+    * this call existed the rebuild-class boundary was a documented
+    * caller obligation; now forgetting it is detectable
+    * ([[TrainMeta.isStale]]) rather than silent. Returns the
+    * (artifact, action) ledger of what moved. */
+  def retractAll(spark: SparkSession, docIds: DataFrame,
+      fp: Footprint): Seq[(String, String)] = {
+    val ids = docIds.select("doc_id").distinct().localCheckpoint()
+    val out = Seq.newBuilder[(String, String)]
+    DedupIndex.retractPinned(spark, ids, dedupDir(fp.release))
+    StreamingNearDup.retractIndexPinned(spark, ids, neardupDir(fp.release))
+    SubstringIndex.retractPinned(spark, ids, substrDir(fp.release))
+    WinnowIndex.retractPinned(spark, ids, winnowDir(fp.release))
+    out += fp.release -> "retracted (dedup, neardup, substr, winnow)"
+    fp.media.foreach { m =>
+      MediaReleaseFlow.retractPinned(spark, ids, m)
+      out += m -> "retracted (bytehash, phash)"
+    }
+    fp.ann.foreach { a =>
+      AnnIndexes.retractPinned(spark,
+        ids.select(col("doc_id").as("vec_id")), a)
+      out += a -> "retracted (lsh, ivf)"
+    }
+    fp.shards.foreach { case (sb, epochs) =>
+      epochs.foreach(e => EpochShards.retractShardsPinned(spark, ids, e, sb))
+      out += sb -> s"shards refreshed (epochs ${epochs.mkString(",")})"
+    }
+    fp.rebuildClass.foreach { rb =>
+      TrainMeta.markRetraction(ids, rb)
+      out += rb -> "marked stale (rebuild-class; retrain to clear)"
+    }
+    out.result()
+  }
+
   /** The release audit rollup — decisions per (lang, decision) with an
     * identity checksum, the accounting row a release report carries. */
   def audit(decided: DataFrame): DataFrame =

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-provenance sidecar for the REBUILD-class artifacts — the
+  * trained state whose statistics are GLOBAL functions of the corpus
+  * ([[DsirIndex]]'s llr table, [[BpeIndex]]'s merge list), so a
+  * takedown cannot be expressed as row removal the way the index
+  * family's retracts are (anti-join ≡ rebuild holds only for pure
+  * per-doc rows). The honest lifecycle is: retraction RECALLS the
+  * indexes, and the rebuild-class artifacts are REBUILT from the
+  * retracted corpus — but until round 15 that boundary lived only in
+  * docs, and a caller scoring against a stale model had no way to
+  * detect it. This sidecar makes staleness DETECTABLE:
+  *
+  *  - [[stamp]] at train time records an order-independent fingerprint
+  *    of the training corpus's doc-id set (count, id sum, hashed-id
+  *    sum) beside the artifact and clears any retraction markers;
+  *  - [[markRetraction]] (called by [[ReleaseFlow.retractAll]]) appends
+  *    the retracted id-set's fingerprint — a cheap, monotone "the
+  *    corpus moved under this model" flag;
+  *  - [[isStale]] answers the weak question a scoring run asks before
+  *    trusting the artifact: unstamped, or any retraction since the
+  *    stamp → stale;
+  *  - [[isStaleFor]] answers the strong one when the caller holds the
+  *    corpus snapshot being scored: fingerprint mismatch → stale (this
+  *    also catches appends, which [[isStale]] deliberately does not —
+  *    append-grown corpora are the drift criterion's domain, e.g.
+  *    [[AnnIndexes.ivfDrift]]).
+  *
+  * Scale shape: the fingerprint is one count/sum/sum aggregate over an
+  * id projection — partial-aggregable, no shuffle wider than one row.
+  * The sidecar is 1 row per train + 1 per retraction.
+  */
+object TrainMeta {
+
+  private def metaDir(base: String) = s"$base/train_meta"
+  private def retrDir(base: String) = s"$base/retractions_since_train"
+
+  /** (n_docs, id_sum, id_hash_xor) of an id-bearing frame — the
+    * order-independent corpus fingerprint. XOR, not sum, for the hash
+    * fold: overflow-free under ANSI arithmetic at any corpus size, and
+    * id sets here are distinct by construction (the pair-cancellation
+    * caveat of xor folds needs duplicate rows to bite). */
+  private def fingerprint(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol)).distinct().agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(expr(s"bit_xor($idCol)"), lit(0L)).as("id_xor"),
+      coalesce(expr(s"bit_xor(xxhash64($idCol))"), lit(0L)).as("id_hash_xor"))
+
+  /** Record the training corpus at train time (call right after the
+    * artifact's own `write`): one fingerprint row, and any prior
+    * retraction markers are cleared — a fresh train by definition
+    * incorporates the post-retraction corpus. */
+  def stamp(corpus: DataFrame, base: String, idCol: String = "doc_id"): Unit = {
+    val spark = corpus.sparkSession
+    fingerprint(corpus.select(idCol), idCol)
+      .coalesce(1).write.mode("overwrite").parquet(metaDir(base))
+    val p = new org.apache.hadoop.fs.Path(retrDir(base))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Append a retraction marker: the retracted id-set's fingerprint.
+    * Idempotent in effect (any non-empty log means stale); markers
+    * accumulate until the next [[stamp]] clears them. */
+  def markRetraction(ids: DataFrame, base: String,
+      idCol: String = "doc_id"): Unit =
+    fingerprint(ids.select(idCol), idCol)
+      .coalesce(1).write.mode("append").parquet(retrDir(base))
+
+  /** Weak staleness: never stamped, or retractions logged since the
+    * stamp. The check a scoring run makes with no corpus in hand. */
+  def isStale(spark: SparkSession, base: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).exists(p)
+    }
+    if (!exists(metaDir(base))) true
+    else exists(retrDir(base)) &&
+      !spark.read.parquet(retrDir(base)).isEmpty
+  }
+
+  /** Strong staleness: the stamped fingerprint differs from `corpus`'s
+    * — catches retraction AND append drift. */
+  def isStaleFor(corpus: DataFrame, base: String,
+      idCol: String = "doc_id"): Boolean = {
+    val spark = corpus.sparkSession
+    if (isStale(spark, base)) return true
+    val want = fingerprint(corpus.select(idCol), idCol).head()
+    val have = spark.read.parquet(metaDir(base)).head()
+    Seq("n_docs", "id_xor", "id_hash_xor").exists(c =>
+      want.getAs[Long](want.fieldIndex(c)) != have.getAs[Long](have.fieldIndex(c)))
+  }
+}

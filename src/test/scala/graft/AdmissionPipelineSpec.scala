@@ -769,4 +769,83 @@ class AdmissionPipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(admitted === dupSurvivors.toSeq)
   }
+
+  test("post-retraction coherence: a retract between microbatches is " +
+      "seen by the next batch's path-resolved gates; bounded stream " +
+      "state still suppresses within its horizon (retraction is not a " +
+      "state purge); retracted content re-admits once state expires") {
+    import graft.operators.DedupIndex
+    import graft.streaming.StreamingNearDup
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val ndDir = Files.createTempDirectory("graft_retr_nd_").toString
+    StreamingNearDup.writeIndex(StreamingNearDup.buildIndex(corpus), ndDir)
+    val xDir = Files.createTempDirectory("graft_retr_dd_").toString
+    DedupIndex.write(corpus, xDir)
+    val docA = "carburetor dovetail eiderdown flywheel grommet hawser " +
+      "isinglass jackstay keelson lanyard mizzen oakum pintle quoin " +
+      "ratline shackle thole unship vang windlass yawl bowsprit " +
+      "capstan deadeye spinnaker telltale gunwale halyard"
+    // one doubled internal space: token-identical (near-dup jac 10000
+    // against docA's sketch) but byte-distinct (new content hash)
+    val docAws = docA.replaceFirst(" ", "  ")
+    val docBridge = "umbrella vestibule wainscot xylophone yardarm zither " +
+      "antimony bromide cobalt dysprosium erbium fermium gallium " +
+      "hafnium iridium krypton lanthanum molybdenum niobium osmium " +
+      "palladium rhenium tantalum yttrium"
+    val in = Files.createTempDirectory("graft_retr_in_").toString
+    val out = Files.createTempDirectory("graft_retr_out_").toString
+    // batch 1: docA admits and is LIVE-appended to both artifacts
+    Files.write(Paths.get(in, "f1.json"), String.join("\n",
+      s"""{"doc_id":45,"text":"$docA","ts":"2026-01-01T10:00:00Z"}""").getBytes)
+    val q = AdmissionPipeline.startLive(spark,
+      spark.readStream.schema(schema).json(in), ndDir,
+      gates.holdoutGrams, out, "ts", "10 minutes",
+      exactHashDir = Some(xDir))
+    q.processAllAvailable()
+    // THE RETRACT — a takedown of doc 45 lands between microbatches,
+    // against the very artifacts the live query appends to and
+    // re-resolves per batch
+    val ids = { import spark.implicits._; Seq(45L).toDF("doc_id") }
+    DedupIndex.retract(spark, ids, xDir)
+    StreamingNearDup.retractIndex(spark, ids, ndDir)
+    assert(!DedupIndex.read(spark, xDir).select("doc_id")
+      .collect().map(_.getLong(0)).contains(45L),
+      "the retract must remove doc 45's hash rows")
+    // batch 2: a byte-copy INSIDE the watermark horizon — L17 state is
+    // per-query and watermark-bounded, not artifact-backed, so the
+    // copy is still suppressed (no decision row at all): retraction
+    // recalls the CORPUS, it does not rewind the ingest window
+    Files.write(Paths.get(in, "f2.json"), String.join("\n",
+      s"""{"doc_id":46,"text":"$docA","ts":"2026-01-01T10:00:05Z"}""").getBytes)
+    q.processAllAvailable()
+    // batch 3: a far-future doc advances the watermark a day, evicting
+    // docA's state
+    Files.write(Paths.get(in, "f3.json"), String.join("\n",
+      s"""{"doc_id":47,"text":"$docBridge","ts":"2026-01-02T10:00:00Z"}""").getBytes)
+    q.processAllAvailable()
+    // batch 4: the same content returns after state expiry — the
+    // exact-hash probe reads the post-retraction artifact (ADMIT,
+    // where the un-retracted twin test pins corpus_duplicate), and the
+    // ws near-copy finds no sketch to match (ADMIT)
+    Files.write(Paths.get(in, "f4.json"), String.join("\n",
+      s"""{"doc_id":48,"text":"$docA","ts":"2026-01-02T10:00:05Z"}""",
+      s"""{"doc_id":49,"text":"$docAws","ts":"2026-01-02T10:00:06Z"}""").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$out/decisions")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(45L -> "admit", 47L -> "admit",
+      48L -> "admit", 49L -> "admit"), got.toString)
+    assert(!got.contains(46L),
+      "the within-horizon copy must die in stream state, not re-decide")
+    // the re-admission re-entered the artifact lifecycle: batch 4's
+    // appends landed beside the retracted layout
+    val hashes = DedupIndex.read(spark, xDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!hashes.contains(45L) && hashes.contains(48L), hashes.toString)
+  }
 }

@@ -158,4 +158,88 @@ class RetractSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(dec2 === dec1)
   }
+
+  test("retractAll: ONE call recalls doc + ANN artifacts, refreshes the " +
+      "epoch shards in place (≡ a complement rebuild, replay order " +
+      "included), and marks rebuild-class artifacts stale until a " +
+      "retrain re-stamps them") {
+    val base = tmp("graft_retractall")
+    val annBase = tmp("graft_retractall_ann")
+    val shardBase = tmp("graft_retractall_sh")
+    val dsirBase = tmp("graft_retractall_dsir")
+    val corpus = docsAll.filter(col("doc_id") % 3 === 0)
+    ReleaseFlow.init(corpus, base)
+    val pristine = artifacts(base)
+    val off = 1000000L
+    val shard = docsAll.filter(col("doc_id") % 3 === 1)
+      .select(col("lang"), (col("doc_id") + lit(off)).as("doc_id"),
+        col("text"))
+    val d1 = ReleaseFlow.release(spark, shard, base)
+    val admitted = d1.filter(col("decision") === "admit")
+      .select("lang", "doc_id", "text").localCheckpoint()
+    assert(!admitted.isEmpty, "fixture must admit rows")
+    val full = corpus.unionByName(admitted)
+    val complement = corpus // full minus the admitted ids
+
+    // the deployment footprint: ANN over deterministic per-doc vectors
+    // in the SAME id namespace, one materialized epoch order, one
+    // stamped DSIR model — all built over the post-release corpus
+    def vecsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("vec_id"),
+      array((col("doc_id") % 7).cast("double"),
+        (col("doc_id") % 5).cast("double"),
+        (col("doc_id") % 3).cast("double"),
+        lit(1.0)).as("v"))
+    AnnIndexes.writeLsh(AnnIndexes.lshBands(vecsOf(full)), annBase)
+    AnnIndexes.writeIvf(AnnIndexes.buildIvf(vecsOf(full), 8, 2), annBase)
+    EpochShards.writeShards(full.select("doc_id", "text"), 0, shardBase)
+    DsirIndex.write(DsirIndex.build(full, "en"), full, dsirBase)
+    assert(!TrainMeta.isStale(spark, dsirBase), "fresh stamp is not stale")
+
+    val ledger = ReleaseFlow.retractAll(spark, admitted.select("doc_id"),
+      ReleaseFlow.Footprint(base, ann = Some(annBase),
+        shards = Seq(shardBase -> Seq(0)),
+        rebuildClass = Seq(dsirBase)))
+    assert(ledger.size === 4, ledger.toString)
+
+    // doc artifacts: back to the pre-release multisets exactly
+    assert(artifacts(base) === pristine,
+      "retractAll must restore the four doc artifacts")
+    // ANN: equal to a complement rebuild (same centroids for IVF —
+    // retraction never retrains, so compare the band index exactly and
+    // the inverted lists' surviving id set)
+    assert(rowsOf(AnnIndexes.readLsh(spark, annBase)) ===
+      rowsOf(AnnIndexes.lshBands(vecsOf(complement))),
+      "LSH must equal the complement rebuild")
+    assert(AnnIndexes.readIvf(spark, annBase).lists
+        .select("vec_id").collect().map(_.getLong(0)).toSet ===
+      complement.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "IVF lists must hold exactly the complement ids")
+    // epoch shards: the in-place refresh equals writeShards on the
+    // complement — per shard, row-for-row IN FILE ORDER
+    val rebuilt = tmp("graft_retractall_sh2")
+    EpochShards.writeShards(complement.select("doc_id", "text"), 0, rebuilt)
+    def shardDirs(b: String) = EpochShards.listShards(spark, b, 0)
+    assert(shardDirs(shardBase) === shardDirs(rebuilt),
+      "refreshed shard set must equal the complement rebuild's")
+    shardDirs(rebuilt).foreach { sh =>
+      val got = EpochShards.readShard(spark, shardBase, 0, sh)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val want = EpochShards.readShard(spark, rebuilt, 0, sh)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got === want, s"shard $sh replay order must survive the refresh")
+    }
+    // rebuild-class: stale after the mark, fresh again after a retrain
+    assert(TrainMeta.isStale(spark, dsirBase),
+      "retractAll must mark the DSIR model stale")
+    assert(TrainMeta.isStaleFor(complement, dsirBase),
+      "the strong check agrees")
+    DsirIndex.write(DsirIndex.build(complement, "en"), complement, dsirBase)
+    assert(!TrainMeta.isStale(spark, dsirBase),
+      "a re-stamping retrain clears the marker")
+    assert(!TrainMeta.isStaleFor(complement, dsirBase),
+      "and the strong check matches the retrained corpus")
+    assert(TrainMeta.isStaleFor(full, dsirBase),
+      "a different corpus still reads stale under the strong check")
+  }
 }
