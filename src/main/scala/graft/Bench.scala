@@ -39,7 +39,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        val times = (1 to runs).map { _ =>
+        def shot(): Double = {
           val t0 = System.nanoTime()
           // noop sink materializes the FULL physical plan; a bare count()
           // would let EliminateSorts drop top-level orderBys and so time a
@@ -47,8 +47,21 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        var times = (1 to runs).map(_ => shot())
+        // Adaptive re-measure: when the spread dwarfs the floor, every
+        // shot may have shared one contended window and even the min is
+        // suspect (the r15 official j7 read 5.3× its floor as a
+        // min-of-3 while ten same-day captures read ≤1.6×) — two extra
+        // shots give the row a chance to land outside the window.
+        if (runs > 1 && times.max - times.min > math.max(1.0, times.min))
+          times = times ++ (1 to 2).map(_ => shot())
         timings(name) = times.min
         spreads(name) = times.max - times.min
+        // GC-fence after multi-second rows (the artifact-lifecycle
+        // gates): their tenured garbage otherwise lands on the NEXT
+        // row's clock. One explicit collection per gate-sized row keeps
+        // neighbors independent without reordering the catalog.
+        if (times.min > 2.0) { System.gc(); Thread.sleep(200) }
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
