@@ -96,6 +96,7 @@ object AnnIndexes {
     }
     if (exists(s"$base/lsh_bands")) retractLshPinned(spark, pinned, base)
     if (exists(s"$base/ivf_lists")) retractIvfPinned(spark, pinned, base)
+    if (exists(s"$base/ivf8_lists")) retractIvfInt8Pinned(spark, pinned, base)
   }
 
   /** Remove every band row of vectors in `ids` (a vec_id frame) —
@@ -529,7 +530,34 @@ object AnnIndexes {
   def readIvfInt8(spark: SparkSession, base: String): IvfInt8Index =
     IvfInt8Index(
       spark.read.parquet(s"$base/ivf8_centroids"),
-      spark.read.parquet(s"$base/ivf8_lists"))
+      spark.read.parquet(Compaction.resolve(spark, s"$base/ivf8_lists")))
+
+  /** [[retractIvf]] on the QUANTIZED index — the same remove_ids
+    * contract (every int8 list row is a pure per-vector function of
+    * the frozen centroids plus l24's quantization rule, so the
+    * anti-join equals a quantize-and-assign rebuild over the
+    * complement exactly), the same cell-scoped cost model, the same
+    * full-takedown sentinel discipline. Centroids untouched —
+    * retraction does not retrain. Without this the recall story had a
+    * hole: a takedown against a deployment probing the int8 index
+    * would leave the retracted vectors probe-visible. */
+  def retractIvfInt8(spark: SparkSession, ids: DataFrame, base: String): Unit =
+    retractIvfInt8Pinned(spark,
+      ids.select("vec_id").distinct().localCheckpoint(), base)
+
+  private def retractIvfInt8Pinned(spark: SparkSession, pinned: DataFrame,
+      base: String): Unit = {
+    val dir = s"$base/ivf8_lists"
+    Compaction.retractWith(spark, dir, pinned, "vec_id") { (kept, staging) =>
+      kept.repartition(col("cid")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(staging)
+    }
+    if (Compaction.fileCount(spark, dir) == 0L)
+      spark.range(0).select(col("id").as("vec_id"),
+          expr("CAST(array() AS array<tinyint>)").as("qv"),
+          lit(0d).as("scale"), lit(0d).as("norm"), lit(0).as("cid"))
+        .write.mode("overwrite").parquet(Compaction.resolve(spark, dir))
+  }
 
   /** Probe the quantized index: cell selection exactly as [[probeIvf]]
     * (fp64 centroids), then an INT8 shortlist pass over the probed

@@ -112,4 +112,44 @@ class QuantizedAnnSpec extends AnyFunSuite {
     assert(exactOverlap >= 3L, s"exact-top5 overlap $exactOverlap")
     assert(fp64Overlap >= 3L, s"fp64-probe overlap $fp64Overlap")
   }
+
+  test("retractIvfInt8: removing vectors equals a quantize-and-assign " +
+      "rebuild over the complement under the same frozen centroids, a " +
+      "full takedown leaves a readable empty index, and the combined " +
+      "AnnIndexes.retract covers the int8 artifact too") {
+    import java.nio.file.Files
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val n = e.count()
+    val base = Files.createTempDirectory("graft_q8_retr_").toString
+    val idx = AnnIndexes.buildIvfInt8(e, 8, iters = 2, n)
+    AnnIndexes.writeIvfInt8(idx, base)
+    def lists() = AnnIndexes.readIvfInt8(spark, base).lists
+      .selectExpr("vec_id", "CAST(cid AS INT) AS cid", "scale", "norm")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sorted.toSeq
+    AnnIndexes.retractIvfInt8(spark, odds.select("vec_id"), base)
+    val rebuilt = AnnIndexes.buildIvfInt8From(idx.centroids, evens).lists
+      .selectExpr("vec_id", "CAST(cid AS INT) AS cid", "scale", "norm")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(lists() === rebuilt,
+      "int8 retract must equal the complement rebuild under frozen centroids")
+    // probes see only survivors
+    val q = e.filter(col("vec_id") === 0)
+    val got = AnnIndexes.probeIvfInt8(AnnIndexes.readIvfInt8(spark, base),
+        evens, q, nprobe = 8, topK = 5, excludeId = 0L)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(_ % 2 == 0),
+      s"post-retract probe must only see survivors: ${got.toSeq}")
+    // the combined retract covers ivf8_lists (full takedown → readable
+    // empty sentinel with the schema intact)
+    AnnIndexes.retract(spark, evens.select("vec_id"), base)
+    val emptied = AnnIndexes.readIvfInt8(spark, base).lists
+    assert(emptied.count() === 0L)
+    assert(Seq("vec_id", "qv", "scale", "norm", "cid")
+      .forall(emptied.columns.contains), emptied.columns.mkString(","))
+  }
 }
