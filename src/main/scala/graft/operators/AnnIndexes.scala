@@ -532,6 +532,24 @@ object AnnIndexes {
       spark.read.parquet(s"$base/ivf8_centroids"),
       spark.read.parquet(Compaction.resolve(spark, s"$base/ivf8_lists")))
 
+  /** Incremental append on the quantized index — [[appendIvf]]'s twin:
+    * assign `newVecs` against the FROZEN persisted centroids, quantize
+    * row-locally ([[quantizeInt8]] — l24's rule), append to the
+    * cid-partitioned int8 lists. Pure per-vector functions of the
+    * frozen centroids, so append-then-probe equals a rebuild over the
+    * union corpus exactly (QuantizedAnnSpec pins it); the disjoint-ids
+    * caller contract and the takedown-sentinel clearing are
+    * [[appendIvf]]'s. */
+  def appendIvfInt8(spark: SparkSession, newVecs: DataFrame,
+      base: String): Unit = {
+    val lists = Compaction.resolve(spark, s"$base/ivf8_lists")
+    clearTakedownSentinel(spark, lists)
+    buildIvfInt8From(spark.read.parquet(s"$base/ivf8_centroids"), newVecs)
+      .lists
+      .repartition(col("cid")).sortWithinPartitions("vec_id")
+      .write.mode("append").partitionBy("cid").parquet(lists)
+  }
+
   /** [[retractIvf]] on the QUANTIZED index — the same remove_ids
     * contract (every int8 list row is a pure per-vector function of
     * the frozen centroids plus l24's quantization rule, so the

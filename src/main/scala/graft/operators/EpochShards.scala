@@ -138,5 +138,26 @@ object EpochShards {
 
   def readCurriculumShard(spark: SparkSession, base: String, phase: Int,
       shard: Long): DataFrame =
-    spark.read.parquet(s"$base/curriculum/phase=$phase/shard=$shard")
+    spark.read.parquet(s"${Compaction.resolve(spark,
+      s"$base/curriculum")}/phase=$phase/shard=$shard")
+
+  /** [[retractShards]] on the curriculum order — the same per-doc
+    * purity argument (ord, shard AND phase derive from (doc_id, text)
+    * alone), so the scoped anti-join equals re-running
+    * [[writeCurriculumShards]] on the retracted corpus exactly,
+    * phase-major replay order included. */
+  def retractCurriculumShards(spark: SparkSession, ids: DataFrame,
+      base: String): Unit =
+    retractCurriculumShardsPinned(spark,
+      ids.select("doc_id").distinct().localCheckpoint(), base)
+
+  private[graft] def retractCurriculumShardsPinned(spark: SparkSession,
+      pinned: DataFrame, base: String): Unit =
+    Compaction.retractWith(spark, s"$base/curriculum",
+      pinned) { (kept, staging) =>
+      kept.repartition(col("phase"), col("shard"))
+        .sortWithinPartitions("phase", "shard", "ord", "doc_id")
+        .write.mode("overwrite").partitionBy("phase", "shard")
+        .parquet(staging)
+    }
 }

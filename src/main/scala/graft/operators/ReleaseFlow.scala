@@ -328,6 +328,9 @@ object ReleaseFlow {
       /** epoch-shard roots to refresh in place, with the epochs each
         * has materialized. */
       shards: Seq[(String, Seq[Int])] = Nil,
+      /** curriculum-shard roots to refresh in place ([[EpochShards
+        * .retractCurriculumShards]] — same per-doc purity). */
+      curriculum: Seq[String] = Nil,
       /** [[TrainMeta]]-stamped rebuild-class artifact dirs (a
         * [[DsirIndex]] base, a [[BpeIndex]] base, …) to mark stale. */
       rebuildClass: Seq[String] = Nil)
@@ -366,6 +369,10 @@ object ReleaseFlow {
     fp.shards.foreach { case (sb, epochs) =>
       epochs.foreach(e => EpochShards.retractShardsPinned(spark, ids, e, sb))
       out += sb -> s"shards refreshed (epochs ${epochs.mkString(",")})"
+    }
+    fp.curriculum.foreach { cb =>
+      EpochShards.retractCurriculumShardsPinned(spark, ids, cb)
+      out += cb -> "curriculum shards refreshed"
     }
     fp.rebuildClass.foreach { rb =>
       TrainMeta.markRetraction(ids, rb)

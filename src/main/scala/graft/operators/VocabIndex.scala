@@ -59,6 +59,16 @@ object VocabIndex {
     vocab.coalesce(1).sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$base/vocab")
 
+  /** [[write]] plus the training-provenance stamp — vocabulary counts
+    * are REBUILD-class (global token statistics), the same boundary as
+    * [[DsirIndex]]/[[BpeIndex]]: a takedown marks the release stale
+    * ([[ReleaseFlow.retractAll]]'s rebuildClass list) and the next
+    * stamped retrain clears it. */
+  def write(vocab: DataFrame, corpus: DataFrame, base: String): Unit = {
+    write(vocab, base)
+    TrainMeta.stamp(corpus, base)
+  }
+
   def read(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/vocab")
 

@@ -63,4 +63,40 @@ class EpochShardsSpec extends AnyFunSuite {
       assert(ords === ords.sorted, s"phase=$phase shard=$shard ord sorted")
     }
   }
+
+  test("curriculum retract equals re-running writeCurriculumShards on " +
+      "the complement — phase-major replay order included") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curr_retr_").toString
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_curr_retr_rb_").toString
+    val d = docs.filter(col("text").isNotNull).select("doc_id", "text")
+    EpochShards.writeCurriculumShards(d, base)
+    val ids = d.filter(col("doc_id") % 5 === 2).select("doc_id")
+    EpochShards.retractCurriculumShards(spark, ids, base)
+    EpochShards.writeCurriculumShards(
+      d.filter(col("doc_id") % 5 =!= 2), rebuilt)
+    def phaseShards(b: String): Seq[(Int, Long)] = {
+      val root = new org.apache.hadoop.fs.Path(
+        Compaction.resolve(spark, s"$b/curriculum"))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("phase="))
+        .flatMap { ph =>
+          val p = ph.getPath.getName.stripPrefix("phase=").toInt
+          fs.listStatus(ph.getPath)
+            .filter(_.getPath.getName.startsWith("shard="))
+            .map(sh => p -> sh.getPath.getName.stripPrefix("shard=").toLong)
+        }.sorted.toSeq
+    }
+    assert(phaseShards(base) === phaseShards(rebuilt),
+      "retained (phase, shard) set must equal the complement rebuild's")
+    phaseShards(rebuilt).foreach { case (p, sh) =>
+      val got = EpochShards.readCurriculumShard(spark, base, p, sh)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val want = EpochShards.readCurriculumShard(spark, rebuilt, p, sh)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got === want,
+        s"phase=$p shard=$sh replay order must survive the refresh")
+    }
+  }
 }

@@ -151,5 +151,31 @@ class QuantizedAnnSpec extends AnyFunSuite {
     assert(emptied.count() === 0L)
     assert(Seq("vec_id", "qv", "scale", "norm", "cid")
       .forall(emptied.columns.contains), emptied.columns.mkString(","))
+    // takedown → re-ingest: the sentinel clears and the partitioned
+    // append rebuilds the layout (appendIvf's contract on the int8 twin)
+    AnnIndexes.appendIvfInt8(spark, odds, base)
+    assert(AnnIndexes.readIvfInt8(spark, base).lists
+        .select("vec_id").collect().map(_.getLong(0)).toSet ===
+      odds.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "post-takedown int8 append must land exactly the new batch")
+  }
+
+  test("appendIvfInt8: assign+quantize under the frozen persisted " +
+      "centroids equals the full rebuild row-for-row") {
+    import java.nio.file.Files
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val base = Files.createTempDirectory("graft_q8_app_").toString
+    val idxHalf = AnnIndexes.buildIvfInt8(evens, 8, iters = 2, evens.count())
+    AnnIndexes.writeIvfInt8(idxHalf, base)
+    AnnIndexes.appendIvfInt8(spark, odds, base)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("vec_id", "CAST(cid AS INT) AS cid", "qv", "scale", "norm")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Byte](2).toSeq, r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(AnnIndexes.readIvfInt8(spark, base).lists) ===
+      rows(AnnIndexes.buildIvfInt8From(idxHalf.centroids, e).lists),
+      "append-then-read must equal a rebuild over the union corpus")
   }
 }
