@@ -151,6 +151,55 @@ class CompactionSpec extends AnyFunSuite {
       "v1 is two generations old after the third flip — GC'd")
   }
 
+  test("scoped retract inside a VERSIONED tree: after a compaction has " +
+      "flipped the artifact to v1, a small retract rewrites only the " +
+      "touched files of the live tree — pointer unmoved, untouched " +
+      "files byte-identical, multiset = complement") {
+    val base = tmp("graft_scoped_in_v")
+    val corpus = docsAll.filter(col("doc_id") % 2 === 0)
+    DedupIndex.write(corpus, base)
+    DedupIndex.compact(spark, base) // flat → v1
+    // appends land INSIDE the live v1 tree as their own file set —
+    // the composition a release chain produces after a compaction
+    val appended = docsAll.filter(col("doc_id") % 2 =!= 0)
+      .select(col("lang"), (col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text"))
+    DedupIndex.append(appended, base)
+    val corpusAll = corpus.unionByName(appended)
+    val dir = s"$base/content_hashes"
+    assert(Compaction.currentVersion(spark, dir).contains(1))
+    val live = Compaction.resolve(spark, dir)
+    def stamps(): Map[String, (Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(live)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.toString -> ((f.getLen, f.getModificationTime))
+      }
+      b.result()
+    }
+    val before = stamps()
+    assert(before.size > 1, s"fixture needs >1 file, got ${before.size}")
+    // one doc's hash row lives in one file — the scoped path must move
+    // only that file, inside v1, without a flip
+    val victim = appended.select("doc_id").orderBy("doc_id").limit(1)
+      .localCheckpoint()
+    val expected = rowsOf(DedupIndex.build(
+      corpusAll.join(victim, Seq("doc_id"), "left_anti")))
+    DedupIndex.retract(spark, victim, base)
+    assert(Compaction.currentVersion(spark, dir).contains(1),
+      "a scoped retract must not flip the version pointer")
+    assert(rowsOf(DedupIndex.read(spark, base)) === expected,
+      "retract ≡ complement rebuild inside the versioned tree")
+    val after = stamps()
+    val untouched = before.count { case (p, s) => after.get(p).contains(s) }
+    assert(untouched >= before.size - 1 && untouched < before.size,
+      s"exactly the touched file moves ($untouched of ${before.size} kept)")
+  }
+
   test("media lifecycle compaction: row multisets unchanged, file " +
       "counts shrink, decisions identical to an uncompacted twin") {
     val base = tmp("graft_compact_media")
