@@ -115,9 +115,19 @@ object BenchScale {
     }
     def r3(x: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    // full JSON escape incl. control chars — an error message with an
+    // embedded newline must not split the one-line contract
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     val qs = timings.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString(",")
-    val es = errors.map { case (k, v) =>
-      s""""$k":"${v.replace("\\", "\\\\").replace("\"", "'")}"""" }.mkString(",")
+    val es = errors.map { case (k, v) => s""""$k":${jstr(v)}""" }.mkString(",")
     println(s"""{"metric":"scale_probe","mult":$mult,"base":"$baseDir",""" +
       s""""runs":$runs,"queries":{$qs},"errors":{$es}}""")
     spark.stop()
