@@ -37,9 +37,17 @@ object BenchScale {
     xxhash64(id, lit(field))
 
   /** Synthesize the scaled pair into `out` (documents.parquet,
-    * embeddings.parquet — the driver's schemas). */
+    * embeddings.parquet — the driver's schemas). `heapsVocab` grows the
+    * vocabulary with the corpus (V ≈ √(55·nDocs), Heaps' law with
+    * β = 0.5 over the token mass) instead of keeping the base tables'
+    * fixed ~31 words: the fixed vocabulary is distribution-matched to
+    * the driver's generator but inflates NATURAL gram-collision
+    * density quadratically with corpus size — a regime no real corpus
+    * exhibits — so gram-join rows (l33's span self-probe, r1's
+    * clean-held-out filters) should be measured under the Heaps mode
+    * and everything else under the matched default. */
   def synthesize(spark: SparkSession, baseDir: String, mult: Int,
-      out: String): Unit = {
+      out: String, heapsVocab: Boolean = false): Unit = {
     val baseDocs = spark.read.parquet(s"$baseDir/documents.parquet")
     val baseVecs = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val nDocs = baseDocs.count() * mult
@@ -52,15 +60,22 @@ object BenchScale {
       .orderBy("w").collect().map(_.getString(0))
     require(vocab.nonEmpty, s"no vocabulary in $baseDir/documents.parquet")
     val vlit = array(vocab.map(lit(_)).toIndexedSeq: _*)
+    val vSize: Long =
+      if (heapsVocab) math.max(vocab.length.toLong,
+        math.sqrt(55.0 * nDocs).toLong)
+      else vocab.length.toLong
+    // base words for indexes inside the collected vocabulary, derived
+    // "w<idx>" tokens beyond it (the Heaps tail)
+    def wordAt(idx: org.apache.spark.sql.Column) =
+      when(idx < vocab.length, element_at(vlit, (idx + 1).cast("int")))
+        .otherwise(concat(lit("w"), idx.cast("string")))
     val langs = Seq("en", "en", "en", "en", "de", "es", "fr", "zh")
     val llit = array(langs.map(lit(_)).toIndexedSeq: _*)
     val docs = spark.range(nDocs).select(col("id").as("doc_id"))
       .withColumn("_nw", (pmod(h(col("doc_id"), "len"), lit(91)) + 10).cast("int"))
       .withColumn("text", concat_ws(" ", transform(
         sequence(lit(1), col("_nw")),
-        i => element_at(vlit,
-          (pmod(xxhash64(col("doc_id"), i, lit("w")), lit(vocab.length)) + 1)
-            .cast("int")))))
+        i => wordAt(pmod(xxhash64(col("doc_id"), i, lit("w")), lit(vSize))))))
       .withColumn("lang", element_at(llit,
         (pmod(h(col("doc_id"), "lang"), lit(langs.length)) + 1).cast("int")))
       .withColumn("source", concat(lit("src"),
@@ -87,10 +102,12 @@ object BenchScale {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val heaps = sys.env.get("SPARK_GRAFT_SCALE_HEAPS").contains("1")
     val spark = Session.get()
     val out = s"${sys.props("java.io.tmpdir")}/graft_scale_${mult}x_" +
+      (if (heaps) "heaps_" else "") +
       baseDir.replaceAll("[^A-Za-z0-9.]", "_")
-    synthesize(spark, baseDir, mult, out)
+    synthesize(spark, baseDir, mult, out, heaps)
     // Warm codegen/shuffle paths once (Bench's discipline) so the
     // rung-to-rung ratio compares plans, not JVM init.
     try SparkEntry.queries(ProbeQueries.head)(spark, out)
@@ -129,7 +146,7 @@ object BenchScale {
     val qs = timings.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString(",")
     val es = errors.map { case (k, v) => s""""$k":${jstr(v)}""" }.mkString(",")
     println(s"""{"metric":"scale_probe","mult":$mult,"base":"$baseDir",""" +
-      s""""runs":$runs,"queries":{$qs},"errors":{$es}}""")
+      s""""heaps":$heaps,"runs":$runs,"queries":{$qs},"errors":{$es}}""")
     spark.stop()
   }
 }
