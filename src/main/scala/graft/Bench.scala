@@ -34,6 +34,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shots   = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -57,6 +58,12 @@ object Bench {
           times = times ++ (1 to 2).map(_ => shot())
         timings(name) = times.min
         spreads(name) = times.max - times.min
+        // every shot, in measurement order: the adaptive re-measure
+        // gives noisy rows min-of-(runs+2) while quiet rows keep
+        // min-of-runs, so downstream floor comparisons need the sample
+        // size (and the raw samples) to account for the mixed policy —
+        // recorded in the sidecar only, never the budgeted line
+        shots(name) = times
         // GC-fence after multi-second rows (the artifact-lifecycle
         // gates): their tenured garbage otherwise lands on the NEXT
         // row's clock. One explicit collection per gate-sized row keeps
@@ -67,7 +74,8 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
-    writeFullRecord(timings.toSeq, spreads.toSeq, errors.toSeq, runs, sfDir)
+    writeFullRecord(timings.toSeq, spreads.toSeq, shots.toSeq, errors.toSeq,
+      runs, sfDir)
     println(renderLine(timings.toSeq, spreads.toSeq, errors.toSeq, runs, sfDir))
     spark.stop()
   }
@@ -261,11 +269,19 @@ object Bench {
     * Never throws: a read-only cwd must not cost the stdout record. */
   private def writeFullRecord(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
+      shots: Seq[(String, Seq[Double])],
       errors: Seq[(String, String)], runs: Int, sfDir: String): Unit =
     try {
-      val full = renderAt(timings, spreads, errors,
+      val base = renderAt(timings, spreads, errors,
         errOmitted = 0, nErr = errors.size, runs, sfDir,
         decimals = 3, itemizeSpread = true, tight = false)
+      // every raw shot per query (sidecar-only — the budgeted line
+      // carries min + spread): variable sample sizes from the adaptive
+      // re-measure are visible instead of silently mixing policies
+      val shotsJson = shots.map { case (k, ts) =>
+        jstr(k) + ":[" + ts.map(fmt(_, 3)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val full = base.dropRight(1) + ",\"shots\":" + shotsJson + "}"
       val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"), bytes)
       // Timestamped copy too: the fixed-name sidecar of round 10's

@@ -130,6 +130,36 @@ object BenchScale {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    // The assignment-stage rung — the n·k law at the cell cap (the
+    // engine's steepest measured slope, 464 s at the 100× rung) and
+    // its published remedy measured side by side: exact argmin vs the
+    // two-level coarse assignment (Ivf.assignCoarse) over the SAME
+    // trained centroids. Stage-level — training is materialized out of
+    // the clock — so the drop is attributable to assignment alone.
+    if (only.forall(_.exists(_.startsWith("ivf_assign"))))
+      try {
+        val e = spark.read.parquet(s"$out/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val n = e.count()
+        val k = graft.functions.Ivf.cellCount(n)
+        val cents = graft.functions.Ivf.trainSampled(e, k, 2, n).localCheckpoint()
+        def stage(df: => DataFrame): Double = {
+          val ts = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          System.gc()
+          ts.min
+        }
+        timings("ivf_assign_exact") =
+          stage(graft.functions.Ivf.assign(e, cents))
+        timings("ivf_assign_coarse") =
+          stage(graft.functions.Ivf.assignCoarse(e, cents, k))
+      } catch {
+        case e: Throwable => errors("ivf_assign") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     def r3(x: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     // full JSON escape incl. control chars — an error message with an

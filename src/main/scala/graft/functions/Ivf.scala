@@ -91,6 +91,83 @@ object Ivf {
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
 
+  /** OPT-IN two-level (coarse-quantizer) assignment — the published
+    * remedy for the n·k assignment law at large k (FAISS pairs IndexIVF
+    * with a coarse quantizer over the centroids; Jégou 2011 §V trains
+    * the coarse level exactly this way). [[assign]] pays k distance
+    * evaluations per vector; past [[cellCount]]'s cap that is 4096 dots
+    * per vector and the steepest measured slope in the engine
+    * (BENCH_NOTES' 100× rung: 464 s for l16's assignment stage). Here
+    * each vector pays `s = ⌈√k⌉` super-cell distances plus an exact
+    * argmin over the member centroids of its `probeSuper` nearest
+    * super-cells (expected `probeSuper·k/s` members) — ~√k·(1+probeSuper)
+    * dots per vector, a ~21× stage drop at k = 4096, probeSuper = 2.
+    *
+    * Level-0 training is the SAME seeded Lloyd ([[train]]) over the
+    * k-row centroid frame — deterministic, broadcast-sized, part of the
+    * composed plan. Super-cells that win no centroid are dropped before
+    * the per-vector distance pass, so every probed super-cell has
+    * members and every vector receives an assignment (count-preserving;
+    * IvfSpec pins it).
+    *
+    * APPROXIMATE by construction: a vector whose true nearest centroid
+    * lives outside its `probeSuper` nearest super-cells assigns to the
+    * best centroid among the probed ones. Recall vs the exact argmin is
+    * spec-pinned (IvfSpec: ≥ 90% agreement on the fixture corpora at
+    * probeSuper = 2, EXACT equality when probeSuper covers every
+    * super-cell), and an IVF probe tolerates the mis-assigned tail the
+    * same way it tolerates nprobe < k on the query side — both sides of
+    * the cell boundary are probed for close queries. Exact-argmin
+    * consumers (the composed l16/l26 catalog plans, every existing
+    * spec) keep [[assign]]; this is the documented opt-in for builds
+    * past the cell cap, where exactness of the INDEX layout was never
+    * the contract — only probe recall is.
+    *
+    * `k` is the centroid count the caller already holds (it sized the
+    * training run) — passing it keeps the plan composed, with no hidden
+    * count action. Tie-breaks ((d2, sid) at level 0, (d2, cid) at level
+    * 1) mirror [[assign]] exactly, so `probeSuper ≥ s` degenerates to
+    * bit-identical exact assignment. */
+  def assignCoarse(e: DataFrame, centroids: DataFrame, k: Int,
+      probeSuper: Int = 2, superIters: Int = 2): DataFrame = {
+    require(k >= 1, s"assignCoarse: k must be >= 1, got $k")
+    require(probeSuper >= 1, s"assignCoarse: probeSuper >= 1, got $probeSuper")
+    val s = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // level 0: cluster the centroids themselves (k rows, broadcast-
+    // sized) into s super-cells with the same seeded Lloyd
+    val cvecs = centroids.select(col("cid").cast("long").as("vec_id"),
+      col("cv").as("v"))
+    val supers0 = train(cvecs, s, superIters)
+      .select(col("cid").as("sid"), col("cv").as("sv"))
+    // membership: each centroid's nearest super-cell — exact, k·s dots
+    val members = cvecs.crossJoin(broadcast(supers0))
+      .withColumn("d2", dist2(col("v"), col("sv")))
+      .groupBy("vec_id")
+      .agg(min_by(col("sid"), struct(col("d2"), col("sid"))).as("sid"),
+        first(col("v")).as("cv"))
+      .select(col("sid"), col("vec_id").cast("int").as("cid"), col("cv"))
+    // only super-cells that won ≥1 centroid are probe-able — an empty
+    // super nearest to some vector must not strand it memberless
+    val supers = supers0.join(members.select("sid").distinct(),
+      Seq("sid"), "left_semi")
+    // per vector: s super distances, keep the probeSuper nearest
+    // ((d2, sid) order — the level-0 tie-break); the collect_list is
+    // partial-aggregable and bounded at s entries per vector
+    val probed = e.crossJoin(broadcast(supers))
+      .withColumn("d2", dist2(col("v"), col("sv")))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(struct(col("d2"), col("sid")))),
+          1, probeSuper).as("ps"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), explode(col("ps.sid")).as("sid"))
+    // exact argmin among the probed super-cells' members — the level-1
+    // tie-break is assign's own (d2, cid)
+    probed.join(broadcast(members), "sid")
+      .withColumn("d2", dist2(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+  }
+
   /** [[assign]] keeping the winning squared distance — the drift
     * telemetry an incremental index append reads
     * ([[graft.operators.AnnIndexes.ivfDrift]]). Same argmin tie-break

@@ -55,7 +55,7 @@ object AnnIndexes {
       .write.mode("overwrite").parquet(s"$base/lsh_bands")
 
   def readLsh(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(Compaction.resolve(spark, s"$base/lsh_bands"))
+    Compaction.readLive(spark, s"$base/lsh_bands")
 
   /** Incremental append: band rows for `newVecs` land beside the
     * existing index files. The LSH signature is a PURE per-row function
@@ -65,10 +65,11 @@ object AnnIndexes {
     * like the original write; row-group skipping still applies per
     * file. */
   def appendLsh(newVecs: DataFrame, base: String): Unit =
-    lshBands(newVecs).repartition(col("band_id"))
-      .sortWithinPartitions("band_id", "bval")
-      .write.mode("append").parquet(
-        Compaction.resolve(newVecs.sparkSession, s"$base/lsh_bands"))
+    Compaction.appendInto(newVecs.sparkSession, s"$base/lsh_bands") { live =>
+      lshBands(newVecs).repartition(col("band_id"))
+        .sortWithinPartitions("band_id", "bval")
+        .write.mode("append").parquet(live)
+    }
 
   /** Retract vectors from BOTH persisted artifacts under `base` —
     * `lsh_bands` and/or `ivf_lists`, whichever exist — with ONE id set
@@ -268,6 +269,22 @@ object AnnIndexes {
     IvfIndex(c, Ivf.assign(e, c))
   }
 
+  /** OPT-IN past-the-cap production build: sampled-Lloyd training plus
+    * the two-level coarse assignment ([[Ivf.assignCoarse]] — ~√k·3
+    * dots per vector instead of k). The build for corpora where
+    * [[Ivf.cellCount]] sits at its 4096 cap and the exact n·k
+    * assignment is the dominant cost (BENCH_NOTES' steepest measured
+    * rung slope); everything downstream — write layout, probes,
+    * append, retract — is unchanged, because the inverted file's
+    * SHAPE is identical and probe recall tolerates the coarse
+    * assignment's mis-assigned tail exactly as it tolerates
+    * nprobe < k. Exact-assignment consumers keep [[buildIvf]]. */
+  def buildIvfCoarse(e: DataFrame, k: Int, iters: Int, n: Long,
+      probeSuper: Int = 2): IvfIndex = {
+    val c = Ivf.trainSampled(e, k, iters, n)
+    IvfIndex(c, Ivf.assignCoarse(e, c, k, probeSuper))
+  }
+
   /** [[buildIvf]] with k from the shared [[Ivf.cellCount]] selector.
     * The corpus count is a deliberate build-time action: k shapes the
     * training plan itself (seed limit, broadcast width), and an index
@@ -304,7 +321,7 @@ object AnnIndexes {
   def readIvf(spark: SparkSession, base: String): IvfIndex =
     IvfIndex(
       spark.read.parquet(s"$base/ivf_centroids"),
-      spark.read.parquet(Compaction.resolve(spark, s"$base/ivf_lists")))
+      Compaction.readLive(spark, s"$base/ivf_lists"))
 
   /** Incremental append: assign `newVecs` against the FROZEN persisted
     * centroids and append to the cid-partitioned inverted lists — the
@@ -319,13 +336,13 @@ object AnnIndexes {
     * reading them, so a replayed overlapping batch lands duplicates
     * (the batch probe tolerates this via its candidate distinct; dedup
     * the ingest upstream, e.g. [[graft.streaming.StreamingDedup]]). */
-  def appendIvf(spark: SparkSession, newVecs: DataFrame, base: String): Unit = {
-    val lists = Compaction.resolve(spark, s"$base/ivf_lists")
-    clearTakedownSentinel(spark, lists)
-    Ivf.assign(newVecs, spark.read.parquet(s"$base/ivf_centroids"))
-      .repartition(col("cid")).sortWithinPartitions("vec_id")
-      .write.mode("append").partitionBy("cid").parquet(lists)
-  }
+  def appendIvf(spark: SparkSession, newVecs: DataFrame, base: String): Unit =
+    Compaction.appendInto(spark, s"$base/ivf_lists") { lists =>
+      clearTakedownSentinel(spark, lists)
+      Ivf.assign(newVecs, spark.read.parquet(s"$base/ivf_centroids"))
+        .repartition(col("cid")).sortWithinPartitions("vec_id")
+        .write.mode("append").partitionBy("cid").parquet(lists)
+    }
 
   /** A fully-retracted inverted file holds a single non-partitioned
     * empty sentinel ([[retractIvf]]'s takedown edge — the only way a
@@ -379,6 +396,13 @@ object AnnIndexes {
   private def retractIvfPinned(spark: SparkSession, pinned: DataFrame,
       base: String): Unit = {
     val dir = s"$base/ivf_lists"
+    // capture the artifact's READ-BACK schema before the swap: the
+    // full-takedown sentinel below must carry exactly what a read of
+    // the live lists returns (cid as a data column), and deriving it
+    // from the artifact itself — instead of a hand-built literal row —
+    // keeps any future list column from silently diverging the
+    // sentinel's schema from the data's
+    val listSchema = Compaction.readLive(spark, dir).schema
     Compaction.retractWith(spark, dir, pinned, "vec_id") { (kept, staging) =>
       kept.repartition(col("cid")).sortWithinPartitions("vec_id")
         .write.mode("overwrite").partitionBy("cid").parquet(staging)
@@ -392,7 +416,8 @@ object AnnIndexes {
     // a fully retracted index should, and [[appendIvf]] clears the
     // sentinel before the next partitioned append.
     if (Compaction.fileCount(spark, dir) == 0L)
-      spark.range(0).select(col("id").as("vec_id"), lit(0).as("cid"))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], listSchema)
         .write.mode("overwrite").parquet(Compaction.resolve(spark, dir))
   }
 
@@ -530,7 +555,7 @@ object AnnIndexes {
   def readIvfInt8(spark: SparkSession, base: String): IvfInt8Index =
     IvfInt8Index(
       spark.read.parquet(s"$base/ivf8_centroids"),
-      spark.read.parquet(Compaction.resolve(spark, s"$base/ivf8_lists")))
+      Compaction.readLive(spark, s"$base/ivf8_lists"))
 
   /** Incremental append on the quantized index — [[appendIvf]]'s twin:
     * assign `newVecs` against the FROZEN persisted centroids, quantize
@@ -541,14 +566,14 @@ object AnnIndexes {
     * caller contract and the takedown-sentinel clearing are
     * [[appendIvf]]'s. */
   def appendIvfInt8(spark: SparkSession, newVecs: DataFrame,
-      base: String): Unit = {
-    val lists = Compaction.resolve(spark, s"$base/ivf8_lists")
-    clearTakedownSentinel(spark, lists)
-    buildIvfInt8From(spark.read.parquet(s"$base/ivf8_centroids"), newVecs)
-      .lists
-      .repartition(col("cid")).sortWithinPartitions("vec_id")
-      .write.mode("append").partitionBy("cid").parquet(lists)
-  }
+      base: String): Unit =
+    Compaction.appendInto(spark, s"$base/ivf8_lists") { lists =>
+      clearTakedownSentinel(spark, lists)
+      buildIvfInt8From(spark.read.parquet(s"$base/ivf8_centroids"), newVecs)
+        .lists
+        .repartition(col("cid")).sortWithinPartitions("vec_id")
+        .write.mode("append").partitionBy("cid").parquet(lists)
+    }
 
   /** [[retractIvf]] on the QUANTIZED index — the same remove_ids
     * contract (every int8 list row is a pure per-vector function of
@@ -566,14 +591,16 @@ object AnnIndexes {
   private def retractIvfInt8Pinned(spark: SparkSession, pinned: DataFrame,
       base: String): Unit = {
     val dir = s"$base/ivf8_lists"
+    // schema captured from the artifact itself — [[retractIvfPinned]]'s
+    // sentinel discipline
+    val listSchema = Compaction.readLive(spark, dir).schema
     Compaction.retractWith(spark, dir, pinned, "vec_id") { (kept, staging) =>
       kept.repartition(col("cid")).sortWithinPartitions("vec_id")
         .write.mode("overwrite").partitionBy("cid").parquet(staging)
     }
     if (Compaction.fileCount(spark, dir) == 0L)
-      spark.range(0).select(col("id").as("vec_id"),
-          expr("CAST(array() AS array<tinyint>)").as("qv"),
-          lit(0d).as("scale"), lit(0d).as("norm"), lit(0).as("cid"))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], listSchema)
         .write.mode("overwrite").parquet(Compaction.resolve(spark, dir))
   }
 

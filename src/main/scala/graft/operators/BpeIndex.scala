@@ -195,10 +195,16 @@ object BpeIndex {
   }
 
   /** Read a release back as the rank-ordered merge list. The collect
-    * is M rows — the artifact's own size. */
-  def read(spark: SparkSession, base: String): Seq[String] =
+    * is M rows — the artifact's own size. Fails loudly when a
+    * retraction has marked the list stale since its training stamp
+    * ([[TrainMeta.assertFresh]] — the [[DsirIndex.read]] gate);
+    * `allowStale = true` opts in knowingly. */
+  def read(spark: SparkSession, base: String,
+      allowStale: Boolean = false): Seq[String] = {
+    TrainMeta.assertFresh(spark, base, allowStale, "BPE merge list")
     spark.read.parquet(s"$base/merges")
       .orderBy("rank").select("pair").collect().map(_.getString(0)).toSeq
+  }
 
   /** The segment-count dictionary as a literal tok→n_seg map column —
     * l57's broadcast-artifact shape ([[VocabIndex.idMap]]). */

@@ -61,13 +61,15 @@ object DedupIndex {
   /** Incremental build: hash rows for `newDocs` land beside the
     * existing files, clustered the same way. */
   def append(newDocs: DataFrame, base: String): Unit =
-    build(newDocs).repartitionByRange(col("h"))
-      .sortWithinPartitions("h")
-      .write.mode("append").parquet(
-        Compaction.resolve(newDocs.sparkSession, s"$base/content_hashes"))
+    Compaction.appendInto(newDocs.sparkSession, s"$base/content_hashes") {
+      live =>
+        build(newDocs).repartitionByRange(col("h"))
+          .sortWithinPartitions("h")
+          .write.mode("append").parquet(live)
+    }
 
   def read(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(Compaction.resolve(spark, s"$base/content_hashes"))
+    Compaction.readLive(spark, s"$base/content_hashes")
 
   /** Restore the range-clustered layout after an append chain — see
     * [[Compaction]]. Row multiset unchanged. */

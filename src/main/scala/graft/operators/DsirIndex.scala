@@ -54,8 +54,17 @@ object DsirIndex {
     TrainMeta.stamp(corpus, base)
   }
 
-  def read(spark: SparkSession, base: String): DataFrame =
+  /** Read a release for scoring. Fails loudly when a retraction has
+    * marked the model stale since its training stamp ([[TrainMeta
+    * .assertFresh]]) — the scorer is where forgetting the rebuild
+    * happens; `allowStale = true` opts into scoring against the stale
+    * weights knowingly (e.g. an ablation comparing pre/post-takedown
+    * models). */
+  def read(spark: SparkSession, base: String,
+      allowStale: Boolean = false): DataFrame = {
+    TrainMeta.assertFresh(spark, base, allowStale, "DSIR model")
     spark.read.parquet(s"$base/dsir_model")
+  }
 
   /** Score a corpus snapshot (doc_id, lang, text) against a trained
     * model: one row per document with its exact integer milli-nat

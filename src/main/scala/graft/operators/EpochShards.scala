@@ -113,33 +113,40 @@ object EpochShards {
         .withColumn("shard", shardOf()),
       s"$base/curriculum", Seq("phase", "shard"))
 
-  /** One shard's rows IN REPLAY ORDER — the single file's own row
-    * order (no sort: physical order is the contract being consumed).
-    * Resolves the epoch artifact's version pointer first: a
-    * [[retractShards]] whose id set touched every shard rewrites the
-    * whole epoch as a new version tree ([[Compaction]]'s reader-atomic
-    * swap), and a raw-path read would keep replaying the superseded
-    * pre-takedown order. */
+  /** One shard's rows IN REPLAY ORDER — the file's own row order (no
+    * sort: physical order is the contract being consumed). Plans from
+    * the artifact's LIVE file set ([[Compaction.liveFilesRelative]]):
+    * after a scoped [[retractShards]] the surviving shards' files stay
+    * in their original version tree while the rewritten ones live in
+    * the new tree's manifest, so a raw partition-directory path no
+    * longer names the live data. Reading explicit leaf files (no
+    * basePath) keeps partition columns out of the schema — the same
+    * frame the historical partition-path read returned. */
   def readShard(spark: SparkSession, base: String, epoch: Int,
       shard: Long): DataFrame =
-    spark.read.parquet(
-      s"${Compaction.resolve(spark, s"$base/epoch=$epoch")}/shard=$shard")
+    readShardFiles(spark, s"$base/epoch=$epoch", Seq(s"shard=$shard"))
 
-  /** The epoch's shard ids, live tree — the iteration driver for a
-    * replay ([[readShard]] per id, in order). */
-  def listShards(spark: SparkSession, base: String, epoch: Int): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(
-      Compaction.resolve(spark, s"$base/epoch=$epoch"))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("shard="))
-      .map(_.stripPrefix("shard=").toLong).sorted.toSeq
+  private def readShardFiles(spark: SparkSession, dir: String,
+      segments: Seq[String]): DataFrame = {
+    val rels = Compaction.liveFilesRelative(spark, dir)
+      .filter(r => segments.forall(r.split('/').contains(_)))
+      .sorted
+    require(rels.nonEmpty,
+      s"readShard: no live files for ${segments.mkString("/")} under $dir")
+    spark.read.parquet(rels.map(r => s"$dir/$r"): _*)
   }
+
+  /** The epoch's shard ids, live file set — the iteration driver for a
+    * replay ([[readShard]] per id, in order). */
+  def listShards(spark: SparkSession, base: String, epoch: Int): Seq[Long] =
+    Compaction.liveFilesRelative(spark, s"$base/epoch=$epoch")
+      .flatMap(_.split('/').find(_.startsWith("shard=")))
+      .map(_.stripPrefix("shard=").toLong).distinct.sorted
 
   def readCurriculumShard(spark: SparkSession, base: String, phase: Int,
       shard: Long): DataFrame =
-    spark.read.parquet(s"${Compaction.resolve(spark,
-      s"$base/curriculum")}/phase=$phase/shard=$shard")
+    readShardFiles(spark, s"$base/curriculum",
+      Seq(s"phase=$phase", s"shard=$shard"))
 
   /** [[retractShards]] on the curriculum order — the same per-doc
     * purity argument (ord, shard AND phase derive from (doc_id, text)

@@ -59,18 +59,20 @@ object MediaReleaseFlow {
 
   private def writeBytes(media: DataFrame, base: String, mode: String): Unit = {
     val dir = s"${bytehashDir(base)}/payload_hashes"
-    buildByteIndex(media).repartitionByRange(col("h"))
-      .sortWithinPartitions("h")
-      .write.mode(mode).parquet(
-        // appends land in the LIVE version tree; an overwrite resets
-        // the whole artifact (pointer included) to a fresh flat layout
-        if (mode == "append") Compaction.resolve(media.sparkSession, dir)
-        else dir)
+    def put(path: String): Unit =
+      buildByteIndex(media).repartitionByRange(col("h"))
+        .sortWithinPartitions("h")
+        .write.mode(mode).parquet(path)
+    // appends land in the LIVE version tree (manifest-extended when
+    // one exists); an overwrite resets the whole artifact (pointer
+    // included) to a fresh flat layout
+    if (mode == "append")
+      Compaction.appendInto(media.sparkSession, dir)(put)
+    else put(dir)
   }
 
   def readByteIndex(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(
-      Compaction.resolve(spark, s"${bytehashDir(base)}/payload_hashes"))
+    Compaction.readLive(spark, s"${bytehashDir(base)}/payload_hashes")
 
   /** Initialize the artifact pair from the first media corpus version.
     * `media` must carry (doc_id, payload). */

@@ -53,13 +53,15 @@ object SubstringIndex {
   /** Incremental build: gram rows for `newDocs` land beside the
     * existing files, clustered the same way. */
   def append(newDocs: DataFrame, base: String): Unit =
-    build(newDocs).repartitionByRange(col("gram"))
-      .sortWithinPartitions("gram")
-      .write.mode("append").parquet(
-        Compaction.resolve(newDocs.sparkSession, s"$base/span_grams"))
+    Compaction.appendInto(newDocs.sparkSession, s"$base/span_grams") {
+      live =>
+        build(newDocs).repartitionByRange(col("gram"))
+          .sortWithinPartitions("gram")
+          .write.mode("append").parquet(live)
+    }
 
   def read(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(Compaction.resolve(spark, s"$base/span_grams"))
+    Compaction.readLive(spark, s"$base/span_grams")
 
   /** Restore the range-clustered layout after an append chain — see
     * [[Compaction]]. Row multiset unchanged. This is the artifact

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * detect it. This sidecar makes staleness DETECTABLE:
   *
   *  - [[stamp]] at train time records an order-independent fingerprint
-  *    of the training corpus's doc-id set (count, id sum, hashed-id
-  *    sum) beside the artifact and clears any retraction markers;
+  *    of the training corpus's doc-id set (count, xor of ids, xor of
+  *    two independently-keyed id hashes) beside the artifact and
+  *    clears any retraction markers;
   *  - [[markRetraction]] (called by [[ReleaseFlow.retractAll]]) appends
   *    the retracted id-set's fingerprint — a cheap, monotone "the
   *    corpus moved under this model" flag;
@@ -38,16 +39,26 @@ object TrainMeta {
   private def metaDir(base: String) = s"$base/train_meta"
   private def retrDir(base: String) = s"$base/retractions_since_train"
 
-  /** (n_docs, id_sum, id_hash_xor) of an id-bearing frame — the
-    * order-independent corpus fingerprint. XOR, not sum, for the hash
-    * fold: overflow-free under ANSI arithmetic at any corpus size, and
+  /** (n_docs, id_xor, id_hash_xor, id_hash2_xor) of an id-bearing
+    * frame — the order-independent corpus fingerprint. XOR folds, not
+    * sums: overflow-free under ANSI arithmetic at any corpus size, and
     * id sets here are distinct by construction (the pair-cancellation
-    * caveat of xor folds needs duplicate rows to bite). */
+    * caveat of xor folds needs duplicate rows to bite). Collision
+    * model: two distinct equal-count id sets collide only if their
+    * xors agree simultaneously under the identity map AND two
+    * independently-keyed xxhash64 folds — for structured id sets
+    * (where raw-id xors do collide, e.g. {a, b, a⊕b⊕c, c} vs a
+    * permutation) the two keyed folds behave as independent ~2⁻⁶⁴
+    * events, which is the same regime as any content-hash equality
+    * check in the engine. The second fold is what makes a structured
+    * raw-xor collision insufficient on its own. */
   private def fingerprint(ids: DataFrame, idCol: String): DataFrame =
     ids.select(col(idCol)).distinct().agg(
       count(lit(1)).as("n_docs"),
       coalesce(expr(s"bit_xor($idCol)"), lit(0L)).as("id_xor"),
-      coalesce(expr(s"bit_xor(xxhash64($idCol))"), lit(0L)).as("id_hash_xor"))
+      coalesce(expr(s"bit_xor(xxhash64($idCol))"), lit(0L)).as("id_hash_xor"),
+      coalesce(expr(s"bit_xor(xxhash64('graft:tm2', $idCol))"), lit(0L))
+        .as("id_hash2_xor"))
 
   /** Record the training corpus at train time (call right after the
     * artifact's own `write`): one fingerprint row, and any prior
@@ -83,6 +94,33 @@ object TrainMeta {
       !spark.read.parquet(retrDir(base)).isEmpty
   }
 
+  /** Retraction markers logged since the last [[stamp]] (or against a
+    * never-stamped artifact) — the explicit "the corpus moved under
+    * this model" flag, WITHOUT treating an unstamped artifact as
+    * stale: ad-hoc builds that never opted into provenance stamping
+    * keep working, but a takedown's mark is never silently scorable
+    * past. */
+  def hasRetractionsSinceTrain(spark: SparkSession, base: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(retrDir(base))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && !spark.read.parquet(retrDir(base)).isEmpty
+  }
+
+  /** The scoring-call-site gate ([[DsirIndex.read]] / [[BpeIndex.read]]
+    * / [[VocabIndex.read]]): a retraction has marked this artifact
+    * stale and the caller did not opt in — fail LOUDLY at the read,
+    * where forgetting the rebuild actually happens, instead of leaving
+    * [[isStale]] a caller obligation nothing enforces. */
+  private[graft] def assertFresh(spark: SparkSession, base: String,
+      allowStale: Boolean, what: String): Unit =
+    if (!allowStale && hasRetractionsSinceTrain(spark, base))
+      throw new IllegalStateException(
+        s"$what at $base is STALE: retractions were logged since its " +
+          "training stamp (ReleaseFlow.retractAll marked the corpus as " +
+          "moved). Rebuild the artifact from the retracted corpus and " +
+          "re-stamp it, or pass allowStale = true to score against the " +
+          "stale model knowingly.")
+
   /** Strong staleness: the stamped fingerprint differs from `corpus`'s
     * — catches retraction AND append drift. */
   def isStaleFor(corpus: DataFrame, base: String,
@@ -91,7 +129,7 @@ object TrainMeta {
     if (isStale(spark, base)) return true
     val want = fingerprint(corpus.select(idCol), idCol).head()
     val have = spark.read.parquet(metaDir(base)).head()
-    Seq("n_docs", "id_xor", "id_hash_xor").exists(c =>
+    Seq("n_docs", "id_xor", "id_hash_xor", "id_hash2_xor").exists(c =>
       want.getAs[Long](want.fieldIndex(c)) != have.getAs[Long](have.fieldIndex(c)))
   }
 }

@@ -69,8 +69,14 @@ object VocabIndex {
     TrainMeta.stamp(corpus, base)
   }
 
-  def read(spark: SparkSession, base: String): DataFrame =
+  /** Read a release for scoring — with the [[DsirIndex.read]] staleness
+    * gate: a retraction-marked release fails loudly unless the caller
+    * opts in with `allowStale = true`. */
+  def read(spark: SparkSession, base: String,
+      allowStale: Boolean = false): DataFrame = {
+    TrainMeta.assertFresh(spark, base, allowStale, "vocabulary release")
     spark.read.parquet(s"$base/vocab")
+  }
 
   /** The vocabulary as a literal tok→id map column — the broadcast
     * artifact every tokenize pass closes over. Collecting V rows is a

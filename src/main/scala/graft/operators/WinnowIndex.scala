@@ -81,14 +81,15 @@ object WinnowIndex {
       s"winnow append: no $FmtDir artifact under $base — append requires a " +
         "prior init/write in the current key format; a retired-format " +
         "directory here means rebuild the artifact, don't append to it")
-    build(newDocs).repartitionByRange(col("h"))
-      .sortWithinPartitions("h")
-      .write.mode("append").parquet(
-        Compaction.resolve(newDocs.sparkSession, s"$base/$FmtDir"))
+    Compaction.appendInto(newDocs.sparkSession, s"$base/$FmtDir") { live =>
+      build(newDocs).repartitionByRange(col("h"))
+        .sortWithinPartitions("h")
+        .write.mode("append").parquet(live)
+    }
   }
 
   def read(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(Compaction.resolve(spark, s"$base/$FmtDir"))
+    Compaction.readLive(spark, s"$base/$FmtDir")
 
   /** Restore the range-clustered layout after an append chain — see
     * [[Compaction]]. Row multiset unchanged. */

@@ -64,10 +64,8 @@ object StreamingMediaDedup {
 
   def readIndex(spark: SparkSession, base: String): Index =
     Index(
-      spark.read.parquet(
-        graft.operators.Compaction.resolve(spark, s"$base/sigs")),
-      spark.read.parquet(
-        graft.operators.Compaction.resolve(spark, s"$base/bands")))
+      graft.operators.Compaction.readLive(spark, s"$base/sigs"),
+      graft.operators.Compaction.readLive(spark, s"$base/bands"))
 
   /** Restore both frames' clustered layout after an append chain —
     * [[StreamingNearDup.compactIndex]]'s contract on the media
@@ -112,13 +110,15 @@ object StreamingMediaDedup {
     val spark = media.sparkSession
     val idx = buildIndex(media)
     val sigs = idx.sigs.localCheckpoint()
-    sigs.sortWithinPartitions("doc_id")
-      .write.mode("append").parquet(
-        graft.operators.Compaction.resolve(spark, s"$base/sigs"))
-    Multimodal.sigBandFrame(sigs)
-      .sortWithinPartitions("band_id", "bkey")
-      .write.mode("append").parquet(
-        graft.operators.Compaction.resolve(spark, s"$base/bands"))
+    graft.operators.Compaction.appendInto(spark, s"$base/sigs") { live =>
+      sigs.sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(live)
+    }
+    graft.operators.Compaction.appendInto(spark, s"$base/bands") { live =>
+      Multimodal.sigBandFrame(sigs)
+        .sortWithinPartitions("band_id", "bkey")
+        .write.mode("append").parquet(live)
+    }
   }
 
   /** Screen a streaming media frame (doc_id, payload, `tsCol`) against

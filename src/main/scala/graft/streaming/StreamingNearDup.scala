@@ -65,10 +65,8 @@ object StreamingNearDup {
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, base: String): Index =
     Index(
-      spark.read.parquet(
-        graft.operators.Compaction.resolve(spark, s"$base/sketch")),
-      spark.read.parquet(
-        graft.operators.Compaction.resolve(spark, s"$base/bands")))
+      graft.operators.Compaction.readLive(spark, s"$base/sketch"),
+      graft.operators.Compaction.readLive(spark, s"$base/bands"))
 
   /** Restore both frames' clustered layout after an append chain —
     * see [[graft.operators.Compaction]]: bands re-cluster by
@@ -125,13 +123,15 @@ object StreamingNearDup {
   def appendIndex(docs: DataFrame, base: String): Unit = {
     val spark = docs.sparkSession
     val sk = LlmQueries.docSketch(docs).localCheckpoint()
-    sk.sortWithinPartitions("doc_id")
-      .write.mode("append").parquet(
-        graft.operators.Compaction.resolve(spark, s"$base/sketch"))
-    LlmQueries.minhashBuckets(sk.select("doc_id", "sig"))
-      .sortWithinPartitions("band_id", "bkey")
-      .write.mode("append").parquet(
-        graft.operators.Compaction.resolve(spark, s"$base/bands"))
+    graft.operators.Compaction.appendInto(spark, s"$base/sketch") { live =>
+      sk.sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(live)
+    }
+    graft.operators.Compaction.appendInto(spark, s"$base/bands") { live =>
+      LlmQueries.minhashBuckets(sk.select("doc_id", "sig"))
+        .sortWithinPartitions("band_id", "bkey")
+        .write.mode("append").parquet(live)
+    }
   }
 
   /** Screen a streaming document frame (doc_id, text, `tsCol`) against

@@ -138,13 +138,12 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ivfRows() !== pristineI)
     AnnIndexes.retractIvf(spark, odds.select("vec_id"), baseI)
     assert(ivfRows() === pristineI, "IVF retract must restore pre-append lists")
-    // the rewrite must keep the cid directory partitioning (path-level
-    // nprobe pruning is the layout's whole point)
-    val fs = new org.apache.hadoop.fs.Path(baseI)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(
-        Compaction.resolve(spark, s"$baseI/ivf_lists")))
-      .count(_.getPath.getName.startsWith("cid="))
+    // the retraction must keep the cid directory partitioning in the
+    // LIVE file set (path-level nprobe pruning is the layout's whole
+    // point) — after a scoped retract the live files may span version
+    // trees, so count cid= segments in the manifest-planned set
+    val cells = Compaction.liveFilesRelative(spark, s"$baseI/ivf_lists")
+      .flatMap(_.split('/').find(_.startsWith("cid="))).distinct.size
     assert(cells > 0, "retractIvf must preserve the cid= directory layout")
   }
 
@@ -487,14 +486,17 @@ class AnnIndexSpec extends AnyFunSuite {
     val keptExpected = lists.filter(col("cid") =!= victimCid)
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
 
-    val ivfDir = Compaction.resolve(spark, s"$base/ivf_lists")
-    val lshDir = Compaction.resolve(spark, s"$base/lsh_bands")
+    val ivfDir = s"$base/ivf_lists"
+    val lshDir = s"$base/lsh_bands"
     val ivfBefore = fileStamps(ivfDir)
     val lshBefore = fileStamps(lshDir)
+    val ivfLiveBefore = Compaction.liveFilesRelative(spark, ivfDir).toSet
+    val lshLiveBefore = Compaction.liveFilesRelative(spark, lshDir).toSet
     val idFrame = spark.createDataFrame(
       victims.toSeq.map(Tuple1(_))).toDF("vec_id")
     // the LSH takedown retracts ONE vector — 4 band rows, so at most 4
-    // of the band-clustered files move and the rest provably cannot
+    // of the band-clustered files leave the live set and the rest
+    // provably cannot
     val idFrameL = spark.createDataFrame(Seq(Tuple1(0L))).toDF("vec_id")
     AnnIndexes.retractIvf(spark, idFrame, base)
     AnnIndexes.retractLsh(spark, idFrameL, base)
@@ -512,19 +514,32 @@ class AnnIndexSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq,
       "scoped LSH retract must equal a complement rebuild")
 
-    // the scoped contract: untouched files keep path, length AND mtime
+    // the scoped contract, manifest form: NO pre-retract file is
+    // moved, mutated or deleted (in-flight readers keep every byte)…
     val ivfAfter = fileStamps(ivfDir)
-    val untouchedIvf = ivfBefore.filterNot(_._1.contains(s"cid=$victimCid"))
-    assert(untouchedIvf.forall { case (p, s) => ivfAfter.get(p).contains(s) },
-      "untouched cid partitions must keep their files and mtimes")
-    assert(ivfAfter.keySet.forall(p =>
-        ivfBefore.contains(p) || p.contains(s"cid=$victimCid")),
-      "only the victim cell may gain rewritten files")
+    assert(ivfBefore.forall { case (p, s) => ivfAfter.get(p).contains(s) },
+      "every pre-retract IVF file must keep its bytes and mtime")
     val lshAfter = fileStamps(lshDir)
-    val lshUntouched = lshBefore.count { case (p, s) => lshAfter.get(p).contains(s) }
-    assert(lshUntouched > 0 && lshBefore.size - lshUntouched <= 4,
-      s"a 1-vector LSH retract moves at most its 4 band files " +
-        s"($lshUntouched of ${lshBefore.size} kept)")
+    assert(lshBefore.forall { case (p, s) => lshAfter.get(p).contains(s) },
+      "every pre-retract LSH file must keep its bytes and mtime")
+    // …and the LIVE SET drops exactly the touched files: the victim
+    // cell's (whose rewrite lands in the next version tree, still
+    // under a cid= directory so path pruning survives), at most 4
+    // band files on the LSH side
+    val ivfLiveAfter = Compaction.liveFilesRelative(spark, ivfDir).toSet
+    assert((ivfLiveBefore -- ivfLiveAfter)
+        .forall(_.contains(s"cid=$victimCid")),
+      "only the victim cell's files may leave the IVF live set")
+    assert((ivfLiveAfter -- ivfLiveBefore)
+        .forall(r => r.startsWith("v") && r.contains("cid=")),
+      s"rewrites land cid-partitioned in the next tree ($ivfLiveAfter)")
+    assert((ivfLiveAfter & ivfLiveBefore) ===
+      ivfLiveBefore.filterNot(_.contains(s"cid=$victimCid")),
+      "untouched cells stay in the live set at their original paths")
+    val lshLiveAfter = Compaction.liveFilesRelative(spark, lshDir).toSet
+    val lshDropped = lshLiveBefore -- lshLiveAfter
+    assert(lshDropped.nonEmpty && lshDropped.size <= 4,
+      s"a 1-vector LSH retract drops at most its 4 band files ($lshDropped)")
   }
 
   test("takedown then re-ingest: appendIvf after a FULL retraction clears " +

@@ -76,18 +76,20 @@ class EpochShardsSpec extends AnyFunSuite {
     EpochShards.retractCurriculumShards(spark, ids, base)
     EpochShards.writeCurriculumShards(
       d.filter(col("doc_id") % 5 =!= 2), rebuilt)
-    def phaseShards(b: String): Seq[(Int, Long)] = {
-      val root = new org.apache.hadoop.fs.Path(
-        Compaction.resolve(spark, s"$b/curriculum"))
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(root).filter(_.getPath.getName.startsWith("phase="))
-        .flatMap { ph =>
-          val p = ph.getPath.getName.stripPrefix("phase=").toInt
-          fs.listStatus(ph.getPath)
-            .filter(_.getPath.getName.startsWith("shard="))
-            .map(sh => p -> sh.getPath.getName.stripPrefix("shard=").toLong)
-        }.sorted.toSeq
-    }
+    // the LIVE file set, not a directory walk: after a scoped retract
+    // the surviving shards' files stay in their original tree and the
+    // rewritten ones live in the new tree's manifest
+    def phaseShards(b: String): Seq[(Int, Long)] =
+      Compaction.liveFilesRelative(spark, s"$b/curriculum")
+        .flatMap { r =>
+          val segs = r.split('/')
+          for {
+            p <- segs.find(_.startsWith("phase="))
+              .map(_.stripPrefix("phase=").toInt)
+            s <- segs.find(_.startsWith("shard="))
+              .map(_.stripPrefix("shard=").toLong)
+          } yield (p, s)
+        }.distinct.sorted
     assert(phaseShards(base) === phaseShards(rebuilt),
       "retained (phase, shard) set must equal the complement rebuild's")
     phaseShards(rebuilt).foreach { case (p, sh) =>

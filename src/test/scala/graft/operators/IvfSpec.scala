@@ -225,6 +225,54 @@ class IvfSpec extends AnyFunSuite {
     assert(again.orderBy("cid").collect().toSeq === cent.orderBy("cid").collect().toSeq)
   }
 
+  test("assignCoarse: count-preserving, EXACT when probeSuper covers " +
+      "every super-cell, and >= 90% argmin agreement at probeSuper = 2 " +
+      "on both fixture corpora") {
+    def agree(d: String): Double = {
+      val e = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = e.count()
+      val k = 16
+      val c = Ivf.trainSampled(e, k, 2, n).localCheckpoint()
+      val exact = Ivf.assign(e, c).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // probeSuper ≥ s (= ⌈√16⌉ = 4): every member centroid reachable →
+      // the two-level argmin IS the exact argmin, row for row
+      val full = Ivf.assignCoarse(e, c, k, probeSuper = 4).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(full === exact,
+        s"$d: probeSuper covering all super-cells must equal exact assign")
+      val coarse = Ivf.assignCoarse(e, c, k, probeSuper = 2).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // no vector stranded: empty super-cells are dropped before the
+      // per-vector pass, so the assignment stays a partition
+      assert(coarse.keySet === exact.keySet,
+        s"$d: coarse assignment must cover every vector")
+      coarse.count { case (v, cid) => exact(v) == cid }.toDouble / n
+    }
+    for (d <- Seq(sf, "/root/testdata/sf0.01")
+        if new java.io.File(d).isDirectory) {
+      val a = agree(d)
+      assert(a >= 0.90, s"$d: coarse/exact agreement $a below the 90% bar")
+    }
+  }
+
+  test("buildIvfCoarse probes: the coarse-assigned index loses at most " +
+      "a tail of l16-golden probe recall vs the exact-assigned index") {
+    val e = vecs
+    val n = e.count()
+    val exactIdx = AnnIndexes.buildIvf(e, 16, 2, n)
+    val coarseIdx = AnnIndexes.buildIvfCoarse(e, 16, 2, n)
+    val q = e.filter(col("vec_id") === 0)
+    def ids(idx: AnnIndexes.IvfIndex) =
+      AnnIndexes.probeIvf(idx, e, q, nprobe = 4, topK = 10, excludeId = 0L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val overlap = (ids(exactIdx) & ids(coarseIdx)).size
+    assert(overlap >= 8,
+      s"coarse-index probe must keep >= 8/10 of the exact index's top-10 " +
+        s"(got $overlap)")
+  }
+
   test("l16 recall: the probed cells contain most of the brute-force top-10") {
     import spark.implicits._
     val top10 = LlmQueries.l3.fn(spark, sf).select("vec_id").as[Long].collect().toSet

@@ -234,9 +234,21 @@ class RetractSpec extends AnyFunSuite {
       "retractAll must mark the DSIR model stale")
     assert(TrainMeta.isStaleFor(complement, dsirBase),
       "the strong check agrees")
+    // the staleness is SURFACED at the scoring call site: a read of
+    // the marked model throws unless the caller opts in — forgetting
+    // the rebuild is loud, not a silent stale score
+    val staleEx = intercept[IllegalStateException] {
+      DsirIndex.read(spark, dsirBase)
+    }
+    assert(staleEx.getMessage.contains("STALE") &&
+      staleEx.getMessage.contains("allowStale"), staleEx.getMessage)
+    assert(DsirIndex.read(spark, dsirBase, allowStale = true).count() > 0,
+      "the explicit opt-in still reads the stale model")
     DsirIndex.write(DsirIndex.build(complement, "en"), complement, dsirBase)
     assert(!TrainMeta.isStale(spark, dsirBase),
       "a re-stamping retrain clears the marker")
+    assert(DsirIndex.read(spark, dsirBase).count() > 0,
+      "a re-stamped model reads without the opt-in")
     assert(!TrainMeta.isStaleFor(complement, dsirBase),
       "and the strong check matches the retrained corpus")
     assert(TrainMeta.isStaleFor(full, dsirBase),
