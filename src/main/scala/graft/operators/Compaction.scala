@@ -205,16 +205,21 @@ object Compaction {
     if (head.matches("v\\d+")) head else ""
   }
 
+  /** One generation's live file set: its manifest when it carries
+    * one, its own recursive listing otherwise. */
+  private def liveSetOf(spark: SparkSession, dir: String,
+      tree: String): Seq[String] =
+    readManifest(spark, dir, tree).getOrElse(listTree(spark, dir, tree))
+
   /** The live FILE SET as dir-relative paths — the manifest when the
     * live tree carries one, its own recursive listing otherwise. This
     * is what a reader plans from and what the fragmentation gauge
     * counts; files outside it (superseded trees, retracted files kept
     * for in-flight readers) are GC territory. */
   private[graft] def liveFilesRelative(spark: SparkSession,
-      dir: String): Seq[String] = {
-    val tree = currentVersion(spark, dir).map(v => s"v$v").getOrElse("")
-    readManifest(spark, dir, tree).getOrElse(listTree(spark, dir, tree))
-  }
+      dir: String): Seq[String] =
+    liveSetOf(spark, dir,
+      currentVersion(spark, dir).map(v => s"v$v").getOrElse(""))
 
   /** Read an explicit dir-relative file set, grouped per tree so each
     * group's `basePath` sits directly above its partition directories
@@ -294,6 +299,29 @@ object Compaction {
     if (cur >= k && !referenced.contains(""))
       fs.listStatus(d).filterNot(s => isVersionEntry(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, true))
+    // FILE-level orphan GC inside the trees that remain: a file no
+    // RETAINED generation's live set references is unreachable by any
+    // supported reader (readers older than the keep window are outside
+    // the contract) — typically the touched files a younger scoped
+    // retract superseded, i.e. the RECALLED BYTES themselves, which
+    // would otherwise sit on disk until the next full compaction.
+    // Retained trees' own files are always in their own live set
+    // (self-contained = full listing; manifest-bearing = the manifest
+    // still lists what that generation's readers need), so this only
+    // ever removes files every retained manifest has dropped — plus
+    // unpublished debris from a crashed append. The keep-set is a
+    // UNION over retained generations (a crashed staging tree counts
+    // as one), so any race mistake keeps more, never less.
+    val present = fs.listStatus(d).map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }.toSeq
+    val keepSet: Set[String] =
+      (present.filter(v => v == cur || v > cur - k)
+        .flatMap(v => liveSetOf(spark, dir, s"v$v")) ++
+        (if (cur < k) listTree(spark, dir, "") else Nil)).toSet
+    (present.map(v => s"v$v") :+ "").foreach { tree =>
+      listTree(spark, dir, tree).filterNot(keepSet)
+        .foreach(rel => fs.delete(new Path(d, rel), false))
+    }
   }
 
   /** Read the live set, re-cluster via `cluster`, write the next

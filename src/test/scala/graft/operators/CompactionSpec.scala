@@ -285,8 +285,14 @@ class CompactionSpec extends AnyFunSuite {
     // manifest references the surviving flat files
     val victim = halfB.select("doc_id").orderBy("doc_id").limit(1)
       .localCheckpoint()
+    val liveBefore = Compaction.liveFilesRelative(spark, dir).toSet
     DedupIndex.retract(spark, victim, base)
     assert(Compaction.currentVersion(spark, dir).contains(1))
+    val dropped = liveBefore -- Compaction.liveFilesRelative(spark, dir).toSet
+    assert(dropped.size === 1, s"one touched flat file leaves the live set ($dropped)")
+    def onDisk(rel: String) = new java.io.File(s"$dir/$rel").isFile
+    assert(dropped.forall(onDisk),
+      "the touched file stays on disk while the flat generation is retained")
     val afterRetract = rowsOf(DedupIndex.read(spark, base))
     assert(afterRetract === rowsOf(DedupIndex.build(
       corpus.join(victim, Seq("doc_id"), "left_anti"))))
@@ -314,6 +320,16 @@ class CompactionSpec extends AnyFunSuite {
     assert(rowsOf(DedupIndex.read(spark, base)) === wantAll)
     assert(rootParquets() > 0,
       "flat stays while the retained v1 manifest references it")
+    // …but the RECALLED bytes are reclaimed: the touched flat file is
+    // now outside every retained generation's live set (the flat
+    // generation itself rotated out at cur = 2), so the compact's
+    // prune orphan-GCs it while the still-referenced survivor keeps
+    // its bytes
+    assert(dropped.forall(!onDisk(_)),
+      "the retracted file's bytes are reclaimed once no retained " +
+        s"generation references it ($dropped)")
+    assert((liveBefore -- dropped).forall(onDisk),
+      "flat survivors referenced by the retained v1 manifest keep their bytes")
     // one more compaction retires v1 — nothing references flat now
     DedupIndex.compact(spark, base)
     assert(Compaction.currentVersion(spark, dir).contains(3))
