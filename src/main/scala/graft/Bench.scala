@@ -8,6 +8,13 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Box telemetry at capture START, before any load this run adds:
+    // BASELINE.md's recurring host-slowdown window reads ~2100 MHz on
+    // the otherwise-3000-class box, and every capture inside it medians
+    // ~1.3× the floors uniformly — recording the frequency beside the
+    // floors turns "looks like the window" into a logged fact the fold
+    // discipline can key on.
+    val mhzStart = cpuMhz()
     val spark = Session.get()
     // Warm the JVM/codegen paths once so timings measure the queries, not
     // class loading: one join+agg query plus one JSON round-trip query
@@ -75,7 +82,7 @@ object Bench {
       }
     }
     writeFullRecord(timings.toSeq, spreads.toSeq, shots.toSeq, errors.toSeq,
-      runs, sfDir)
+      runs, sfDir, mhzStart)
     println(renderLine(timings.toSeq, spreads.toSeq, errors.toSeq, runs, sfDir))
     spark.stop()
   }
@@ -267,10 +274,26 @@ object Bench {
     * catalog's names alone approach the driver-tail budget), so the
     * full-precision floors land here for BENCH_NOTES reconciliation.
     * Never throws: a read-only cwd must not cost the stdout record. */
+  /** Median "cpu MHz" across /proc/cpuinfo — the one box-state reading
+    * that distinguishes the documented 2100 MHz host-slowdown window
+    * from a quiet capture. None on any failure (non-Linux, masked
+    * procfs): telemetry must never cost the record. */
+  private[graft] def cpuMhz(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try {
+        val vals = src.getLines()
+          .filter(_.startsWith("cpu MHz"))
+          .map(_.split(":")(1).trim.toDouble).toSeq.sorted
+        if (vals.isEmpty) None else Some(vals(vals.length / 2))
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   private def writeFullRecord(
       timings: Seq[(String, Double)], spreads: Seq[(String, Double)],
       shots: Seq[(String, Seq[Double])],
-      errors: Seq[(String, String)], runs: Int, sfDir: String): Unit =
+      errors: Seq[(String, String)], runs: Int, sfDir: String,
+      mhzStart: Option[Double]): Unit =
     try {
       val base = renderAt(timings, spreads, errors,
         errOmitted = 0, nErr = errors.size, runs, sfDir,
@@ -281,7 +304,18 @@ object Bench {
       val shotsJson = shots.map { case (k, ts) =>
         jstr(k) + ":[" + ts.map(fmt(_, 3)).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val full = base.dropRight(1) + ",\"shots\":" + shotsJson + "}"
+      // splice the shots field before renderAt's closing brace — valid
+      // only while the rendered object ends with a bare '}'; assert it
+      // so a future renderAt change (trailing newline, field reorder)
+      // surfaces here as a loud failure instead of corrupt JSON
+      assert(base.endsWith("}"),
+        s"writeFullRecord: renderAt output does not end with '}': " +
+          base.takeRight(8))
+      // start + end frequency: a capture that ENTERED or LEFT the
+      // slowdown window mid-run shows a split reading
+      val mhz = (mhzStart.map(m => s""","cpu_mhz_start":${fmt(m, 0)}""") ++
+        cpuMhz().map(m => s""","cpu_mhz_end":${fmt(m, 0)}""")).mkString
+      val full = base.dropRight(1) + ",\"shots\":" + shotsJson + mhz + "}"
       val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"), bytes)
       // Timestamped copy too: the fixed-name sidecar of round 10's

@@ -67,10 +67,16 @@ object Ivf {
       .select("cid", "cv")
   }
 
+  /** [[cellCount]]'s clamp ceiling — the k past which the exact n·k
+    * assignment is the engine's steepest measured cost slope and the
+    * coarse two-level arm ([[assignCoarse]]) becomes the default for
+    * the cap-regime consumers ([[assignAuto]]). */
+  val CellCap = 4096
+
   /** The shared cell-count selector: k = ceil(n / targetCellSize),
-    * clamped to [1, 4096]. One rule for every IVF consumer (l16, l26,
-    * [[graft.operators.AnnIndexes.buildIvf]]) so per-cell work stays
-    * CONSTANT as the corpus grows — candidate pairs in a
+    * clamped to [1, [[CellCap]]]. One rule for every IVF consumer
+    * (l16, l26, [[graft.operators.AnnIndexes.buildIvf]]) so per-cell
+    * work stays CONSTANT as the corpus grows — candidate pairs in a
     * cluster-then-prune pass are ~n²/2k, and with k ∝ n that is
     * ~n·target/2, linear. The 4096 cap bounds the broadcast centroid
     * frame (~2 MB at 512-byte vectors), far past any corpus this
@@ -79,7 +85,7 @@ object Ivf {
     * realized cell sizes stay within a factor of the target. */
   def cellCount(n: Long, targetCellSize: Int = 32): Int = {
     require(targetCellSize >= 1, s"cellCount: target must be >= 1, got $targetCellSize")
-    math.min(4096L, math.max(1L, (n + targetCellSize - 1) / targetCellSize)).toInt
+    math.min(CellCap.toLong, math.max(1L, (n + targetCellSize - 1) / targetCellSize)).toInt
   }
 
   /** Assign every vector to its nearest centroid: broadcast the k-row
@@ -129,7 +135,58 @@ object Ivf {
     * 1) mirror [[assign]] exactly, so `probeSuper ≥ s` degenerates to
     * bit-identical exact assignment. */
   def assignCoarse(e: DataFrame, centroids: DataFrame, k: Int,
-      probeSuper: Int = 2, superIters: Int = 2): DataFrame = {
+      probeSuper: Int = 2, superIters: Int = 2): DataFrame =
+    coarseCandidates(e, centroids, k, probeSuper, superIters)
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** [[assignCoarse]] keeping the winning squared distance —
+    * [[assignWithDist]]'s coarse sibling, so the d2-consuming
+    * cap-regime operators (l50's prototypicality rank) get the same
+    * ~√k·(1+probeSuper) assignment cost. The kept d2 is the TRUE
+    * squared distance to the chosen centroid (computed exactly in the
+    * level-1 pass); approximation affects only WHICH centroid wins
+    * when the true argmin lies outside the probed super-cells — for
+    * a mis-assigned vector the kept d2 is ≥ the exact argmin's, never
+    * an underestimate of the reported cell's distance. Tie-break
+    * (d2, cid) ≡ [[assignWithDist]]; probeSuper ≥ ⌈√k⌉ degenerates to
+    * bit-identical exact output (IvfSpec pins both). */
+  def assignCoarseWithDist(e: DataFrame, centroids: DataFrame, k: Int,
+      probeSuper: Int = 2, superIters: Int = 2): DataFrame =
+    coarseCandidates(e, centroids, k, probeSuper, superIters)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+
+  /** The cap-regime selector shared by assignment consumers that hold
+    * `k` (every caller — k sized their training run): EXACT [[assign]]
+    * below [[CellCap]], where n·k is affordable and bit-stability is
+    * free, [[assignCoarse]] at the cap, where k stopped growing with n
+    * and the exact pass is the measured ~465 s/100-TB-rung bottleneck
+    * (BENCH_NOTES round-16 table; the coarse arm measured 7.5× less).
+    * Every corpus the sf gates replay sits far below the cap, so the
+    * gate-scale output is bit-identical to [[assign]] by construction
+    * — the coarse arm engages exactly where exactness of the index
+    * layout was never the contract (IvfSpec pins the selector's
+    * equivalence below the cap; LlmQueries' cap-regime specs pin
+    * recall above it). */
+  def assignAuto(e: DataFrame, centroids: DataFrame, k: Int,
+      probeSuper: Int = 2): DataFrame =
+    if (k >= CellCap) assignCoarse(e, centroids, k, probeSuper)
+    else assign(e, centroids)
+
+  /** [[assignAuto]] for the d2-keeping form. */
+  def assignAutoWithDist(e: DataFrame, centroids: DataFrame, k: Int,
+      probeSuper: Int = 2): DataFrame =
+    if (k >= CellCap) assignCoarseWithDist(e, centroids, k, probeSuper)
+    else assignWithDist(e, centroids)
+
+  /** The shared two-level candidate frame behind [[assignCoarse]] and
+    * [[assignCoarseWithDist]]: (vec_id, cid, d2) rows for every member
+    * centroid of each vector's `probeSuper` nearest super-cells, d2
+    * computed exactly. */
+  private def coarseCandidates(e: DataFrame, centroids: DataFrame, k: Int,
+      probeSuper: Int, superIters: Int): DataFrame = {
     require(k >= 1, s"assignCoarse: k must be >= 1, got $k")
     require(probeSuper >= 1, s"assignCoarse: probeSuper >= 1, got $probeSuper")
     val s = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
@@ -168,12 +225,11 @@ object Ivf {
           1, probeSuper).as("ps"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), explode(col("ps.sid")).as("sid"))
-    // exact argmin among the probed super-cells' members — the level-1
-    // tie-break is assign's own (d2, cid)
+    // exact distances to the probed super-cells' members — the final
+    // argmin (level-1 tie-break = assign's own (d2, cid)) happens in
+    // the public finishers
     probed.join(broadcast(members), "sid")
       .withColumn("d2", dist2(col("v"), col("cv")))
-      .groupBy("vec_id")
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
   }
 
   /** [[assign]] keeping the winning squared distance — the drift

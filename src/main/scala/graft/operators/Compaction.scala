@@ -256,7 +256,19 @@ object Compaction {
     * invisible to manifest-planned readers. A reader concurrent with
     * the append sees the old manifest or the new one (atomic rename),
     * i.e. pre- or post-append rows — append visibility was never
-    * atomic and is not required to be. */
+    * atomic and is not required to be.
+    *
+    * CRASH semantics (manifest-bearing trees): the parquet append and
+    * the manifest extension are two steps, and an append is DURABLE
+    * only once the manifest extension lands. A crash between them
+    * leaves the written files outside every manifest's live set —
+    * invisible to readers, and reclaimed by [[pruneVersions]]' orphan
+    * GC rather than surfaced. That is the engine's at-least-once
+    * ingest contract: a crashed append reports no success upstream and
+    * MUST be replayed (the streaming sinks' checkpoint replay does
+    * exactly this); the debris of the half-crashed attempt is garbage,
+    * not data loss. Callers that append outside a replayed pipeline
+    * must treat an appendInto that did not return as not-appended. */
   private[graft] def appendInto(spark: SparkSession, dir: String)(
       write: String => Unit): Unit = {
     val live = resolve(spark, dir)

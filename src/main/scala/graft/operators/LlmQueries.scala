@@ -516,6 +516,14 @@ object LlmQueries {
         .localCheckpoint(eager = false)
     })
 
+  /** The k that sized [[sharedIvfCentroids]]' training run — what the
+    * memo's assignment consumers hand to [[Ivf.assignAuto]] so the
+    * coarse arm engages exactly when this snapshot's k sits at
+    * [[Ivf.CellCap]]. Derived from the same memoized row count, so no
+    * extra action. */
+  private[graft] def sharedIvfK(s: SparkSession, d: String): Int =
+    Ivf.cellCount(Tables.rowCount(s, d, "embeddings"))
+
   /** L9's accounting rollup over a caller-supplied candidate-pair
     * frame — see [[sharedPairs]]. */
   private[graft] def l9From(s: SparkSession, d: String,
@@ -1295,7 +1303,7 @@ object LlmQueries {
     * re-measure n_chars on the shortened text, exactly as an ingest of
     * the re-crawled copy would. Kept separate from [[planted]] so the
     * long-pinned l9/l10/l28 plans stay byte-identical. */
-  private[operators] def plantedFull(dd: DataFrame): DataFrame = {
+  private[graft] def plantedFull(dd: DataFrame): DataFrame = {
     val base = dd.select(col("doc_id"), col("lang"), col("text"),
       col("n_chars").cast("long").as("n_chars"))
     val dups = dd.filter(isPlantedSrc(col("doc_id")))
@@ -1627,7 +1635,22 @@ object LlmQueries {
     * goldens. */
   val l26 = DQ(
     "l26_semantic_dedup",
-    (s, d) => {
+    // the catalog arm assigns through [[Ivf.assignAuto]]: exact below
+    // the cell cap (every sf gate — bit-identical to the pre-selector
+    // plan), the measured-7.5×-cheaper coarse arm when this snapshot's
+    // k sits AT the cap (the 100× regime where the exact n·k pass was
+    // the engine's steepest cost slope); LlmCoarseSpec pins the forced-
+    // coarse output's planted recall and invariants at gate scale
+    (s, d) => l26From(s, d,
+      (e, c) => Ivf.assignAuto(e, c, sharedIvfK(s, d))),
+    None)
+
+  /** L26's body over a caller-supplied assignment function — factored
+    * so the cap-regime coarse arm ([[Ivf.assignCoarse]]) is testable
+    * at gate scale (where [[Ivf.assignAuto]] would pick exact) without
+    * a second copy of the pipeline. */
+  private[graft] def l26From(s: SparkSession, d: String,
+      assignFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
       // The quantizer trains on the RAW embeddings: Lloyd's fold
       // references its input ~2·iters+2 times, and the planted-dup
       // frame pays a union + offset-aggregate per reference — training
@@ -1642,7 +1665,7 @@ object LlmQueries {
       // checkpointed frame — see sharedIvfCentroids for why the
       // self-join below needs the materialization.
       val centroids = sharedIvfCentroids(s, d)
-      val cells = Ivf.assign(e, centroids)
+      val cells = assignFn(e, centroids)
         .join(hyperplaneSig(e, hyperplanes64).select("vec_id", "sig"), "vec_id")
       val a = cells.select(col("cid"), col("vec_id").as("ida"), col("sig").as("sa"))
       val b = cells.select(col("cid").as("cid2"), col("vec_id").as("idb"),
@@ -1680,8 +1703,7 @@ object LlmQueries {
         .select(col("n_vecs"), col("n_candidates"), col("n_dup_marked"),
           (col("n_vecs") - col("n_dup_marked")).as("n_kept"),
           col("n_planted_found"), col("n_planted"), col("dup_checksum"))
-    },
-    None)
+  }
 
   /** [[l41]]'s vocabulary size. The synthetic corpus draws its word
     * soup from a ~31-token vocabulary (checked), so a production-sized
@@ -1763,11 +1785,20 @@ object LlmQueries {
 
   /** L50 core over a caller-supplied (vec_id, label, v) frame +
     * centroids, factored for the spec's partitioning-invariance and
-    * recompute pins. */
+    * recompute pins. `assignFn` must return (vec_id, cid, d2) —
+    * [[Ivf.assignWithDist]] (the exact default) or its cap-regime
+    * coarse sibling [[Ivf.assignCoarseWithDist]] (what the catalog's
+    * [[Ivf.assignAutoWithDist]] arm picks at the cell cap; the rank
+    * window and the per-cell ⌊n/5⌋ quota are agnostic to WHICH cell a
+    * vector landed in, so the coarse arm changes cell populations at
+    * the mis-assigned tail, never the fold — LlmCoarseSpec pins the
+    * invariants). */
   private[graft] def prototypePruneFrom(raw: DataFrame,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame,
+      assignFn: (DataFrame, DataFrame) => DataFrame =
+        Ivf.assignWithDist): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = Ivf.assignWithDist(raw.select("vec_id", "v"), centroids)
+    val assigned = assignFn(raw.select("vec_id", "v"), centroids)
       .join(raw.select("vec_id", "label"), "vec_id")
     val w = Window.partitionBy("cid")
     val ranked = assigned
@@ -1816,10 +1847,16 @@ object LlmQueries {
     * partitioning invariance. */
   val l50 = DQ(
     "l50_prototype_prune",
+    // assignment through the cap-regime selector, like l26: exact (the
+    // pre-selector plan, bit-identical) below the cell cap, coarse-
+    // with-dist at it — the d2 each vector keeps is its TRUE distance
+    // to the chosen centroid either way, so the prototypicality rank
+    // stays an exact fold over the realized cells
     (s, d) => prototypePruneFrom(
       embs(s, d).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v")),
-      sharedIvfCentroids(s, d)),
+      sharedIvfCentroids(s, d),
+      (e, c) => Ivf.assignAutoWithDist(e, c, sharedIvfK(s, d))),
     None)
 
   /** L52 — heavy-hitter token scan via the Misra–Gries summary

@@ -99,12 +99,30 @@ object TrainMeta {
     * this model" flag, WITHOUT treating an unstamped artifact as
     * stale: ad-hoc builds that never opted into provenance stamping
     * keep working, but a takedown's mark is never silently scorable
-    * past. */
+    * past.
+    *
+    * Memoized per (appId, base, marker-dir mtime, marker file count):
+    * the un-memoized form pays a driver-side Spark job (`parquet.
+    * isEmpty`) on EVERY scoring read, which a hot scoring loop calls
+    * per artifact open. The FS metadata probe (one `getFileStatus` +
+    * one `listStatus`) stays per-call, so any [[markRetraction]] —
+    * which creates or appends into the marker dir, changing its mtime
+    * and file count — invalidates the cached verdict and the next read
+    * re-checks (TrainMetaSpec pins the stale flip surviving a warm
+    * memo). Only the marker-dir CONTENT read is cached. */
   def hasRetractionsSinceTrain(spark: SparkSession, base: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(retrDir(base))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && !spark.read.parquet(retrDir(base)).isEmpty
+    if (!fs.exists(p)) return false
+    val st = fs.getFileStatus(p)
+    val key = s"${spark.sparkContext.applicationId}:$base:" +
+      s"${st.getModificationTime}:${fs.listStatus(p).length}"
+    retrMemo.computeIfAbsent(key,
+      _ => !spark.read.parquet(retrDir(base)).isEmpty).booleanValue()
   }
+
+  private val retrMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** The scoring-call-site gate ([[DsirIndex.read]] / [[BpeIndex.read]]
     * / [[VocabIndex.read]]): a retraction has marked this artifact
@@ -129,7 +147,14 @@ object TrainMeta {
     if (isStale(spark, base)) return true
     val want = fingerprint(corpus.select(idCol), idCol).head()
     val have = spark.read.parquet(metaDir(base)).head()
+    // A stamp written under an OLDER sidecar layout (fewer fingerprint
+    // columns — e.g. the pre-id_hash2_xor 3-column form) must yield a
+    // staleness VERDICT, not a fieldIndex crash: a column the stored
+    // row lacks counts as a mismatch, i.e. stale, and the caller's
+    // rebuild re-stamps under the current layout (the migration path).
+    val stored = have.schema.fieldNames.toSet
     Seq("n_docs", "id_xor", "id_hash_xor", "id_hash2_xor").exists(c =>
-      want.getAs[Long](want.fieldIndex(c)) != have.getAs[Long](have.fieldIndex(c)))
+      !stored.contains(c) ||
+        want.getAs[Long](want.fieldIndex(c)) != have.getAs[Long](have.fieldIndex(c)))
   }
 }

@@ -61,8 +61,14 @@ object StreamingDecontam {
     index.sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(s"$base/holdout_grams")
 
+  /** Manifest-aware ([[graft.operators.Compaction.readLive]], like
+    * every other gate index read): identical plan on the self-contained
+    * tree [[writeIndex]] lands, and a holdout tree that has since been
+    * Compaction-retracted (an eval item recalled) resolves to its live
+    * file set instead of silently re-including superseded grams —
+    * GateReadLiveSpec sweeps this across the gate family. */
   def readIndex(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/holdout_grams")
+    graft.operators.Compaction.readLive(spark, s"$base/holdout_grams")
 
   /** Screen a streaming document frame (doc_id, text, `tsCol`) against
     * the holdout gram index. Emits (doc_id, `tsCol`) once per

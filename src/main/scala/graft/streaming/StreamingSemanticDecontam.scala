@@ -38,8 +38,11 @@ object StreamingSemanticDecontam {
     index.coalesce(1).sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(s"$base/eval_vecs")
 
+  /** Manifest-aware ([[graft.operators.Compaction.readLive]]): a
+    * retracted-into suite tree resolves to its live vectors
+    * (GateReadLiveSpec). */
   def readIndex(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/eval_vecs")
+    graft.operators.Compaction.readLive(spark, s"$base/eval_vecs")
 
   /** Screen a streaming document frame (doc_id, v, `tsCol`): emits
     * (doc_id, `tsCol`) once per semantically contaminated doc. */

@@ -96,8 +96,11 @@ object StreamingSubstring {
     index.sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(s"$base/corpus_spans")
 
+  /** Manifest-aware, like [[fromPersisted]]'s underlying
+    * [[SubstringIndex.read]]: a retracted-into gate artifact resolves
+    * to its live files (GateReadLiveSpec). */
   def readIndex(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/corpus_spans")
+    graft.operators.Compaction.readLive(spark, s"$base/corpus_spans")
 
   /** Screen a streaming document frame (doc_id, text, `tsCol`): emits
     * (doc_id, `tsCol`) once per verbatim-repeating doc. */
