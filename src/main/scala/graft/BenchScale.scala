@@ -30,6 +30,7 @@ object BenchScale {
 
   private val ProbeQueries = Seq(
     "l9_minhash_neardup", "l16_ann_ivf", "l26_semantic_dedup",
+    "l50_prototype_prune",
     "l33_substring_dedup", "l35_decontam_bloom",
     "r1_release_roundtrip", "r4_retract_roundtrip")
 
@@ -158,6 +159,37 @@ object BenchScale {
           stage(graft.functions.Ivf.assignCoarse(e, cents, k))
       } catch {
         case e: Throwable => errors("ivf_assign") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    // The l33 WIRE-BYTES rung — string vs xxhash64 gram keys through
+    // the identical span plan (SamplingQueries.substringSpans; the
+    // hashed form is the published 100 TB wire format, spec-pinned ≡
+    // string). The two arms differ ONLY in what the gram checkpoint,
+    // the repeated-gram agg, and the hit semi-join ship per gram
+    // (~8 B vs ~100 B at SpanK = 15), so their delta isolates shuffle
+    // wire bytes from the pair/window arithmetic both arms share —
+    // the separation VERDICT r17 #5 asked the Heaps rung to measure.
+    if (only.forall(_.exists(_.startsWith("l33_spans"))))
+      try {
+        val corpus = graft.operators.LlmQueries.plantedFull(
+          spark.read.parquet(s"$out/documents.parquet"))
+        def stage(df: => DataFrame): Double = {
+          val ts = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          System.gc()
+          ts.min
+        }
+        timings("l33_spans_string") = stage(
+          graft.operators.SamplingQueries.substringSpans(corpus,
+            graft.operators.SamplingQueries.SpanK, hashed = false))
+        timings("l33_spans_hashed") = stage(
+          graft.operators.SamplingQueries.substringSpans(corpus,
+            graft.operators.SamplingQueries.SpanK, hashed = true))
+      } catch {
+        case e: Throwable => errors("l33_spans") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     def r3(x: Double) =

@@ -298,15 +298,41 @@ object Ivf {
     * no row and simply vanish — harmless for probing (fewer cells =
     * more candidates, never fewer correct results). */
   def lloydStep(e: DataFrame, centroids: DataFrame): DataFrame =
-    assign(e, centroids)
+    lloydStepWith(e, centroids, assign)
+
+  /** [[lloydStep]] with the iteration's re-assignment routed through
+    * [[assignAuto]] — what [[train]] folds: exact below [[CellCap]]
+    * (bit-identical to [[lloydStep]] at every gate scale), the
+    * two-level coarse argmin AT the cap. Round 18's measured motive:
+    * the composed l26 at the 100× rung still cost 242.9 s AFTER its
+    * final assignment went coarse, and ~all of it was the 2 training
+    * iterations each paying the exact n·k pass inside this very step —
+    * training was the last unconsumed instance of the assignment law.
+    * Approximating the TRAINING argmin is the published two-level
+    * recipe itself (Jégou 2011 §V trains the coarse level this way;
+    * large-scale k-means practice at FAISS scale bounds assignment
+    * work per update): a ≥ 90%-agreement argmin (IvfSpec's pin) moves
+    * each cell mean marginally, strict per-iteration distortion
+    * non-increase relaxes to approximate — and the probe-side nprobe
+    * tolerance absorbs it exactly as it absorbs the coarse final
+    * assignment's tail. */
+  def lloydStepAuto(e: DataFrame, centroids: DataFrame, k: Int): DataFrame =
+    lloydStepWith(e, centroids, assignAuto(_, _, k))
+
+  private def lloydStepWith(e: DataFrame, centroids: DataFrame,
+      assignFn: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    assignFn(e, centroids)
       .join(e, "vec_id")
       .groupBy("cid")
       .agg(vecMean(col("v")).as("cv"))
 
   /** Train `iters` Lloyd iterations from the seeded init — a composed
-    * plan, no driver actions. */
+    * plan, no driver actions. Iterations re-assign via
+    * [[lloydStepAuto]]: bit-identical to the exact fold below
+    * [[CellCap]] (IvfSpec pins the equality), ~√k-cost coarse argmin
+    * at the cap — see [[lloydStepAuto]] for the contract. */
   def train(e: DataFrame, k: Int, iters: Int): DataFrame =
-    (1 to iters).foldLeft(seedCentroids(e, k))((c, _) => lloydStep(e, c))
+    (1 to iters).foldLeft(seedCentroids(e, k))((c, _) => lloydStepAuto(e, c, k))
 
   /** [[train]] on a bounded deterministic SAMPLE — the scale path past
     * [[cellCount]]'s 4096-cell cap. Below the cap, k ∝ n keeps per-cell

@@ -81,6 +81,25 @@ import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
   * scheduled maintenance, not concurrent mutators; a deployment
   * needing concurrent writers is the transactional-table-format
   * regime, where this same scheme is the format's commit protocol.
+  *
+  * HIGH-FILE-COUNT bound, measured (graft.BenchManifest, round 18, at
+  * ~34k one-row files — the 100 TB-artifact file-count regime at 2 GB
+  * targets): the flat-manifest machinery itself is flat-cheap —
+  * `appendInto`'s two tree walks + atomic manifest extension 0.29 s,
+  * `pruneVersions` (retained-manifest reads + orphan-GC walk) 4.1 s,
+  * and the ~34k-line manifest text reads/writes in milliseconds. What
+  * grows linearly with file count is (a) the scoped retract's
+  * touched-file DISCOVERY scan (41.7 s — parquet-footer-bound,
+  * inherent to finding keys by content at any manifest design) and
+  * (b) explicit-file-list PLAN construction in [[readFiles]] (21.1 s —
+  * Spark's file-index stat pass over the listed paths, which manifest
+  * sharding would not remove either: the plan needs every path
+  * regardless of how the list is stored). Sharding the manifest
+  * (Iceberg-style, one file per referenced tree) is therefore NOT
+  * implemented: at this measured rung it buys nothing the flat file
+  * costs, and the two linear terms have their own remedies — bigger
+  * files (fewer footers per byte) and the scheduled compaction that
+  * folds a chain back into one self-contained tree.
   */
 object Compaction {
 

@@ -81,6 +81,32 @@ class LlmCoarseSpec extends AnyFunSuite {
       s"coarse/exact agreement ${agree.toDouble / n} below the 90% bar")
   }
 
+  test("train's lloydStepAuto fold is bit-identical to the explicit " +
+      "exact fold below the cap, and the at-cap coarse fold still " +
+      "trains a usable quantizer") {
+    val e = vecs
+    val exactFold = (1 to 2).foldLeft(Ivf.seedCentroids(e, 8))(
+      (c, _) => Ivf.lloydStep(e, c))
+    assert(Ivf.train(e, 8, 2).orderBy("cid").collect().toSeq ===
+      exactFold.orderBy("cid").collect().toSeq,
+      "below the cap train IS the exact Lloyd fold")
+    // k pinned AT the cap on the small fixture: the fold runs the
+    // coarse argmin end-to-end; the result must still be a valid
+    // quantizer — deterministic, full-dimension centroids, and an
+    // assignment over them partitions the corpus
+    val atCap = Ivf.train(e, Ivf.CellCap, 1)
+    val again = Ivf.train(e, Ivf.CellCap, 1)
+    assert(atCap.orderBy("cid").collect().toSeq ===
+      again.orderBy("cid").collect().toSeq, "at-cap training deterministic")
+    val cents = atCap.localCheckpoint()
+    assert(cents.collect().forall(_.getSeq[Double](1).length === 64))
+    val n = e.count()
+    val assigned = Ivf.assignAuto(e, cents, Ivf.CellCap)
+    assert(assigned.count() === n)
+    assert(assigned.select("vec_id").distinct().count() === n,
+      "at-cap coarse assignment still partitions the corpus")
+  }
+
   test("l26 under the FORCED coarse arm: corpus counters unchanged, " +
       "planted recall >= 80% held, kept = corpus - marked") {
     val k = LlmQueries.sharedIvfK(spark, sf)
