@@ -95,9 +95,12 @@ object AnnIndexes {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(conf).exists(p)
     }
-    if (exists(s"$base/lsh_bands")) retractLshPinned(spark, pinned, base)
-    if (exists(s"$base/ivf_lists")) retractIvfPinned(spark, pinned, base)
-    if (exists(s"$base/ivf8_lists")) retractIvfInt8Pinned(spark, pinned, base)
+    // disjoint artifact dirs — concurrent swaps ([[Par]], guide §2.6)
+    Par.run(Seq(
+      ("lsh_bands", () => retractLshPinned(spark, pinned, base)),
+      ("ivf_lists", () => retractIvfPinned(spark, pinned, base)),
+      ("ivf8_lists", () => retractIvfInt8Pinned(spark, pinned, base)))
+      .collect { case (d, t) if exists(s"$base/$d") => t })
   }
 
   /** Remove every band row of vectors in `ids` (a vec_id frame) —

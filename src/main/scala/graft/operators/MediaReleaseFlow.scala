@@ -76,11 +76,11 @@ object MediaReleaseFlow {
 
   /** Initialize the artifact pair from the first media corpus version.
     * `media` must carry (doc_id, payload). */
-  def init(media: DataFrame, base: String): Unit = {
-    writeBytes(media, base, "overwrite")
-    StreamingMediaDedup.writeIndex(
-      StreamingMediaDedup.buildIndex(media), phashDir(base))
-  }
+  def init(media: DataFrame, base: String): Unit =
+    Par.run(
+      () => writeBytes(media, base, "overwrite"),
+      () => StreamingMediaDedup.writeIndex(
+        StreamingMediaDedup.buildIndex(media), phashDir(base)))
 
   /** Screen `shard` (doc_id, payload) against the persisted artifacts,
     * append the admitted slice to both, return the labeled decision
@@ -107,8 +107,9 @@ object MediaReleaseFlow {
       .localCheckpoint() // pin decisions BEFORE the appends mutate state
     val admitted = decided.filter(col("decision") === "admit")
       .select("doc_id", "payload")
-    writeBytes(admitted, base, "append")
-    StreamingMediaDedup.appendIndex(admitted, phashDir(base))
+    Par.run(
+      () => writeBytes(admitted, base, "append"),
+      () => StreamingMediaDedup.appendIndex(admitted, phashDir(base)))
     decided
   }
 
@@ -124,19 +125,19 @@ object MediaReleaseFlow {
   /** [[retract]] for an already-materialized id frame
     * ([[ReleaseFlow.retractAll]]'s one-pin discipline). */
   private[graft] def retractPinned(spark: SparkSession, ids: DataFrame,
-      base: String): Unit = {
-    Compaction.retract(spark, s"${bytehashDir(base)}/payload_hashes", ids)(
-      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
-    StreamingMediaDedup.retractIndexPinned(spark, ids, phashDir(base))
-  }
+      base: String): Unit =
+    Par.run(
+      () => Compaction.retract(spark, s"${bytehashDir(base)}/payload_hashes",
+        ids)(_.repartitionByRange(col("h")).sortWithinPartitions("h")),
+      () => StreamingMediaDedup.retractIndexPinned(spark, ids, phashDir(base)))
 
   /** Compact both artifacts — [[ReleaseFlow.compact]]'s maintenance op
     * for the media lifecycle (see [[Compaction]]). */
-  def compact(spark: SparkSession, base: String): Unit = {
-    Compaction.rewrite(spark, s"${bytehashDir(base)}/payload_hashes")(
-      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
-    StreamingMediaDedup.compactIndex(spark, phashDir(base))
-  }
+  def compact(spark: SparkSession, base: String): Unit =
+    Par.run(
+      () => Compaction.rewrite(spark, s"${bytehashDir(base)}/payload_hashes")(
+        _.repartitionByRange(col("h")).sortWithinPartitions("h")),
+      () => StreamingMediaDedup.compactIndex(spark, phashDir(base)))
 
   /** The release audit rollup — decisions per reason with an identity
     * checksum, the accounting row a media release report carries. */

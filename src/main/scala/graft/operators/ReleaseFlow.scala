@@ -70,14 +70,17 @@ object ReleaseFlow {
   def winnowDir(base: String): String  = s"$base/winnow"
 
   /** Initialize the artifact set from the first corpus version.
-    * `corpus` must carry (lang, doc_id, text). */
-  def init(corpus: DataFrame, base: String): Unit = {
-    DedupIndex.write(corpus, dedupDir(base))
-    StreamingNearDup.writeIndex(StreamingNearDup.buildIndex(corpus),
-      neardupDir(base))
-    SubstringIndex.write(corpus, substrDir(base))
-    WinnowIndex.write(corpus, winnowDir(base))
-  }
+    * `corpus` must carry (lang, doc_id, text). The four builds are
+    * independent single-writer jobs over disjoint directories — they
+    * run concurrently ([[Par]], guide §2.6) so wall clock is the
+    * slowest build, not the sum of four. */
+  def init(corpus: DataFrame, base: String): Unit =
+    Par.run(
+      () => DedupIndex.write(corpus, dedupDir(base)),
+      () => StreamingNearDup.writeIndex(StreamingNearDup.buildIndex(corpus),
+        neardupDir(base)),
+      () => SubstringIndex.write(corpus, substrDir(base)),
+      () => WinnowIndex.write(corpus, winnowDir(base)))
 
   /** Opt-in screens beyond the three standing artifacts — the two
     * decision arms that need caller-supplied state: `contaminated`
@@ -157,13 +160,15 @@ object ReleaseFlow {
       .drop((if (addChars) Seq("n_chars") else Seq.empty[String]): _*)
       .localCheckpoint() // pin decisions BEFORE the appends mutate state
     val admitted = decided.filter(col("decision") === "admit").drop("decision")
-    DedupIndex.append(admitted, dedupDir(base))
-    StreamingNearDup.appendIndex(admitted, neardupDir(base))
-    SubstringIndex.append(admitted, substrDir(base))
-    // the winnow append keeps the tier's coverage invariant: every doc
-    // entering the span index enters the fingerprint index in the same
-    // release
-    WinnowIndex.append(admitted, winnowDir(base))
+    // the four appends read the pinned admitted slice and write four
+    // disjoint artifact dirs — concurrent jobs ([[Par]]), the winnow
+    // append keeping the tier's coverage invariant regardless of
+    // completion order (release returns only after ALL landed)
+    Par.run(
+      () => DedupIndex.append(admitted, dedupDir(base)),
+      () => StreamingNearDup.appendIndex(admitted, neardupDir(base)),
+      () => SubstringIndex.append(admitted, substrDir(base)),
+      () => WinnowIndex.append(admitted, winnowDir(base)))
     decided
   }
 
@@ -254,12 +259,12 @@ object ReleaseFlow {
     * ([[Compaction]]'s contract — compact ≡ rebuild ≡ append-chain,
     * CompactionSpec pins it through a live release). Offline op, like
     * the init/release calls themselves. */
-  def compact(spark: SparkSession, base: String): Unit = {
-    DedupIndex.compact(spark, dedupDir(base))
-    StreamingNearDup.compactIndex(spark, neardupDir(base))
-    SubstringIndex.compact(spark, substrDir(base))
-    WinnowIndex.compact(spark, winnowDir(base))
-  }
+  def compact(spark: SparkSession, base: String): Unit =
+    Par.run(
+      () => DedupIndex.compact(spark, dedupDir(base)),
+      () => StreamingNearDup.compactIndex(spark, neardupDir(base)),
+      () => SubstringIndex.compact(spark, substrDir(base)),
+      () => WinnowIndex.compact(spark, winnowDir(base)))
 
   /** RETRACTION — the RECALL half of the release lifecycle: remove
     * every artifact row derived from `docIds` across all four indexes,
@@ -305,11 +310,21 @@ object ReleaseFlow {
     // pin the id list before the first swap: a caller may derive it
     // from a frame whose lineage reads these very artifacts
     val ids = docIds.select("doc_id").distinct().localCheckpoint()
-    DedupIndex.retractPinned(spark, ids, dedupDir(base))
-    StreamingNearDup.retractIndexPinned(spark, ids, neardupDir(base))
-    SubstringIndex.retractPinned(spark, ids, substrDir(base))
-    WinnowIndex.retractPinned(spark, ids, winnowDir(base))
+    retractPinnedAll(spark, ids, base)
   }
+
+  /** The four release-artifact retractions over ONE pinned id set —
+    * independent versioned swaps on disjoint dirs, run concurrently
+    * ([[Par]]): each is its own discovery scan + rewrite + GC, and the
+    * substring rewrite (the largest artifact) dominates, so the other
+    * three ride inside its wall clock. */
+  private def retractPinnedAll(spark: SparkSession, ids: DataFrame,
+      base: String): Unit =
+    Par.run(
+      () => DedupIndex.retractPinned(spark, ids, dedupDir(base)),
+      () => StreamingNearDup.retractIndexPinned(spark, ids, neardupDir(base)),
+      () => SubstringIndex.retractPinned(spark, ids, substrDir(base)),
+      () => WinnowIndex.retractPinned(spark, ids, winnowDir(base)))
 
   /** A deployment's full artifact footprint, for [[retractAll]]. The
     * three artifact families a corpus deployment accumulates:
@@ -351,33 +366,37 @@ object ReleaseFlow {
   def retractAll(spark: SparkSession, docIds: DataFrame,
       fp: Footprint): Seq[(String, String)] = {
     val ids = docIds.select("doc_id").distinct().localCheckpoint()
+    // every footprint member is an independent artifact root — one
+    // concurrent task per root ([[Par]]); the ledger is assembled in
+    // the fixed declaration order AFTER all tasks land, so its rows
+    // are deterministic regardless of completion order
+    val tasks = Seq.newBuilder[() => Unit]
     val out = Seq.newBuilder[(String, String)]
-    DedupIndex.retractPinned(spark, ids, dedupDir(fp.release))
-    StreamingNearDup.retractIndexPinned(spark, ids, neardupDir(fp.release))
-    SubstringIndex.retractPinned(spark, ids, substrDir(fp.release))
-    WinnowIndex.retractPinned(spark, ids, winnowDir(fp.release))
+    tasks += (() => retractPinnedAll(spark, ids, fp.release))
     out += fp.release -> "retracted (dedup, neardup, substr, winnow)"
     fp.media.foreach { m =>
-      MediaReleaseFlow.retractPinned(spark, ids, m)
+      tasks += (() => MediaReleaseFlow.retractPinned(spark, ids, m))
       out += m -> "retracted (bytehash, phash)"
     }
     fp.ann.foreach { a =>
-      AnnIndexes.retractPinned(spark,
-        ids.select(col("doc_id").as("vec_id")), a)
+      tasks += (() => AnnIndexes.retractPinned(spark,
+        ids.select(col("doc_id").as("vec_id")), a))
       out += a -> "retracted (lsh, ivf)"
     }
     fp.shards.foreach { case (sb, epochs) =>
-      epochs.foreach(e => EpochShards.retractShardsPinned(spark, ids, e, sb))
+      tasks += (() =>
+        epochs.foreach(e => EpochShards.retractShardsPinned(spark, ids, e, sb)))
       out += sb -> s"shards refreshed (epochs ${epochs.mkString(",")})"
     }
     fp.curriculum.foreach { cb =>
-      EpochShards.retractCurriculumShardsPinned(spark, ids, cb)
+      tasks += (() => EpochShards.retractCurriculumShardsPinned(spark, ids, cb))
       out += cb -> "curriculum shards refreshed"
     }
     fp.rebuildClass.foreach { rb =>
-      TrainMeta.markRetraction(ids, rb)
+      tasks += (() => TrainMeta.markRetraction(ids, rb))
       out += rb -> "marked stale (rebuild-class; retrain to clear)"
     }
+    Par.run(tasks.result())
     out.result()
   }
 

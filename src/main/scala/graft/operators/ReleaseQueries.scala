@@ -126,9 +126,18 @@ object ReleaseQueries {
       val dst = new org.apache.hadoop.fs.Path(dest)
       val fs = dst.getFileSystem(conf)
       if (fs.exists(dst)) fs.delete(dst, true)
-      org.apache.hadoop.fs.FileUtil.copy(
-        src.getFileSystem(conf), src, fs, dst, false, conf)
-      ()
+      // per-artifact concurrent copy ([[Par]]'s overlap discipline):
+      // the master holds four independent index trees, and a serial
+      // FileUtil.copy walks them file-by-file — driver-side I/O every
+      // gate invocation pays, four-way parallel since round 18
+      val srcFs = src.getFileSystem(conf)
+      fs.mkdirs(dst)
+      Par.run(srcFs.listStatus(src).toSeq.map(s => () => {
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, s.getPath, fs, new org.apache.hadoop.fs.Path(dst,
+            s.getPath.getName), false, conf)
+        ()
+      }))
     }
   }
 

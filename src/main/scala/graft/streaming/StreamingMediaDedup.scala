@@ -55,12 +55,12 @@ object StreamingMediaDedup {
     * materialized frames. Band rows clustered by (band_id, bkey) so
     * the probe equi-join scans clustered row groups; signatures by
     * doc_id for the verify join. */
-  def writeIndex(idx: Index, base: String): Unit = {
-    idx.sigs.sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$base/sigs")
-    idx.bands.sortWithinPartitions("band_id", "bkey")
-      .write.mode("overwrite").parquet(s"$base/bands")
-  }
+  def writeIndex(idx: Index, base: String): Unit =
+    graft.operators.Par.run(
+      () => idx.sigs.sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$base/sigs"),
+      () => idx.bands.sortWithinPartitions("band_id", "bkey")
+        .write.mode("overwrite").parquet(s"$base/bands"))
 
   def readIndex(spark: SparkSession, base: String): Index =
     Index(
@@ -70,13 +70,13 @@ object StreamingMediaDedup {
   /** Restore both frames' clustered layout after an append chain —
     * [[StreamingNearDup.compactIndex]]'s contract on the media
     * column. Row multisets unchanged. */
-  def compactIndex(spark: SparkSession, base: String): Unit = {
-    graft.operators.Compaction.rewrite(spark, s"$base/sigs")(
-      _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
-    graft.operators.Compaction.rewrite(spark, s"$base/bands")(
-      _.repartitionByRange(col("band_id"), col("bkey"))
-        .sortWithinPartitions("band_id", "bkey"))
-  }
+  def compactIndex(spark: SparkSession, base: String): Unit =
+    graft.operators.Par.run(
+      () => graft.operators.Compaction.rewrite(spark, s"$base/sigs")(
+        _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")),
+      () => graft.operators.Compaction.rewrite(spark, s"$base/bands")(
+        _.repartitionByRange(col("band_id"), col("bkey"))
+          .sortWithinPartitions("band_id", "bkey")))
 
   /** Remove every signature and band row of items in `ids` (a doc_id
     * frame) — [[StreamingNearDup.retractIndex]]'s contract on the
@@ -93,13 +93,13 @@ object StreamingMediaDedup {
     * combined [[graft.operators.MediaReleaseFlow.retract]] pins once
     * across both artifacts). */
   private[graft] def retractIndexPinned(spark: SparkSession,
-      pinned: DataFrame, base: String): Unit = {
-    graft.operators.Compaction.retract(spark, s"$base/sigs", pinned)(
-      _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
-    graft.operators.Compaction.retract(spark, s"$base/bands", pinned)(
-      _.repartitionByRange(col("band_id"), col("bkey"))
-        .sortWithinPartitions("band_id", "bkey"))
-  }
+      pinned: DataFrame, base: String): Unit =
+    graft.operators.Par.run(
+      () => graft.operators.Compaction.retract(spark, s"$base/sigs", pinned)(
+        _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")),
+      () => graft.operators.Compaction.retract(spark, s"$base/bands", pinned)(
+        _.repartitionByRange(col("band_id"), col("bkey"))
+          .sortWithinPartitions("band_id", "bkey")))
 
   /** Incremental append — newly admitted media join the persisted
     * index without a rebuild. Signature and band rows are a PURE
@@ -110,15 +110,18 @@ object StreamingMediaDedup {
     val spark = media.sparkSession
     val idx = buildIndex(media)
     val sigs = idx.sigs.localCheckpoint()
-    graft.operators.Compaction.appendInto(spark, s"$base/sigs") { live =>
-      sigs.sortWithinPartitions("doc_id")
-        .write.mode("append").parquet(live)
-    }
-    graft.operators.Compaction.appendInto(spark, s"$base/bands") { live =>
-      Multimodal.sigBandFrame(sigs)
-        .sortWithinPartitions("band_id", "bkey")
-        .write.mode("append").parquet(live)
-    }
+    graft.operators.Par.run(
+      () => graft.operators.Compaction.appendInto(spark, s"$base/sigs") {
+        live =>
+          sigs.sortWithinPartitions("doc_id")
+            .write.mode("append").parquet(live)
+      },
+      () => graft.operators.Compaction.appendInto(spark, s"$base/bands") {
+        live =>
+          Multimodal.sigBandFrame(sigs)
+            .sortWithinPartitions("band_id", "bkey")
+            .write.mode("append").parquet(live)
+      })
   }
 
   /** Screen a streaming media frame (doc_id, payload, `tsCol`) against

@@ -56,12 +56,12 @@ object StreamingNearDup {
     * per query start. Band rows are laid out sorted by (band_id, bkey)
     * so a band-key equi-join scans clustered row groups; the sketch by
     * doc_id for the verification join. */
-  def writeIndex(idx: Index, base: String): Unit = {
-    idx.sketch.sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$base/sketch")
-    idx.bands.sortWithinPartitions("band_id", "bkey")
-      .write.mode("overwrite").parquet(s"$base/bands")
-  }
+  def writeIndex(idx: Index, base: String): Unit =
+    graft.operators.Par.run(
+      () => idx.sketch.sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$base/sketch"),
+      () => idx.bands.sortWithinPartitions("band_id", "bkey")
+        .write.mode("overwrite").parquet(s"$base/bands"))
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, base: String): Index =
     Index(
@@ -73,13 +73,13 @@ object StreamingNearDup {
     * (band_id, bkey) for the probe equi-join, the sketch by doc_id
     * for the verify join. Row multisets unchanged. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      base: String): Unit = {
-    graft.operators.Compaction.rewrite(spark, s"$base/sketch")(
-      _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
-    graft.operators.Compaction.rewrite(spark, s"$base/bands")(
-      _.repartitionByRange(col("band_id"), col("bkey"))
-        .sortWithinPartitions("band_id", "bkey"))
-  }
+      base: String): Unit =
+    graft.operators.Par.run(
+      () => graft.operators.Compaction.rewrite(spark, s"$base/sketch")(
+        _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")),
+      () => graft.operators.Compaction.rewrite(spark, s"$base/bands")(
+        _.repartitionByRange(col("band_id"), col("bkey"))
+          .sortWithinPartitions("band_id", "bkey")))
 
   /** Remove every sketch and band row of documents in `ids` (a doc_id
     * frame) — [[graft.operators.Compaction.retract]]'s contract on both
@@ -101,13 +101,13 @@ object StreamingNearDup {
     * a second materialization per index. */
   private[graft] def retractIndexPinned(
       spark: org.apache.spark.sql.SparkSession,
-      pinned: DataFrame, base: String): Unit = {
-    graft.operators.Compaction.retract(spark, s"$base/sketch", pinned)(
-      _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"))
-    graft.operators.Compaction.retract(spark, s"$base/bands", pinned)(
-      _.repartitionByRange(col("band_id"), col("bkey"))
-        .sortWithinPartitions("band_id", "bkey"))
-  }
+      pinned: DataFrame, base: String): Unit =
+    graft.operators.Par.run(
+      () => graft.operators.Compaction.retract(spark, s"$base/sketch", pinned)(
+        _.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")),
+      () => graft.operators.Compaction.retract(spark, s"$base/bands", pinned)(
+        _.repartitionByRange(col("band_id"), col("bkey"))
+          .sortWithinPartitions("band_id", "bkey")))
 
   /** Incremental append — newly admitted docs join the persisted corpus
     * index without a rebuild (the [[graft.operators.AnnIndexes.appendLsh]]
@@ -122,16 +122,20 @@ object StreamingNearDup {
     * until the next batch rebuild compacts them. */
   def appendIndex(docs: DataFrame, base: String): Unit = {
     val spark = docs.sparkSession
+    // eager pin FIRST: both appends derive from the one sketch frame
     val sk = LlmQueries.docSketch(docs).localCheckpoint()
-    graft.operators.Compaction.appendInto(spark, s"$base/sketch") { live =>
-      sk.sortWithinPartitions("doc_id")
-        .write.mode("append").parquet(live)
-    }
-    graft.operators.Compaction.appendInto(spark, s"$base/bands") { live =>
-      LlmQueries.minhashBuckets(sk.select("doc_id", "sig"))
-        .sortWithinPartitions("band_id", "bkey")
-        .write.mode("append").parquet(live)
-    }
+    graft.operators.Par.run(
+      () => graft.operators.Compaction.appendInto(spark, s"$base/sketch") {
+        live =>
+          sk.sortWithinPartitions("doc_id")
+            .write.mode("append").parquet(live)
+      },
+      () => graft.operators.Compaction.appendInto(spark, s"$base/bands") {
+        live =>
+          LlmQueries.minhashBuckets(sk.select("doc_id", "sig"))
+            .sortWithinPartitions("band_id", "bkey")
+            .write.mode("append").parquet(live)
+      })
   }
 
   /** Screen a streaming document frame (doc_id, text, `tsCol`) against
