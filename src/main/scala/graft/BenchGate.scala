@@ -26,12 +26,29 @@ object BenchGate {
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
+    // SQL-execution id → the action's callsite description: Spark 4
+    // runs SQL commands on a captured thread, so the job's OWN
+    // callsite reads "withThreadLocalCaptured at …" — the
+    // SQLExecutionStart event carries the real one.
+    val sqlDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val listener = new SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          sqlDesc.put(s.executionId, s.description); ()
+        case _ => ()
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties).flatMap(p =>
-          Option(p.getProperty("callSite.short"))
-            .orElse(Option(p.getProperty("spark.job.description"))))
-          .getOrElse(js.stageInfos.lastOption.map(_.name).getOrElse("?"))
+        val fromSql = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(sqlDesc.get(id.toLong)))
+        val fromStack = js.stageInfos.lastOption.flatMap { si =>
+          si.details.split('\n')
+            .find(l => l.contains("graft.") && !l.contains("BenchGate"))
+            .map(_.trim.replaceAll("^at ", ""))
+        }
+        val site = fromSql.orElse(fromStack)
+          .orElse(js.stageInfos.lastOption.map(_.name)).getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site)); ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
