@@ -104,10 +104,20 @@ object CorpusBuild {
       .select(col("lang"), col("doc_id"),
         lit("cleanse").as("stage"), lit("cleaned_out").as("outcome"))
     val survivorsIn = staged.filter(col("text").isNotNull)
-    val decided =
-      (if (cfg.curative) ReleaseFlow.releaseCut(spark, survivorsIn, base,
-        cfg.screens)
-      else ReleaseFlow.release(spark, survivorsIn, base, cfg.screens))
+    // deferred-append release (guide §2.6 one level up): the gate
+    // ladder's four artifact appends run CONCURRENTLY with the
+    // curation/sampling stages below, which read only the eagerly
+    // checkpointed decision frame — never the artifacts. The join
+    // before Result keeps build's contract ("appends the admitted
+    // slice to every artifact") observable to every caller.
+    val (decided, joinAppends) =
+      (if (cfg.curative) ReleaseFlow.releaseCutDeferred(spark, survivorsIn,
+        base, cfg.screens)
+      else ReleaseFlow.releaseDeferred(spark, survivorsIn, base, cfg.screens))
+    // everything between fork and join is wrapped so a curation/shard
+    // failure still joins (or observes) the in-flight appends instead
+    // of leaving them racing past the exception
+    try {
     val gateOut = decided.filter(col("decision") =!= "admit")
       .select(col("lang"), col("doc_id"),
         lit("gate").as("stage"), col("decision").as("outcome"))
@@ -171,5 +181,6 @@ object CorpusBuild {
         cfg.epoch, sb)
     }
     Result(ledger, manifest, decided)
+    } finally joinAppends() // all artifacts landed before build returns
   }
 }

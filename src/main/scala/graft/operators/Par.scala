@@ -42,4 +42,38 @@ private[graft] object Par {
 
   def run(first: () => Unit, rest: (() => Unit)*): Unit =
     run(first +: rest)
+
+  /** Start `tasks` concurrently NOW, return the JOIN: calling the
+    * returned thunk blocks until every task completed and rethrows the
+    * first failure (idempotent — a second call re-awaits the same
+    * completed futures). For compositions where work independent of
+    * the tasks can run between fork and join — [[CorpusBuild.build]]
+    * overlaps the release's artifact appends with the curation stage
+    * this way (curation reads only the pre-append decision checkpoint,
+    * never the artifacts; the composite still joins before returning,
+    * so callers observe the same "all artifacts landed" contract as
+    * [[run]]). */
+  def deferred(tasks: Seq[() => Unit]): () => Unit = {
+    if (tasks.isEmpty) return () => ()
+    // daemon threads: the normal path always joins, but an exception
+    // between fork and join must not leave non-daemon pool threads
+    // pinning the JVM open
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, tasks.size),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-par-deferred")
+        t.setDaemon(true)
+        t
+      })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val fut = scala.concurrent.Future.traverse(tasks)(t =>
+      scala.concurrent.Future(t.apply()))
+    () => {
+      try {
+        scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration.Inf); ()
+      } finally pool.shutdown()
+    }
+  }
 }

@@ -120,6 +120,23 @@ object ReleaseFlow {
     * before the appends so the screens provably see pre-append state. */
   def release(spark: SparkSession, shard0: DataFrame, base: String,
       screens: Screens = Screens()): DataFrame = {
+    val (decided, joinAppends) = releaseDeferred(spark, shard0, base, screens)
+    joinAppends()
+    decided
+  }
+
+  /** [[release]] with the appends FORKED instead of awaited: returns
+    * (decided, joinAppends). The decision frame is already eagerly
+    * checkpointed (pre-append state, unchanged), so a caller may run
+    * work that depends only on the DECISIONS — never on the artifacts
+    * — between fork and join ([[CorpusBuild.build]] overlaps its
+    * curation stage this way, guide §2.6 one level up). The caller
+    * MUST invoke joinAppends() before anything reads or re-releases
+    * the artifacts; [[release]] itself is exactly this with an
+    * immediate join, so the public contract is unchanged. */
+  private[operators] def releaseDeferred(spark: SparkSession,
+      shard0: DataFrame, base: String,
+      screens: Screens = Screens()): (DataFrame, () => Unit) = {
     // a null-text row can neither be screened (null hash, no sketch)
     // nor indexed (every artifact's build drops it) — admitting it
     // would break the idempotence contract, since a re-release could
@@ -161,15 +178,16 @@ object ReleaseFlow {
       .localCheckpoint() // pin decisions BEFORE the appends mutate state
     val admitted = decided.filter(col("decision") === "admit").drop("decision")
     // the four appends read the pinned admitted slice and write four
-    // disjoint artifact dirs — concurrent jobs ([[Par]]), the winnow
-    // append keeping the tier's coverage invariant regardless of
-    // completion order (release returns only after ALL landed)
-    Par.run(
+    // disjoint artifact dirs — concurrent jobs started NOW ([[Par
+    // .deferred]]), the winnow append keeping the tier's coverage
+    // invariant regardless of completion order; the returned join is
+    // where "ALL artifacts landed" becomes true
+    val joinAppends = Par.deferred(Seq(
       () => DedupIndex.append(admitted, dedupDir(base)),
       () => StreamingNearDup.appendIndex(admitted, neardupDir(base)),
       () => SubstringIndex.append(admitted, substrDir(base)),
-      () => WinnowIndex.append(admitted, winnowDir(base)))
-    decided
+      () => WinnowIndex.append(admitted, winnowDir(base))))
+    (decided, joinAppends)
   }
 
   /** The CURATIVE release — [[release]] rejects a span-lifting document
@@ -216,6 +234,18 @@ object ReleaseFlow {
     * pricing note). */
   def releaseCut(spark: SparkSession, shard0: DataFrame, base: String,
       screens: Screens = Screens()): DataFrame = {
+    val (decided, joinAppends) =
+      releaseCutDeferred(spark, shard0, base, screens)
+    joinAppends()
+    decided
+  }
+
+  /** [[releaseCut]] in [[releaseDeferred]]'s forked-appends form —
+    * same caller obligation: joinAppends() before anything reads or
+    * re-releases the artifacts. */
+  private[operators] def releaseCutDeferred(spark: SparkSession,
+      shard0: DataFrame, base: String,
+      screens: Screens = Screens()): (DataFrame, () => Unit) = {
     // same shard-pinning argument as [[release]], needed HERE as well
     // because the cure path walks the shard three more times (hash
     // exemption, winnow screen, cut) before release() ever sees it —
@@ -248,7 +278,7 @@ object ReleaseFlow {
         col("text_clean")).otherwise(col("text")))
       .withColumn("n_cut_tokens", coalesce(col("n_cut_tokens"), lit(0L)))
       .drop("text_clean")
-    release(spark, shardCured, base, screens)
+    releaseDeferred(spark, shardCured, base, screens)
   }
 
   /** Compact all four artifacts — the maintenance op a release

@@ -30,6 +30,24 @@ class ParSpec extends AnyFunSuite {
     assert(boom.getMessage === "artifact 2 failed")
   }
 
+  test("deferred: tasks start before join; join blocks until all done and rethrows") {
+    val done = new java.util.concurrent.atomic.AtomicInteger
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val join = Par.deferred(Seq(
+      () => { started.countDown(); Thread.sleep(50); done.incrementAndGet(); () },
+      () => { Thread.sleep(30); done.incrementAndGet(); () }))
+    // fork semantics: the first task begins without the join being called
+    assert(started.await(2, java.util.concurrent.TimeUnit.SECONDS),
+      "deferred tasks did not start until join — that's run(), not deferred()")
+    join()
+    assert(done.get() === 2, "join returned before every task completed")
+    join() // idempotent: re-await of completed futures must not throw
+    val failing = Par.deferred(Seq(
+      () => throw new RuntimeException("append 3 failed")))
+    val boom = intercept[RuntimeException](failing())
+    assert(boom.getMessage === "append 3 failed")
+  }
+
   test("empty and single-task arities: no pool, same semantics") {
     Par.run(Seq.empty) // no-op, must not throw
     var ran = false
