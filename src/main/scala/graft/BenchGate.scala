@@ -26,6 +26,11 @@ object BenchGate {
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
+    // stage attribution: wall alone cannot separate "32 cores computing"
+    // from "a queued stage round waiting on the scheduler" — per-job
+    // executor-run totals and task counts make the distinction visible
+    val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+    val stageRun = new java.util.concurrent.ConcurrentHashMap[Int, (Double, Int)]()
     // SQL-execution id → the action's callsite description: Spark 4
     // runs SQL commands on a captured thread, so the job's OWN
     // callsite reads "withThreadLocalCaptured at …" — the
@@ -38,6 +43,12 @@ object BenchGate {
           sqlDesc.put(s.executionId, s.description); ()
         case _ => ()
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stageRun.put(si.stageId,
+          (si.taskMetrics.executorRunTime / 1e3, si.numTasks)); ()
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val fromSql = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
@@ -49,11 +60,16 @@ object BenchGate {
         }
         val site = fromSql.orElse(fromStack)
           .orElse(js.stageInfos.lastOption.map(_.name)).getOrElse("?")
+        jobStages.put(js.jobId, js.stageIds.map(_.toInt))
         starts.put(js.jobId, (System.nanoTime(), site)); ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
-          rows.add(((System.nanoTime() - t0) / 1e9, site))
+          val (run, tasks) = Option(jobStages.get(je.jobId)).getOrElse(Nil)
+            .flatMap(s => Option(stageRun.get(s)))
+            .foldLeft((0.0, 0)) { case ((r, n), (r2, n2)) => (r + r2, n + n2) }
+          rows.add(((System.nanoTime() - t0) / 1e9,
+            f"run=$run%6.2fs tasks=$tasks%4d  $site"))
         }; ()
       }
     }

@@ -80,7 +80,15 @@ object Components {
     * Returns the fixpoint labels; [[closeAdaptiveMeasured]] also
     * reports the rounds run (spec observability). */
   def closeAdaptive(edges: DataFrame, maxIters: Int = 64,
-      checkpointEvery: Int = 4): DataFrame =
+      // 2, not 4: every pipeline caller closes near-dup clusters, which
+      // are near-cliques (diameter 2-3) — with blocks of 4 the typical
+      // call pays 8 propagation rounds (4 active + a 4-round no-op
+      // confirmation block) where blocks of 2 pay 4-6; a long-diameter
+      // graph pays one extra poll per 2 rounds, bounded and cheap (the
+      // poll is a 1-row scan-aggregate over a checkpointed frame).
+      // Labels are the unique fixpoint either way — block size is pure
+      // cost, never semantics (ComponentsSpec's explicit-block pins).
+      checkpointEvery: Int = 2): DataFrame =
     closeAdaptiveMeasured(edges, maxIters, checkpointEvery)._1
 
   private[graft] def closeAdaptiveMeasured(edges: DataFrame, maxIters: Int,

@@ -820,7 +820,7 @@ object AuditQueries {
       else "cast(conv(substring(md5(concat_ws(' ', " +
         s"slice(ta, i + 1, $WinnowK))), 1, 8), 16, 10) as bigint)"
     corpus.filter(col("text").isNotNull)
-      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .withColumn("ta", LlmQueries.tokensOf(corpus))
       .filter(size(col("ta")) >= WinnowK + WinnowW - 1)
       .withColumn("keys", expr(
         s"transform(sequence(0, size(ta) - $WinnowK), i -> " +

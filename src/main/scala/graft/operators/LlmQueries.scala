@@ -36,6 +36,22 @@ object LlmQueries {
     * two can never disagree on what "same document" means. */
   private[graft] val normHash: Column = sha2(lower(trim(col("text"))), 256)
 
+  /** Tokenize-once column: a frame carrying `_toks_pre` (the canonical
+    * whitespace tokenization, PRE-computed and usually pinned in a
+    * checkpoint) lets every tokenizing helper reuse it instead of
+    * re-running the regex split per consumer. [[graft.operators
+    * .ReleaseFlow.releaseDeferred]] pins it on the shard: decide()'s
+    * screen arms (sketch, grams, winnow, stop-word stats) and the four
+    * artifact appends each read the same token arrays from the
+    * checkpoint — one split instead of seven. The column name is
+    * reserved (leading underscore, never a data column), and the value
+    * is BY CONSTRUCTION the same expression the helpers would compute,
+    * so reuse is bit-identical. */
+  private[graft] val PreTokens = "_toks_pre"
+  private[graft] def tokensOf(df: DataFrame): Column =
+    if (df.columns.contains(PreTokens)) col(PreTokens)
+    else split(lower(col("text")), "\\s+")
+
   /** THE corpus quality rule, in one place (round-9: the rule was
     * inlined at three sites — l6's good/low gate, l19/l29's
     * low_quality arm — and the streaming admission gate makes a
@@ -44,7 +60,7 @@ object LlmQueries {
     * whitespace tokens and the stopword share in basis points;
     * [[qualityKeep]] is the keep predicate over (n_chars, stop_bp). */
   private[graft] def withStopBp(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(lower(col("text")), "\\s+"))
+    df.withColumn("toks", tokensOf(df))
       .withColumn("stop_bp",
         round(size(expr(
           "filter(toks, t -> array_contains(array('the','a','value','table'), t))"))
@@ -402,7 +418,7 @@ object LlmQueries {
     * any `keep` columns passed through. */
   private[graft] def docSketch(dd: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     graft.functions.NativeVectorExprs.ensureRegistered(dd.sparkSession)
-    dd.withColumn("toks", split(lower(col("text")), "\\s+"))
+    dd.withColumn("toks", tokensOf(dd))
       .filter(size(col("toks")) >= 3)
       .select((Seq(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))

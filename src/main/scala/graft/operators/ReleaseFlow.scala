@@ -154,9 +154,18 @@ object ReleaseFlow {
     // from exactly this). One materialization, bounded by SHARD size —
     // never the corpus — the same discipline as the decided checkpoint
     // below. Lazy: the first arm materializes it.
+    // tokenize-once (guide §2.3's "don't recompute what you can carry"):
+    // the canonical whitespace tokenization rides IN the pinned shard as
+    // the reserved [[LlmQueries.PreTokens]] column, so decide()'s screen
+    // arms (sketch, span grams, winnow, stop-word stats) and the four
+    // artifact appends all reuse one split instead of re-running the
+    // regex per consumer — bit-identical values by construction
+    // (LlmQueries.tokensOf). Dropped from the returned frame below.
     val withChars =
       (if (addChars) shard.withColumn("n_chars", length(col("text")).cast("long"))
-       else shard).localCheckpoint(false)
+       else shard)
+        .withColumn(LlmQueries.PreTokens, split(lower(col("text")), "\\s+"))
+        .localCheckpoint(false)
     val gates = AdmissionPipeline.Gates(
       StreamingNearDup.readIndex(spark, neardupDir(base)),
       // an empty LONG gram frame leaves the contaminated arm inert
@@ -172,21 +181,28 @@ object ReleaseFlow {
       classifier = screens.classifier,
       exactHashes = Some(DedupIndex.read(spark, dedupDir(base)).select("h")),
       docQuality = screens.docQuality)
-    val decided = AdmissionPipeline.decide(withChars, gates)
+    // pin decisions BEFORE the appends mutate state; the checkpoint
+    // still carries the pre-tokens so the appends read them for free
+    val decidedFull = AdmissionPipeline.decide(withChars, gates)
       .withColumnRenamed("reason", "decision")
-      .drop((if (addChars) Seq("n_chars") else Seq.empty[String]): _*)
-      .localCheckpoint() // pin decisions BEFORE the appends mutate state
-    val admitted = decided.filter(col("decision") === "admit").drop("decision")
-    // the four appends read the pinned admitted slice and write four
-    // disjoint artifact dirs — concurrent jobs started NOW ([[Par
-    // .deferred]]), the winnow append keeping the tier's coverage
-    // invariant regardless of completion order; the returned join is
-    // where "ALL artifacts landed" becomes true
+      .localCheckpoint()
+    val admitted = decidedFull.filter(col("decision") === "admit")
+      .drop("decision")
+    // the four appends read the pinned admitted slice (pre-tokens
+    // included — each builder projects its own columns, so the extra
+    // column never lands in an artifact) and write four disjoint
+    // artifact dirs — concurrent jobs started NOW ([[Par.deferred]]),
+    // the winnow append keeping the tier's coverage invariant
+    // regardless of completion order; the returned join is where "ALL
+    // artifacts landed" becomes true
     val joinAppends = Par.deferred(Seq(
       () => DedupIndex.append(admitted, dedupDir(base)),
       () => StreamingNearDup.appendIndex(admitted, neardupDir(base)),
       () => SubstringIndex.append(admitted, substrDir(base)),
       () => WinnowIndex.append(admitted, winnowDir(base))))
+    val decided = decidedFull
+      .drop((LlmQueries.PreTokens +:
+        (if (addChars) Seq("n_chars") else Seq.empty[String])): _*)
     (decided, joinAppends)
   }
 
@@ -249,8 +265,13 @@ object ReleaseFlow {
     // same shard-pinning argument as [[release]], needed HERE as well
     // because the cure path walks the shard three more times (hash
     // exemption, winnow screen, cut) before release() ever sees it —
-    // r2's gate measured ~38 s from the unpinned composite
-    val shard = shard0.filter(col("text").isNotNull).localCheckpoint(false)
+    // r2's gate measured ~38 s from the unpinned composite. Pre-tokens
+    // ride in this pin too (winnow screen + span cut reuse them);
+    // releaseDeferred RE-tokenizes the cured text below, so a cut doc
+    // never screens against its stale pre-cure tokens.
+    val shard = shard0.filter(col("text").isNotNull)
+      .withColumn(LlmQueries.PreTokens, split(lower(col("text")), "\\s+"))
+      .localCheckpoint(false)
     val fresh = shard
       .withColumn("_h", DedupIndex.contentHash)
       .join(DedupIndex.read(spark, dedupDir(base))

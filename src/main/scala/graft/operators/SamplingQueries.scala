@@ -320,7 +320,7 @@ object SamplingQueries {
   private[graft] def docGramsK(df: DataFrame, keep: Seq[String], k: Int,
       hashed: Boolean): DataFrame = {
     val g = df
-      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .withColumn("ta", LlmQueries.tokensOf(df))
       .filter(size(col("ta")) >= k)
       .select(keep.map(col) :+
         explode(expr(s"array_distinct(transform(sequence(0, size(ta) - $k), " +
@@ -545,7 +545,7 @@ object SamplingQueries {
     * NOT dedup'd — span merging needs every occurrence site). */
   private[graft] def spanGrams(df: DataFrame, k: Int, hashed: Boolean): DataFrame = {
     val g = df
-      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .withColumn("ta", LlmQueries.tokensOf(df))
       .filter(size(col("ta")) >= k)
       .select(col("lang"), col("doc_id"),
         posexplode(expr(s"transform(sequence(0, size(ta) - $k), " +
@@ -863,7 +863,7 @@ object SamplingQueries {
     * and the lazy CASE keeps the i−1 index unevaluated at i = 0. */
   private def applyCuts(corpus: DataFrame, cuts: DataFrame): DataFrame =
     corpus.filter(col("text").isNotNull)
-      .withColumn("ta", split(lower(col("text")), "\\s+"))
+      .withColumn("ta", LlmQueries.tokensOf(corpus))
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("kept",
         when(col("cuts").isNull, col("ta")).otherwise(expr(

@@ -157,6 +157,22 @@ object AdmissionPipeline {
       })
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  /** Screen-arm bits in the fused flag word ([[decide]]): one tagged
+    * union + ONE doc_id aggregation replaces the former five per-arm
+    * distinct+left-join rounds — decision-identical (a bit tests true/
+    * false exactly where the old per-arm flag read true/null, and the
+    * `when` chain treats null and false the same), but the composed
+    * plan pays one exchange + one join instead of five of each. The
+    * gates are choreography-bound at shard scale (BenchGate round 19:
+    * sub-second stage rounds dominate the wall), so fewer rounds is
+    * the measured lever; at 100 TB the fused form also shuffles the
+    * flag rows once instead of five times. */
+  private val NdBit = 1L  // near_duplicate (band sketch)
+  private val CtBit = 2L  // contaminated (holdout grams)
+  private val CsBit = 4L  // contaminated (semantic, opt-in)
+  private val VrBit = 8L  // verbatim_repeat (span index, opt-in)
+  private val XdBit = 16L // corpus_duplicate (exact hash, opt-in)
+
   def decide(batch: DataFrame, gates: Gates): DataFrame = {
     // batch-ownership guard: a crash REPLAY under [[startLive]] screens
     // against an index already holding the batch's OWN append — so
@@ -172,74 +188,69 @@ object AdmissionPipeline {
     // l9/l28 is that backstop). One anti-join per screen, keyed on a
     // batch-sized distinct set — per-batch bounded.
     val batchOwned = batch.select(col("doc_id").as("corpus_id")).distinct()
-    val near = StreamingNearDup.screenRaw(batch, gates.neardup, keep = Nil)
-      .join(batchOwned, Seq("corpus_id"), "left_anti")
-      .select("doc_id").distinct().withColumn("_nd", lit(true))
-    val contam = StreamingDecontam.screenRaw(batch, gates.holdoutGrams)
-      .select("doc_id").distinct().withColumn("_ct", lit(true))
+    def arm(df: DataFrame, bit: Long): DataFrame =
+      df.select(col("doc_id"), lit(bit).as("_arm"))
+    val arms = Seq.newBuilder[DataFrame]
+    arms += arm(StreamingNearDup.screenRaw(batch, gates.neardup, keep = Nil)
+      .join(batchOwned, Seq("corpus_id"), "left_anti"), NdBit)
+    arms += arm(StreamingDecontam.screenRaw(batch, gates.holdoutGrams), CtBit)
     // the opt-in semantic-decontam arm: active only when the gate is
-    // configured AND the batch carries embeddings; same always-false
-    // default shape as the other opt-in screens
-    val semantic = gates.evalVecs
-      .filter(_ => batch.columns.contains("v"))
-      .map(ix => StreamingSemanticDecontam.screenRaw(batch, ix)
-        .select("doc_id").distinct().withColumn("_cs", lit(true)))
-      .getOrElse(near.sparkSession.emptyDataFrame
-        .select(lit(-1L).as("doc_id"), lit(true).as("_cs")).limit(0))
-    // the opt-in verbatim-span screen: an always-false 1-row-free frame
-    // when no corpus span index is configured, so the join shape (and
-    // the decision chain) stays identical either way
-    val verbatim = gates.corpusSpans
-      .map(ix => StreamingSubstring.screenRaw(batch, ix,
-          excludeOwners = Some(batchOwned), winnow = gates.corpusWinnow)
-        .select("doc_id").distinct().withColumn("_vr", lit(true)))
-      .getOrElse(near.sparkSession.emptyDataFrame
-        .select(lit(-1L).as("doc_id"), lit(true).as("_vr")).limit(0))
-    // the opt-in exact-hash corpus backstop (same always-false default
-    // shape as the verbatim screen): content hash keys on the batch's
-    // text AS DECIDED — under `clean=true` that is the cleaned text,
-    // matching an index built from cleaned releases. Replay semantics
-    // are CALLER-CHOSEN through the index projection: an index frame
-    // CARRYING `doc_id` (the persisted DedupIndex's own shape) gets
-    // the batch-ownership guard — a replayed [[startLive]] batch whose
-    // hash append survived re-admits its own docs; an h-only frame is
-    // UNguarded — [[graft.operators.ReleaseFlow]] passes that shape so
-    // re-releasing a shard re-labels its own landed bytes
-    // corpus_duplicate (idempotence by the artifact's own semantics).
-    val exact = gates.exactHashes
-      .map { ix0 =>
-        val ix =
-          if (ix0.columns.contains("doc_id"))
-            ix0.join(batch.select("doc_id").distinct(),
-              Seq("doc_id"), "left_anti")
-          else ix0
-        batch
-          .withColumn("_h", graft.operators.DedupIndex.contentHash)
-          .join(ix.select(col("h").as("_h")).distinct(), Seq("_h"), "left_semi")
-          .select("doc_id").distinct().withColumn("_xd", lit(true))
+    // configured AND the batch carries embeddings; an inert arm simply
+    // contributes nothing to the union
+    if (batch.columns.contains("v"))
+      gates.evalVecs.foreach { ix =>
+        arms += arm(StreamingSemanticDecontam.screenRaw(batch, ix), CsBit)
       }
-      .getOrElse(near.sparkSession.emptyDataFrame
-        .select(lit(-1L).as("doc_id"), lit(true).as("_xd")).limit(0))
+    // the opt-in verbatim-span screen
+    gates.corpusSpans.foreach { ix =>
+      arms += arm(StreamingSubstring.screenRaw(batch, ix,
+        excludeOwners = Some(batchOwned), winnow = gates.corpusWinnow), VrBit)
+    }
+    // the opt-in exact-hash corpus backstop: content hash keys on the
+    // batch's text AS DECIDED — under `clean=true` that is the cleaned
+    // text, matching an index built from cleaned releases. Replay
+    // semantics are CALLER-CHOSEN through the index projection: an
+    // index frame CARRYING `doc_id` (the persisted DedupIndex's own
+    // shape) gets the batch-ownership guard — a replayed [[startLive]]
+    // batch whose hash append survived re-admits its own docs; an
+    // h-only frame is UNguarded — [[graft.operators.ReleaseFlow]]
+    // passes that shape so re-releasing a shard re-labels its own
+    // landed bytes corpus_duplicate (idempotence by the artifact's own
+    // semantics).
+    gates.exactHashes.foreach { ix0 =>
+      val ix =
+        if (ix0.columns.contains("doc_id"))
+          ix0.join(batch.select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+        else ix0
+      arms += arm(batch
+        .withColumn("_h", graft.operators.DedupIndex.contentHash)
+        .join(ix.select(col("h").as("_h")).distinct(), Seq("_h"), "left_semi"),
+        XdBit)
+    }
+    // ONE flag word per flagged doc (unflagged docs are absent and read
+    // null after the left join, exactly like the old per-arm nulls);
+    // the per-arm distinct is subsumed by this aggregation
+    val flags = arms.result().reduce(_ unionByName _)
+      .groupBy("doc_id").agg(bit_or(col("_arm")).as("_fl"))
+    // null _fl => null test => the `when` skips, same as the old nulls
+    def hit(bits: Long) = col("_fl").bitwiseAND(lit(bits)) =!= 0L
     LlmQueries.withStopBp(batch)
-      .join(near, Seq("doc_id"), "left")
-      .join(contam, Seq("doc_id"), "left")
-      .join(semantic, Seq("doc_id"), "left")
-      .join(verbatim, Seq("doc_id"), "left")
-      .join(exact, Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
       .withColumn("reason",
         // byte-exact copy of the LANDED corpus is the strongest
         // duplicate claim — ahead of the sketch's near_duplicate
-        when(col("_xd"), "corpus_duplicate")
-          .when(col("_nd"), "near_duplicate")
+        when(hit(XdBit), "corpus_duplicate")
+          .when(hit(NdBit), "near_duplicate")
           // dedup family stays contiguous: a doc that is BOTH a whole-doc
           // near-dup and a partial verbatim repeat reads near_duplicate
           // (the stronger claim); a partial lift that banding cannot see
           // reads verbatim_repeat
-          .when(col("_vr"), "verbatim_repeat")
+          .when(hit(VrBit), "verbatim_repeat")
           // gram-detected OR embedding-detected eval leakage: one
-          // claim, one label (null || true = true under Kleene logic,
-          // so either arm alone suffices)
-          .when(col("_ct") || col("_cs"), "contaminated")
+          // claim, one label (either bit alone suffices, same truth
+          // table as the old Kleene null || true)
+          .when(hit(CtBit | CsBit), "contaminated")
           // the POSITIVE quality verdict guards both remaining arms: a
           // null text (malformed/permissive-parsed record) nulls the
           // predicate, skips this branch, and lands in low_quality —

@@ -106,30 +106,35 @@ object MediaAdmission {
           Encoders.product[Multimodal.MediaRawTagged]))
       .toDF().select(col("tag").as("_k"), col("width"), col("height"))
       .distinct() // same-bytes rows decode identically — one metadata row per key
+    // the two flag arms fuse into ONE tagged union + _k aggregation
+    // (same shape as [[AdmissionPipeline.decide]]'s fused flag word —
+    // decision-identical, one join round instead of two; the meta join
+    // stays separate because it carries VALUES, not a flag):
+    //  - perceptual dup, with the replay batch-ownership guard (see the
+    //    scaladoc above);
+    //  - the opt-in byte-exact backstop: a payload whose sha256 the
+    //    landed corpus already holds is the strongest duplicate claim —
+    //    and it is UNguarded, so a re-released shard flags against its
+    //    own landed bytes (batch idempotence) where the perceptual arm
+    //    would not.
     val dup = StreamingMediaDedup.screenRaw(ok, gates.phash,
       keep = Seq("_k"))
-      // replay batch-ownership guard — see the scaladoc above
       .join(ok.select(col("doc_id").as("corpus_id")).distinct(),
         Seq("corpus_id"), "left_anti")
-      .select("_k").distinct().withColumn("_md", lit(true))
-    // the opt-in byte-exact backstop: a payload whose sha256 the landed
-    // corpus already holds is the strongest duplicate claim — and it is
-    // UNguarded, so a re-released shard flags against its own landed
-    // bytes (batch idempotence) where the perceptual arm would not
-    val exact = gates.exactHashes
-      .map(ix => ok.select(col("_k")).distinct()
+      .select(col("_k"), lit(1L).as("_arm"))
+    val arms = gates.exactHashes
+      .map(ix => dup.unionByName(ok.select(col("_k"))
         .join(ix.select(col("h").as("_k")).distinct(), Seq("_k"), "left_semi")
-        .withColumn("_xd", lit(true)))
-      .getOrElse(keyed.sparkSession.emptyDataFrame
-        .select(lit("").as("_k"), lit(true).as("_xd")).limit(0))
+        .select(col("_k"), lit(2L).as("_arm"))))
+      .getOrElse(dup)
+    val flags = arms.groupBy("_k").agg(bit_or(col("_arm")).as("_fl"))
     keyed
       .join(meta, Seq("_k"), "left")
-      .join(dup, Seq("_k"), "left")
-      .join(exact, Seq("_k"), "left")
+      .join(flags, Seq("_k"), "left")
       .withColumn("reason",
         when(col("payload").isNull || length(col("payload")) < 5, "corrupt")
-          .when(col("_xd"), "corpus_duplicate")
-          .when(col("_md"), "media_duplicate")
+          .when(col("_fl").bitwiseAND(lit(2L)) =!= 0L, "corpus_duplicate")
+          .when(col("_fl").bitwiseAND(lit(1L)) =!= 0L, "media_duplicate")
           .when(col("width") < LlmQueries.MediaMinDim ||
             col("height") < LlmQueries.MediaMinDim, "too_small")
           .when(greatest(col("width"), col("height")).cast("long") >
