@@ -29,11 +29,11 @@ object PlanDecide {
       .select(col("lang"), col("doc_id"), col("text"))
     ReleaseFlow.init(corpus, base)
     // the shard pin, exactly as releaseDeferred builds it (disjoint ids)
-    val shard = corpus
-      .withColumn("doc_id", col("doc_id") + lit(10000000L))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn(LlmQueries.PreTokens, split(lower(col("text")), "\\s+"))
-      .localCheckpoint(false)
+    val shard = LlmQueries.withGatePre(corpus
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn(LlmQueries.PreTokens, split(lower(col("text")), "\\s+")))
+      .localCheckpoint()
     val gates = AdmissionPipeline.Gates(
       StreamingNearDup.readIndex(spark, ReleaseFlow.neardupDir(base)),
       spark.emptyDataFrame.select(lit(0L).as("gram")).limit(0),

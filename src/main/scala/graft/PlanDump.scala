@@ -21,14 +21,19 @@ object PlanDump {
     val spark = Session.get()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { n =>
+      val t0 = System.nanoTime()
       val plan =
         try SparkEntry.queries(n)(spark, sfDir).queryExecution
           .explainString(org.apache.spark.sql.execution.FormattedMode)
         catch { case e: Throwable => s"PLAN FAILED: $e" }
+      // construction+planning milliseconds: for non-gate queries this is
+      // the driver-side share a bench shot pays BEFORE any task runs —
+      // the number that separates "slow plan" from "slow execution"
+      val ms = (System.nanoTime() - t0) / 1e6
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt"),
         plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[plandump] $n -> $outDir/${n}_$suffix.txt")
+      println(f"[plandump] $n -> $outDir/${n}_$suffix.txt (${ms}%.0f ms)")
     }
     spark.stop()
   }

@@ -31,11 +31,38 @@ object NativeTextExprs {
     TopGramStats(children.head)
   }
 
-  def register(ext: SparkSessionExtensions): Unit =
+  private val gramHashBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2,
+      "graft_gram_hash64(tokens, k) takes an array<string> and a width")
+    GramHash64(children.head, children(1))
+  }
+
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_topgram_stats"),
       new ExpressionInfo(classOf[TopGramStats].getName, "graft_topgram_stats"),
       topgramBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hash64"),
+      new ExpressionInfo(classOf[GramHash64].getName, "graft_gram_hash64"),
+      gramHashBuilder))
+  }
+
+  /** Register into an ALREADY-BUILT session if absent — same fallback
+    * contract as [[NativeVectorExprs.ensureRegistered]]. Idempotent. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_topgram_stats")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_topgram_stats"),
+        new ExpressionInfo(classOf[TopGramStats].getName, "graft_topgram_stats"),
+        topgramBuilder)
+    if (!reg.functionExists(FunctionIdentifier("graft_gram_hash64")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_gram_hash64"),
+        new ExpressionInfo(classOf[GramHash64].getName, "graft_gram_hash64"),
+        gramHashBuilder)
+  }
 }
 
 /** `graft_topgram_stats(tokens)` → `array<bigint>` of length 6:
@@ -151,5 +178,105 @@ object TopGramStats {
     }
     out(at) = bestC
     out(at + 1) = bestCov
+  }
+}
+
+/** Native positional k-gram xxhash64 over an `array<string>` token
+  * column — `graft_gram_hash64(ta, k)` is BYTE-IDENTICAL, position for
+  * position, to `transform(sequence(0, size(ta) - k), i ->
+  * xxhash64(concat_ws(' ', slice(ta, i + 1, k))))` (seed 42, Spark's
+  * own `XXH64.hashUnsafeBytes`), because a space-joined k-gram is a
+  * CONTIGUOUS SLICE of the space-joined document: the tokens are
+  * written once into one byte buffer and each gram hashed in place over
+  * its slice. The HOF form builds a fresh k-token UTF8String per
+  * position — O(tokens × k) bytes of allocation + copy per document;
+  * this is O(tokens) copy + O(tokens × k) pure hashing, no per-gram
+  * garbage. It is the shared gram-hash kernel of the release gates'
+  * pre-computed pin columns (sketch shingles k=3, winnow grams k=5,
+  * span grams k=15 — [[graft.operators.LlmQueries.withGatePre]]) and of
+  * every hashed gram frame builder.
+  *
+  * Returns NULL when the doc has fewer than k tokens — exactly the rows
+  * the HOF form's `size(ta) >= k` guards drop — and null-poisons on a
+  * null token (unreachable from `split` output; mirrors the other
+  * native expressions' conservatism, and concat_ws's null-SKIPPING
+  * would silently mis-hash such a gram anyway). */
+case class GramHash64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_gram_hash64 requires (array<string>, int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hash64"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, k: Any): Any =
+    GramHash64.compute(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  // same codegen stance as TopGramStats: the hot loop is the static
+  // helper, called once per row from inside the WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) => {
+      val r = ctx.freshName("gramHashResult")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.GramHash64.compute($a, $k);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramHash64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object GramHash64 {
+
+  /** Static entry shared by interpreted eval and codegen. Returns null
+    * when `n < k`, on a non-positive width, or on a null token. */
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (k <= 0 || n < k) return null
+    val toks = new Array[UTF8String](n)
+    var total = n - 1 // the n-1 single-space separators
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      val u = tokens.getUTF8String(i)
+      toks(i) = u
+      total += u.numBytes()
+      i += 1
+    }
+    // one space-joined buffer + per-token start offsets: gram i's bytes
+    // are buf[offs(i), ends(i + k - 1))
+    val buf = new Array[Byte](total)
+    val offs = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var pos = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) { buf(pos) = ' '; pos += 1 }
+      offs(i) = pos
+      val u = toks(i)
+      u.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += u.numBytes()
+      ends(i) = pos
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
+        ends(i + k - 1) - offs(i), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }

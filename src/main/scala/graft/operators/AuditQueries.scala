@@ -814,20 +814,49 @@ object AuditQueries {
   private[graft] def winnowArrays(corpus: DataFrame,
       keyCols: Seq[String] = Seq("lang", "doc_id"),
       hashed: Boolean = false): DataFrame = {
-    val h =
-      if (hashed) "(xxhash64(concat_ws(' ', slice(ta, i + 1, " +
-        s"$WinnowK))) & 8796093022207L)"
-      else "cast(conv(substring(md5(concat_ws(' ', " +
-        s"slice(ta, i + 1, $WinnowK))), 1, 8), 16, 10) as bigint)"
+    // production keys route through the native gram-hash kernel (same
+    // masked xxhash64 values — graft_gram_hash64 is byte-identical to
+    // the concat_ws form); the md5 stand-in stays the oracle-replayed
+    // l74 arm
+    if (hashed)
+      graft.functions.NativeTextExprs.ensureRegistered(corpus.sparkSession)
+    val keysExpr =
+      if (hashed)
+        s"transform(graft_gram_hash64(ta, $WinnowK), (h, i) -> " +
+          "(h & 8796093022207L) * 1048576L + (1048575L - i))"
+      else
+        s"transform(sequence(0, size(ta) - $WinnowK), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', " +
+          s"slice(ta, i + 1, $WinnowK))), 1, 8), 16, 10) as bigint) " +
+          "* 1048576L + (1048575L - i))"
     corpus.filter(col("text").isNotNull)
       .withColumn("ta", LlmQueries.tokensOf(corpus))
       .filter(size(col("ta")) >= WinnowK + WinnowW - 1)
-      .withColumn("keys", expr(
-        s"transform(sequence(0, size(ta) - $WinnowK), i -> " +
-          s"$h * 1048576L + (1048575L - i))"))
+      .withColumn("keys", expr(keysExpr))
       .select(keyCols.map(col) :+ expr(
         s"transform(sequence(0, size(keys) - $WinnowW), s -> " +
           s"array_min(slice(keys, s + 1, $WinnowW)))").as("minkeys"): _*)
+  }
+
+  /** Per-doc DISTINCT winnow fingerprint hashes (production xxhash64
+    * keys) as ONE array column `out` over a pre-tokenized column — the
+    * winnow family's member of the gate pin's compute-once columns
+    * ([[LlmQueries.withGatePre]]): [[WinnowIndex]]'s build (tier-1
+    * screen AND index append) projects it instead of re-running the
+    * gram-hash + window-min chain per consumer. Same keys, same masks,
+    * same window arithmetic as [[winnowArrays]]`(hashed = true)`; null
+    * where that form's `size(ta) >= k + w - 1` filter drops the doc. */
+  private[graft] def winnowDocHashes(df: DataFrame, toks: String,
+      out: String): DataFrame = {
+    graft.functions.NativeTextExprs.ensureRegistered(df.sparkSession)
+    df.withColumn("_wk_pre", when(size(col(toks)) >= WinnowK + WinnowW - 1,
+        expr(s"transform(graft_gram_hash64($toks, $WinnowK), (h, i) -> " +
+          "(h & 8796093022207L) * 1048576L + (1048575L - i))")))
+      .withColumn(out, when(col("_wk_pre").isNotNull, expr(
+        s"array_distinct(transform(transform(sequence(0, size(_wk_pre) - " +
+          s"$WinnowW), s -> array_min(slice(_wk_pre, s + 1, $WinnowW))), " +
+          "k -> k div 1048576))")))
+      .drop("_wk_pre")
   }
 
   private[graft] def winnowSelect(corpus: DataFrame): DataFrame =
@@ -849,7 +878,7 @@ object AuditQueries {
             .as("n_selected"),
           expr("array_distinct(transform(minkeys, k -> k div 1048576))")
             .as("hs"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val perLang = perDoc.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum("n_windows").as("n_windows"),

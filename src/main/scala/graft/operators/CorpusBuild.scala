@@ -139,7 +139,8 @@ object CorpusBuild {
       .withColumn("_dup",
         (col("comp").isNotNull && col("doc_id") =!= col("comp")) ||
           col("doc_id") =!= col("exact_canon"))
-      .localCheckpoint(false)
+      // eager (three consumers race a lazy pin — the decide-pin lesson)
+      .localCheckpoint()
     val curationOut = curated.filter(col("_dup"))
       .select(col("lang"), col("doc_id"),
         lit("curation").as("stage"), lit("near_duplicate").as("outcome"))
@@ -158,7 +159,7 @@ object CorpusBuild {
         SamplingQueries.thresholds))
       .withColumn("split", Sampling.splitLabel(col("doc_id"), lit("split"),
         Seq("train" -> "c000", "val" -> "e000"), last = "test"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val ledger = cleanedOut
       .unionByName(gateOut)
       .unionByName(curationOut)

@@ -242,7 +242,11 @@ object CorpusOpsQueries {
       .withColumn("sdf", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("sdf") <= dfCap)
       .select("source", "gram")
-      .localCheckpoint(false)
+      // eager: three consumers (totals + both self-join sides) race
+      // through a lazy pin as concurrent AQE stages, each recomputing
+      // the gram window until the cache lands (the round-19 decide-pin
+      // lesson); one up-front job materializes it exactly once
+      .localCheckpoint()
     val tot = kept.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val pairs = kept.select(col("gram"), col("source").as("src_a"))
       .join(kept.select(col("gram"), col("source").as("src_b")), Seq("gram"))

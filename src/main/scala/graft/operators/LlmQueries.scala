@@ -397,12 +397,14 @@ object LlmQueries {
     * two shingles corpus-wide; at any realistic vocabulary that is ~0
     * and only nudges a Jaccard estimate, exactly like MinHash's own
     * hashing.) */
-  private[operators] def shingles(dd: DataFrame): DataFrame =
+  private[operators] def shingles(dd: DataFrame): DataFrame = {
+    graft.functions.NativeTextExprs.ensureRegistered(dd.sparkSession)
     dd.withColumn("toks", split(lower(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
-        .as("sh"))
+      .select(col("doc_id"),
+        explode(call_function("graft_gram_hash64", col("toks"), lit(3)))
+          .as("sh"))
+  }
 
   /** SHUFFLE-FREE per-document sketch — the map-side stage shared by
     * batch l9 and the streaming near-dup screen
@@ -418,13 +420,73 @@ object LlmQueries {
     * any `keep` columns passed through. */
   private[graft] def docSketch(dd: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     graft.functions.NativeVectorExprs.ensureRegistered(dd.sparkSession)
-    dd.withColumn("toks", tokensOf(dd))
-      .filter(size(col("toks")) >= 3)
-      .select((Seq(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(toks) - 3), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
-        .as("shs")) ++ keep.map(col)): _*)
-      .withColumn("n_sh", size(col("shs")).cast("long"))
-      .withColumn("sig", call_function("graft_minhash", col("shs")))
+    // sketch-once reuse (the [[PreTokens]] discipline one level up): a
+    // frame already carrying the reserved sketch columns — the release
+    // gates' pinned shard ([[graft.operators.ReleaseFlow]]) computes
+    // them once into the checkpoint — projects them instead of
+    // re-running the shingle transform + signature per consumer
+    // (screen bands, screen verify, index append = three re-sketches
+    // per release before this). Bit-identical by construction:
+    // [[withSketchPre]] builds the same expressions, nulled exactly
+    // where this branch's size(toks) >= 3 filter drops.
+    if (dd.columns.contains(PreShs) && dd.columns.contains(PreSig))
+      dd.filter(col(PreShs).isNotNull)
+        .select(Seq(col("doc_id"), col(PreShs).as("shs")) ++ keep.map(col) ++
+          Seq(size(col(PreShs)).cast("long").as("n_sh"),
+            col(PreSig).as("sig")): _*)
+    else {
+      graft.functions.NativeTextExprs.ensureRegistered(dd.sparkSession)
+      dd.withColumn("toks", tokensOf(dd))
+        .filter(size(col("toks")) >= 3)
+        .select((Seq(col("doc_id"), array_distinct(
+          call_function("graft_gram_hash64", col("toks"), lit(3)))
+          .as("shs")) ++ keep.map(col)): _*)
+        .withColumn("n_sh", size(col("shs")).cast("long"))
+        .withColumn("sig", call_function("graft_minhash", col("shs")))
+    }
+  }
+
+  /** Reserved pre-computed MinHash sketch columns — [[PreTokens]]'s
+    * sibling discipline: the distinct 3-shingle hash array and the
+    * K=64 signature, computed ONCE into a pinned frame and reused by
+    * every [[docSketch]] consumer. Null for docs under 3 tokens, which
+    * is exactly the set docSketch's own filter drops. */
+  private[graft] val PreShs = "_shs_pre"
+  private[graft] val PreSig = "_sig_pre"
+
+  /** Reserved positional SpanK-gram-hash array ([[SamplingQueries
+    * .spanGramHashes]]) and per-doc distinct winnow fingerprint array
+    * ([[AuditQueries.winnowDocHashes]]) — the remaining two compute-
+    * heavy per-doc derivations the release gates re-ran per consumer. */
+  private[graft] val PreGrams = "_grams_pre"
+  private[graft] val PreWinnow = "_winnow_pre"
+
+  /** The full gate-pin pre-computation: [[withSketchPre]] plus the
+    * span-gram and winnow arrays. One pinned materialization then
+    * serves the near-dup screen (bands + verify), the verbatim screen
+    * (tiered or exact), and three of the four artifact appends
+    * (neardup sketch/bands, substring positional grams, winnow
+    * fingerprints) — each consumer a projection of the checkpoint
+    * instead of its own gram/shingle pass. */
+  private[graft] def withGatePre(df: DataFrame): DataFrame =
+    AuditQueries.winnowDocHashes(
+      withSketchPre(df)
+        .withColumn(PreGrams, SamplingQueries.spanGramHashes(PreTokens)),
+      PreTokens, PreWinnow)
+
+  /** Append [[PreShs]]/[[PreSig]] — the same expressions [[docSketch]]
+    * computes (same shingle hashing, same native signature), nulled
+    * where the doc has no 3-shingle. Callers pin the result
+    * (localCheckpoint) so the sketch prices once per frame. */
+  private[graft] def withSketchPre(df: DataFrame): DataFrame = {
+    graft.functions.NativeVectorExprs.ensureRegistered(df.sparkSession)
+    graft.functions.NativeTextExprs.ensureRegistered(df.sparkSession)
+    // native gram-hash kernel (graft_gram_hash64): byte-identical hashes
+    // to the transform/concat_ws form, null exactly where size < 3
+    df.withColumn(PreShs,
+        array_distinct(call_function("graft_gram_hash64", tokensOf(df), lit(3))))
+      .withColumn(PreSig, when(col(PreShs).isNotNull,
+        call_function("graft_minhash", col(PreShs))))
   }
 
   /** L9 — MinHash + banded LSH near-duplicate detection, the canonical
@@ -911,7 +973,7 @@ object LlmQueries {
       // discipline) so the typed feature+signature maps run one time
       val sigs = graft.functions.Multimodal.perceptualHash(
         graft.functions.Multimodal.extractFeatures(raw, bins = 64)).toDF()
-        .localCheckpoint(false)
+        .localCheckpoint()
       val bands = graft.functions.Multimodal.sigBandFrame(sigs)
       val plantedPairs = dd.filter(isPlantedSrc(col("doc_id")))
         .crossJoin(broadcast(off))

@@ -161,11 +161,34 @@ object ReleaseFlow {
     // artifact appends all reuse one split instead of re-running the
     // regex per consumer — bit-identical values by construction
     // (LlmQueries.tokensOf). Dropped from the returned frame below.
-    val withChars =
+    // compute-once, one level up from tokenize-once: the MinHash
+    // shingle array + K=64 signature, the positional span-gram hashes,
+    // and the winnow fingerprint array all ride in the pin
+    // ([[LlmQueries.withGatePre]]), so decide()'s screen arms AND the
+    // artifact appends project one computed derivation each instead of
+    // re-running it per consumer (BenchDecide round 19: the re-sketched
+    // near-dup arm alone was ~2.9 s of the ~3.2 s decision wall; with
+    // the pre-cols it reads ~0.7 s). The fan-out makes the one place
+    // that still PAYS the per-doc compute — the pin's materialization —
+    // run at the session's parallelism when the shard arrives as a few
+    // scan partitions (the single-file fixture case; a cluster-scale
+    // shard is already wider and fanOut is a no-op).
+    // EAGER pin (plain localCheckpoint), deliberately: decide() reads
+    // this frame from six concurrent arm subtrees, and AQE runs their
+    // stages as parallel jobs — a lazy pin would be recomputed by every
+    // un-cached-yet task wave racing through it (measured: r1's
+    // decision stages burned ~10× the pin's CPU in duplicated
+    // recomputes before the cache landed). One up-front job
+    // materializes the heavy per-doc derivations exactly once, at the
+    // shard's own scan parallelism (a repartition-to-cores fan-out was
+    // measured and REJECTED — the exchange plus the wider checkpoint's
+    // per-task overheads cost more than the parallel pre-compute wins
+    // at any width tried; BENCH_NOTES round 19).
+    val withChars = LlmQueries.withGatePre(
       (if (addChars) shard.withColumn("n_chars", length(col("text")).cast("long"))
        else shard)
-        .withColumn(LlmQueries.PreTokens, split(lower(col("text")), "\\s+"))
-        .localCheckpoint(false)
+        .withColumn(LlmQueries.PreTokens, split(lower(col("text")), "\\s+")))
+      .localCheckpoint()
     val gates = AdmissionPipeline.Gates(
       StreamingNearDup.readIndex(spark, neardupDir(base)),
       // an empty LONG gram frame leaves the contaminated arm inert
@@ -201,7 +224,8 @@ object ReleaseFlow {
       () => SubstringIndex.append(admitted, substrDir(base)),
       () => WinnowIndex.append(admitted, winnowDir(base))))
     val decided = decidedFull
-      .drop((LlmQueries.PreTokens +:
+      .drop((Seq(LlmQueries.PreTokens, LlmQueries.PreShs, LlmQueries.PreSig,
+        LlmQueries.PreGrams, LlmQueries.PreWinnow) ++
         (if (addChars) Seq("n_chars") else Seq.empty[String])): _*)
     (decided, joinAppends)
   }
@@ -269,9 +293,26 @@ object ReleaseFlow {
     // ride in this pin too (winnow screen + span cut reuse them);
     // releaseDeferred RE-tokenizes the cured text below, so a cut doc
     // never screens against its stale pre-cure tokens.
-    val shard = shard0.filter(col("text").isNotNull)
+    // the cut pin carries exactly the pre-computations ITS consumers
+    // project — tokens (cut application), positional span-gram hashes
+    // (the cut probe), and the winnow fingerprints only under the
+    // tiered knob — never the MinHash sketch (no screen runs here; the
+    // decision pin inside releaseDeferred carries that). The cured
+    // text re-pins through releaseDeferred, which OVERWRITES every
+    // pre-column from the fresh tokens — a cut doc never screens
+    // against its stale pre-cure derivations (the standing contract).
+    val pinBase = shard0.filter(col("text").isNotNull)
       .withColumn(LlmQueries.PreTokens, split(lower(col("text")), "\\s+"))
-      .localCheckpoint(false)
+      .withColumn(LlmQueries.PreGrams,
+        SamplingQueries.spanGramHashes(LlmQueries.PreTokens))
+    // eager for the same concurrent-recompute reason as the decision
+    // pin: the cure chain's arms (hash exemption, winnow screen, cut
+    // probe, the no-op-cure re-join) race through this frame
+    val shard =
+      (if (screens.tieredVerbatim)
+        AuditQueries.winnowDocHashes(pinBase, LlmQueries.PreTokens,
+          LlmQueries.PreWinnow)
+      else pinBase).localCheckpoint()
     val fresh = shard
       .withColumn("_h", DedupIndex.contentHash)
       .join(DedupIndex.read(spark, dedupDir(base))

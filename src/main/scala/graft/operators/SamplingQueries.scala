@@ -319,14 +319,41 @@ object SamplingQueries {
     * k = [[SpanK]]. Same tokenization as [[spanGrams]] by construction. */
   private[graft] def docGramsK(df: DataFrame, keep: Seq[String], k: Int,
       hashed: Boolean): DataFrame = {
-    val g = df
-      .withColumn("ta", LlmQueries.tokensOf(df))
-      .filter(size(col("ta")) >= k)
-      .select(keep.map(col) :+
-        explode(expr(s"array_distinct(transform(sequence(0, size(ta) - $k), " +
-          s"i -> concat_ws(' ', slice(ta, i + 1, $k))))")).as("gram"): _*)
-    if (hashed) g.withColumn("gram", xxhash64(col("gram"))) else g
+    // gram-once reuse (the sketch-once discipline's span sibling): a
+    // frame carrying the reserved positional SpanK-gram-hash array —
+    // the release gates' pinned shard — explodes its per-doc DISTINCT
+    // hashes instead of re-running the 15-token concat+hash per
+    // consumer. Same hash set per doc (xxhash64 over distinct strings
+    // ≡ distinct over per-position hashes; a 64-bit collision would
+    // only drop a duplicate row every downstream dedups anyway).
+    if (hashed && k == SpanK && df.columns.contains(LlmQueries.PreGrams))
+      df.select(keep.map(col) :+
+        explode(array_distinct(col(LlmQueries.PreGrams))).as("gram"): _*)
+    else if (hashed) {
+      // native kernel, any width: same distinct hash set per doc as the
+      // string-distinct-then-hash form (see the pre-branch note)
+      graft.functions.NativeTextExprs.ensureRegistered(df.sparkSession)
+      df.withColumn("ta", LlmQueries.tokensOf(df))
+        .filter(size(col("ta")) >= k)
+        .select(keep.map(col) :+
+          explode(array_distinct(
+            call_function("graft_gram_hash64", col("ta"), lit(k)))).as("gram"): _*)
+    } else
+      df.withColumn("ta", LlmQueries.tokensOf(df))
+        .filter(size(col("ta")) >= k)
+        .select(keep.map(col) :+
+          explode(expr(s"array_distinct(transform(sequence(0, size(ta) - $k), " +
+            s"i -> concat_ws(' ', slice(ta, i + 1, $k))))")).as("gram"): _*)
   }
+
+  /** The reserved positional [[SpanK]]-gram-hash array over a
+    * pre-tokenized column — one xxhash64 per gram position, null when
+    * the doc has no SpanK-gram (exactly the rows [[spanGrams]]'
+    * size-filter drops). Computed once into a pinned frame
+    * ([[LlmQueries.withGatePre]]); [[docGramsK]] (distinct form) and
+    * [[spanGrams]] (positional form) both project it. */
+  private[graft] def spanGramHashes(toks: String): org.apache.spark.sql.Column =
+    call_function("graft_gram_hash64", col(toks), lit(SpanK))
 
   private[graft] def decontaminate(
       labeled: DataFrame, hashedGrams: Boolean): DataFrame = {
@@ -544,14 +571,27 @@ object SamplingQueries {
   /** POSITIONAL k-grams (unlike [[docGrams]], positions are kept and
     * NOT dedup'd — span merging needs every occurrence site). */
   private[graft] def spanGrams(df: DataFrame, k: Int, hashed: Boolean): DataFrame = {
-    val g = df
-      .withColumn("ta", LlmQueries.tokensOf(df))
-      .filter(size(col("ta")) >= k)
-      .select(col("lang"), col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, size(ta) - $k), " +
-          s"i -> concat_ws(' ', slice(ta, i + 1, $k)))")))
-      .withColumnRenamed("col", "gram")
-    if (hashed) g.withColumn("gram", xxhash64(col("gram"))) else g
+    // positional form of [[docGramsK]]'s gram-once reuse: posexplode of
+    // the reserved hash array is byte-identical to hashing after the
+    // string posexplode (xxhash64 applied per position either way)
+    if (hashed && k == SpanK && df.columns.contains(LlmQueries.PreGrams))
+      df.select(col("lang"), col("doc_id"),
+          posexplode(col(LlmQueries.PreGrams)))
+        .withColumnRenamed("col", "gram")
+    else if (hashed) {
+      graft.functions.NativeTextExprs.ensureRegistered(df.sparkSession)
+      df.withColumn("ta", LlmQueries.tokensOf(df))
+        .filter(size(col("ta")) >= k)
+        .select(col("lang"), col("doc_id"),
+          posexplode(call_function("graft_gram_hash64", col("ta"), lit(k))))
+        .withColumnRenamed("col", "gram")
+    } else
+      df.withColumn("ta", LlmQueries.tokensOf(df))
+        .filter(size(col("ta")) >= k)
+        .select(col("lang"), col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, size(ta) - $k), " +
+            s"i -> concat_ws(' ', slice(ta, i + 1, $k)))")))
+        .withColumnRenamed("col", "gram")
   }
 
   /** L33 core — substring-level deduplication (Lee et al. 2022,
@@ -589,7 +629,7 @@ object SamplingQueries {
     // [[substringSpansFrom]] the shared probe half); block-manager
     // checkpoint is the single-job stand-in here.
     substringSpansFrom(corpus, spanGrams(corpus, k, hashed)
-      .localCheckpoint(false), k)
+      .localCheckpoint(), k)
   }
 
   /** ONE checkpointed positional string-gram frame of the PLANTED
@@ -756,7 +796,7 @@ object SamplingQueries {
     * against its ≤spans-sized cut list) — no second corpus shuffle. */
   private[graft] def exactSubstrCut(corpus: DataFrame, k: Int): DataFrame =
     exactSubstrCutFrom(corpus,
-      spanGrams(corpus, k, hashed = false).localCheckpoint(false), k)
+      spanGrams(corpus, k, hashed = false).localCheckpoint(), k)
 
   /** [[exactSubstrCut]] with a caller-supplied gram frame — the DQ
     * passes [[sharedPlantedGrams]] so the l33/l64/l65/l66 family
@@ -804,7 +844,7 @@ object SamplingQueries {
   private[graft] def exactSubstrCutGlobal(corpus: DataFrame,
       k: Int): DataFrame =
     exactSubstrCutGlobalFrom(corpus,
-      spanGrams(corpus, k, hashed = false).localCheckpoint(false), k)
+      spanGrams(corpus, k, hashed = false).localCheckpoint(), k)
 
   /** [[exactSubstrCutGlobal]] with a caller-supplied gram frame (same
     * split as [[exactSubstrCutFrom]]). */

@@ -54,9 +54,17 @@ object WinnowIndex {
     * so only l74's oracle-replayed DQ keeps md5. */
   private def fingerprints(corpus: DataFrame,
       keyCols: Seq[String]): DataFrame =
-    AuditQueries.winnowArrays(corpus, keyCols, hashed = true)
-      .select(keyCols.map(col) :+ explode(expr(
-        "array_distinct(transform(minkeys, k -> k div 1048576))")).as("h"): _*)
+    // winnow-once reuse: the gate pin carries the per-doc distinct
+    // fingerprint array ([[AuditQueries.winnowDocHashes]]) — project it
+    // instead of re-running the gram-hash + window-min chain (explode
+    // of null drops exactly the docs the length filter drops)
+    if (corpus.columns.contains(LlmQueries.PreWinnow))
+      corpus.select(keyCols.map(col) :+
+        explode(col(LlmQueries.PreWinnow)).as("h"): _*)
+    else
+      AuditQueries.winnowArrays(corpus, keyCols, hashed = true)
+        .select(keyCols.map(col) :+ explode(expr(
+          "array_distinct(transform(minkeys, k -> k div 1048576))")).as("h"): _*)
 
   /** The index frame of a corpus (lang, doc_id, text): one row per
     * distinct selected fingerprint hash per document. */

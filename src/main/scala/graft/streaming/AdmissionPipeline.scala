@@ -191,7 +191,12 @@ object AdmissionPipeline {
     def arm(df: DataFrame, bit: Long): DataFrame =
       df.select(col("doc_id"), lit(bit).as("_arm"))
     val arms = Seq.newBuilder[DataFrame]
-    arms += arm(StreamingNearDup.screenRaw(batch, gates.neardup, keep = Nil)
+    // decide() always runs on a BATCH frame (foreachBatch microbatch or
+    // the release gates' pinned shard), so the near-dup arm takes the
+    // batch dataflow: bare band keys through the join, sketch payloads
+    // attached once per distinct candidate pair (screenBatch's note) —
+    // flagged doc set identical to the stream form's.
+    arms += arm(StreamingNearDup.screenBatch(batch, gates.neardup, keep = Nil)
       .join(batchOwned, Seq("corpus_id"), "left_anti"), NdBit)
     arms += arm(StreamingDecontam.screenRaw(batch, gates.holdoutGrams), CtBit)
     // the opt-in semantic-decontam arm: active only when the gate is

@@ -127,12 +127,21 @@ object StreamingNearDup {
     graft.operators.Par.run(
       () => graft.operators.Compaction.appendInto(spark, s"$base/sketch") {
         live =>
-          sk.sortWithinPartitions("doc_id")
+          // range-cluster like compactIndex (and like every other
+          // index's append): the probe layout holds without waiting
+          // for a compaction pass, AND the file count follows the
+          // APPEND'S bytes (AQE coalescing) instead of the input
+          // frame's partitioning — the release gates' pinned shard is
+          // session-parallelism wide, and inheriting its partitioning
+          // wrote one near-empty file per partition per append
+          sk.repartitionByRange(col("doc_id"))
+            .sortWithinPartitions("doc_id")
             .write.mode("append").parquet(live)
       },
       () => graft.operators.Compaction.appendInto(spark, s"$base/bands") {
         live =>
           LlmQueries.minhashBuckets(sk.select("doc_id", "sig"))
+            .repartitionByRange(col("band_id"), col("bkey"))
             .sortWithinPartitions("band_id", "bkey")
             .write.mode("append").parquet(live)
       })
@@ -155,6 +164,48 @@ object StreamingNearDup {
     screenRaw(stream, idx, Seq(tsCol), thresholdE4)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+
+  /** [[screenRaw]] for BATCH frames — same flagged pairs, batch-only
+    * dataflow: the stream form must carry the doc's shingle payload
+    * THROUGH the 16× band explode (a stream-stream self-join would
+    * need its own watermark machinery), which puts the ~w-shingle
+    * array on every band row — 16× the verify-join bytes and 16
+    * array_intersects per matched pair. A batch frame can re-join
+    * itself, so here the band join carries bare (doc_id, band_id,
+    * bkey) rows, candidate pairs collapse to DISTINCT (doc_id,
+    * corpus_id) BEFORE the sketch payloads attach, and the exact
+    * Jaccard runs once per pair (guide §2.3: shuffle keys, attach
+    * payloads after the decision). Decision-identical to screenRaw
+    * modulo per-band row multiplicity — same pair set, same
+    * threshold — and every batch caller dedups anyway (the admission
+    * decision aggregates to one flag word per doc). On a frame
+    * carrying the reserved sketch columns (the release gates' pinned
+    * shard) the two docSketch references below are both cheap
+    * projections of the checkpoint. */
+  def screenBatch(df: DataFrame, idx: Index, keep: Seq[String],
+      thresholdE4: Long = DefaultThresholdE4): DataFrame = {
+    val sk = LlmQueries.docSketch(df, keep = keep)
+    val bands = LlmQueries.minhashBuckets(sk.select("doc_id", "sig"))
+    val corpusBands = idx.bands
+      .select(col("doc_id").as("corpus_id"), col("band_id"), col("bkey"))
+    val pairs = bands
+      .join(corpusBands, Seq("band_id", "bkey"))
+      .select("doc_id", "corpus_id").distinct()
+    val corpusSketch = idx.sketch
+      .select(col("doc_id").as("corpus_id"),
+        col("shs").as("c_shs"), col("n_sh").as("c_n"))
+    pairs
+      .join(sk.drop("sig"), "doc_id")
+      .join(corpusSketch, "corpus_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("shs"), col("c_shs"))).cast("long"))
+      .withColumn("jac_e4",
+        round(col("n_inter") * lit(10000.0) /
+          (col("n_sh") + col("c_n") - col("n_inter"))).cast("long"))
+      .filter(col("jac_e4") >= thresholdE4)
+      .select(Seq(col("doc_id"), col("corpus_id"), col("jac_e4")) ++
+        keep.map(col): _*)
+  }
 
   /** The STATELESS part of [[screen]]: band + verify joins only, no
     * watermark, so it runs on a batch frame as well as a stream — the

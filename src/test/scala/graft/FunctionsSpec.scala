@@ -342,4 +342,28 @@ class FunctionsSpec extends AnyFunSuite {
       if (!exploded.contains((doc, 4))) assert(cov4 === 0L, s"doc $doc width 4 empty")
     }
   }
+
+  test("native graft_gram_hash64 is byte-identical to the transform/concat_ws form") {
+    graft.functions.NativeTextExprs.ensureRegistered(spark)
+    val dd = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+    // every gram width the engine hashes: sketch shingles (3), winnow
+    // grams (5), span grams (15)
+    for (k <- Seq(3, 5, 15)) {
+      val hof = expr(s"CASE WHEN size(ta) >= $k THEN " +
+        s"transform(sequence(0, size(ta) - $k), " +
+        s"i -> xxhash64(concat_ws(' ', slice(ta, i + 1, $k)))) END")
+      val diff = dd
+        .filter(not(call_function("graft_gram_hash64", col("ta"), lit(k)) <=> hof))
+        .count()
+      assert(diff === 0, s"k=$k: native gram hashes diverge from the HOF form")
+    }
+    // the short-doc null contract: fewer than k tokens yields NULL,
+    // exactly the rows the HOF form's size guard drops
+    import spark.implicits._
+    val short = Seq("one two").toDF("text")
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+    assert(short.select(call_function("graft_gram_hash64", col("ta"), lit(3)))
+      .collect()(0).isNullAt(0))
+  }
 }
