@@ -37,6 +37,12 @@ object NativeTextExprs {
     GramHash64(children.head, children(1))
   }
 
+  private val gramStrBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2,
+      "graft_grams(tokens, k) takes an array<string> and a width")
+    GramStrings(children.head, children(1))
+  }
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_topgram_stats"),
@@ -46,6 +52,10 @@ object NativeTextExprs {
       FunctionIdentifier("graft_gram_hash64"),
       new ExpressionInfo(classOf[GramHash64].getName, "graft_gram_hash64"),
       gramHashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[GramStrings].getName, "graft_grams"),
+      gramStrBuilder))
   }
 
   /** Register into an ALREADY-BUILT session if absent — same fallback
@@ -62,6 +72,11 @@ object NativeTextExprs {
         FunctionIdentifier("graft_gram_hash64"),
         new ExpressionInfo(classOf[GramHash64].getName, "graft_gram_hash64"),
         gramHashBuilder)
+    if (!reg.functionExists(FunctionIdentifier("graft_grams")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_grams"),
+        new ExpressionInfo(classOf[GramStrings].getName, "graft_grams"),
+        gramStrBuilder)
   }
 }
 
@@ -275,6 +290,94 @@ object GramHash64 {
       out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
         ends(i + k - 1) - offs(i), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native positional k-gram STRINGS over an `array<string>` token
+  * column — `graft_grams(ta, k)` yields exactly
+  * `transform(sequence(0, size(ta) - k), i -> concat_ws(' ',
+  * slice(ta, i + 1, k)))`, but each gram is a ZERO-COPY UTF8String
+  * view into one space-joined buffer per document instead of a fresh
+  * per-gram concatenation — O(tokens) bytes copied per doc instead of
+  * O(tokens × k). This is the string sibling of [[GramHash64]] for the
+  * oracle-replayed gram families (decontamination 5/8-grams, the
+  * l33-family string spans, source-overlap 15-grams), whose gram
+  * REPRESENTATION must stay the exact strings DuckDB rebuilds.
+  *
+  * Same null contract as [[GramHash64]]: NULL under k tokens (the
+  * HOF form's size-guard rows), null-poisoned by a null token. */
+case class GramStrings(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_grams requires (array<string>, int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_grams"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, k: Any): Any =
+    GramStrings.compute(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) => {
+      val r = ctx.freshName("gramStrResult")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.GramStrings.compute($a, $k);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramStrings =
+    copy(left = newLeft, right = newRight)
+}
+
+object GramStrings {
+
+  /** Static entry shared by interpreted eval and codegen. Returns null
+    * when `n < k`, on a non-positive width, or on a null token. */
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (k <= 0 || n < k) return null
+    val toks = new Array[UTF8String](n)
+    var total = n - 1
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      val u = tokens.getUTF8String(i)
+      toks(i) = u
+      total += u.numBytes()
+      i += 1
+    }
+    val buf = new Array[Byte](total)
+    val offs = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var pos = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) { buf(pos) = ' '; pos += 1 }
+      offs(i) = pos
+      val u = toks(i)
+      u.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += u.numBytes()
+      ends(i) = pos
+      i += 1
+    }
+    val out = new Array[AnyRef](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      // a view over the shared buffer — no per-gram byte copy
+      out(i) = UTF8String.fromBytes(buf, offs(i), ends(i + k - 1) - offs(i))
       i += 1
     }
     new GenericArrayData(out)

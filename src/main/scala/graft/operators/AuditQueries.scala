@@ -590,10 +590,10 @@ object AuditQueries {
     (s, d) => {
       val base = docs(s, d).filter(col("text").isNotNull)
         .withColumn("ta", split(lower(col("text")), "\\s+"))
+      graft.functions.NativeTextExprs.ensureRegistered(s)
       def grams(n: Int) = base.filter(size(col("ta")) >= n)
-        .select(col("lang"), lit(n.toLong).as("n"), explode(expr(
-          s"transform(sequence(0, size(ta) - $n), " +
-            s"i -> concat_ws(' ', slice(ta, i + 1, $n)))")).as("gram"))
+        .select(col("lang"), lit(n.toLong).as("n"),
+          explode(call_function("graft_grams", col("ta"), lit(n))).as("gram"))
       grams(1).unionByName(grams(2)).unionByName(grams(3))
         .groupBy("lang", "n")
         .agg(count(lit(1)).as("n_grams"),

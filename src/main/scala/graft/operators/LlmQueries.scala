@@ -1198,10 +1198,10 @@ object LlmQueries {
         // Guard like shingles(): a <4-token doc makes sequence(0, n-3)
         // descend and slice() throw; the oracle mirrors the predicate.
         .filter(size(col("ta")) >= 4)
-        .withColumn("ga", expr(
-          "array_distinct(transform(sequence(0, size(ta) - 3), i -> concat_ws(' ', slice(ta, i + 1, 3))))"))
-        .withColumn("gb", expr(
-          "array_distinct(transform(sequence(0, size(tb) - 3), i -> concat_ws(' ', slice(tb, i + 1, 3))))"))
+        .withColumn("ga",
+          array_distinct(call_function("graft_grams", col("ta"), lit(3))))
+        .withColumn("gb",
+          array_distinct(call_function("graft_grams", col("tb"), lit(3))))
         .select(col("doc_id"),
           round(size(array_intersect(col("ga"), col("gb"))) * lit(10000.0) /
             size(array_union(col("ga"), col("gb")))).cast("long").as("jac_e4"))

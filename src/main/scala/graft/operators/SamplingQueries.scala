@@ -338,12 +338,16 @@ object SamplingQueries {
         .select(keep.map(col) :+
           explode(array_distinct(
             call_function("graft_gram_hash64", col("ta"), lit(k)))).as("gram"): _*)
-    } else
+    } else {
+      // graft_grams: the same strings, built as zero-copy views of one
+      // space-joined buffer per doc (NativeTextExprs.GramStrings)
+      graft.functions.NativeTextExprs.ensureRegistered(df.sparkSession)
       df.withColumn("ta", LlmQueries.tokensOf(df))
         .filter(size(col("ta")) >= k)
         .select(keep.map(col) :+
-          explode(expr(s"array_distinct(transform(sequence(0, size(ta) - $k), " +
-            s"i -> concat_ws(' ', slice(ta, i + 1, $k))))")).as("gram"): _*)
+          explode(array_distinct(
+            call_function("graft_grams", col("ta"), lit(k)))).as("gram"): _*)
+    }
   }
 
   /** The reserved positional [[SpanK]]-gram-hash array over a
@@ -585,13 +589,14 @@ object SamplingQueries {
         .select(col("lang"), col("doc_id"),
           posexplode(call_function("graft_gram_hash64", col("ta"), lit(k))))
         .withColumnRenamed("col", "gram")
-    } else
+    } else {
+      graft.functions.NativeTextExprs.ensureRegistered(df.sparkSession)
       df.withColumn("ta", LlmQueries.tokensOf(df))
         .filter(size(col("ta")) >= k)
         .select(col("lang"), col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, size(ta) - $k), " +
-            s"i -> concat_ws(' ', slice(ta, i + 1, $k)))")))
+          posexplode(call_function("graft_grams", col("ta"), lit(k))))
         .withColumnRenamed("col", "gram")
+    }
   }
 
   /** L33 core — substring-level deduplication (Lee et al. 2022,

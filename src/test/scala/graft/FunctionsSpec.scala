@@ -366,4 +366,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short.select(call_function("graft_gram_hash64", col("ta"), lit(3)))
       .collect()(0).isNullAt(0))
   }
+
+  test("native graft_grams is string-identical to the transform/concat_ws form") {
+    graft.functions.NativeTextExprs.ensureRegistered(spark)
+    val dd = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .withColumn("ta", split(lower(col("text")), "\\s+"))
+    for (k <- Seq(1, 3, 5, 8, 15)) {
+      val hof = expr(s"CASE WHEN size(ta) >= $k THEN " +
+        s"transform(sequence(0, size(ta) - $k), " +
+        s"i -> concat_ws(' ', slice(ta, i + 1, $k))) END")
+      val diff = dd
+        .filter(not(call_function("graft_grams", col("ta"), lit(k)) <=> hof))
+        .count()
+      assert(diff === 0, s"k=$k: native gram strings diverge from the HOF form")
+    }
+  }
 }
