@@ -817,17 +817,16 @@ object AuditQueries {
     // production keys route through the native gram-hash kernel (same
     // masked xxhash64 values — graft_gram_hash64 is byte-identical to
     // the concat_ws form); the md5 stand-in stays the oracle-replayed
-    // l74 arm
-    if (hashed)
-      graft.functions.NativeTextExprs.ensureRegistered(corpus.sparkSession)
+    // l74 arm, its gram STRINGS built by graft_grams (identical bytes
+    // in, identical md5 out — only the per-gram concat allocation goes)
+    graft.functions.NativeTextExprs.ensureRegistered(corpus.sparkSession)
     val keysExpr =
       if (hashed)
         s"transform(graft_gram_hash64(ta, $WinnowK), (h, i) -> " +
           "(h & 8796093022207L) * 1048576L + (1048575L - i))"
       else
-        s"transform(sequence(0, size(ta) - $WinnowK), i -> " +
-          "cast(conv(substring(md5(concat_ws(' ', " +
-          s"slice(ta, i + 1, $WinnowK))), 1, 8), 16, 10) as bigint) " +
+        s"transform(graft_grams(ta, $WinnowK), (g, i) -> " +
+          "cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) " +
           "* 1048576L + (1048575L - i))"
     corpus.filter(col("text").isNotNull)
       .withColumn("ta", LlmQueries.tokensOf(corpus))

@@ -1362,7 +1362,7 @@ object SamplingQueries {
     // the pipeline's only token-grain pass, and four consumers read it
     // (raw model, target model, smoothing totals, per-doc weights) — an
     // unshared frame would re-tokenize the corpus four times
-    val feats = dsirFeats(dd0).localCheckpoint(false)
+    val feats = dsirFeats(dd0).localCheckpoint()
     val llr = dsirModelFrom(feats, targetLang)
     // per-doc weight: exact long dot of feature counts with the ≤B-row
     // broadcast llr table; docs with no bigram weigh 0

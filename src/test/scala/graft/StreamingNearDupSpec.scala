@@ -146,4 +146,25 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assume(streamed.nonEmpty, "runs after the screen test in suite order")
     assert(streamed(0).getAs[Long]("jac_e4") === batchJac)
   }
+
+  test("screenBatch flags the identical pair set as the stream form (sf0.001 corpus)") {
+    val dd = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull).select("doc_id", "text")
+    // corpus = 70% of docs; batch = the rest plus first-token-dropped
+    // near-dups of corpus docs (hash differently, band-match their source)
+    val corpusSlice = dd.filter(col("doc_id") % 10 < 7)
+    val idx = StreamingNearDup.buildIndex(corpusSlice)
+    val batch = dd.filter(col("doc_id") % 10 >= 7)
+      .unionByName(corpusSlice.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val stream = StreamingNearDup.screenRaw(batch, idx, keep = Nil)
+      .select("doc_id", "corpus_id", "jac_e4").distinct()
+    val batched = StreamingNearDup.screenBatch(batch, idx, keep = Nil)
+      .select("doc_id", "corpus_id", "jac_e4").distinct()
+    assert(stream.exceptAll(batched).count() === 0)
+    assert(batched.exceptAll(stream).count() === 0)
+    // and the batch form found the planted near-dups at all
+    assert(batched.count() > 0)
+  }
 }
